@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with a noop write (no driver
+collect — the plan runs distributed end to end, like it would on a cluster).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from reddit_sse_stream_spark.plans.catalog import QUERIES
+from reddit_sse_stream_spark.session import get_spark
+
+#: Headline set: one per operator family (scan+filter algebra, agg, joins,
+#: windows, dedup exact + minhash, text, vector search).
+HEADLINE = (
+    "f5_whitelist_combiner",
+    "a2_bytes_total",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_revenue",
+    "window_topk_orders_per_customer",
+    "join_range_clicks_before_purchase",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "knn_bruteforce_cosine",
+    "p2_json_key_subset",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not first-touch session costs.
+    QUERIES["tpch_q6_forecast_revenue"].spark(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        df = QUERIES[name].spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

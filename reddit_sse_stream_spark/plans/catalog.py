@@ -1,0 +1,1102 @@
+"""The query catalog: every operator from SURVEY.md §2 (plus the
+training-data-pipeline extensions) expressed twice —
+
+- ``spark``:  idiomatic PySpark over ``{sf_dir}/*.parquet``
+- ``oracle``: equivalent ANSI SQL for DuckDB (same tables as views)
+
+The driver hash-compares both at sf0.01 (CORRECTNESS_r{N}.json). Column
+names/types are aligned on both sides (aggregates aliased identically,
+booleans cast to INTEGER, doubles rounded) because the compare sorts
+columns by name and hashes values.
+
+Section map (SURVEY.md §2 coverage):
+  feed_*  / filter_* / project_* / merge_* / agg_feed_*  — the reference's
+      own operator surface (S1-S8, F1-F8, P1-P2, M1-M2, A1-A3, X1-X10,
+      quirks Q1-Q4) over the derived reddit-shaped feed.
+  tpch_* / join_* / window_* / aggx_* / setop_* / limit_* / pivot_*
+      — §2.8 "Spark built-in" categories (joins, agg modes, windows,
+      set ops, limits) proven with real plans + oracles.
+  dedup_* / text_* / embed_* / knn_* / media_* — north-star extensions.
+
+Queries marked ``oracle=None`` are genuinely non-SQL-expressible in DuckDB
+(xxhash64-based sketches, LSH approximations, Arrow mapInPandas plumbing);
+the driver records a weaker rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, replace as dc_replace
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_sse_stream_spark.operators import dedup, multimodal, projection, similarity, text
+from reddit_sse_stream_spark.sources.feed import FEED_CTE, feed_df
+from reddit_sse_stream_spark.sources.tables import load_table
+from reddit_sse_stream_spark.spec import QuerySpec
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = QueryDef(name, fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------- #
+# Shared feed projection (booleans -> INTEGER for hash parity)                 #
+# --------------------------------------------------------------------------- #
+
+_FEED_COLS_SQL = (
+    "id, event, author, subreddit, domain, "
+    "CAST(over_18 AS INTEGER) AS over_18, CAST(is_self AS INTEGER) AS is_self, "
+    "created_utc, json"
+)
+
+
+def _feed_out(df: DataFrame) -> DataFrame:
+    return df.select(
+        "id",
+        "event",
+        "author",
+        "subreddit",
+        "domain",
+        F.col("over_18").cast("int").alias("over_18"),
+        F.col("is_self").cast("int").alias("is_self"),
+        "created_utc",
+        "json",
+    )
+
+
+def _feed_sql(where: str) -> str:
+    return f"WITH {FEED_CTE} SELECT {_FEED_COLS_SQL} FROM feed WHERE {where}"
+
+
+# =========================================================================== #
+# §2.1 Sources / offsets (S1-S5) over the feed                                #
+# =========================================================================== #
+
+
+@_register(
+    "s1_range_scan",
+    _feed_sql("id BETWEEN 100 AND 134"),
+)
+def s1_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — micro-batch contiguous id window (25 comment + 10 submission ids
+    per poll; sse.py:101-102,146-152). The BETWEEN predicate pushes into the
+    parquet scan (the reference re-reads every field per client)."""
+    return _feed_out(feed_df(spark, sf_dir).filter(F.col("id").between(100, 134)))
+
+
+@_register(
+    "s3_backfill_clamp",
+    f"WITH {FEED_CTE} SELECT {_FEED_COLS_SQL} FROM feed "
+    "WHERE id > (SELECT max(id) FROM feed) - LEAST(200000, 100000) AND event = 'rc'",
+)
+def s3_backfill_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — backfill rewind: start max_id - min(N, 100000); requested
+    N=200000 clamps to 100000 (sse.py:60-69; Q4: code wins over README)."""
+    fd = feed_df(spark, sf_dir)
+    n = QuerySpec.from_params({"comment_backfill": ["200000"]}).comment_backfill
+    latest = fd.agg(F.max("id").alias("max_id"))
+    return _feed_out(
+        fd.crossJoin(F.broadcast(latest))
+        .filter((F.col("id") > F.col("max_id") - F.lit(n)) & (F.col("event") == "rc"))
+        .drop("max_id")
+    )
+
+
+@_register("s4_start_id_resume", _feed_sql("id >= 137"))
+def s4_start_id_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — exact-offset resume: cursor = start_id - 1, so emission begins at
+    start_id (sse.py:72-78,126-129)."""
+    start_id = 137
+    return _feed_out(feed_df(spark, sf_dir).filter(F.col("id") >= start_id))
+
+
+# =========================================================================== #
+# §2.2 Filters F1-F8 + quirks (compiled via QuerySpec — one algebra, two      #
+# backends, so the oracle string below IS the spec compiler's SQL output)     #
+# =========================================================================== #
+
+
+def _spec_query(spec: QuerySpec):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _feed_out(feed_df(spark, sf_dir).filter(spec.predicate()))
+
+    return run, _feed_sql(spec.predicate_sql())
+
+
+def _register_spec(name: str, spec: QuerySpec, doc: str) -> None:
+    fn, oracle = _spec_query(spec)
+    fn.__doc__ = doc
+    _register(name, oracle)(fn)
+
+
+_register_spec(
+    "f1_type_dispatch",
+    QuerySpec(type="comments"),
+    "F1 — type param: row suppressed unless type matches the stream tag "
+    "(startswith 'comment'/'submission' or exact rc/rs; sse.py:180,223).",
+)
+_register_spec(
+    "f2_author_whitelist",
+    QuerySpec(authors=("u3", "u7", "u11")),
+    "F2 — author whitelist: repeated-param list membership, case-sensitive, "
+    "commas NOT split (sse.py:169-171,208-210; quirk Q2).",
+)
+_register_spec(
+    "f3_subreddit_whitelist",
+    QuerySpec(subreddits=("click", "signup")),
+    "F3 — subreddit whitelist, same list semantics as F2 (sse.py:173-175,216-218).",
+)
+_register_spec(
+    "f4_domain_whitelist",
+    QuerySpec(domains=("dom1.example.com", "dom3.example.com")),
+    "F4 — domain whitelist: comma-split, case-insensitive, submissions only "
+    "(sse.py:198,212-214). Per quirk Q1 this blocks ALL comments.",
+)
+_register_spec(
+    "f5_whitelist_combiner",
+    QuerySpec(authors=("u1", "u2"), subreddits=("error",), domains=("dom2.example.com",)),
+    "F5 — disjunction of F2-F4 with per-entity terms (domain only for rs); "
+    "vacuous truth when no whitelist param (sse.py:156-159,187-190).",
+)
+_register_spec(
+    "f6_f7_flag_filters",
+    QuerySpec(over_18="TRUE", is_self="false"),
+    "F6/F7 — over_18/is_self: case-insensitive string equality on the "
+    "stringified boolean, conjunctive, submissions only (sse.py:202-206).",
+)
+_register_spec(
+    "f_combined_full",
+    QuerySpec(type="submissions", authors=("u5",), domains=("dom0.example.com", "DOM4.EXAMPLE.COM"), over_18="false"),
+    "Full algebra: whitelist-OR AND flag filter AND type dispatch, with "
+    "mixed-case domain params lowercased at parse (sse.py:213).",
+)
+
+
+@_register(
+    "q1_domain_blocks_comments",
+    f"WITH {FEED_CTE} SELECT event, count(*) AS n FROM feed "
+    f"WHERE {QuerySpec(domains=('dom1.example.com',)).predicate_sql()} GROUP BY event",
+)
+def q1_domain_blocks_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quirk Q1 pinned: a bare ?domain= blocks every comment — the result
+    must contain only event='rs' groups (sse.py:156 vs 169-175)."""
+    spec = QuerySpec(domains=("dom1.example.com",))
+    return (
+        feed_df(spark, sf_dir)
+        .filter(spec.predicate())
+        .groupBy("event")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register("f8_null_elimination", _feed_sql("json IS NOT NULL AND domain IS NOT NULL"))
+def f8_null_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — falsy/missing rows skipped (sse.py:155,185); here: IS NOT NULL
+    elimination on payload + the rc-NULL domain column."""
+    return _feed_out(
+        feed_df(spark, sf_dir).filter(F.col("json").isNotNull() & F.col("domain").isNotNull())
+    )
+
+
+# =========================================================================== #
+# §2.3 Projection P1/P2 + scalar functions X1-X10                             #
+# =========================================================================== #
+
+
+@_register(
+    "p2_json_key_subset",
+    f"WITH {FEED_CTE} SELECT id, event, "
+    "CASE WHEN json_extract_string(json, '$.k') IS NULL THEN '{}' "
+    "ELSE '{\"k\":\"' || json_extract_string(json, '$.k') || '\"}' END AS data "
+    "FROM feed WHERE id < 200",
+)
+def p2_json_key_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — the `filter` param: parse payload, keep listed keys, re-serialize;
+    no matches -> '{}' (sse.py:234-237). map<string,string> schema-on-read
+    keeps values string-typed exactly like the reference."""
+    fd = feed_df(spark, sf_dir).filter(F.col("id") < 200)
+    return fd.select(
+        "id", "event", projection.json_key_subset(F.col("json"), ["k"]).alias("data")
+    )
+
+
+@_register(
+    "x4_json_extract",
+    f"WITH {FEED_CTE} SELECT id, CAST(json_extract_string(json, '$.k') AS BIGINT) AS k_val "
+    "FROM feed WHERE event = 'rs'",
+)
+def x4_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — single-key JSON extraction (get_json_object -> codegen; no full
+    map materialization)."""
+    fd = feed_df(spark, sf_dir).filter(F.col("event") == "rs")
+    return fd.select(
+        "id", projection.json_get(F.col("json"), "k").cast("bigint").alias("k_val")
+    )
+
+
+# =========================================================================== #
+# §2.4 Merge / sort (M1, M2) and §2.5 aggregation (A1-A3, S8)                 #
+# =========================================================================== #
+
+
+@_register(
+    "m1_m2_interleave_sort",
+    f"WITH {FEED_CTE} SELECT id, event, created_utc, json FROM feed "
+    "ORDER BY created_utc, id LIMIT 100",
+)
+def m1_m2_interleave_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M2 — rc/rs interleave then event-time sort with id tiebreak
+    (sse.py:145,228-229); LIMIT makes order observable in the hash."""
+    fd = feed_df(spark, sf_dir)
+    rc = fd.filter(F.col("event") == "rc")
+    rs = fd.filter(F.col("event") == "rs")
+    merged = rc.unionByName(rs)
+    return (
+        merged.select("id", "event", "created_utc", "json")
+        .orderBy("created_utc", "id")
+        .limit(100)
+    )
+
+
+@_register(
+    "a1_running_totals",
+    f"WITH {FEED_CTE} SELECT event, count(*) AS total_sent FROM feed "
+    f"WHERE {QuerySpec(subreddits=('click', 'purchase')).predicate_sql()} GROUP BY event",
+)
+def a1_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — tcs/tss counters with the reference quirk pinned: counts happen
+    BEFORE the type filter (sse.py:179-180,222-223), so the spec here has
+    whitelist terms but NO type term even when a client passes ?type=."""
+    client_spec = QuerySpec(subreddits=("click", "purchase"), type="comments")
+    counter_spec = dc_replace(client_spec, type=None)  # counters ignore F1
+    return (
+        feed_df(spark, sf_dir)
+        .filter(counter_spec.predicate())
+        .groupBy("event")
+        .agg(F.count("*").alias("total_sent"))
+    )
+
+
+_FRAME_SQL = (
+    "'id: ' || CAST(id AS VARCHAR) || chr(10) || 'event: ' || event || "
+    "chr(10) || 'data: ' || json || chr(10) || chr(10)"
+)
+
+
+@_register(
+    "a2_bytes_total",
+    f"WITH {FEED_CTE} SELECT sum(length({_FRAME_SQL})) AS tbs FROM feed",
+)
+def a2_bytes_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — total_bytes_sent: sum of SSE frame lengths
+    'id: {}\\nevent: {}\\ndata: {}\\n\\n' (sse.py:239-240, X5/X6)."""
+    fd = feed_df(spark, sf_dir)
+    frame = F.format_string("id: %s\nevent: %s\ndata: %s\n\n", "id", "event", "json")
+    return fd.agg(F.sum(F.length(frame)).alias("tbs"))
+
+
+@_register(
+    "a3_max_cursor",
+    f"WITH {FEED_CTE} SELECT event, max(id) AS max_id FROM feed GROUP BY event",
+)
+def a3_max_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — monotonic max cursor per stream = source offset (sse.py:162,192)."""
+    return feed_df(spark, sf_dir).groupBy("event").agg(F.max("id").alias("max_id"))
+
+
+@_register(
+    "s8_keepalive_counters",
+    f"WITH {FEED_CTE} SELECT "
+    "count(*) FILTER (WHERE event = 'rc') AS tcs, "
+    "count(*) FILTER (WHERE event = 'rs') AS tss, "
+    f"sum(length({_FRAME_SQL})) AS tbs FROM feed",
+)
+def s8_keepalive_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — the keepalive payload {tcs, tss, tbs} (sse.py:137-143). One pass,
+    three conditional aggregates (the reference mutates three locals)."""
+    fd = feed_df(spark, sf_dir)
+    frame = F.format_string("id: %s\nevent: %s\ndata: %s\n\n", "id", "event", "json")
+    return fd.agg(
+        F.count(F.when(F.col("event") == "rc", 1)).alias("tcs"),
+        F.count(F.when(F.col("event") == "rs", 1)).alias("tss"),
+        F.sum(F.length(frame)).alias("tbs"),
+    )
+
+
+# =========================================================================== #
+# §2.8 built-in categories: TPC-H-style joins & aggregations                  #
+# =========================================================================== #
+
+
+@_register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> pushed filter -> partial+final hash agg.
+    One shuffle on a 2-column low-cardinality key; map-side combine does
+    almost all the work at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim (customer) broadcast into the fact
+    chain, agg, top-k. customer is ~1.5% of lineitem -> broadcast hint keeps
+    both joins shuffle-free on the big side."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@_register(
+    "tpch_q5_region_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join. All dims broadcast (nation/region
+    are tiny; supplier+customer small relative to the facts), so the only
+    shuffle is the final groupBy on n_name."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg; every predicate pushes to
+    parquet (PushedFilters), zero shuffles (single global agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@_register(
+    "join_semi_customers_with_orders",
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): emits each customer at most once; Spark
+    never materializes the right side's payload columns."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "join_anti_customers_without_orders",
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "join_broadcast_star_counts",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast star join: nation (25 rows) and region (5 rows) broadcast —
+    the fact side never shuffles for the join, only for the final agg."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@_register(
+    "join_range_clicks_before_purchase",
+    """
+    SELECT p.event_id, count(c.event_id) AS n_clicks_1h
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per purchase, clicks by the same user in the preceding
+    hour. The equi term (user_id) makes it a hash join with a residual range
+    filter — the scalable form (a pure theta join would be a nested-loop
+    disaster at 100 TB)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    return (
+        p.join(
+            c,
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c.ts") < F.col("p.ts")),
+            "left",
+        )
+        .groupBy(F.col("p.event_id").alias("event_id"))
+        .agg(F.count(F.col("c.event_id")).alias("n_clicks_1h"))
+    )
+
+
+@_register(
+    "join_asof_last_click",
+    """
+    SELECT p.event_id, max(c.ts) AS last_click_ts
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): per purchase, timestamp of the most recent
+    prior click by the same user — expressed as equi-join + max, the
+    composition Spark executes without a custom operator."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    return (
+        p.join(
+            c,
+            (F.col("c.user_id") == F.col("p.user_id")) & (F.col("c.ts") < F.col("p.ts")),
+            "left",
+        )
+        .groupBy(F.col("p.event_id").alias("event_id"))
+        .agg(F.max(F.col("c.ts")).alias("last_click_ts"))
+    )
+
+
+# =========================================================================== #
+# §2.8: aggregation modes — rollup / cube / grouping sets / distinct / stats  #
+# =========================================================================== #
+
+
+@_register(
+    "aggx_rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def aggx_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status -> status+priority -> grand total)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@_register(
+    "aggx_cube_events",
+    """
+    SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY CUBE (event_type, user_id % 10)
+    """,
+)
+def aggx_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user bucket) — all 4 grouping-set combos."""
+    ev = _t(spark, sf_dir, "events").withColumn("user_bucket", F.col("user_id") % 10)
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+@_register(
+    "aggx_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def aggx_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (expressed via Spark SQL — same Catalyst
+    Expand-based plan as rollup/cube)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@_register(
+    "aggx_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def aggx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) alongside plain COUNT — Catalyst plans the two-phase
+    expand+agg automatically."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@_register("aggx_approx_distinct", None)
+def aggx_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). No oracle: DuckDB's approx sketch is a
+    different algorithm, so values legitimately differ — rows-only check."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@_register(
+    "aggx_stats_per_type",
+    """
+    SELECT event_type,
+           round(min(value), 2) AS min_v, round(max(value), 2) AS max_v,
+           round(avg(value), 3) AS avg_v, round(stddev_samp(value), 3) AS sd_v,
+           round(median(value), 3) AS med_v
+    FROM events GROUP BY event_type
+    """,
+)
+def aggx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric stats incl. exact median (percentile). Spark's `median` is the
+    exact 50th percentile, matching DuckDB's median on doubles."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+            F.round(F.avg("value"), 3).alias("avg_v"),
+            F.round(F.stddev_samp("value"), 3).alias("sd_v"),
+            F.round(F.median("value"), 3).alias("med_v"),
+        )
+    )
+
+
+# =========================================================================== #
+# §2.8: window functions                                                      #
+# =========================================================================== #
+
+
+@_register(
+    "window_topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 2
+    """,
+)
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-2 orders per customer. Single shuffle on
+    o_custkey; deterministic tiebreak on o_orderkey."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn"
+        )
+    )
+
+
+@_register(
+    "window_running_sum_per_user",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame window: per-user running sum in event-time order —
+    the reference's per-connection counters (A1/A2) generalized to keyed
+    running aggregates."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@_register(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+             AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: per-user value delta between consecutive events."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+# =========================================================================== #
+# §2.8: set ops, limits, pivot                                                #
+# =========================================================================== #
+
+
+@_register(
+    "setop_intersect_users",
+    "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+    "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: users who both clicked and purchased."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.intersect(buys)
+
+
+@_register(
+    "setop_except_users",
+    "SELECT DISTINCT user_id FROM events WHERE event_type = 'view' "
+    "EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: viewers who never errored."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    errs = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return views.exceptAll(errs).distinct()
+
+
+@_register(
+    "limit_topk_events_by_value",
+    """
+    SELECT event_id, event_type, round(value, 2) AS value
+    FROM events ORDER BY value DESC, event_id LIMIT 10
+    """,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY+LIMIT — Spark plans TakeOrderedAndProject (per-partition
+    partial top-k; only k rows per partition reach the merge)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(10)
+        .select("event_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+@_register(
+    "pivot_event_counts",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event-type counts per user bucket. Explicit value list keeps
+    the plan single-pass (no distinct-values pre-query)."""
+    ev = _t(spark, sf_dir, "events").withColumn("user_bucket", F.col("user_id") % 10)
+    return (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+# =========================================================================== #
+# North-star: dedup / text analysis / similarity / multimodal                 #
+# =========================================================================== #
+
+
+@_register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: content digest -> survivor id + copy count. Only
+    (16-byte digest, id) crosses the shuffle — never the document text."""
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_exact_keep_first",
+    """
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup survivors (keep lowest doc_id per digest)."""
+    return dedup.exact_dedup_keep_first(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@_register(
+    "text_token_count",
+    """
+    SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count per document (pure codegen, no shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.token_count("text").cast("bigint").alias("n_tokens"))
+
+
+@_register(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words,
+           round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                 / greatest(length(text), 1), 4) AS alpha_ratio,
+           round((length(text) - length(replace(text, ' ', '')))
+                 / greatest(length(text), 1), 4) AS space_ratio,
+           round((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                  / greatest(length(text), 1))
+                 * least(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) / 50.0, 1.0),
+                 4) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-quality heuristics: length/word/alpha/space ratios + composite."""
+    df = text.quality_score(_t(spark, sf_dir, "documents"))
+    return df.withColumn("n_words", F.col("n_words").cast("bigint")).withColumn(
+        "n_chars_actual", F.col("n_chars_actual").cast("bigint")
+    )
+
+
+@_register(
+    "text_lang_scores",
+    "SELECT doc_id, "
+    + ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {m} ', ''))) / {len(m) + 2}"
+            for m in markers
+        )
+        + f" AS BIGINT) AS score_{lang}"
+        for lang, markers in sorted(text.LANG_MARKERS.items())
+    )
+    + " FROM documents",
+)
+def text_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword-marker hit counts."""
+    return text.lang_scores(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           substring(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (truncated md5)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+@_register(
+    "embed_l2_norm",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2
+    FROM embeddings
+    """,
+)
+def embed_l2_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math via higher-order functions: per-row L2 norm (no UDF)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(similarity.l2_norm(F.col("embedding").cast("array<double>")), 4).alias("l2"),
+    )
+
+
+@_register(
+    "knn_bruteforce_cosine",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(
+             list_sum(list_transform(range(1, len(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 5
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector. The query
+    row is broadcast (1 row); scoring is a full-parallel scan; top-k is
+    TakeOrderedAndProject — no full sort, no wide shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                similarity.cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(5)
+
+
+@_register("knn_lsh_bucketed", None)
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucket prune, then exact cosine
+    within the bucket. Approximate -> rows-only check (no SQL oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.lsh_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=5)
+
+
+@_register("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates verified with exact Jaccard (>= 0.8).
+    xxhash64-based — not expressible in DuckDB -> rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=64, bands=16)
+    return (
+        dedup.ngram_jaccard_pairs(docs, cands)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+@_register("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints grouped to exact-duplicate clusters (hamming-0);
+    xxhash64-based -> rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.simhash(docs)
+    return sh.groupBy("simhash").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs")
+    )
+
+
+@_register("media_features", None)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> Arrow-batched
+    mapInPandas feature extraction (decode step is a deterministic fake —
+    container has no codecs; see operators/multimodal.py)."""
+    media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "checksum")
+
+
+@_register(
+    "media_frame_sample",
+    """
+    SELECT media_id, frame_idx FROM (
+      SELECT doc_id AS media_id, unnest(range(0, (doc_id % 16 + 1))) AS frame_idx
+      FROM documents WHERE doc_id % 3 = 2) t
+    WHERE frame_idx % 4 = 0
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: explode frame indices, keep every 4th.
+    (kind='video' <=> doc_id % 3 = 2 per synthesize_media.)"""
+    media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample(media, every_n=4)

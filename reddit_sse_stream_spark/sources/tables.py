@@ -1,0 +1,47 @@
+"""Parquet table loaders for the driver-generated TPC-H-ish testdata.
+
+One parquet file per table under ``{sf_dir}/{name}.parquet`` (TESTDATA.md).
+Loading stays fully declarative (``spark.read.parquet``) so Catalyst performs
+column pruning and predicate pushdown into the scan — the two optimizations
+the reference engine conspicuously lacks (it HGETALLs every field of every
+row per client; ``/root/reference/sse.py:148-152``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) parquet read as long via
+        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros (same as
+        # DuckDB's nanos->micros coercion) and restore the timestamp type.
+        # integer div: a double `/ 1000` loses ulp-level precision at e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so catalog queries can be written
+    in either DataFrame or SQL form against the same names DuckDB uses."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

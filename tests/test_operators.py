@@ -1,0 +1,162 @@
+"""Operator-level unit tests: P2 projection edge cases, merge sort, dedup
+family, text functions, vector math vs numpy ground truth."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_sse_stream_spark.operators import dedup, merge, multimodal, projection, similarity, text
+from reddit_sse_stream_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------- P2
+
+
+def test_p2_keeps_only_listed_keys(spark):
+    df = spark.createDataFrame([('{"a":"1","b":"2","c":"3"}',)], "json string")
+    out = df.select(projection.json_key_subset("json", ["a", "c"]).alias("d")).first()[0]
+    assert json.loads(out) == {"a": "1", "c": "3"}
+
+
+def test_p2_no_match_yields_empty_object(spark):
+    # sse.py:237 — zero matching keys -> '{}'
+    df = spark.createDataFrame([('{"a":"1"}',)], "json string")
+    out = df.select(projection.json_key_subset("json", ["zzz"]).alias("d")).first()[0]
+    assert out == "{}"
+
+
+def test_p2_values_stay_strings(spark):
+    # schema-on-read as map<string,string>: numeric values keep their lexical
+    # form, matching the reference's json round-trip of string-typed hashes
+    df = spark.createDataFrame([('{"k": 87}',)], "json string")
+    out = df.select(projection.json_key_subset("json", ["k"]).alias("d")).first()[0]
+    assert json.loads(out) == {"k": "87"}
+
+
+# ------------------------------------------------------------------- merge
+
+
+def test_m1_m2_interleave_and_sort(spark):
+    rc = spark.createDataFrame([(1, "rc", 300), (2, "rc", 100)], "id long, event string, created_utc long")
+    rs = spark.createDataFrame([(3, "rs", 200), (4, "rs", 100)], "id long, event string, created_utc long")
+    got = [tuple(r) for r in merge.event_time_sort(merge.interleave(rc, rs)).collect()]
+    assert got == [(2, "rc", 100), (4, "rs", 100), (3, "rs", 200), (1, "rc", 300)]
+
+
+# ------------------------------------------------------------------- dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60),
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat again and again", "en", "s", 60),  # near dup
+        (3, "completely different text about spark query engines at scale", "en", "s", 60),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).cache()
+
+
+def test_exact_dedup_keep_first(docs):
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup_keep_first(docs).collect())
+    assert kept == [0, 2, 3]
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dedup_groups(docs).collect()}
+    assert groups == {0: 2, 2: 1, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=64, bands=32, k=3)
+    pairs = dedup.ngram_jaccard_pairs(docs, cands, k=3)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 1.0  # exact dup always collides
+    near = got.get((0, 2)) or got.get((1, 2))
+    assert near is not None and 0.5 < near < 1.0
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+
+
+def test_simhash_exact_dups_equal_and_near_dups_close(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    ham_near = bin((sh[0] ^ sh[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sh[0] ^ sh[3]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far
+
+
+# -------------------------------------------------------------------- text
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("one",)], "text string")
+    got = [r[0] for r in df.select(text.token_count("text")).collect()]
+    assert got == [3, 1]
+
+
+def test_marker_hits_space_delimited(spark):
+    df = spark.createDataFrame([("the cat the hat theater",)], "text string")
+    got = df.select(text.marker_hits("text", "the").alias("n")).first()["n"]
+    assert got == 2  # 'theater' must not count
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",)], "text string")
+    fps = [r[0] for r in df.select(text.fingerprint("text")).collect()]
+    assert fps[0] == fps[1]
+    assert len(fps[0]) == 16
+
+
+# -------------------------------------------------------------- similarity
+
+
+def test_cosine_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50).cache()
+    rows = emb.collect()
+    q = np.array(rows[0]["embedding"], dtype=np.float64)
+    expected = {}
+    for r in rows[1:]:
+        v = np.array(r["embedding"], dtype=np.float64)
+        expected[r["vec_id"]] = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+    got = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != rows[0]["vec_id"]), list(q), k=10
+    ).collect()
+    for r in got:
+        assert math.isclose(r["cos_sim"], expected[r["vec_id"]], abs_tol=1e-5)
+    top_expected = sorted(expected, key=lambda k: (-round(expected[k], 6), k))[:10]
+    assert [r["vec_id"] for r in got] == top_expected
+
+
+def test_lsh_topk_subset_of_bucket(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200).cache()
+    q = list(emb.first()["embedding"])
+    approx = similarity.lsh_topk(emb, q, k=5)
+    assert approx.count() <= 5  # bucket may be small; never more than k
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_media_features_shapes(spark, sf_dir):
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents").limit(20))
+    feats = multimodal.extract_features(media, dim=8).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert len(r["feat"]) == 8
+        assert abs(sum(r["feat"]) - 1.0) < 1e-3  # normalized histogram
+
+
+def test_frame_sample_every_nth(spark, sf_dir):
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents").limit(30))
+    rows = multimodal.frame_sample(media, every_n=4).collect()
+    assert rows, "expected some video frames"
+    assert all(r["frame_idx"] % 4 == 0 for r in rows)

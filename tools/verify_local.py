@@ -1,0 +1,95 @@
+"""Local replica of the driver's correctness gate: run every catalog query
+in Spark AND its DuckDB oracle on the same sf dir; compare row count, sorted
+column names, and order-insensitive values.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import traceback
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from reddit_sse_stream_spark.plans.catalog import QUERIES
+from reddit_sse_stream_spark.sources.tables import TABLES
+from reddit_sse_stream_spark.session import get_spark
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("verify_local")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failed = []
+    for name, qd in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = qd.spark(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception:
+            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            failed.append(name)
+            continue
+        if qd.oracle is None:
+            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            res = con.execute(qd.oracle)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
+            failed.append(name)
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            sc = _canon([tuple(r) for r in srows], scols)
+            dc = _canon(drows, dcols)
+            if sc != dc:
+                diff = next((i for i, (a, b) in enumerate(zip(sc, dc)) if a != b), -1)
+                problems.append(
+                    f"values differ at sorted-row {diff}:\n  spark={sc[diff] if diff >= 0 else '?'}"
+                    f"\n  duck ={dc[diff] if diff >= 0 else '?'}"
+                )
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failed.append(name)
+        else:
+            print(f"ok   {name}: {len(srows)} rows match")
+    print(f"\n{len(QUERIES) - len(failed)}/{len(QUERIES)} ok")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

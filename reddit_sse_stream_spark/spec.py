@@ -217,6 +217,44 @@ class QuerySpec:
         return pred
 
 
+    # ------------------------------------------------------------------ #
+    # Predicate compilation — Python-row backend (serving-layer fan-out)  #
+    # ------------------------------------------------------------------ #
+
+    def predicate_py_pre_type(self):
+        """Row-level predicate for the SSE broadcaster's per-client fan-out
+        (everything EXCEPT the F1 type filter, which the sink applies after
+        incrementing counters — the A1 ordering quirk, sse.py:179-180).
+
+        Accepts any mapping-like row (pyspark Row or dict)."""
+
+        def pred(row) -> bool:
+            if row["event"] == "rc":
+                if not self.has_whitelist:
+                    return True
+                return row["author"] in self.authors or row["subreddit"] in self.subreddits
+            if self.over_18 is not None:
+                v = row["over_18"]
+                if v is None or str(v).lower() != self.over_18.lower():
+                    return False
+            if self.is_self is not None:
+                v = row["is_self"]
+                if v is None or str(v).lower() != self.is_self.lower():
+                    return False
+            if not self.has_whitelist:
+                return True
+            if row["author"] in self.authors or row["subreddit"] in self.subreddits:
+                return True
+            d = row["domain"]
+            return d is not None and d.lower() in self.domains  # Q3 deviation
+
+        return pred
+
+    def type_match_py(self):
+        """F1 as a Python predicate over the stream tag."""
+        return self._type_match
+
+
 def _any(terms: list[Column]) -> Column:
     if not terms:
         return F.lit(False)

@@ -1,0 +1,139 @@
+"""SSE sink: per-batch event-time sort (M2), per-client predicate +
+projection, frame formatting (S7/X5), keepalive heartbeat with running
+counters (S8/A1/A2) — the serving half of the reference
+(/root/reference/sse.py:113-143,228-241), re-architected.
+
+Design win over the reference (SURVEY.md §4 "shared scan"): the reference
+opens one Redis connection and one full scan PER CLIENT (sse.py:83). Here
+ONE streaming query feeds a broadcaster; each client registers a compiled
+``QuerySpec`` and the per-batch fan-out evaluates the client predicates on
+the already-materialized batch — N clients cost one scan plus N cheap
+in-memory filters.
+
+The keepalive/pacing clock is injectable (SURVEY.md §7 hard part (c)) so
+streaming tests stay deterministic.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from reddit_sse_stream_spark.spec import QuerySpec
+
+KEEP_ALIVE_INTERVAL = 30  # seconds (sse.py:119)
+
+
+def format_frame(event_id, event: str, data: str) -> str:
+    """S7/X5 — 'id: {}\\nevent: {}\\ndata: {}\\n\\n' (sse.py:239)."""
+    return f"id: {event_id}\nevent: {event}\ndata: {data}\n\n"
+
+
+@dataclass
+class ClientState:
+    """Per-connection state the reference keeps in generator locals
+    (sse.py:113-129): counters, keepalive id sequence, output buffer."""
+
+    spec: QuerySpec
+    frames: list[str] = field(default_factory=list)
+    tcs: int = 0  # total comments sent   (counted pre-type-filter, A1)
+    tss: int = 0  # total submissions sent
+    tbs: int = 0  # total bytes sent (uncompressed, A2)
+    keep_alive_id: int = 0
+    last_sent: float = 0.0
+
+    def keepalive_frame(self) -> str:
+        # sse.py:140 — keepalives have their OWN id sequence
+        self.keep_alive_id += 1
+        payload = json.dumps({"tcs": self.tcs, "tss": self.tss, "tbs": self.tbs})
+        frame = format_frame(self.keep_alive_id, "keepalive", payload)
+        self.tbs += len(frame)
+        return frame
+
+
+class SSEBroadcaster:
+    """One shared streaming query -> N clients with independent compiled
+    specs. Use :meth:`foreach_batch` as the ``foreachBatch`` function."""
+
+    def __init__(self, clock: Callable[[], float] = time.time):
+        self._clients: dict[str, ClientState] = {}
+        self._lock = threading.Lock()
+        self._clock = clock
+
+    def register(self, client_id: str, spec: QuerySpec) -> ClientState:
+        state = ClientState(spec=spec, last_sent=self._clock())
+        with self._lock:
+            self._clients[client_id] = state
+        return state
+
+    def unregister(self, client_id: str) -> None:
+        with self._lock:
+            self._clients.pop(client_id, None)
+
+    def frames_for(self, client_id: str) -> list[str]:
+        with self._lock:
+            return list(self._clients[client_id].frames)
+
+    # ------------------------------------------------------------------ #
+
+    def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Per micro-batch: ONE driver-side materialization of the (small,
+        rate-limited) batch, then per-client filter/sort/project in memory.
+
+        The rows that reach the driver are bounded by the source's
+        per-trigger cap (25+10 ids/poll in reference mode) — this is a
+        serving-layer fan-out, not a data-processing collect. Heavy
+        transformations stay in the streaming plan upstream.
+        """
+        rows = batch_df.collect()
+        now = self._clock()
+        with self._lock:
+            clients = dict(self._clients)
+        for state in clients.values():
+            self._emit_for_client(state, rows, now)
+
+    def tick(self) -> None:
+        """Idle keepalive check (the reference runs it per poll-loop
+        iteration, sse.py:137-143); call on a timer or per trigger."""
+        now = self._clock()
+        with self._lock:
+            clients = dict(self._clients)
+        for state in clients.values():
+            if now - state.last_sent > KEEP_ALIVE_INTERVAL:
+                state.frames.append(state.keepalive_frame())
+                state.last_sent = now
+
+    # ------------------------------------------------------------------ #
+
+    def _emit_for_client(self, state: ClientState, rows, now: float) -> None:
+        spec = state.spec
+        pre_type = spec.predicate_py_pre_type()
+        type_ok = spec.type_match_py()
+        keys = spec.filter_keys
+        # M2 — per-batch event-time sort, id tiebreak (sse.py:228-229)
+        emitted = False
+        for row in sorted(rows, key=lambda r: (r["created_utc"], r["id"])):
+            if not pre_type(row):
+                continue
+            # A1 quirk: counters increment BEFORE the type filter
+            if row["event"] == "rc":
+                state.tcs += 1
+            else:
+                state.tss += 1
+            if not type_ok(row["event"]):
+                continue
+            data = row["json"]
+            if keys:  # P2 at emit time (sse.py:234-237)
+                parsed = json.loads(data)
+                data = json.dumps({k: v for k, v in parsed.items() if k in keys})
+            frame = format_frame(row["id"], row["event"], data)
+            state.tbs += len(frame)
+            state.frames.append(frame)
+            emitted = True
+        if emitted:
+            state.last_sent = now

@@ -1056,13 +1056,7 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates verified with exact Jaccard (>= 0.8).
     xxhash64-based — not expressible in DuckDB -> rows-only check."""
-    docs = _t(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_candidates(docs, num_hashes=64, bands=16)
-    return (
-        dedup.ngram_jaccard_pairs(docs, cands)
-        .filter(F.col("jaccard") >= 0.8)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
-    )
+    return dedup.near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
 @_register("dedup_simhash", None)

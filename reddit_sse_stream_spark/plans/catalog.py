@@ -28,6 +28,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, replace as dc_replace
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1094,3 +1096,281 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kind='video' <=> doc_id % 3 = 2 per synthesize_media.)"""
     media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
     return multimodal.frame_sample(media, every_n=4)
+
+
+# =========================================================================== #
+# §2.8 continued: subqueries, sessionization, scalar-function batteries,      #
+# UDF / UDAF / UDTF surface                                                   #
+# =========================================================================== #
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+_SUBQ_SCALAR = """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+@_register("subq_scalar_above_avg", _SUBQ_SCALAR)
+def subq_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above 2x the average price. Catalyst plans
+    the subquery as a broadcast scalar — one extra pass, no per-row
+    re-evaluation."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SUBQ_SCALAR)
+
+
+_SUBQ_IN = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+@_register("subq_in_big_spenders", _SUBQ_IN)
+def subq_in_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (decorrelates to a left-semi join)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SUBQ_IN)
+
+
+_SUBQ_EXISTS = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+@_register("subq_correlated_exists", _SUBQ_EXISTS)
+def subq_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with an extra predicate (decorrelated semi join)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SUBQ_EXISTS)
+
+
+_SESSIONIZE = """
+    SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
+    FROM (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events) t1) t2
+    GROUP BY user_id, session_id
+"""
+
+
+@_register("sessionize_events", _SESSIONIZE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag -> new-session flag ->
+    running sum as session id -> per-session agg. One shuffle on user_id;
+    both window passes and the final agg share that partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+    )
+
+
+@_register(
+    "fn_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 3) AS p50,
+           round(quantile_cont(value, 0.9), 3) AS p90,
+           round(quantile_cont(value, 0.99), 3) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == SQL
+    quantile_cont semantics). The approximate path (percentile_approx /
+    t-digest) is the 100 TB variant — different sketch per engine, so the
+    exact form carries the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 3).alias("p50"),
+        F.round(F.percentile("value", 0.9), 3).alias("p90"),
+        F.round(F.percentile("value", 0.99), 3).alias("p99"),
+    )
+
+
+@_register(
+    "fn_datetime_buckets",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, hour(ts) AS hr, count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY date_trunc('day', ts), hour(ts)
+    """,
+)
+def fn_datetime_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar functions: date_trunc + hour bucketing (X7 family)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), F.hour("ts").alias("hr")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+
+
+@_register(
+    "fn_array_ops",
+    """
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS INTEGER) AS n_words,
+           array_to_string(list_slice(str_split(text, ' '), 1, 3), '-') AS first3,
+           CAST(list_contains(str_split(text, ' '), 'spark') AS INTEGER) AS has_spark
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function battery (X3/X10 family): split, size, slice,
+    concat_ws, array_contains."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.concat_ws("-", F.slice(words, 1, 3)).alias("first3"),
+        F.array_contains(words, "spark").cast("int").alias("has_spark"),
+    )
+
+
+@_register(
+    "fn_math_scalars",
+    """
+    SELECT event_id,
+           round(abs(value - 100), 2) AS dist,
+           CAST(ceil(value) AS BIGINT) AS cl,
+           CAST(floor(value) AS BIGINT) AS fl,
+           round(sqrt(value), 4) AS rt,
+           round(ln(value + 1), 4) AS lg,
+           CAST(sign(value - 100) AS INTEGER) AS sg
+    FROM events WHERE event_id < 1000
+    """,
+)
+def fn_math_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar battery (abs/ceil/floor/sqrt/ln/sign — X1/X8 family)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.abs(v - 100), 2).alias("dist"),
+        F.ceil(v).cast("bigint").alias("cl"),
+        F.floor(v).cast("bigint").alias("fl"),
+        F.round(F.sqrt(v), 4).alias("rt"),
+        F.round(F.log(v + 1), 4).alias("lg"),
+        F.signum(v - 100).cast("int").alias("sg"),
+    )
+
+
+@_register(
+    "join_full_outer_click_purchase",
+    """
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           CAST(a.user_id IS NOT NULL AS INTEGER) AS clicked,
+           CAST(b.user_id IS NOT NULL AS INTEGER) AS purchased
+    FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a
+    FULL JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with null-flag projection."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct().alias("a")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct().alias("b")
+    return a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full").select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.col("a.user_id").isNotNull().cast("int").alias("clicked"),
+        F.col("b.user_id").isNotNull().cast("int").alias("purchased"),
+    )
+
+
+@_register(
+    "udf_pandas_scalar_charge",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+    FROM lineitem WHERE l_orderkey < 400
+    """,
+)
+def udf_pandas_scalar_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas_udf (Arrow-batched) — the sanctioned Python
+    escape hatch; oracle proves numeric parity with the pure-SQL form."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def charge(ep: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return (ep * (1 - disc) * (1 + tax)).round(2)
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@_register(
+    "udaf_geomean_orders",
+    """
+    SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 2) AS geomean_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def udaf_geomean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF (geometric mean) — custom aggregate the
+    built-in library lacks, verified against the exp/avg/ln identity."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v).mean()))
+
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.round(geomean("o_totalprice"), 2).alias("geomean_price"))
+    )
+
+
+@_register(
+    "udtf_word_explode",
+    """
+    SELECT doc_id, unnest(str_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def udtf_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) in a LATERAL join — one input row to N
+    output rows, the Spark-4 UDTF surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in text.split(" "):
+                yield (w,)
+
+    spark.udtf.register("split_words_udtf", SplitWords)
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        "SELECT d.doc_id, w.word FROM documents d, LATERAL split_words_udtf(d.text) w "
+        "WHERE d.doc_id < 20"
+    )

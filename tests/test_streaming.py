@@ -220,3 +220,47 @@ def test_sink_foreach_batch_end_to_end(spark):
     all_frames = bc.frames_for("all")
     assert len(rc_frames) == len(all_frames) > 0
     assert all(f.split("\n")[1] == "event: rc" for f in rc_frames)
+
+
+# ------------------------------------------------- arbitrary stateful state
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState: per-subreddit running counters accumulate
+    across MULTIPLE micro-batches (capped source -> >= 3 batches)."""
+    from reddit_sse_stream_spark.streaming.stateful import running_totals_by_subreddit
+
+    rc = read_feed_stream(spark, EVENTS, "rc", backfill=100000, max_ids_per_batch=400)
+    q = (
+        running_totals_by_subreddit(rc)
+        .writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last update per key = final running totals
+    final = {
+        r["subreddit"]: (r["total_sent"], r["batches"])
+        for r in spark.sql(
+            """
+            SELECT subreddit, total_sent, batches FROM (
+              SELECT *, row_number() OVER (PARTITION BY subreddit
+                                           ORDER BY batches DESC) rn
+              FROM stateful_totals) WHERE rn = 1
+            """
+        ).collect()
+    }
+    from reddit_sse_stream_spark.sources.feed import feed_df
+
+    expected = {
+        r["subreddit"]: r["n"]
+        for r in feed_df(spark, "/root/testdata/sf0.001")
+        .filter(F.col("event") == "rc")
+        .groupBy("subreddit")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in final.items()} == expected
+    assert all(b >= 2 for _, b in final.values()), "state must span multiple batches"

@@ -1,0 +1,258 @@
+"""End-to-end serving tests: HTTP SSE endpoint (param parsing, 400 paths,
+frame streaming), the Redis-layout adapter against a protocol-faithful fake,
+observed metrics, salted joins, and file-format roundtrips."""
+
+from __future__ import annotations
+
+import http.client
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_sse_stream_spark.functions import observed_feed_counters, salted_join
+from reddit_sse_stream_spark.sources.feed import feed_df
+from reddit_sse_stream_spark.sources.redis_adapter import RedisFeedAdapter, poll_to_df
+from reddit_sse_stream_spark.spec import QuerySpec
+from reddit_sse_stream_spark.streaming.sink import SSEBroadcaster
+from reddit_sse_stream_spark.streaming.server import SSEServer
+
+# --------------------------------------------------------------- SSE server
+
+
+@pytest.fixture()
+def server():
+    bc = SSEBroadcaster(clock=lambda: 0.0)
+    srv = SSEServer(bc).start()
+    yield srv, bc
+    srv.stop()
+
+
+def _get(port: int, path: str, stream: bool = False):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    return conn, resp
+
+
+def test_server_400_on_conflicting_params(server):
+    srv, _ = server
+    conn, resp = _get(srv.port, "/?comment_backfill=5&comment_start_id=9")
+    assert resp.status == 400
+    assert b"mutually exclusive" in resp.read()
+    conn.close()
+
+
+def test_server_400_on_non_int_backfill(server):
+    srv, _ = server
+    conn, resp = _get(srv.port, "/?comment_backfill=ten")
+    assert resp.status == 400
+    conn.close()
+
+
+def test_server_test_page(server):
+    srv, _ = server
+    conn, resp = _get(srv.port, "/test")
+    assert resp.status == 200
+    assert b"EventSource" in resp.read()
+    conn.close()
+
+
+def test_server_streams_frames_for_registered_spec(server):
+    srv, bc = server
+    conn, resp = _get(srv.port, "/?type=comments&author=alice")
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "text/event-stream"
+    # the HTTP handler registered a client; push a batch through the
+    # broadcaster and read what arrives on the wire
+    time.sleep(0.1)
+    rows = [
+        {"id": 1, "event": "rc", "author": "alice", "subreddit": "s", "domain": None,
+         "over_18": None, "is_self": None, "created_utc": 10, "json": '{"k":"1"}'},
+        {"id": 2, "event": "rc", "author": "bob", "subreddit": "s", "domain": None,
+         "over_18": None, "is_self": None, "created_utc": 11, "json": '{"k":"2"}'},
+    ]
+    for state in list(bc._clients.values()):
+        bc._emit_for_client(state, rows, 0.0)
+    resp.fp.raise_on_eof = False  # type: ignore[attr-defined]
+    deadline = time.time() + 5
+    buf = b""
+    while time.time() < deadline and b"\n\n" not in buf:
+        chunk = resp.read1(4096)
+        if chunk:
+            buf += chunk
+        else:
+            time.sleep(0.05)
+    text = buf.decode()
+    assert "id: 1\nevent: rc\ndata: {\"k\":\"1\"}" in text
+    assert "id: 2" not in text  # bob filtered out by ?author=alice
+    conn.close()
+
+
+# ------------------------------------------------------------ Redis adapter
+
+
+class FakePipeline:
+    def __init__(self, store):
+        self.store = store
+        self.ops = []
+
+    def get(self, key):
+        self.ops.append(("get", key))
+
+    def hgetall(self, key):
+        self.ops.append(("hgetall", key))
+
+    def execute(self):
+        out = []
+        for op, key in self.ops:
+            if op == "get":
+                out.append(self.store.get(key))
+            else:
+                out.append(self.store.get(key, {}))
+        self.ops = []
+        return out
+
+
+class FakeRedis:
+    """Pipeline-compatible in-memory stand-in (bytes in, bytes out, like
+    redis-py without decode_responses)."""
+
+    def __init__(self, store):
+        self.store = store
+        self.pipeline_calls = 0
+
+    def pipeline(self):
+        self.pipeline_calls += 1
+        return FakePipeline(self.store)
+
+
+def _store():
+    s = {"rc:max_id": b"4", "rs:max_id": b"1"}
+    for i in (0, 1, 3):  # id 2 missing -> gap; id 4 beyond written data
+        s[f"rc:id:{i}"] = {
+            b"json": b'{"x":"%d"}' % i,
+            b"created_utc": str(100 + i).encode(),
+            b"author": b"a",
+            b"subreddit": b"s",
+        }
+    return s
+
+
+def test_adapter_max_ids_single_roundtrip():
+    fake = FakeRedis(_store())
+    rc, rs = RedisFeedAdapter(fake, "rc").max_ids()
+    assert (rc, rs) == (4, 1)
+    assert fake.pipeline_calls == 1  # S2: one pipelined round-trip
+
+
+def test_adapter_poll_gap_and_was_full():
+    fake = FakeRedis(_store())
+    ad = RedisFeedAdapter(fake, "rc", buffer_size=5)
+    poll = ad.poll(-1)
+    assert [r["id"] for r in poll.rows] == [0, 1, 3]  # gap at 2 skipped (S5)
+    assert poll.cursor == 3
+    assert poll.was_full is False  # missing ids clear the flag (sse.py:183)
+    assert fake.pipeline_calls == 1  # S1: one pipelined round-trip per poll
+
+
+def test_adapter_poll_full_window_sets_fast_poll_flag():
+    store = _store()
+    store["rc:id:2"] = {b"json": b'{"x":"2"}', b"created_utc": b"102",
+                       b"author": b"a", b"subreddit": b"s"}
+    ad = RedisFeedAdapter(FakeRedis(store), "rc", buffer_size=3)
+    poll = ad.poll(-1)
+    assert poll.was_full is True  # caller fast-polls at 25ms (S6)
+    assert poll.cursor == 2
+
+
+def test_adapter_poll_to_df(spark):
+    ad = RedisFeedAdapter(FakeRedis(_store()), "rc", buffer_size=5)
+    df, poll = poll_to_df(spark, ad, -1)
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {0, 1, 3}
+    assert rows[0]["event"] == "rc" and rows[0]["created_utc"] == 100
+    assert rows[0]["json"] == '{"x":"0"}'
+
+
+# --------------------------------------------------------- observed metrics
+
+
+def test_observe_batch_counters(spark, sf_dir):
+    fd = feed_df(spark, sf_dir)
+    observed, obs = observed_feed_counters(fd)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    expected = fd.groupBy().pivot("event").count().first()
+    assert got["tcs"] == expected["rc"]
+    assert got["tss"] == expected["rs"]
+    assert got["tbs"] > 0
+
+
+def test_observe_streaming_counters(spark):
+    from reddit_sse_stream_spark.streaming.source import read_feed_stream
+
+    stream = read_feed_stream(
+        spark, "/root/testdata/sf0.001/events.parquet", "rc",
+        backfill=100000, max_ids_per_batch=100000,
+    )
+    observed, _ = observed_feed_counters(stream, name="stream_stats")
+    q = observed.writeStream.format("noop").start()
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+    metrics = progress["observedMetrics"]["stream_stats"]
+    assert metrics["tcs"] > 0 and metrics["tss"] == 0
+    assert metrics["tbs"] > 0
+
+
+# --------------------------------------------------------------- salted join
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    ev = feed_df(spark, sf_dir).select("id", "subreddit", "author")
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("view", 1.0), ("purchase", 3.0)], "subreddit string, weight double"
+    )
+    plain = ev.join(dim, "subreddit").select("id", "weight")
+    salted = salted_join(ev, dim, "subreddit", num_salts=4).select("id", "weight")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_preserves_unmatched(spark, sf_dir):
+    ev = feed_df(spark, sf_dir).select("id", "subreddit")
+    dim = spark.createDataFrame([("click", 1.5)], "subreddit string, weight double")
+    left = salted_join(ev, dim, "subreddit", num_salts=4, how="left")
+    assert left.count() == ev.count()
+
+
+# ------------------------------------------------------- format roundtrips
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc"])
+def test_format_roundtrip(spark, sf_dir, tmp_path, fmt):
+    from reddit_sse_stream_spark.sources.formats import read_table, write_table
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / f"events_{fmt}")
+    write_table(ev, path, fmt)
+    back = read_table(spark, path, ev.schema, fmt)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """partitionBy layout + partition pruning: reading one partition value
+    must scan only that directory (PartitionFilters, not data filters)."""
+    from reddit_sse_stream_spark.sources.formats import write_table
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_part")
+    write_table(ev, path, "parquet", partition_by=["event_type"])
+    back = spark.read.parquet(path)
+    one = back.filter(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert one.count() == ev.filter(F.col("event_type") == "click").count()

@@ -1,0 +1,122 @@
+"""pyspark.ml LSH wrappers — the MLlib-native similarity/dedup primitives
+(SURVEY.md §2.8 north-star: ``MinHashLSH`` / ``BucketedRandomProjectionLSH``
+with ``approxSimilarityJoin`` / ``approxNearestNeighbors``).
+
+These complement the hand-rolled operators in :mod:`.dedup` and
+:mod:`.similarity`: the custom versions expose the algorithm (banding,
+hyperplanes) as inspectable DataFrame plans; the MLlib versions buy the
+battle-tested estimator API. Both scale the same way — hash to narrow
+bucket keys, equi-join on buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.ml.feature import BucketedRandomProjectionLSH, CountVectorizer, MinHashLSH, RegexTokenizer, NGram
+from pyspark.ml.linalg import Vectors, VectorUDT
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SEED = 42
+
+
+def _doc_shingle_vectors(docs: DataFrame, k: int = 3, vocab_size: int = 1 << 18) -> DataFrame:
+    """documents -> sparse binary shingle vectors (the MinHashLSH input
+    format): tokenize -> word k-grams -> CountVectorizer(binary)."""
+    tok = RegexTokenizer(inputCol="text", outputCol="_tokens", pattern=r"\s+")
+    ng = NGram(n=k, inputCol="_tokens", outputCol="_grams")
+    stage = ng.transform(tok.transform(docs))
+    cv = CountVectorizer(
+        inputCol="_grams", outputCol="features", binary=True, vocabSize=vocab_size
+    ).fit(stage)
+    return cv.transform(stage).select("doc_id", "features")
+
+
+def ml_minhash_near_dups(
+    docs: DataFrame, jaccard_distance: float = 0.2, num_tables: int = 8, k: int = 3
+) -> DataFrame:
+    """approxSimilarityJoin on MinHashLSH: near-dup pairs with Jaccard
+    distance <= threshold. Returns (doc_a, doc_b, jaccard_dist)."""
+    vecs = _doc_shingle_vectors(docs, k)
+    # empty feature vectors (shorter than k tokens) are invalid for MinHash
+    nonzero = vecs.filter(F.udf(lambda v: v.numNonzeros() > 0, "boolean")("features"))
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=_SEED
+    ).fit(nonzero)
+    joined = model.approxSimilarityJoin(nonzero, nonzero, jaccard_distance, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+def _embedding_vectors(emb: DataFrame) -> DataFrame:
+    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    return emb.select("vec_id", to_vec("embedding").alias("features"))
+
+
+def ml_random_projection_neighbors(
+    emb: DataFrame, query_vec: Sequence[float], k: int = 5, bucket_length: float = 2.0, num_tables: int = 4
+) -> DataFrame:
+    """approxNearestNeighbors on BucketedRandomProjectionLSH (Euclidean):
+    top-k by L2 distance to the query vector."""
+    vecs = _embedding_vectors(emb)
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=_SEED,
+    ).fit(vecs)
+    res = model.approxNearestNeighbors(vecs, Vectors.dense(list(query_vec)), k, distCol="l2_dist")
+    return res.select("vec_id", F.round("l2_dist", 4).alias("l2_dist"))
+
+
+def ivf_topk_cosine(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer assigns each vector to a cell;
+    a query searches only the ``n_probe`` nearest cells.
+
+    At 100 TB the cell id becomes a partition/cluster column so probing
+    prunes the SCAN (predicate pushdown on cell), not just the compute —
+    the same storage-level win as the LSH bucket column.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+
+    from reddit_sse_stream_spark.operators.similarity import brute_force_topk, l2_norm
+
+    # L2-normalize first: on the unit sphere Euclidean cells == cosine cells,
+    # so the quantizer partitions by the metric the query actually uses.
+    unit = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x / l2_norm(F.col("embedding").cast("array<double>")),
+        ).alias("embedding"),
+    )
+    vecs = _embedding_vectors(unit)
+    km = KMeans(k=n_cells, seed=_SEED, featuresCol="features", predictionCol="cell").fit(vecs)
+    assigned = km.transform(vecs).select("vec_id", "cell")
+    q = np.asarray(list(query_vec), dtype=float)
+    q = q / np.linalg.norm(q)
+    # rank cells by distance to the query centroid-side (tiny, driver-side)
+    cells = sorted(
+        range(len(km.clusterCenters())),
+        key=lambda c: float(np.linalg.norm(km.clusterCenters()[c] - q)),
+    )[:n_probe]
+    cand = emb.join(
+        assigned.filter(F.col("cell").isin(cells)).select("vec_id"), "vec_id", "left_semi"
+    )
+    return brute_force_topk(cand, query_vec, k)

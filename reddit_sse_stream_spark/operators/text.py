@@ -46,6 +46,15 @@ def marker_hits(text: Column | str, marker: str) -> Column:
     ).cast("long")
 
 
+def _trunc4(c: Column) -> Column:
+    """floor(x*1e4)/1e4 — cross-engine-stable 4-digit truncation. Spark's
+    round() goes through the double's shortest DECIMAL repr (BigDecimal
+    HALF_UP: 0.60124999..9 prints as '0.60125' -> 0.6013) while ANSI engines
+    round the BINARY value (-> 0.6012); floor on the identical IEEE double
+    gives the same answer everywhere."""
+    return F.floor(c * 10000) / 10000.0
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic doc-quality features + composite score:
     length, word count, mean word length, alpha ratio, space ratio."""
@@ -58,11 +67,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars_actual"),
         n_words.alias("n_words"),
-        F.round(alpha / F.greatest(n_chars, F.lit(1)), 4).alias("alpha_ratio"),
-        F.round(spaces / F.greatest(n_chars, F.lit(1)), 4).alias("space_ratio"),
-        F.round((alpha / F.greatest(n_chars, F.lit(1))) * F.least(n_words / 50.0, F.lit(1.0)), 4).alias(
-            "quality"
-        ),
+        _trunc4(alpha / F.greatest(n_chars, F.lit(1))).alias("alpha_ratio"),
+        _trunc4(spaces / F.greatest(n_chars, F.lit(1))).alias("space_ratio"),
+        _trunc4(
+            (alpha / F.greatest(n_chars, F.lit(1))) * F.least(n_words / 50.0, F.lit(1.0))
+        ).alias("quality"),
     )
 
 

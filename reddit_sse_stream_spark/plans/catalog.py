@@ -937,14 +937,14 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            length(text) AS n_chars_actual,
            CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words,
-           round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                 / greatest(length(text), 1), 4) AS alpha_ratio,
-           round((length(text) - length(replace(text, ' ', '')))
-                 / greatest(length(text), 1), 4) AS space_ratio,
-           round((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+           floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                 / greatest(length(text), 1) * 10000) / 10000.0 AS alpha_ratio,
+           floor((length(text) - length(replace(text, ' ', '')))
+                 / greatest(length(text), 1) * 10000) / 10000.0 AS space_ratio,
+           floor((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
                   / greatest(length(text), 1))
-                 * least(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) / 50.0, 1.0),
-                 4) AS quality
+                 * least(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) / 50.0, 1.0)
+                 * 10000) / 10000.0 AS quality
     FROM documents
     """,
 )

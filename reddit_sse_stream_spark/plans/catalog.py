@@ -1374,3 +1374,39 @@ def udtf_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, w.word FROM documents d, LATERAL split_words_udtf(d.text) w "
         "WHERE d.doc_id < 20"
     )
+
+
+@_register(
+    "session_window_agg",
+    """
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events) t1) t2
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window (gap-close semantics: a session absorbs
+    events strictly closer than the gap; an event exactly at the previous
+    window's end starts a new one — hence >= in the oracle's gap test).
+    Same operator powers streaming sessionization with watermarks."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )

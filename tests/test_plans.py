@@ -1,0 +1,127 @@
+"""Plan-quality regression tests: the physical plans the 100 TB design
+depends on, asserted so they can't silently regress. (`.explain` audits are
+a one-off; these run every CI pass.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_sse_stream_spark.plans.catalog import QUERIES
+from reddit_sse_stream_spark.sources.tables import load_table
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return (
+        QUERIES[name]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_range_scan_pushes_id_predicate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "s1_range_scan")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(event_id,100)" in plan
+    assert "LessThanOrEqual(event_id,134)" in plan
+
+
+def test_q6_pushes_every_predicate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    for pushed in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({pushed})" in plan
+
+
+def test_q3_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_star_join_no_cartesian_no_sortmerge_on_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4  # all dims broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "limit_topk_events_by_value")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_topk_uses_take_ordered_and_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "knn_bruteforce_cosine")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_agg_is_partial_plus_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q1_pricing_summary")
+    # two HashAggregate nodes around one Exchange = map-side partial agg
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_semi_and_anti_joins_planned_as_such(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "join_semi_customers_with_orders")
+    assert "LeftAnti" in _plan(spark, sf_dir, "join_anti_customers_without_orders")
+
+
+def test_range_join_keeps_equi_key(spark, sf_dir):
+    """The time-band join must hash-partition on the user equi-key, not
+    degrade to a nested-loop over the whole input."""
+    plan = _plan(spark, sf_dir, "join_range_clicks_before_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_shares_one_user_shuffle(spark, sf_dir):
+    """Both window passes and the final agg run off the same user_id
+    hash-partitioning: exactly one shuffle Exchange in the plan."""
+    plan = _plan(spark, sf_dir, "sessionize_events")
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1, plan
+
+
+def test_window_topk_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_topk_orders_per_customer")
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_exact_groups")
+    # the pre-shuffle projection must be (digest, doc_id) — no text column
+    assert "text_hash" in plan
+    lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert lines and all("text#" not in l for l in lines), lines
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """bucketBy co-location: joining two tables bucketed on the same key
+    plans a SortMergeJoin with NO shuffle Exchange — the 100 TB fact-fact
+    join strategy. (Uses the session's default warehouse; warehouse dir is
+    a static conf.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    try:
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable("b_orders"))
+        (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable("b_lineitem"))
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        n = joined.count()
+        assert n == lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

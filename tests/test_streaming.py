@@ -264,3 +264,26 @@ def test_stateful_running_totals(spark):
     }
     assert {k: v[0] for k, v in final.items()} == expected
     assert all(b >= 2 for _, b in final.values()), "state must span multiple batches"
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """dropDuplicatesWithinWatermark over the streamed feed: a re-delivered
+    id inside the watermark horizon is emitted once."""
+    rc = read_feed_stream(spark, EVENTS, "rc", backfill=100000, max_ids_per_batch=100000)
+    deduped = (
+        rc.withColumn("ts", F.timestamp_seconds("created_utc"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT id FROM dedup_stream").collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert len(ids) > 0

@@ -1410,3 +1410,57 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@_register(
+    "fn_string_ops",
+    """
+    SELECT doc_id,
+           upper(substring(text, 1, 10)) AS head_upper,
+           trim(substring(text, 1, 12)) AS head_trim,
+           lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+           replace(substring(text, 1, 20), ' ', '_') AS head_snake,
+           CAST(strpos(text, 'data') AS INTEGER) AS data_pos,
+           CAST(starts_with(text, 'the') AS INTEGER) AS starts_the
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def fn_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar battery (X2/X5 family): case folding, substring, trim,
+    pad, replace, find, prefix test."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring(t, 1, 10)).alias("head_upper"),
+        F.trim(F.substring(t, 1, 12)).alias("head_trim"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+        F.replace(F.substring(t, 1, 20), F.lit(" "), F.lit("_")).alias("head_snake"),
+        F.instr(t, "data").cast("int").alias("data_pos"),
+        F.startswith(t, F.lit("the")).cast("int").alias("starts_the"),
+    )
+
+
+@_register(
+    "x1_try_cast_validation",
+    """
+    SELECT id,
+           TRY_CAST(json_extract_string(json, '$.k') AS BIGINT) AS k_int,
+           CAST(TRY_CAST(json_extract_string(json, '$.k') AS BIGINT) IS NOT NULL
+                AS INTEGER) AS is_int
+    FROM (WITH feed AS (
+      SELECT event_id AS id, props AS json FROM events)
+      SELECT * FROM feed) t
+    WHERE id < 500
+    """,
+)
+def x1_try_cast_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — the reference's isInt validation (sse.py:11-15) as try_cast:
+    NULL on unparseable input instead of an exception."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return ev.select(
+        F.col("event_id").alias("id"),
+        k.alias("k_int"),
+        k.isNotNull().cast("int").alias("is_int"),
+    )

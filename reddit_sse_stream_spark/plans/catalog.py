@@ -1464,3 +1464,36 @@ def x1_try_cast_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_int"),
         k.isNotNull().cast("int").alias("is_int"),
     )
+
+
+_P2_K_SQL = (
+    "CASE WHEN json_extract_string(json, '$.k') IS NULL THEN '{}' "
+    "ELSE '{\"k\":\"' || json_extract_string(json, '$.k') || '\"}' END"
+)
+
+_PIPELINE_SPEC = QuerySpec(
+    subreddits=("click", "purchase"), comment_backfill=500, filter_keys=("k",)
+)
+
+_PIPELINE_ORACLE = (
+    f"WITH {FEED_CTE}, bounded AS ("
+    "  SELECT * FROM feed WHERE (CASE WHEN event = 'rc'"
+    "    THEN id > (SELECT max(id) FROM feed WHERE event = 'rc') - 500"
+    "    ELSE TRUE END)"
+    f"), filtered AS (SELECT * FROM bounded WHERE {_PIPELINE_SPEC.predicate_sql()})"
+    f" SELECT id, event, {_P2_K_SQL} AS data,"
+    f" 'id: ' || CAST(id AS VARCHAR) || chr(10) || 'event: ' || event || chr(10)"
+    f" || 'data: ' || {_P2_K_SQL} || chr(10) || chr(10) AS frame"
+    " FROM filtered"
+)
+
+
+@_register("reference_pipeline_example", _PIPELINE_ORACLE)
+def reference_pipeline_example(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The switch-over artifact: one reference connection
+    (?subreddit=click&subreddit=purchase&comment_backfill=500&filter=k) as
+    a single batch plan — offsets, filter algebra, P2 projection, SSE
+    framing (plans/pipeline.py)."""
+    from reddit_sse_stream_spark.plans.pipeline import reference_pipeline
+
+    return reference_pipeline(spark, sf_dir, _PIPELINE_SPEC)

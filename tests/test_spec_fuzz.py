@@ -1,0 +1,179 @@
+"""Randomized agreement tests: the three QuerySpec backends (PySpark
+Column, ANSI SQL, Python-row) must accept exactly the same rows for ANY
+spec — seeded exhaustive-ish sweep over the parameter lattice.
+
+The SQL backend runs in DuckDB (hundreds of specs, milliseconds each); the
+Spark backend is sampled on a subset (JVM round-trips are the slow part).
+The Python-row backend composes pre-type predicate AND type filter,
+mirroring how the sink applies them.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import duckdb
+import pytest
+
+from reddit_sse_stream_spark.spec import QuerySpec
+
+AUTHORS = ["alice", "Bob", "carol", "a,b"]
+SUBS = ["news", "politics", "funny"]
+DOMAINS = ["x.com", "Y.ORG", "z.net"]
+
+
+def _random_rows(rng: random.Random, n: int = 120) -> list[dict]:
+    rows = []
+    for i in range(n):
+        is_rc = rng.random() < 0.5
+        rows.append(
+            {
+                "id": i,
+                "event": "rc" if is_rc else "rs",
+                "author": rng.choice(AUTHORS + ["zeke", "ALICE"]),
+                "subreddit": rng.choice(SUBS + ["sports"]),
+                "domain": None if is_rc else rng.choice([None] + [d.lower() for d in DOMAINS]),
+                "over_18": None if is_rc else rng.random() < 0.5,
+                "is_self": None if is_rc else rng.random() < 0.5,
+                "created_utc": 1000 + i,
+                "json": f'{{"k":"{i}"}}',
+            }
+        )
+    return rows
+
+
+def _random_specs(rng: random.Random, n: int = 150) -> list[QuerySpec]:
+    specs = []
+    for _ in range(n):
+        params: dict[str, list[str]] = {}
+        if rng.random() < 0.5:
+            params["author"] = rng.sample(AUTHORS, rng.randint(1, 2))
+        if rng.random() < 0.5:
+            params["subreddit"] = rng.sample(SUBS, rng.randint(1, 2))
+        if rng.random() < 0.4:
+            params["domain"] = [",".join(rng.sample(DOMAINS, rng.randint(1, 2)))]
+        if rng.random() < 0.4:
+            params["over_18"] = [rng.choice(["true", "FALSE", "True"])]
+        if rng.random() < 0.4:
+            params["is_self"] = [rng.choice(["true", "false"])]
+        if rng.random() < 0.6:
+            params["type"] = [
+                rng.choice(["comments", "comment", "rc", "submissions", "rs", "junk"])
+            ]
+        specs.append(QuerySpec.from_params(params))
+    return specs
+
+
+def _duck_table(rows: list[dict]) -> str:
+    vals = ", ".join(
+        "({id}, '{event}', '{author}', '{subreddit}', {domain}, {o18}, {iself}, {cu}, '{json}')".format(
+            id=r["id"],
+            event=r["event"],
+            author=r["author"],
+            subreddit=r["subreddit"],
+            domain="NULL" if r["domain"] is None else f"'{r['domain']}'",
+            o18="NULL" if r["over_18"] is None else str(r["over_18"]).upper(),
+            iself="NULL" if r["is_self"] is None else str(r["is_self"]).upper(),
+            cu=r["created_utc"],
+            json=r["json"],
+        )
+        for r in rows
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS t"
+        "(id, event, author, subreddit, domain, over_18, is_self, created_utc, json)"
+    )
+
+
+def _py_accepts(spec: QuerySpec, row: dict) -> bool:
+    return spec.predicate_py_pre_type()(row) and spec.type_match_py()(row["event"])
+
+
+def test_sql_and_python_backends_agree_on_150_random_specs():
+    rng = random.Random(42)
+    rows = _random_rows(rng)
+    specs = _random_specs(rng)
+    con = duckdb.connect()
+    base = _duck_table(rows)
+    for spec in specs:
+        sql_ids = {
+            r[0]
+            for r in con.execute(
+                f"SELECT id FROM ({base}) WHERE {spec.predicate_sql()}"
+            ).fetchall()
+        }
+        py_ids = {r["id"] for r in rows if _py_accepts(spec, r)}
+        assert sql_ids == py_ids, f"SQL vs Python drift for {spec}"
+
+
+def test_all_three_backends_agree_on_sampled_specs(spark):
+    rng = random.Random(7)
+    rows = _random_rows(rng)
+    specs = _random_specs(rng, n=12)
+    schema = (
+        "id long, event string, author string, subreddit string, domain string, "
+        "over_18 boolean, is_self boolean, created_utc long, json string"
+    )
+    df = spark.createDataFrame([tuple(r.values()) for r in rows], schema).cache()
+    con = duckdb.connect()
+    base = _duck_table(rows)
+    for spec in specs:
+        spark_ids = {r[0] for r in df.filter(spec.predicate()).select("id").collect()}
+        sql_ids = {
+            r[0]
+            for r in con.execute(
+                f"SELECT id FROM ({base}) WHERE {spec.predicate_sql()}"
+            ).fetchall()
+        }
+        py_ids = {r["id"] for r in rows if _py_accepts(spec, r)}
+        assert spark_ids == sql_ids == py_ids, f"backend drift for {spec}"
+
+
+def test_type_lattice_exhaustive():
+    """Every type value x stream tag combination, all three backends."""
+    rows = [
+        {"id": 0, "event": "rc", "author": "a", "subreddit": "s", "domain": None,
+         "over_18": None, "is_self": None, "created_utc": 0, "json": "{}"},
+        {"id": 1, "event": "rs", "author": "a", "subreddit": "s", "domain": "d.com",
+         "over_18": True, "is_self": False, "created_utc": 1, "json": "{}"},
+    ]
+    con = duckdb.connect()
+    base = _duck_table(rows)
+    for t in ["comments", "comment", "commentX", "rc", "rs", "submissions",
+              "submission", "sub", "junk", "RC", "Comments"]:
+        spec = QuerySpec(type=t)
+        sql_ids = {
+            r[0]
+            for r in con.execute(
+                f"SELECT id FROM ({base}) WHERE {spec.predicate_sql()}"
+            ).fetchall()
+        }
+        py_ids = {r["id"] for r in rows if _py_accepts(spec, r)}
+        assert sql_ids == py_ids, f"type={t!r}"
+
+
+def test_p2_projection_fuzz(spark):
+    """P2 vs the reference's own dict-comprehension semantics
+    (sse.py:234-237) over random payloads and key lists."""
+    import json as jsonlib
+
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.operators.projection import json_key_subset
+
+    rng = random.Random(3)
+    keys_pool = ["a", "b", "c", "dd", "e_e"]
+    payloads = []
+    for _ in range(40):
+        obj = {k: str(rng.randint(0, 99)) for k in rng.sample(keys_pool, rng.randint(0, 4))}
+        payloads.append(jsonlib.dumps(obj))
+    df = spark.createDataFrame([(p,) for p in payloads], "json string").cache()
+    for _ in range(6):
+        keys = rng.sample(keys_pool, rng.randint(1, 3))
+        got = [
+            r[0] for r in df.select(json_key_subset("json", keys).alias("d")).collect()
+        ]
+        for payload, out in zip(payloads, got):
+            expected = {k: v for k, v in jsonlib.loads(payload).items() if k in keys}
+            assert jsonlib.loads(out) == expected

@@ -1497,3 +1497,100 @@ def reference_pipeline_example(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_sse_stream_spark.plans.pipeline import reference_pipeline
 
     return reference_pipeline(spark, sf_dir, _PIPELINE_SPEC)
+
+
+@_register(
+    "setop_intersect_all_values",
+    """
+    SELECT v FROM (SELECT CAST(floor(value) AS BIGINT) AS v FROM events
+                   WHERE event_type = 'click')
+    INTERSECT ALL
+    SELECT v FROM (SELECT CAST(floor(value) AS BIGINT) AS v FROM events
+                   WHERE event_type = 'view')
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset: duplicates preserved up to min multiplicity)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.floor("value").cast("bigint").alias("v")
+    clicks = ev.filter(F.col("event_type") == "click").select(v)
+    views = ev.filter(F.col("event_type") == "view").select(v)
+    return clicks.intersectAll(views)
+
+
+@_register(
+    "setop_except_all_values",
+    """
+    SELECT v FROM (SELECT CAST(floor(value) AS BIGINT) AS v FROM events
+                   WHERE event_type = 'click')
+    EXCEPT ALL
+    SELECT v FROM (SELECT CAST(floor(value) AS BIGINT) AS v FROM events
+                   WHERE event_type = 'view')
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.floor("value").cast("bigint").alias("v")
+    clicks = ev.filter(F.col("event_type") == "click").select(v)
+    views = ev.filter(F.col("event_type") == "view").select(v)
+    return clicks.exceptAll(views)
+
+
+@_register(
+    "unpivot_customer_balances",
+    """
+    SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS val FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+    FROM customer
+    """,
+)
+def unpivot_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide columns -> (key, metric, value) long form."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return cust.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+
+
+@_register(
+    "posexplode_words",
+    """
+    WITH words AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents
+                   WHERE doc_id < 10),
+         idx AS (SELECT unnest(range(1, 4001)) AS i)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS word
+    FROM words JOIN idx ON i <= len(w)
+    """,
+)
+def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: element + 0-based position (DuckDB 1.0 lacks WITH
+    ORDINALITY, so the oracle uses a bounded index join over list
+    subscripts)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+
+
+@_register(
+    "agg_sorted_user_list",
+    """
+    SELECT event_type,
+           string_agg(DISTINCT CAST(user_id AS VARCHAR), ','
+                      ORDER BY CAST(user_id AS VARCHAR)) AS users
+    FROM events WHERE user_id < 8 GROUP BY event_type
+    """,
+)
+def agg_sorted_user_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set -> sort_array -> concat_ws: deterministic ordered list
+    aggregation (collect_* alone is order-nondeterministic — pinned here)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    return ev.groupBy("event_type").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set(F.col("user_id").cast("string")))).alias(
+            "users"
+        )
+    )

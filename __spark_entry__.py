@@ -21,8 +21,12 @@ from reddit_sse_stream_spark.plans.catalog import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["tpch_q1_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the switch-over artifact: one full reference connection
+    (offsets -> filter algebra -> JSON projection -> SSE framing) as a
+    single batch plan."""
+    return QUERIES["reference_pipeline_example"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

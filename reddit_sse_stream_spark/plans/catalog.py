@@ -1594,3 +1594,99 @@ def agg_sorted_user_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users"
         )
     )
+
+
+@_register(
+    "fn_map_ops",
+    """
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS keys_str,
+           json_extract_string(props, '$.k') AS k_val,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+    FROM events WHERE event_id < 300
+    """,
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function battery: schema-on-read map<string,string> ->
+    map_keys / element_at / size (the payload stays string-typed, matching
+    the reference's opaque-json model)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.map_keys(m)).alias("keys_str"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@_register(
+    "window_sliding_counts",
+    """
+    WITH slid AS (
+      SELECT user_id, value,
+             CAST(floor(epoch(ts) / 1800) * 1800 - offs AS BIGINT) AS win_start
+      FROM events, (SELECT unnest([0, 1800]) AS offs) o
+      WHERE floor(epoch(ts) / 1800) * 1800 - offs + 3600 > epoch(ts)
+    )
+    SELECT win_start, count(*) AS n, round(sum(value), 2) AS total
+    FROM slid GROUP BY win_start
+    """,
+)
+def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding time window (1h window, 30min slide): each event lands in 2
+    overlapping windows. Spark's window() TVF vs an explicit two-bucket
+    expansion in the oracle (DuckDB has no sliding-window TVF)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"), "n", "total"
+        )
+    )
+
+
+@_register(
+    "text_lang_predict",
+    "SELECT t.doc_id, CASE "
+    + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'"
+        for lang in sorted(text.LANG_MARKERS)
+    )
+    + " END AS lang_pred FROM (SELECT doc_id, "
+    + ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {m} ', ''))) / {len(m) + 2}"
+            for m in markers
+        )
+        + f" AS BIGINT) AS s_{lang}"
+        for lang, markers in sorted(text.LANG_MARKERS.items())
+    )
+    + ", greatest("
+    + ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {m} ', ''))) / {len(m) + 2}"
+            for m in markers
+        )
+        + " AS BIGINT)"
+        for _, markers in sorted(text.LANG_MARKERS.items())
+    )
+    + ") AS best FROM documents) t",
+)
+def text_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID prediction: argmax of the marker scores (ties ->
+    lexicographically first language, pinned in both backends via the
+    ordered CASE)."""
+    scores = text.lang_scores(_t(spark, sf_dir, "documents"))
+    langs = sorted(text.LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    # chained when(): the FIRST matching language wins ties, mirroring the
+    # oracle's ordered CASE
+    pred_expr = None
+    for lg in langs:
+        cond = F.col(f"score_{lg}") == best
+        pred_expr = F.when(cond, lg) if pred_expr is None else pred_expr.when(cond, lg)
+    return scores.select("doc_id", pred_expr.alias("lang_pred"))

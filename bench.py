@@ -23,6 +23,7 @@ from reddit_sse_stream_spark.session import get_spark
 #: Headline set: one per operator family (scan+filter algebra, agg, joins,
 #: windows, dedup exact + minhash, text, vector search).
 HEADLINE = (
+    "reference_pipeline_example",
     "f5_whitelist_combiner",
     "a2_bytes_total",
     "tpch_q1_pricing_summary",
@@ -30,6 +31,7 @@ HEADLINE = (
     "tpch_q5_region_revenue",
     "window_topk_orders_per_customer",
     "join_range_clicks_before_purchase",
+    "sessionize_events",
     "dedup_exact_keep_first",
     "dedup_minhash_lsh",
     "text_quality_score",
@@ -57,6 +59,11 @@ def main() -> None:
         times[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(times.values()), 3)
+    # throughput context vs BASELINE.md: the reference's designed ceiling is
+    # 125 comments/s + 50 submissions/s per connection; this engine filters
+    # the full feed (reference_pipeline_example) in times[...] seconds.
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    pipeline_sec = times.get("reference_pipeline_example", 0.0) or 1e-9
     print(
         json.dumps(
             {
@@ -65,6 +72,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "feed_events": n_events,
+                "pipeline_events_per_sec": round(n_events / pipeline_sec, 1),
             }
         )
     )

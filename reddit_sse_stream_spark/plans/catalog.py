@@ -1690,3 +1690,15 @@ def text_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         cond = F.col(f"score_{lg}") == best
         pred_expr = F.when(cond, lg) if pred_expr is None else pred_expr.when(cond, lg)
     return scores.select("doc_id", pred_expr.alias("lang_pred"))
+
+
+@_register("aggx_approx_quantiles", None)
+def aggx_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest-style sketch) — the 100 TB companion to
+    fn_percentiles' exact form. No oracle: DuckDB's approx_quantile is a
+    different sketch, so values legitimately differ (rows-only check)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
+    )

@@ -13,7 +13,7 @@ semantics per micro-batch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_sse_stream_spark.operators.projection import json_key_subset
@@ -29,26 +29,33 @@ def reference_pipeline(
     fd = feed_df(spark, sf_dir)
 
     # S4/S3 — offset precedence: start_id over backfill over latest
-    # (sse.py:126-129); batch form = id lower bounds per stream, with the
-    # stream maxima computed in-plan (whole-frame window over a tiny
-    # aggregate — no driver collect).
-    whole = Window.partitionBy()
-    rc_max = F.max(F.when(F.col("event") == "rc", F.col("id"))).over(whole)
-    rs_max = F.max(F.when(F.col("event") == "rs", F.col("id"))).over(whole)
+    # (sse.py:126-129); batch form = id lower bounds per stream. Stream
+    # maxima come from a 1-row aggregate broadcast back into the scan — a
+    # whole-frame window would funnel every row through ONE partition, a
+    # serial bottleneck at scale; the agg+broadcast shape is map-side only.
+    needs_max = spec.comment_backfill is not None or spec.submission_backfill is not None
+    if needs_max:
+        maxima = fd.groupBy().agg(
+            F.max(F.when(F.col("event") == "rc", F.col("id"))).alias("_rc_max"),
+            F.max(F.when(F.col("event") == "rs", F.col("id"))).alias("_rs_max"),
+        )
+        fd = fd.crossJoin(F.broadcast(maxima))
 
-    def bound(start_id, backfill, ev_max):
+    def bound(start_id, backfill, max_col):
         if start_id is not None:
             return F.col("id") >= F.lit(start_id)
         if backfill is not None:  # clamped at parse (sse.py:65)
-            return F.col("id") > ev_max - F.lit(backfill)
+            return F.col("id") > F.col(max_col) - F.lit(backfill)
         return F.lit(True)
 
     offset_pred = F.when(
         F.col("event") == "rc",
-        bound(spec.comment_start_id, spec.comment_backfill, rc_max),
-    ).otherwise(bound(spec.submission_start_id, spec.submission_backfill, rs_max))
+        bound(spec.comment_start_id, spec.comment_backfill, "_rc_max"),
+    ).otherwise(bound(spec.submission_start_id, spec.submission_backfill, "_rs_max"))
 
-    filtered = fd.withColumn("_keep", offset_pred).filter(F.col("_keep")).drop("_keep")
+    filtered = fd.filter(offset_pred)
+    if needs_max:
+        filtered = filtered.drop("_rc_max", "_rs_max")
     filtered = filtered.filter(spec.predicate())
 
     data = (

@@ -180,6 +180,12 @@ class FeedStreamReader(DataSourceStreamReader):
         return {"id": nxt}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # Restart resume: after recovery from a checkpoint the cap base
+        # (_last) is fresh while `start` carries the committed offset — fold
+        # it in so the next latestOffset() continues from the checkpoint
+        # instead of replaying the cap ramp from initialOffset.
+        if self._last is None or start["id"] > self._last:
+            self._last = start["id"]
         lo, hi = start["id"], end["id"]
         if hi <= lo:
             return [FeedPartition(self.path, self.stream, lo, lo)]
@@ -197,7 +203,9 @@ class FeedStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass
+        # also folds the committed offset into the cap base (restart safety)
+        if self._last is None or end["id"] > self._last:
+            self._last = end["id"]
 
 
 class RedditFeedDataSource(DataSource):

@@ -287,3 +287,63 @@ def test_streaming_dedup_within_watermark(spark):
     ids = [r["id"] for r in rows]
     assert len(ids) == len(set(ids))
     assert len(ids) > 0
+
+
+def test_checkpoint_restart_no_dupes_no_gaps(spark, tmp_path):
+    """Stop a capped stream mid-replay, restart from the checkpoint: the
+    file sink must contain exactly the feed — no duplicates, no gaps
+    (exactly-once with the per-trigger cap resuming from the committed
+    offset, not from initialOffset). Memory sink can't recover, so this
+    uses the fault-tolerant parquet sink."""
+    import time as _t
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start_query():
+        stream = read_feed_stream(
+            spark, EVENTS, "rc", backfill=100000, max_ids_per_batch=300
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+
+    def sink_count():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q = start_query()
+    deadline = _t.time() + 60
+    while _t.time() < deadline and sink_count() < 300:
+        _t.sleep(0.1)
+    q.stop()
+    n_first = sink_count()
+    assert n_first > 0
+
+    expected_ids = {
+        r["event_id"]
+        for r in spark.sql(
+            "SELECT event_id FROM parquet.`" + EVENTS + "` "
+            "WHERE event_type IN ('view','click','error')"
+        ).collect()
+    }
+    q2 = start_query()
+    deadline = _t.time() + 90
+    while _t.time() < deadline and sink_count() < len(expected_ids):
+        _t.sleep(0.2)
+    q2.stop()
+
+    from collections import Counter
+
+    ids = [r["id"] for r in spark.read.parquet(out).collect()]
+    counts = Counter(ids)
+    dupes = {i: c for i, c in counts.items() if c > 1}
+    assert not dupes, f"duplicate ids after restart: {dict(list(dupes.items())[:5])}"
+    missing = expected_ids - set(counts)
+    assert not missing, f"gaps after restart: {sorted(missing)[:10]}"

@@ -45,9 +45,12 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not first-touch session costs.
+    # Warm the JVM + parquet footers + Python UDF workers once so per-query
+    # numbers measure the query, not first-touch session costs.
     QUERIES["tpch_q6_forecast_revenue"].spark(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    QUERIES["udf_pandas_scalar_charge"].spark(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 

@@ -177,3 +177,70 @@ def test_p2_projection_fuzz(spark):
         for payload, out in zip(payloads, got):
             expected = {k: v for k, v in jsonlib.loads(payload).items() if k in keys}
             assert jsonlib.loads(out) == expected
+
+
+# ----------------------------------------------------------- hypothesis
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+
+    _spec_strategy = st.builds(
+        QuerySpec,
+        type=st.one_of(
+            st.none(),
+            st.sampled_from(["comments", "comment", "rc", "rs", "submissions", "junk"]),
+        ),
+        authors=st.lists(st.sampled_from(AUTHORS + ["ALICE"]), max_size=2).map(tuple),
+        subreddits=st.lists(st.sampled_from(SUBS), max_size=2).map(tuple),
+        domains=st.lists(
+            st.sampled_from([d.lower() for d in DOMAINS]), max_size=2
+        ).map(tuple),
+        over_18=st.one_of(st.none(), st.sampled_from(["true", "FALSE", "True"])),
+        is_self=st.one_of(st.none(), st.sampled_from(["true", "false"])),
+    )
+
+    _row_strategy = st.builds(
+        dict,
+        id=st.integers(min_value=0, max_value=10**6),
+        event=st.sampled_from(["rc", "rs"]),
+        author=st.sampled_from(AUTHORS + ["zeke", "ALICE"]),
+        subreddit=st.sampled_from(SUBS + ["sports"]),
+        domain=st.one_of(st.none(), st.sampled_from([d.lower() for d in DOMAINS])),
+        over_18=st.one_of(st.none(), st.booleans()),
+        is_self=st.one_of(st.none(), st.booleans()),
+        created_utc=st.integers(min_value=0, max_value=10**9),
+        json=st.just('{"k":"1"}'),
+    )
+
+    @given(spec=_spec_strategy, rows=st.lists(_row_strategy, min_size=1, max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def test_hypothesis_sql_python_backend_agreement(spec, rows):
+        """Property: for ANY spec and ANY row set, the SQL backend (DuckDB)
+        and the Python-row backend accept identical rows. rc rows must have
+        NULL rs-only fields (enforced below) to mirror the feed shape."""
+        for r in rows:
+            if r["event"] == "rc":
+                r["domain"] = None
+                r["over_18"] = None
+                r["is_self"] = None
+        for i, r in enumerate(rows):
+            r["id"] = i
+        con = duckdb.connect()
+        base = _duck_table(rows)
+        sql_ids = {
+            r[0]
+            for r in con.execute(
+                f"SELECT id FROM ({base}) WHERE {spec.predicate_sql()}"
+            ).fetchall()
+        }
+        py_ids = {r["id"] for r in rows if _py_accepts(spec, r)}
+        assert sql_ids == py_ids

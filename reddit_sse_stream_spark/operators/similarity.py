@@ -66,12 +66,14 @@ def random_hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    seed: int = 0,
 ) -> DataFrame:
     """LSH scale path: sign-pattern bucket id per vector (random-hyperplane
     cosine LSH). Deterministic pseudo-random planes from an i-indexed LCG so
-    tests are reproducible without RNG in the plan."""
+    tests are reproducible without RNG in the plan. ``seed`` selects an
+    independent plane family (one per LSH table)."""
     planes = []
-    state = 0x9E3779B97F4A7C15
+    state = 0x9E3779B97F4A7C15 ^ (seed * 0xBF58476D1CE4E5B9 % (1 << 64))
     for _ in range(n_planes):
         row = []
         for _ in range(dim):
@@ -114,3 +116,96 @@ def lsh_topk(
         .join(F.broadcast(qdf_bucket.select("bucket")), "bucket", "left_semi")
     )
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def cosine_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: every (a, b) with a.id < b.id
+    and cosine(a, b) > threshold.
+
+    This is the O(n^2) correctness baseline (BroadcastNestedLoopJoin when one
+    side fits in memory) — call it on a pre-filtered subset or a single LSH
+    bucket. The 100 TB path is :func:`near_dup_pairs_lsh`, which turns the
+    quadratic comparison into an equi-join on bucket keys.
+
+    ``cos_sim`` is floored at 1e-4 (not round()): floor on the scaled double
+    is the same IEEE operation in Spark and DuckDB, while round() diverges on
+    exact .xxxx5 boundaries (BigDecimal shortest-repr vs binary rounding).
+    """
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(sim * 10000) / 10000).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") > threshold)
+    )
+
+
+def near_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: multi-table random-hyperplane LSH.
+
+    Each of ``n_tables`` independent plane families assigns every vector a
+    bucket; candidate pairs are vectors sharing (table, bucket) — an
+    equi-join that shuffles on the bucket key instead of comparing all pairs.
+    Candidates are de-duplicated across tables, then verified with exact
+    cosine, so output pairs are exact — only recall is approximate (a pair
+    is missed iff it collides in none of the tables; P[miss] =
+    (1 - (1 - theta/pi)^planes)^tables for angle theta).
+
+    Matches the minhash-LSH banding shape in ``operators/dedup.py`` — same
+    join geometry, cosine instead of Jaccard.
+    """
+    tables = []
+    for t in range(n_tables):
+        b = random_hyperplane_buckets(emb, n_planes, id_col, vec_col, dim, seed=t)
+        tables.append(b.select(F.lit(t).alias("tbl"), F.col(id_col), F.col("bucket")))
+    buckets = tables[0]
+    for b in tables[1:]:
+        buckets = buckets.unionByName(b)
+
+    left = buckets.select(
+        F.col("tbl"), F.col("bucket"), F.col(id_col).alias("id_a")
+    )
+    right = buckets.select(
+        F.col("tbl"), F.col("bucket"), F.col(id_col).alias("id_b")
+    )
+    cand = (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (F.floor(sim * 10000) / 10000).alias("cos_sim"))
+        .filter(F.col("cos_sim") > threshold)
+    )

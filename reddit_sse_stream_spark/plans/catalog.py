@@ -1072,6 +1072,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_embedding_cosine",
+    """
+    WITH sub AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 AS cos_sim
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 > 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact baseline: all pairs above cosine 0.3
+    on a modulo-subsampled slice (all-pairs is the correctness oracle shape;
+    the 100 TB path is dedup_embedding_cosine_lsh). floor-at-1e-4 keeps the
+    double bit-identical across Spark and DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return similarity.cosine_pairs_exact(emb, threshold=0.3)
+
+
+@_register("dedup_embedding_cosine_lsh", None)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup scale path: multi-table random-hyperplane
+    LSH candidates (equi-join on bucket keys, no O(n^2)) verified with exact
+    cosine. Approximate recall -> rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs_lsh(emb, threshold=0.3, n_planes=6, n_tables=8)
+
+
 @_register("media_features", None)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched

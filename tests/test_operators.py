@@ -142,6 +142,32 @@ def test_lsh_topk_subset_of_bucket(spark, sf_dir):
     assert approx.count() <= 5  # bucket may be small; never more than k
 
 
+def test_cosine_near_dup_lsh_invariants(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80).cache()
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.cosine_pairs_exact(emb, threshold=0.2).collect()
+    }
+    # 0 planes -> every vector lands in bucket 0 -> LSH degenerates to exact.
+    degen = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.near_dup_pairs_lsh(
+            emb, threshold=0.2, n_planes=0, n_tables=1
+        ).collect()
+    }
+    assert degen == exact
+    # Real bucketing: verified pairs are a subset with identical scores.
+    approx = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.near_dup_pairs_lsh(
+            emb, threshold=0.2, n_planes=6, n_tables=4
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    for pair, score in approx.items():
+        assert score == exact[pair]
+
+
 # -------------------------------------------------------------- multimodal
 
 

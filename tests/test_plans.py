@@ -125,3 +125,42 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q4_semi_join_and_date_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01T00:00" in plan  # pushed to scan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_split_and_pushed_to_both_scans(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q19_disjunctive_revenue")
+    # Catalyst must extract per-table implications of the OR below the join:
+    # the quantity disjunction reaches the lineitem scan, the brand/size
+    # disjunction reaches the part scan.
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "Or(Or(And(EqualTo(p_brand" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_aggregates_fact_before_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q18_large_orders")
+    assert "LeftSemi" in plan
+    # the HAVING>150 subquery aggregates the bare fact (keys=[l_orderkey]
+    # only) — dims must not be dragged into that inner groupBy
+    assert "HashAggregate(keys=[l_orderkey" in plan
+
+
+def test_q22_anti_join_with_broadcast_scalar_threshold(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q22_idle_customers")
+    assert "LeftAnti" in plan
+    assert "IdentityBroadcastMode" in plan  # 1-row threshold broadcast, no shuffle
+
+
+def test_cosine_lsh_candidates_equi_join_on_bucket(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_embedding_cosine_lsh")
+    # Candidate generation must be an equi-join on (tbl, bucket) — never a
+    # cartesian/nested-loop over the vectors themselves.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -327,3 +327,66 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
             )
         )
     return th.select("doc_id", packed.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair graph — the
+    step that turns pairwise matches into dedup CLUSTERS (keep the min-id
+    member, drop the rest).
+
+    Min-label propagation: every node starts labeled with its own id; each
+    round a node takes the min of its label and its neighbors' labels;
+    fixpoint = every node holds the min id of its component. Rounds needed
+    = graph diameter, and near-dup graphs are short chains/cliques, so this
+    converges in a handful of rounds. (For adversarial long-chain graphs
+    the production upgrade is large-star/small-star [Kiveris et al. 2014],
+    which squares distances per round — same join primitive, fewer rounds.)
+
+    Each round is one shuffle join (labels x edges, keyed on node id) plus
+    a groupBy-min; ``localCheckpoint`` truncates the lineage so the plan
+    doesn't grow with the iteration count. The convergence test is a
+    driver-side count of changed labels — one scalar per round, not a
+    collect of the data.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(
+                labels.select(F.col("id").alias("b"), F.col("comp").alias("nb_comp")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nb_comp").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels.id == nb_min.a, "left")
+            .select(
+                labels.id,
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nb_min"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))

@@ -1,0 +1,59 @@
+"""Time-series resampling: gap-fill a per-key metric onto a regular grid
+and forward-fill the holes.
+
+The reference engine streams events in id order with no notion of a time
+grid (reference `sse.py` emits raw events); resampling is one of the
+"what a training/analytics pipeline additionally needs" operators.
+
+Shape at scale:
+  1. hourly pre-aggregation — ONE shuffle on (key, hour); this is also the
+     big data reduction (raw events -> one row per key-hour).
+  2. per-key span + ``sequence()`` explode generates the dense grid
+     JVM-side — no Python, no driver loop; grid size = keys x hours, tiny
+     next to the raw input.
+  3. left join grid<-hourly on (key, hour) — co-partitioned with step 1's
+     output under AQE, and orders of magnitude smaller than the raw scan.
+  4. forward-fill = ``last(ignorenulls)`` over (key, hour) running frame —
+     one window shuffle on key.
+
+Nothing here is per-row Python; the whole plan is codegen + exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Hourly resample of ``val_col`` per ``key_col``, forward-filled.
+
+    Output: (key, h, v_ffill) for every hour between the key's first and
+    last observation. Hours with no events carry the previous hour's
+    (rounded) average; the first hour is always observed, so ``v_ffill``
+    is never null.
+    """
+    key = F.col(key_col)
+    hourly = (
+        events.groupBy(key_col, F.date_trunc("hour", F.col(ts_col)).alias("h"))
+        .agg(F.round(F.avg(val_col), 3).alias("v"))
+    )
+    span = hourly.groupBy(key_col).agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = span.select(
+        key,
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = grid.join(hourly, [key_col, "h"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col, "h", F.last("v", ignorenulls=True).over(w).alias("v_ffill")
+    )

@@ -33,7 +33,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from reddit_sse_stream_spark.operators import dedup, multimodal, projection, similarity, text
+from reddit_sse_stream_spark.operators import (
+    dedup,
+    multimodal,
+    packing,
+    projection,
+    similarity,
+    text,
+    timeseries,
+)
 from reddit_sse_stream_spark.sources.feed import FEED_CTE, feed_df
 from reddit_sse_stream_spark.sources.tables import load_table
 from reddit_sse_stream_spark.spec import QuerySpec
@@ -2114,4 +2122,163 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@_register(
+    "ts_gapfill_ffill",
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 3) AS v
+        FROM events WHERE user_id < 5 GROUP BY user_id, date_trunc('hour', ts)),
+    span AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+             FROM span),
+    joined AS (SELECT g.user_id, g.h, hv.v
+               FROM grid g LEFT JOIN hourly hv
+                 ON g.user_id = hv.user_id AND g.h = hv.h)
+    SELECT user_id, h,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+    FROM joined
+    """,
+)
+def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: hourly grid per user (sequence+explode), holes
+    forward-filled with last(ignorenulls) — see operators/timeseries.py for
+    the shuffle budget. Restricted to user_id < 5 to keep the oracle grid
+    small; the plan is key-parallel, so the restriction is just a filter."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    return timeseries.gap_fill_ffill(ev)
+
+
+@_register(
+    "pack_sequences_by_source",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+    offs AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                 AS start_offset
+        FROM toks)
+    SELECT doc_id, source, n_tokens, start_offset,
+           CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id
+    FROM offs
+    """,
+)
+def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: per-source token stream chunked into
+    512-token packs; window cumsum partitioned by source (never a global
+    sort). Integer arithmetic -> exact cross-engine."""
+    return packing.pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
+
+
+@_register(
+    "dedup_cc_clusters",
+    """
+    WITH RECURSIVE sub AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 10 = 0),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+        WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 > 0.2),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src)
+    SELECT id, min(comp) AS component FROM walk GROUP BY id
+    """,
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup clusters: connected components (min-label
+    propagation, one shuffle join per round) over the exact cosine pair
+    graph. Oracle: WITH RECURSIVE reachability in DuckDB — min reachable
+    id == component id for undirected (symmetrized) edges."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    pairs = similarity.cosine_pairs_exact(emb, threshold=0.2)
+    return dedup.connected_components(pairs)
+
+
+@_register(
+    "aggx_corr_covar",
+    """
+    SELECT event_type,
+           floor(corr(value, user_id) * 10000) / 10000 AS corr_vu,
+           floor(covar_samp(value, user_id) * 10000) / 10000 AS covs_vu,
+           floor(covar_pop(value, user_id) * 10000) / 10000 AS covp_vu
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def aggx_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / sample + population covariance) as
+    distributed one-pass aggregates (partial+final co-moments)."""
+    ev = _t(spark, sf_dir, "events")
+    def f4(c):
+        return F.floor(c * 10000) / 10000
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            f4(F.corr("value", "user_id")).alias("corr_vu"),
+            f4(F.covar_samp("value", "user_id")).alias("covs_vu"),
+            f4(F.covar_pop("value", "user_id")).alias("covp_vu"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "fn_histogram_bins",
+    """
+    SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo, round(max(value), 2) AS hi
+    FROM events GROUP BY bucket ORDER BY bucket
+    """,
+)
+def fn_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed equi-width histogram: explicit floor binning (identical
+    IEEE op in both engines; DuckDB 1.0 lacks width_bucket) + count/min/max
+    per bin — one partial+final agg, no sort until the tiny result."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 5.0).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@_register(
+    "sample_stratified_deterministic",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE doc_id % (CASE WHEN lang = 'en' THEN 3 ELSE 10 END) = 0
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum downsampling with a deterministic keep rule (keep 1-in-3
+    'en' docs, 1-in-10 otherwise). Modulo on the stable id keeps the oracle
+    exact; at scale swap the modulo for pmod(xxhash64(id), 100) — same
+    plan, decorrelated from id assignment order. Spark's sampleBy covers
+    the seeded-random variant (not oracle-able across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(3)).otherwise(F.lit(10))
+    return (
+        docs.filter(F.col("doc_id") % rate == 0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     )

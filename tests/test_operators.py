@@ -186,3 +186,52 @@ def test_frame_sample_every_nth(spark, sf_dir):
     rows = multimodal.frame_sample(media, every_n=4).collect()
     assert rows, "expected some video frames"
     assert all(r["frame_idx"] % 4 == 0 for r in rows)
+
+
+# -------------------------------------------------------------- timeseries / packing / cc
+
+
+def test_gap_fill_dense_grid_and_ffill(spark, sf_dir):
+    from reddit_sse_stream_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 3)
+    out = timeseries.gap_fill_ffill(ev).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["h"])
+        # dense hourly grid: every consecutive gap is exactly 1h
+        for a, b in zip(rows, rows[1:]):
+            assert (b["h"] - a["h"]).total_seconds() == 3600
+        # forward fill never leaves a hole (first hour is observed)
+        assert all(r["v_ffill"] is not None for r in rows)
+
+
+def test_pack_sequences_contiguous_and_budgeted(spark, sf_dir):
+    from reddit_sse_stream_spark.operators import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = packing.pack_sequences(docs, budget=256).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in rows:
+            assert r["start_offset"] == offset  # contiguous token stream
+            assert r["pack_id"] == offset // 256  # pack of the first token
+            offset += r["n_tokens"]
+
+
+def test_connected_components_chain_and_islands(spark):
+    from reddit_sse_stream_spark.operators import dedup as dd
+
+    # chain 1-2-3-4 (diameter 3, needs multiple rounds), pair 10-11,
+    # and 7 appearing only on the dst side
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (6, 7)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in dd.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 6: 6, 7: 6}

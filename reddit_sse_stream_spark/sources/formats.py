@@ -37,3 +37,31 @@ def read_table(spark: SparkSession, path: str, schema: StructType, fmt: str = "p
     if fmt == "csv":
         reader = reader.option("header", "true")
     return reader.load(path)
+
+
+def write_layout(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    cluster_by: list[str] | None = None,
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """The 100 TB output layout: hive-partition directories on the coarse
+    filter columns (partition pruning skips whole directories at planning
+    time), rows clustered by ``cluster_by`` within each file (parquet
+    row-group min/max stats turn point/range predicates into row-group
+    skips), file size bounded so a single task never writes an unsplittable
+    monster file.
+
+    ``sortWithinPartitions`` is a partition-local sort — NO extra shuffle
+    beyond the write's own distribution.
+    """
+    out = df
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

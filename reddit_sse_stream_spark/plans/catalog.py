@@ -2282,3 +2282,112 @@ def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "fn_regexp_ops",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '[A-Za-z]+') AS first_word,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+           substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40) AS devoweled_40
+    FROM documents
+    """,
+)
+def fn_regexp_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar battery: extract / extract_all count / global replace —
+    all JVM codegen (java.util.regex), no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "[A-Za-z]+", 0).alias("first_word"),
+        F.size(F.regexp_extract_all("text", F.lit("[aeiou]+"), 0))
+        .cast("bigint")
+        .alias("n_vowel_runs"),
+        F.substring(F.regexp_replace("text", "[aeiou]", "_"), 1, 40).alias(
+            "devoweled_40"
+        ),
+    )
+
+
+@_register(
+    "fn_null_ops",
+    """
+    SELECT c_custkey,
+           round(coalesce(nullif(c_acctbal, 0.0), -1.0), 2) AS bal_or_sentinel,
+           round(greatest(c_acctbal, 0.0), 2) AS bal_floor0,
+           round(least(c_acctbal, 1000.0), 2) AS bal_cap1000,
+           CAST(c_acctbal IS NULL AS INTEGER) AS was_null
+    FROM customer
+    """,
+)
+def fn_null_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling conditionals: nullif/coalesce/greatest/least — the
+    building blocks of defensive ETL expressions."""
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.round(F.coalesce(F.nullif(bal, F.lit(0.0)), F.lit(-1.0)), 2).alias(
+            "bal_or_sentinel"
+        ),
+        F.round(F.greatest(bal, F.lit(0.0)), 2).alias("bal_floor0"),
+        F.round(F.least(bal, F.lit(1000.0)), 2).alias("bal_cap1000"),
+        bal.isNull().cast("integer").alias("was_null"),
+    )
+
+
+@_register(
+    "window_range_time_frame",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS v_1h
+    FROM events WHERE user_id < 20
+    """,
+)
+def window_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-user sum of the trailing hour,
+    bounded by VALUE distance (seconds), not row count — the frame Spark's
+    rangeBetween computes without self-joining. One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("v_1h")
+    )
+
+
+@_register(
+    "window_rank_family",
+    """
+    SELECT o_orderkey, o_custkey,
+           dense_rank()   OVER w AS drank,
+           ntile(4)       OVER w AS quartile,
+           floor(percent_rank() OVER w * 10000) / 10000 AS pct_rank,
+           floor(cume_dist()    OVER w * 10000) / 10000 AS cdist
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking family over one shared window spec (dense_rank / ntile /
+    percent_rank / cume_dist): Spark computes all four in a single Window
+    operator off one user shuffle."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    def f4(c):
+        return F.floor(c * 10000) / 10000
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        f4(F.percent_rank().over(w)).alias("pct_rank"),
+        f4(F.cume_dist().over(w)).alias("cdist"),
+    )

@@ -34,9 +34,14 @@ HEADLINE = (
     "sessionize_events",
     "dedup_exact_keep_first",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine_lsh",
+    "dedup_cc_clusters",
     "text_quality_score",
     "knn_bruteforce_cosine",
     "p2_json_key_subset",
+    "tpch_q18_large_orders",
+    "ts_gapfill_ffill",
+    "pack_sequences_by_source",
 )
 
 

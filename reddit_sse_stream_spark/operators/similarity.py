@@ -11,8 +11,13 @@ on a bucket key — the same join-shape trick as minhash-LSH dedup; and an
 IVF-style coarse quantizer (assign to nearest of C centroids, search only
 matching cells).
 
-All vector math is built-in higher-order functions (``zip_with`` /
-``aggregate``) — JVM-side, no Python UDF.
+Vector-math policy: single-query scoring (top-k against one vector) uses
+built-in higher-order functions (``zip_with`` / ``aggregate``) — fine at
+one dot product per row. Pair-scale scoring (near-dup candidate
+verification, all-pairs baselines) goes through ONE Arrow ``mapInPandas``
+numpy kernel instead: Spark's array HOFs are CodegenFallback (interpreted),
+which dominates wall-clock beyond ~10^4 evaluations, while the Arrow kernel
+does a whole batch per matmul.
 """
 
 from __future__ import annotations
@@ -72,14 +77,7 @@ def random_hyperplane_buckets(
     cosine LSH). Deterministic pseudo-random planes from an i-indexed LCG so
     tests are reproducible without RNG in the plan. ``seed`` selects an
     independent plane family (one per LSH table)."""
-    planes = []
-    state = 0x9E3779B97F4A7C15 ^ (seed * 0xBF58476D1CE4E5B9 % (1 << 64))
-    for _ in range(n_planes):
-        row = []
-        for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # ~U[-1,1)
-        planes.append(row)
+    planes = _lcg_planes(n_planes, dim, seed)
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
@@ -130,11 +128,12 @@ def cosine_pairs_exact(
     This is the O(n^2) correctness baseline (BroadcastNestedLoopJoin when one
     side fits in memory) — call it on a pre-filtered subset or a single LSH
     bucket. The 100 TB path is :func:`near_dup_pairs_lsh`, which turns the
-    quadratic comparison into an equi-join on bucket keys.
+    quadratic comparison into an equi-join on bucket keys. Scoring runs in
+    the shared Arrow kernel (:func:`score_pairs_arrow`).
 
     ``cos_sim`` is floored at 1e-4 (not round()): floor on the scaled double
-    is the same IEEE operation in Spark and DuckDB, while round() diverges on
-    exact .xxxx5 boundaries (BigDecimal shortest-repr vs binary rounding).
+    is the same IEEE operation everywhere, while round() diverges on exact
+    .xxxx5 boundaries (BigDecimal shortest-repr vs binary rounding).
     """
     a = emb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
@@ -142,15 +141,63 @@ def cosine_pairs_exact(
     b = emb.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
     )
-    sim = cosine(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (F.floor(sim * 10000) / 10000).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") > threshold)
+    return score_pairs_arrow(a.join(b, F.col("id_a") < F.col("id_b")), threshold)
+
+
+def _lcg_planes(n_planes: int, dim: int, seed: int = 0) -> list[list[float]]:
+    """The deterministic plane family shared by the JVM and Arrow bucket
+    paths (same LCG as :func:`random_hyperplane_buckets`)."""
+    planes = []
+    state = 0x9E3779B97F4A7C15 ^ (seed * 0xBF58476D1CE4E5B9 % (1 << 64))
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_buckets_arrow(
+    emb: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(id, tbl, bucket) for ALL hash tables in ONE Arrow pass: a single
+    (batch x dim) @ (dim x tables*planes) matmul + sign-bit packing per
+    batch, instead of tables*planes interpreted HOF dot products per row.
+    Identical buckets to ``random_hyperplane_buckets(seed=t)``."""
+    import numpy as np
+
+    all_planes = np.array(
+        [p for t in range(n_tables) for p in _lcg_planes(n_planes, dim, seed=t)]
+    ).reshape(n_tables * n_planes, dim)  # reshape keeps n_planes=0 well-formed
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (v @ all_planes.T) >= 0  # (n, tables*planes)
+            signs = signs.reshape(len(v), n_tables, n_planes)
+            buckets = (signs * weights).sum(axis=2)  # (n, tables)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables), len(v)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} long, tbl int, bucket long"
     )
 
 
@@ -176,13 +223,7 @@ def near_dup_pairs_lsh(
     Matches the minhash-LSH banding shape in ``operators/dedup.py`` — same
     join geometry, cosine instead of Jaccard.
     """
-    tables = []
-    for t in range(n_tables):
-        b = random_hyperplane_buckets(emb, n_planes, id_col, vec_col, dim, seed=t)
-        tables.append(b.select(F.lit(t).alias("tbl"), F.col(id_col), F.col("bucket")))
-    buckets = tables[0]
-    for b in tables[1:]:
-        buckets = buckets.unionByName(b)
+    buckets = hyperplane_buckets_arrow(emb, n_planes, n_tables, id_col, vec_col, dim)
 
     left = buckets.select(
         F.col("tbl"), F.col("bucket"), F.col(id_col).alias("id_a")
@@ -202,10 +243,43 @@ def near_dup_pairs_lsh(
     b = emb.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
     )
-    sim = cosine(F.col("va"), F.col("vb"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", (F.floor(sim * 10000) / 10000).alias("cos_sim"))
-        .filter(F.col("cos_sim") > threshold)
-    )
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+    return score_pairs_arrow(pairs, threshold)
+
+
+def score_pairs_arrow(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-cosine verification of candidate pairs as ONE vectorized Arrow
+    pass (mapInPandas + numpy matrix math) instead of per-row higher-order
+    functions — Spark's array HOFs are CodegenFallback (interpreted), which
+    at ~100k+ candidate pairs dominates the whole near-dup job. The numpy
+    kernel computes a whole Arrow batch of dot products per call.
+
+    Input: (id_a, id_b, va, vb). Output: (id_a, id_b, cos_sim) with
+    cos_sim floored at 1e-4 (same convention as :func:`cosine_pairs_exact`;
+    sums are reassociated by numpy, so scores can differ from the HOF path
+    in the last floored digit only when the true value sits within float
+    error of a 1e-4 boundary).
+    """
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.stack(pdf["va"].to_numpy())
+            vb = np.stack(pdf["vb"].to_numpy())
+            dots = np.einsum("ij,ij->i", va, vb)
+            cos = dots / (np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1))
+            cos = np.floor(cos * 10000) / 10000
+            keep = cos > threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+
+    return pairs.mapInPandas(kernel, "id_a long, id_b long, cos_sim double")

@@ -2391,3 +2391,17 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         f4(F.percent_rank().over(w)).alias("pct_rank"),
         f4(F.cume_dist().over(w)).alias("cdist"),
     )
+
+
+@_register("knn_ivf_cells", None)
+def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: KMeans coarse quantizer on the unit sphere,
+    probe the 2 nearest cells only (operators/ml_lsh.py). KMeans init is
+    seeded but float-order-dependent -> rows-only check."""
+    from reddit_sse_stream_spark.operators.ml_lsh import ivf_topk_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk_cosine(
+        emb.filter(F.col("vec_id") != 0), list(qv), k=5, n_cells=8, n_probe=2
+    )

@@ -27,9 +27,24 @@ TABLES = (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make the loader self-contained under ANY SparkSession.
+
+    The testdata's ``events.parquet`` carries ``TIMESTAMP(NANOS)``, which
+    vanilla Spark rejects with PARQUET_TYPE_ILLEGAL unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set.  Both confs are
+    runtime-settable SQL confs, so set them here rather than relying on the
+    builder in ``session.py`` — callers (e.g. an external harness) may inject
+    their own plain session.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # TIMESTAMP(NANOS) parquet read as long via

@@ -133,35 +133,9 @@ def minhash_lsh_candidates(
     shuffled hash join on a narrow synthetic key — the scalable LSH shape
     (shuffles only (key, doc_id), never text or signatures).
     """
-    rows_per_band = num_hashes // bands
     sh = shingles if shingles is not None else hashed_shingles(docs, k)
     sig = sh.select("doc_id", _signature_col(num_hashes).alias("sig"))
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)),
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_bands_matched"))
-    )
+    return _band_candidates(sig, num_hashes, bands)
 
 
 def ngram_jaccard_pairs(
@@ -393,4 +367,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silently returning non-fixpoint labels would mis-cluster; a
+        # long-chain graph that exhausts max_iter needs more rounds or the
+        # large-star/small-star variant (diameter -> log rounds).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (diameter-bound) or switch to the "
+            "large-star/small-star formulation for long-chain graphs"
+        )
     return labels.select(F.col("id"), F.col("comp").alias("component"))

@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.ml.feature import BucketedRandomProjectionLSH, CountVectorizer, MinHashLSH, RegexTokenizer, NGram
-from pyspark.ml.linalg import Vectors, VectorUDT
+from pyspark.ml.linalg import Vectors
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -23,10 +23,18 @@ _SEED = 42
 
 def _doc_shingle_vectors(docs: DataFrame, k: int = 3, vocab_size: int = 1 << 18) -> DataFrame:
     """documents -> sparse binary shingle vectors (the MinHashLSH input
-    format): tokenize -> word k-grams -> CountVectorizer(binary)."""
+    format): tokenize -> word k-grams -> CountVectorizer(binary).
+
+    Documents with no k-grams (shorter than k tokens) are dropped HERE with
+    a plain ``size(_grams) > 0`` column filter — MinHash rejects empty
+    vectors, and a JVM-side array predicate beats a per-row Python UDF over
+    the vector column.  Since the vectorizer is fit on this same frame,
+    every surviving gram is in-vocabulary, so non-empty grams => non-empty
+    vector (if ``vocab_size`` ever overflows on a huge corpus, switch to
+    HashingTF, which has no vocabulary to overflow)."""
     tok = RegexTokenizer(inputCol="text", outputCol="_tokens", pattern=r"\s+")
     ng = NGram(n=k, inputCol="_tokens", outputCol="_grams")
-    stage = ng.transform(tok.transform(docs))
+    stage = ng.transform(tok.transform(docs)).filter(F.size("_grams") > 0)
     cv = CountVectorizer(
         inputCol="_grams", outputCol="features", binary=True, vocabSize=vocab_size
     ).fit(stage)
@@ -38,9 +46,7 @@ def ml_minhash_near_dups(
 ) -> DataFrame:
     """approxSimilarityJoin on MinHashLSH: near-dup pairs with Jaccard
     distance <= threshold. Returns (doc_a, doc_b, jaccard_dist)."""
-    vecs = _doc_shingle_vectors(docs, k)
-    # empty feature vectors (shorter than k tokens) are invalid for MinHash
-    nonzero = vecs.filter(F.udf(lambda v: v.numNonzeros() > 0, "boolean")("features"))
+    nonzero = _doc_shingle_vectors(docs, k)
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=_SEED
     ).fit(nonzero)
@@ -56,8 +62,14 @@ def ml_minhash_near_dups(
 
 
 def _embedding_vectors(emb: DataFrame) -> DataFrame:
-    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
-    return emb.select("vec_id", to_vec("embedding").alias("features"))
+    # array_to_vector is a JVM expression (pyspark.ml.functions) — the
+    # array<float> -> VectorUDT interop without any Python-row round-trip
+    from pyspark.ml.functions import array_to_vector
+
+    return emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
 
 
 def ml_random_projection_neighbors(
@@ -99,12 +111,15 @@ def ivf_topk_cosine(
 
     # L2-normalize first: on the unit sphere Euclidean cells == cosine cells,
     # so the quantizer partitions by the metric the query actually uses.
-    unit = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: x / l2_norm(F.col("embedding").cast("array<double>")),
-        ).alias("embedding"),
+    # Norm computed ONCE per row (not per element) and floored to avoid a
+    # zero-vector division turning the cell assignment into NaNs.
+    arr = F.col("embedding").cast("array<double>")
+    unit = (
+        emb.withColumn("_norm", F.greatest(l2_norm(arr), F.lit(1e-12)))
+        .select(
+            "vec_id",
+            F.transform(arr, lambda x: x / F.col("_norm")).alias("embedding"),
+        )
     )
     vecs = _embedding_vectors(unit)
     km = KMeans(k=n_cells, seed=_SEED, featuresCol="features", predictionCol="cell").fit(vecs)

@@ -116,11 +116,16 @@ def lsh_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+#: cosine_pairs_exact refuses inputs above this without allow_quadratic=True
+ALL_PAIRS_ROW_BOUND = 10_000
+
+
 def cosine_pairs_exact(
     emb: DataFrame,
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs: every (a, b) with a.id < b.id
     and cosine(a, b) > threshold.
@@ -135,6 +140,17 @@ def cosine_pairs_exact(
     is the same IEEE operation everywhere, while round() diverges on exact
     .xxxx5 boundaries (BigDecimal shortest-repr vs binary rounding).
     """
+    if not allow_quadratic:
+        # A full table through an O(n^2) baseline is a cartesian product a
+        # user should opt into explicitly, not hit by accident.
+        n = emb.limit(ALL_PAIRS_ROW_BOUND + 1).count()
+        if n > ALL_PAIRS_ROW_BOUND:
+            raise ValueError(
+                f"cosine_pairs_exact is the O(n^2) correctness baseline and "
+                f"got > {ALL_PAIRS_ROW_BOUND} input rows; use "
+                "near_dup_pairs_lsh (bucketed, scale path) or pass "
+                "allow_quadratic=True for a deliberate subsample run"
+            )
     a = emb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
     )

@@ -75,15 +75,19 @@ class SSEServer:
                 self.send_header("Cache-Control", "no-cache")
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
-                sent = 0
+                cursor = 0
                 try:
                     while not server._closing.is_set():
-                        frames = server.broadcaster.frames_for(client_id)
-                        for frame in frames[sent:]:
+                        # cursor read drains acknowledged frames: each poll
+                        # costs O(new frames), and per-connection memory
+                        # stays O(undelivered) for long-lived SSE clients
+                        cursor, frames = server.broadcaster.frames_since(
+                            client_id, cursor
+                        )
+                        for frame in frames:
                             data = frame.encode()
                             self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
                             self.wfile.flush()
-                        sent = len(frames)
                         time.sleep(server._poll_interval)
                 except (BrokenPipeError, ConnectionResetError):
                     pass

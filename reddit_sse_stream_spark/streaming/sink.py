@@ -40,7 +40,12 @@ class ClientState:
     (sse.py:113-129): counters, keepalive id sequence, output buffer."""
 
     spec: QuerySpec
+    #: undelivered frame tail; delivered frames are dropped by
+    #: :meth:`SSEBroadcaster.frames_since` once the consumer acks them, so
+    #: a long-lived connection holds O(undelivered), not O(history)
     frames: list[str] = field(default_factory=list)
+    #: sequence number of ``frames[0]`` (monotonic across drains)
+    base_seq: int = 0
     tcs: int = 0  # total comments sent   (counted pre-type-filter, A1)
     tss: int = 0  # total submissions sent
     tbs: int = 0  # total bytes sent (uncompressed, A2)
@@ -60,10 +65,22 @@ class SSEBroadcaster:
     """One shared streaming query -> N clients with independent compiled
     specs. Use :meth:`foreach_batch` as the ``foreachBatch`` function."""
 
-    def __init__(self, clock: Callable[[], float] = time.time):
+    #: serving-layer circuit breaker: the per-batch driver collect is
+    #: bounded by the source's per-trigger cap (25+10 ids in reference
+    #: mode); 100x that is generous headroom for custom caps while still
+    #: refusing to silently absorb an unbounded batch from a misconfigured
+    #: source (a real data-processing stream must not flow through here).
+    DEFAULT_MAX_COLLECT_ROWS = 100 * (25 + 10)
+
+    def __init__(
+        self,
+        clock: Callable[[], float] = time.time,
+        max_collect_rows: int = DEFAULT_MAX_COLLECT_ROWS,
+    ):
         self._clients: dict[str, ClientState] = {}
         self._lock = threading.Lock()
         self._clock = clock
+        self.max_collect_rows = max_collect_rows
 
     def register(self, client_id: str, spec: QuerySpec) -> ClientState:
         state = ClientState(spec=spec, last_sent=self._clock())
@@ -76,8 +93,26 @@ class SSEBroadcaster:
             self._clients.pop(client_id, None)
 
     def frames_for(self, client_id: str) -> list[str]:
+        """Copy of the client's current (undrained) frame buffer."""
         with self._lock:
             return list(self._clients[client_id].frames)
+
+    def frames_since(self, client_id: str, offset: int) -> tuple[int, list[str]]:
+        """Consumer-cursor read: return ``(next_offset, frames)`` with every
+        frame at sequence >= ``offset``, and DROP frames below it — the
+        consumer passing ``offset`` back acknowledges delivery of everything
+        before it.  Ack-based pruning keeps per-connection memory at
+        O(undelivered) and each poll at O(new frames), not O(history);
+        frames written to a socket that later breaks mid-batch are still
+        re-readable because they are only dropped on the NEXT call."""
+        with self._lock:
+            st = self._clients[client_id]
+            drop = min(max(offset - st.base_seq, 0), len(st.frames))
+            if drop:
+                del st.frames[:drop]
+                st.base_seq += drop
+            out = list(st.frames)
+            return st.base_seq + len(out), out
 
     # ------------------------------------------------------------------ #
 
@@ -90,7 +125,14 @@ class SSEBroadcaster:
         serving-layer fan-out, not a data-processing collect. Heavy
         transformations stay in the streaming plan upstream.
         """
-        rows = batch_df.collect()
+        rows = batch_df.limit(self.max_collect_rows + 1).collect()
+        if len(rows) > self.max_collect_rows:
+            raise RuntimeError(
+                f"SSE serving batch exceeds max_collect_rows="
+                f"{self.max_collect_rows}: the upstream source must cap ids "
+                "per trigger (max_ids_per_batch); the serving fan-out is not "
+                "a data-processing collect"
+            )
         now = self._clock()
         with self._lock:
             clients = dict(self._clients)

@@ -159,19 +159,42 @@ class FeedStreamReader(DataSourceStreamReader):
         if self.backfill is not None and self.start_id is not None:
             raise ValueError("backfill and start_id are mutually exclusive")  # V1
         self._last: int | None = None  # cursor base for per-trigger capping
+        #: committed floor, set only when a regressed offset window is
+        #: detected (partitions() called with end < start); clamps later
+        #: windows so delivered ids are never re-emitted
+        self._floor: int | None = None
 
     def initialOffset(self) -> dict:
         latest = _max_event_id(self.path)
         if self.start_id is not None:
-            return {"id": int(self.start_id) - 1}  # S4 (sse.py:126-129)
-        if self.backfill is not None:
+            base = int(self.start_id) - 1  # S4 (sse.py:126-129)
+        elif self.backfill is not None:
             n = min(int(self.backfill), MAX_BACKFILL)  # S3 clamp (sse.py:65)
-            return {"id": max(latest - n, -1)}
-        return {"id": latest}
+            base = max(latest - n, -1)
+        else:
+            base = latest
+        # Seed the per-trigger cap base (only once — Spark may call
+        # initialOffset() again mid-query, and re-seeding would move the cap
+        # base backward and re-emit committed ranges).  latestOffset() can
+        # then treat "_last is None" as restart-from-checkpoint, where
+        # offsets come from the log and initialOffset() is never called.
+        if self._last is None:
+            self._last = base
+        return {"id": base}
 
     def latestOffset(self) -> dict:
         # S6 — cap per-trigger advance at the buffer size, the reference's
         # fixed poll window (maxOffsetsPerTrigger-style backpressure).
+        #
+        # Restart caveat: after recovery from a fully-committed checkpoint
+        # this instance is fresh (_last is None) and Spark calls
+        # latestOffset() BEFORE partitions()/commit() can fold the committed
+        # offset in, so the ramp re-seeds from initialOffset() — for a
+        # backfill reader that base sits behind the committed offset and the
+        # returned end can regress.  Correctness is preserved by the
+        # _emitted_max monotonic floor in partitions(): the authoritative
+        # batch start from the offset log folds into _last there, and a
+        # regressed window is clamped empty instead of re-reading ids.
         latest = _max_event_id(self.path)
         if self._last is None:
             self._last = self.initialOffset()["id"]
@@ -187,6 +210,18 @@ class FeedStreamReader(DataSourceStreamReader):
         if self._last is None or start["id"] > self._last:
             self._last = start["id"]
         lo, hi = start["id"], end["id"]
+        if hi < lo:
+            # Regressed window: `start` is the committed offset restored
+            # from the log, `end` came from a latestOffset() ramp re-seeded
+            # below it after restart.  Remember the committed floor — the
+            # NEXT batch's log start will be the regressed end, and without
+            # the clamp it would re-read (= re-emit) ids up to here.  For a
+            # normal batch (hi >= lo) partitions() stays a pure function of
+            # (start, end), which replay of a pending batch depends on.
+            self._floor = max(self._floor or lo, lo)
+            return [FeedPartition(self.path, self.stream, lo, lo)]
+        if self._floor is not None:
+            lo = max(lo, self._floor)
         if hi <= lo:
             return [FeedPartition(self.path, self.stream, lo, lo)]
         chunks = []

@@ -73,3 +73,18 @@ def test_ivf_partial_probe_scores_are_exact_cosines(emb, qvec):
     assert 0 < len(approx) <= 5
     for r in approx:
         assert exact_all[r["vec_id"]] == r["cos_sim"]
+
+
+def test_wrapper_plans_have_no_python_row_udf(spark, sf_dir):
+    """The VectorUDT interop must stay JVM-side (array_to_vector) or
+    Arrow-batched — a row-at-a-time Python UDF (BatchEvalPython node) in
+    these wrapper plans would serialize every row through the Python worker."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = ml_lsh._embedding_vectors(emb)
+    plan = vecs._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    feats = ml_lsh._doc_shingle_vectors(docs)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -239,3 +239,54 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r["id"]: r["component"] for r in dd.connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 6: 6, 7: 6}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """Non-fixpoint labels are wrong labels: a chain longer than max_iter
+    rounds must raise, not silently return a half-propagated clustering."""
+    from reddit_sse_stream_spark.operators import dedup as dd
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(chain, max_iter=2)
+    # ...and the same graph converges fine with enough rounds
+    got = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(chain, max_iter=10).collect()
+    }
+    assert set(got.values()) == {0}
+
+
+def test_lsh_topk_recall_against_bruteforce(spark, sf_dir):
+    """knn via single-probe LSH bucketing gets a falsifiable quality bar:
+    every returned id must sit in the exact top-50, and recall@5 vs the
+    exact top-5 must be >= 0.8 (deterministic: LCG planes, fixed data)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    rest = emb.filter(F.col("vec_id") != 0)
+    lsh_ids = [
+        r["vec_id"] for r in similarity.lsh_topk(rest, qv, k=5, n_planes=8).collect()
+    ]
+    bf50 = [r["vec_id"] for r in similarity.brute_force_topk(rest, qv, k=50).collect()]
+    assert set(lsh_ids) <= set(bf50), "LSH returned an id outside exact top-50"
+    recall = len(set(lsh_ids) & set(bf50[:5])) / 5
+    assert recall >= 0.8
+
+
+def test_cosine_pairs_exact_guards_quadratic_blowup(spark, sf_dir):
+    """The all-pairs baseline must refuse a full-table cartesian unless the
+    caller explicitly opts in (the catalog entry runs a subsample)."""
+    from reddit_sse_stream_spark.operators.similarity import ALL_PAIRS_ROW_BOUND
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    wide = emb
+    while n <= ALL_PAIRS_ROW_BOUND:  # inflate past the bound via self-union
+        wide = wide.unionAll(wide)
+        n *= 2
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        similarity.cosine_pairs_exact(wide)
+    # small inputs pass through the guard untouched
+    assert similarity.cosine_pairs_exact(emb.limit(20), threshold=-1.0).count() > 0

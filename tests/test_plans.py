@@ -192,3 +192,32 @@ def test_write_layout_partition_pruning_and_rowgroup_stats(spark, sf_dir, tmp_pa
     idx = [md.schema.column(i).name for i in range(md.num_columns)].index("event_id")
     stats = md.row_group(0).column(idx).statistics
     assert stats.has_min_max
+
+
+@pytest.mark.parametrize(
+    ("name", "hinted_dim_broadcasts"),
+    [
+        ("tpch_q3_shipping_priority", 0),   # no hints at all
+        ("tpch_q5_region_revenue", 3),      # supplier, nation, region
+        ("tpch_q10_returned_customers", 1), # nation
+        ("tpch_q18_large_orders", 0),
+        ("tpch_q14_promo_revenue", 0),
+        ("tpch_q19_disjunctive_revenue", 0),
+    ],
+)
+def test_no_static_broadcast_hints_on_fact_tables(
+    spark, sf_dir, name, hinted_dim_broadcasts
+):
+    """Fact-scale tables (orders, customer, part) must not carry static
+    broadcast hints — at 100 TB a forced broadcast of a 15%-of-lineitem
+    table OOMs every executor.  With size-based broadcast disabled, the only
+    BroadcastHashJoins left in the initial plan are the explicitly hinted
+    true dims; everything else shuffles on key (and AQE may still convert
+    at runtime when the filtered side turns out small)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("BroadcastHashJoin") == hinted_dim_broadcasts, plan

@@ -463,3 +463,93 @@ def test_streaming_replay_scales_to_sf01(spark):
         .count()
     )
     assert got["n"] == got["d"] == expected
+
+
+def test_restart_after_committed_batch_never_reemits():
+    """Recovery where the last batch was fully committed: Spark restores
+    offsets from the checkpoint log and calls latestOffset() FIRST, so a
+    fresh backfill reader re-seeds its cap ramp from the backfill base and
+    reports an end offset BEHIND the committed one.  The _emitted_max
+    monotonic floor in partitions() must make that regression harmless: no
+    id at or below the committed offset is ever read again."""
+    import pyarrow as pa
+
+    committed = MAX_ID - 10
+    r = FeedStreamReader({"path": EVENTS, "backfill": "100000"})
+
+    def _ids(parts):
+        batches = [b for p in parts for b in r.read(p)]
+        if not batches:
+            return []
+        return pa.Table.from_batches(batches)["id"].to_pylist()
+
+    # recovery: latestOffset() before any partitions()/commit()
+    regressed = r.latestOffset()["id"]
+    assert regressed < committed  # the bug's precondition holds
+
+    # batch planned with the authoritative log start: regressed window
+    assert _ids(r.partitions({"id": committed}, {"id": regressed})) == []
+
+    # cap base folded to the committed offset -> no backward travel
+    nxt = r.latestOffset()["id"]
+    assert nxt >= committed
+
+    # next batch's log start is the regressed offset; the monotonic floor
+    # clamps it so delivered ids are not re-emitted
+    ids = _ids(r.partitions({"id": regressed}, {"id": nxt}))
+    assert all(i > committed for i in ids)
+
+
+def test_fresh_start_still_caps_first_batch():
+    """The restart safety net must not break the S6 ramp on a fresh query."""
+    r = FeedStreamReader({"path": EVENTS, "backfill": "100000"})
+    base = r.initialOffset()["id"]
+    assert r.latestOffset() == {"id": base + DEFAULT_BATCH["rc"]}
+    ids_seen = set()
+    import pyarrow as pa
+
+    parts = r.partitions({"id": base}, {"id": base + DEFAULT_BATCH["rc"]})
+    for p_ in parts:
+        for b in r.read(p_):
+            ids_seen |= set(pa.Table.from_batches([b])["id"].to_pylist())
+    assert ids_seen  # the capped first window actually reads rows
+
+
+def test_frames_since_cursor_drains_acknowledged_frames():
+    """Long-lived connections must hold O(undelivered) frames: the consumer
+    cursor acknowledges delivery and the broadcaster drops the prefix."""
+    clock = lambda: 1000.0  # noqa: E731
+    bc = SSEBroadcaster(clock=clock)
+    st = bc.register("c1", QuerySpec())
+    bc._emit_for_client(st, ROWS, clock())
+    cur, frames = bc.frames_since("c1", 0)
+    assert len(frames) == 3 and cur == 3
+    # frames stay re-readable until the advanced cursor acks them
+    assert len(bc.frames_for("c1")) == 3
+    cur2, frames2 = bc.frames_since("c1", cur)
+    assert frames2 == [] and cur2 == 3
+    assert bc.frames_for("c1") == []  # acknowledged prefix dropped
+    assert st.base_seq == 3
+    # new frames continue the sequence after a drain
+    bc._emit_for_client(st, ROWS, clock())
+    cur3, frames3 = bc.frames_since("c1", cur2)
+    assert len(frames3) == 3 and cur3 == 6
+
+
+def test_foreach_batch_collect_bound(spark):
+    """The serving fan-out collect is a circuit breaker, not a data path:
+    a batch above max_collect_rows (misconfigured/uncapped source) raises
+    instead of silently materializing on the driver."""
+    bc = SSEBroadcaster(max_collect_rows=10)
+    bc.register("c1", QuerySpec())
+    big = spark.range(50).selectExpr(
+        "id", "'rc' AS event", "'a' AS author", "'s' AS subreddit",
+        "CAST(NULL AS STRING) AS domain", "CAST(NULL AS BOOLEAN) AS over_18",
+        "CAST(NULL AS BOOLEAN) AS is_self", "id AS created_utc",
+        "'{}' AS json",
+    )
+    with pytest.raises(RuntimeError, match="max_collect_rows"):
+        bc.foreach_batch(big, 0)
+    small = big.limit(5)
+    bc.foreach_batch(small, 1)  # within bound: serves normally
+    assert len(bc.frames_for("c1")) == 5

@@ -2,7 +2,13 @@
 in Spark AND its DuckDB oracle on the same sf dir; compare row count, sorted
 column names, and order-insensitive values.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--plain-session] [sf_dir] [query ...]
+
+``--plain-session`` builds a VANILLA SparkSession (no confs from
+``session.get_spark``) — the exact shape the external driver injects.  This
+is the guard against harness/session coupling regressions: round 1 failed
+31/50 driver checks because the nanosAsLong conf lived only in get_spark(),
+a failure mode invisible to every get_spark-based local run.
 """
 
 from __future__ import annotations
@@ -37,9 +43,23 @@ def _canon(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("verify_local")
+    args = list(sys.argv[1:])
+    plain = "--plain-session" in args
+    if plain:
+        args.remove("--plain-session")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("verify_local_plain")
+            .config("spark.sql.shuffle.partitions", "32")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("verify_local")
 
     con = duckdb.connect()
     for t in TABLES:

@@ -40,6 +40,8 @@ HEADLINE = (
     "knn_bruteforce_cosine",
     "p2_json_key_subset",
     "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier",
+    "join_skew_salted",
     "ts_gapfill_ffill",
     "pack_sequences_by_source",
 )

@@ -2412,6 +2412,453 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# =========================================================================== #
+# TPC-H completion (q7/q8/q9/q17/q21 shapes on the available tables)          #
+# =========================================================================== #
+
+
+@_register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipping between two nations, grouped by
+    (supp_nation, cust_nation, year).  The nation table joins twice under
+    different roles; both get static broadcast hints (25 rows), the
+    fact-chain joins shuffle on key."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY')
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue inside a
+    region, per order-year.  Eight-table join; nation/region/supplier carry
+    broadcast hints, fact-scale part/orders/customer do not (AQE decides)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_1", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_register(
+    "tpch_q9_profit_by_nation_year",
+    """
+    SELECT nation, o_year, round(sum(volume), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%')
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the testdata has no partsupp, so profit is
+    revenue rather than revenue minus supplycost): per supplier-nation,
+    per order-year, over parts whose name matches a substring."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_profit")
+        )
+    )
+
+
+@_register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#17'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand's
+    parts.  The correlated scalar subquery is rewritten as a pre-aggregated
+    per-part threshold joined back — one extra shuffle keyed on l_partkey
+    instead of a per-row subquery, the scalable decorrelation Spark's
+    optimizer would also pick."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#17")
+    thresh = (
+        li.groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_thresh"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(thresh, li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_register(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: l_shipdate stands in for the missing
+    commit/receipt dates): suppliers whose line shipped LAST among
+    multi-supplier finished orders.  The EXISTS / NOT EXISTS pair compiles
+    to a left-semi and left-anti join, both shuffled on l_orderkey — no
+    correlated per-row execution."""
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3_key"),
+        F.col("l_suppkey").alias("s3_key"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waiting = (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_key"))
+            & (F.col("l_suppkey") != F.col("s2_key")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_key"))
+            & (F.col("l_suppkey") != F.col("s3_key"))
+            & (F.col("d3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# =========================================================================== #
+# LLM-pipeline additions: oracled n-gram Jaccard + skew-salted aggregation    #
+# =========================================================================== #
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+      FROM w WHERE len(words) >= 3
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             floor(len(list_intersect(a.sh, b.sh)) * 10000.0
+                   / len(list_distinct(list_concat(a.sh, b.sh)))) / 10000
+               AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    WHERE jaccard > 0.02
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity over a subsampled documents
+    slice — the first near-dup family member with a full value-level DuckDB
+    oracle (the minhash/simhash entries hash with xxhash64, which DuckDB
+    lacks).  All-pairs on a subsample is the oracle-anchor shape, like
+    dedup_embedding_cosine; the scale path is the banded LSH variant.
+    floor-at-1e-4 keeps the double bit-identical across engines."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - 3),
+            lambda i: F.concat_ws(" ", F.slice("words", i + 1, 3)),
+        )
+    )
+    s = (
+        docs.select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= 3)
+        .select("doc_id", sh.alias("sh"))
+    )
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.floor(
+        F.size(F.array_intersect("sh_a", "sh_b")) * 10000.0
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ) / 10000.0
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") > 0.02)
+    )
+
+
+@_register(
+    "agg_skew_salted_two_phase",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: a groupBy on a LOW-CARDINALITY key (a
+    handful of event types over billions of rows at 100 TB) is salted into
+    key x 32 subkeys for the wide partial aggregation, then re-aggregated —
+    no single reducer absorbs a hot key's entire partial state.  (Spark's
+    map-side partial agg already bounds this for algebraic aggregates; the
+    pattern matters for high-cardinality-payload aggs like collect_list or
+    exact distinct counts, and is shown here in its verifiable scalar
+    form.)"""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.groupBy(
+        "event_type", (F.col("event_id") % 32).alias("_salt")
+    ).agg(F.count("*").alias("pn"), F.sum("value").alias("pv"))
+    return salted.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv"), 2).alias("total_value"),
+    )
+
+
+
+@_register(
+    "join_skew_salted",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value * length(event_type)), 2) AS weighted_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted broadcast-free join: joining a fact on a
+    LOW-CARDINALITY hot key (event_type: a handful of values over billions
+    of rows at 100 TB) would put each key's entire volume on one reducer.
+    Salting replicates the dim side 32x on a synthetic salt and joins on
+    (key, salt), spreading each hot key over 32 reducers; the final agg
+    re-merges.  (AQE skew-join splits oversized partitions reactively; the
+    salt is the deterministic, planner-independent form.)  The weight is a
+    function of the key so DuckDB can verify the join's arithmetic without
+    materializing the dim."""
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("double"))
+    )
+    salts = spark.range(32).select(F.col("id").alias("_salt"))
+    salted_dim = dim.crossJoin(salts)
+    return (
+        ev.withColumn("_salt", F.col("event_id") % 32)
+        .join(salted_dim, ["event_type", "_salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+                "weighted_value"
+            ),
+        )
+    )
+
+
+@_register(
+    "window_first_last_nth",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value window family.  last_value needs the full-frame
+    ROWS spec (the default frame stops at CURRENT ROW); all three share one
+    (o_custkey) partitioning, so the plan carries a single Exchange."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@_register(
+    "fn_bitwise_ops",
+    """
+    SELECT event_id,
+           event_id & 255 AS b_and,
+           event_id | 4096 AS b_or,
+           xor(event_id, 65535) AS b_xor,
+           event_id << 2 AS b_shl,
+           event_id >> 3 AS b_shr,
+           bit_count(event_id) AS b_pop
+    FROM events WHERE event_id < 500
+    """,
+)
+def fn_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar battery: and/or/xor/shifts/popcount — all codegen
+    expressions (X-series parity: the reference has no bit ops, these cover
+    the §2.8 scalar surface)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    c = F.col("event_id")
+    return ev.select(
+        "event_id",
+        c.bitwiseAND(F.lit(255)).alias("b_and"),
+        c.bitwiseOR(F.lit(4096)).alias("b_or"),
+        c.bitwiseXOR(F.lit(65535)).alias("b_xor"),
+        F.shiftleft(c, 2).alias("b_shl"),
+        F.shiftright(c, 3).alias("b_shr"),
+        F.bit_count(c).alias("b_pop"),
+    )
+
+
 # =========================================================================== #
 # Driver-window ordering                                                      #
 # =========================================================================== #

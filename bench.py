@@ -42,6 +42,7 @@ HEADLINE = (
     "tpch_q18_large_orders",
     "tpch_q21_waiting_supplier",
     "join_skew_salted",
+    "llm_corpus_prep_pipeline",
     "ts_gapfill_ffill",
     "pack_sequences_by_source",
 )

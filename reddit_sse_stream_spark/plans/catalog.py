@@ -1056,10 +1056,49 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(5)
 
 
-@_register("knn_lsh_bucketed", None)
+def _lsh_bucket_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB oracle for the hyperplane-LSH kNN: the LCG plane family is
+    deterministic, so the planes are embedded as literal arrays and the
+    bucket id (sign-pattern) is recomputed in SQL.  Dot products use the
+    same left-to-right summation as the Spark fold, so the sign agrees."""
+    from reddit_sse_stream_spark.operators.similarity import _lcg_planes
+
+    planes = _lcg_planes(n_planes, dim, seed=0)
+    rows = ",\n      ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}])" for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH planes(i, plane) AS (VALUES
+      {rows}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+      SELECT v.vec_id,
+             sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                        j -> v.v[j] * p.plane[j])) >= 0
+                      THEN 1 << p.i ELSE 0 END) AS bucket
+      FROM v, planes p GROUP BY v.vec_id),
+    qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0)
+    SELECT v.vec_id,
+           round(list_sum(list_transform(range(1, {dim} + 1), j -> v.v[j] * q.qv[j]))
+                 / (sqrt(list_sum(list_transform(v.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6)
+             AS cos_sim
+    FROM v, q, qb
+      JOIN b ON b.vec_id = v.vec_id AND b.bucket = qb.bucket
+    WHERE v.vec_id <> 0
+    ORDER BY cos_sim DESC, v.vec_id
+    LIMIT 5
+    """
+
+
+@_register("knn_lsh_bucketed", _lsh_bucket_oracle_sql())
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH bucket prune, then exact cosine
-    within the bucket. Approximate -> rows-only check (no SQL oracle)."""
+    within the single probed bucket.  The LCG plane family is deterministic,
+    so the approximation is REPRODUCIBLE and fully oracled: DuckDB recomputes
+    the sign-pattern buckets from the same literal planes
+    (see _lsh_bucket_oracle_sql)."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return similarity.lsh_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=5)
@@ -2859,6 +2898,59 @@ def fn_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "llm_corpus_prep_pipeline",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+             floor((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    / greatest(length(text), 1))
+                   * least(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+                           / 50.0, 1.0) * 10000) / 10000.0 AS quality,
+             substring(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)
+               AS fp
+      FROM documents WHERE lang = 'en'),
+    filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM filtered)
+    SELECT doc_id, fp, n_tokens, quality FROM ranked WHERE rn = 1
+    """,
+)
+def llm_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep as ONE Catalyst plan: language filter
+    -> quality scoring -> content-fingerprint dedup (keep lowest doc_id) ->
+    token accounting.  Everything up to the dedup window is per-row codegen
+    over the scan (zero shuffle); the dedup is a single shuffle keyed on the
+    16-byte fingerprint, never the text.  At 100 TB this plan's only wide
+    exchange moves (fp, doc_id, n_tokens, quality) — the corpus body stays
+    columnar in the scan stage."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_words = text.token_count(t)
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    quality = F.floor(
+        (alpha / F.greatest(n_chars, F.lit(1)))
+        * F.least(n_words.cast("bigint") / 50.0, F.lit(1.0))
+        * 10000
+    ) / 10000.0
+    scored = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_tokens"),
+        quality.alias("quality"),
+        text.fingerprint(t).alias("fp"),
+    ).filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "fp", "n_tokens", "quality")
+    )
+
+
 # =========================================================================== #
 # Driver-window ordering                                                      #
 # =========================================================================== #
@@ -2914,7 +3006,7 @@ _DRIVER_WINDOW = [
     "fn_map_ops",
     "fn_regexp_ops",
     "fn_null_ops",
-    "fn_datetime_buckets",
+    "llm_corpus_prep_pipeline",
     "udf_pandas_scalar_charge",
     "udaf_geomean_orders",
     "udtf_word_explode",

@@ -2951,6 +2951,39 @@ def llm_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "fn_fuzzy_match_levenshtein",
+    """
+    WITH t AS (SELECT DISTINCT event_type FROM events)
+    SELECT a.event_type AS t_a, b.event_type AS t_b,
+           levenshtein(a.event_type, b.event_type) AS lev,
+           CASE WHEN levenshtein(a.event_type, b.event_type) <= 3
+                THEN 1 ELSE 0 END AS near
+    FROM t a JOIN t b ON a.event_type < b.event_type
+    """,
+)
+def fn_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (the key-canonicalization primitive of
+    entity resolution): all distinct-value pairs with levenshtein distance
+    and a near-match flag.  The distinct() shrinks the input to its value
+    domain BEFORE the quadratic pair join — at 100 TB the pair space is
+    |domain|^2, not |rows|^2."""
+    ev = _t(spark, sf_dir, "events").select("event_type").distinct()
+    a = ev.select(F.col("event_type").alias("t_a"))
+    b = ev.select(F.col("event_type").alias("t_b"))
+    lev = F.levenshtein("t_a", "t_b")
+    return (
+        a.join(b, F.col("t_a") < F.col("t_b"))
+        .select(
+            "t_a",
+            "t_b",
+            lev.alias("lev"),
+            F.when(lev <= 3, 1).otherwise(0).alias("near"),
+        )
+    )
+
+
 # =========================================================================== #
 # Driver-window ordering                                                      #
 # =========================================================================== #

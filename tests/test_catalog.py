@@ -38,3 +38,24 @@ def test_catalog_query(name, spark, duck, sf_dir):
     assert sorted(sdf.columns) == sorted(dcols)
     assert len(srows) == len(drows)
     assert _canon(srows, sdf.columns) == _canon(drows, dcols)
+
+
+def test_approx_distinct_error_band(spark, duck, sf_dir):
+    """approx_count_distinct has no cross-engine oracle (HLL sketches
+    differ), so give it a falsifiable accuracy bar instead: within 5% of
+    the exact count per group."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    approx = {
+        tuple(r)[0]: tuple(r)[1]
+        for r in QUERIES["aggx_approx_distinct"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        k: v
+        for k, v in duck.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY event_type"
+        ).fetchall()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)

@@ -221,3 +221,12 @@ def test_no_static_broadcast_hints_on_fact_tables(
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert plan.count("BroadcastHashJoin") == hinted_dim_broadcasts, plan
+
+
+def test_corpus_pipeline_single_wide_exchange(spark, sf_dir):
+    """The end-to-end corpus-prep plan must shuffle exactly once (the
+    fingerprint dedup window) and carry only narrow columns through it —
+    the scan->score->filter stages stay pipelined per-row."""
+    plan = _plan(spark, sf_dir, "llm_corpus_prep_pipeline")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan

@@ -60,6 +60,28 @@ def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
     )
 
 
+def incremental_new_docs(
+    batch: DataFrame, corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Cross-snapshot dedup for incremental ingestion: rows of ``batch``
+    whose content digest does NOT already appear in ``corpus``.
+
+    Shape: digest both sides, ``left_anti`` join on the 16-byte digest —
+    only (digest, id) ever crosses the wire, never document text.  At
+    100 TB the corpus side is the big one, so this stays a shuffled
+    sort-merge/hash anti-join on the digest key (broadcasting the corpus
+    would OOM); if the corpus digests are bucketed by digest on storage,
+    the shuffle on that side disappears entirely.  A Bloom filter over
+    corpus digests is the classic further step — Spark injects exactly
+    that via ``spark.sql.optimizer.runtime.bloomFilter.enabled`` when the
+    anti-join's build side is filterable.
+    """
+    seen = corpus.select(F.md5(text_col).alias("_digest")).distinct()
+    return batch.withColumn("_digest", F.md5(text_col)).join(
+        seen, "_digest", "left_anti"
+    ).drop("_digest")
+
+
 def _shingles(text_col, k: int = 5):
     """Word k-shingles as a deduped array (JVM-side: split + transform)."""
     words = F.split(F.lower(text_col), r"\s+")

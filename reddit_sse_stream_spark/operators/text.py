@@ -93,3 +93,69 @@ def fingerprint(text: Column | str, length: int = 16) -> Column:
     whitespace-normalized text (rolling-hash stand-in, deterministic)."""
     col = F.col(text) if isinstance(text, str) else text
     return F.substring(F.md5(F.regexp_replace(F.lower(col), r"\s+", " ")), 1, length)
+
+
+def word_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """Explode each document into its word n-grams: (doc_id, gram).
+
+    Pure built-ins (split -> sequence -> explode -> slice -> array_join), so
+    the expansion happens inside whole-stage codegen per input row — no
+    shuffle, no UDF.  Docs shorter than n words contribute no rows (the
+    ``when`` guard: Spark's ``sequence(1, 0)`` would count DOWN with an
+    implicit -1 step, so an unguarded expression explodes garbage)."""
+    w = F.split(F.col(text_col), r"\s+")
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        "doc_id", F.explode(idx).alias("_i"), w.alias("_w")
+    ).select(
+        "doc_id", F.array_join(F.slice("_w", F.col("_i"), n), " ").alias("gram")
+    )
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: per-term total frequency, document frequency, and
+    doc-fraction (the BPE-merge / tokenizer-training statistic).
+
+    Scale shape: explode happens map-side; the groupBy(term) aggregate gets
+    a partial (map-side combine) pass before the single shuffle on term, so
+    shuffled bytes are O(|vocab| x partitions), not O(total tokens).  The
+    corpus-size denominator joins in as a broadcast 1-row aggregate rather
+    than a driver collect."""
+    total = df.agg(F.count("*").alias("_n_docs"))
+    tok = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
+    )
+    counts = tok.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        "tf",
+        "df",
+        _trunc4(F.col("df") / F.col("_n_docs")).alias("doc_frac"),
+    )
+
+
+def repetition_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate/repetition signal (Gopher-style quality filter): fraction
+    of word-bigrams that are duplicates within the document.
+
+    One shuffle keyed on doc_id with partial aggregation; the bigram
+    expansion itself is codegen-local."""
+    grams = word_ngrams(df, 2, text_col)
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.count_distinct("gram").alias("n_unique"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_unique",
+        _trunc4(
+            (F.col("n_bigrams") - F.col("n_unique"))
+            / F.greatest(F.col("n_bigrams"), F.lit(1))
+        ).alias("dup_frac"),
+    )

@@ -2984,6 +2984,130 @@ def fn_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_vocab_df",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+      FROM documents
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           floor(count(DISTINCT doc_id) * 1.0
+                 / (SELECT count(*) FROM documents) * 10000) / 10000.0
+             AS doc_frac
+    FROM tok GROUP BY term
+    """,
+)
+def text_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (tokenizer-training stats): term frequency,
+    document frequency, doc-fraction.  Partial agg shrinks the explode
+    before the single term-keyed shuffle; the corpus-size denominator is a
+    broadcast 1-row aggregate, not a driver collect."""
+    return text.vocab_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_repetition_bigrams",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+      FROM words
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram FROM idx
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(count(DISTINCT gram) AS BIGINT) AS n_unique
+      FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_unique,
+           floor((n_bigrams - n_unique) * 1.0
+                 / greatest(n_bigrams, 1) * 10000) / 10000.0 AS dup_frac
+    FROM per
+    """,
+)
+def text_repetition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (Gopher-style repetition filter): duplicate
+    word-bigram fraction per document.  Codegen-local n-gram expansion, one
+    doc_id-keyed shuffle with map-side combine."""
+    return text.repetition_score(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "decontam_ngram_overlap",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+      FROM words
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram FROM idx
+    ),
+    ev AS (SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id,
+           CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+    FROM tr JOIN ev ON tr.gram = ev.gram
+    GROUP BY tr.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with the held-out eval slice (doc_id % 97 == 0 — deterministic
+    stand-in for a benchmark suite).  The join key is the 5-gram string, so
+    the shuffle carries (doc_id, gram) only; the eval side is 1/97th of the
+    corpus and AQE will broadcast it when it fits — no static hint, because
+    at 100 TB an eval slice can still be TB-scale."""
+    grams = text.word_ngrams(_t(spark, sf_dir, "documents"), 5)
+    is_eval = F.col("doc_id") % 97 == 0
+    ev = grams.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    ).distinct()
+    tr = grams.filter(~is_eval).distinct()
+    return tr.join(ev, "gram").groupBy("doc_id").agg(
+        F.count_distinct("gram").alias("n_shared_grams"),
+        F.count_distinct("eval_id").alias("n_eval_docs"),
+    )
+
+
+@_register(
+    "dedup_incremental_new_only",
+    """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.doc_id % 2 = 0 AND md5(c.text) = md5(d.text)
+      )
+    """,
+)
+def dedup_incremental_new_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: new-batch rows (odd doc_id) whose
+    content digest is absent from the existing corpus (even doc_id) —
+    left_anti on the 16-byte digest, never shuffling text
+    (operators/dedup.py:incremental_new_docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.incremental_new_docs(batch, corpus).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 # =========================================================================== #
 # Driver-window ordering                                                      #
 # =========================================================================== #

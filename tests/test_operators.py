@@ -334,3 +334,55 @@ def test_connected_components_star_converges_fast_on_long_chain(spark):
     }
     assert set(got.values()) == {0}
     assert len(got) == 201
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    """Docs shorter than n words contribute no grams (the sequence() guard:
+    Spark's sequence(1, 0) would step DOWN without it)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    grams = {
+        (r["doc_id"], r["gram"]) for r in text.word_ngrams(df, 5).collect()
+    }
+    assert grams == {(1, "a b c d e"), (1, "b c d e f")}
+    bi = text.word_ngrams(df, 2)
+    assert bi.filter(F.col("doc_id") == 3).count() == 0
+    assert bi.filter(F.col("doc_id") == 1).count() == 5
+
+
+def test_repetition_score_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "all words differ here now")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_score(df).collect()}
+    assert rows[1]["n_bigrams"] == 4 and rows[1]["n_unique"] == 1
+    assert rows[1]["dup_frac"] == 0.75
+    assert rows[2]["dup_frac"] == 0.0
+
+
+def test_incremental_new_docs_drops_known_digests(spark):
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also known")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "seen before"), (11, "brand new"), (12, "also known"), (13, "fresh")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"] for r in dedup.incremental_new_docs(batch, corpus).collect()
+    )
+    assert got == [11, 13]
+    # schema passes through untouched (no _digest residue)
+    assert dedup.incremental_new_docs(batch, corpus).columns == ["doc_id", "text"]
+
+
+def test_vocab_stats_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = {r["term"]: r for r in text.vocab_stats(df).collect()}
+    assert rows["a"]["tf"] == 3 and rows["a"]["df"] == 2 and rows["a"]["doc_frac"] == 1.0
+    assert rows["b"]["tf"] == 1 and rows["b"]["df"] == 1 and rows["b"]["doc_frac"] == 0.5

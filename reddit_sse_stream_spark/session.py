@@ -40,6 +40,8 @@ def get_spark(app_name: str = "reddit_sse_stream_spark") -> SparkSession:
         # vectorized reader otherwise rejects; read as long + convert in
         # the loader (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # managed tables (bucketed-layout tests/demos) land outside the repo
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,87 @@
+"""Storage-layout scale patterns: bucketing (shuffle-free co-located joins
+and aggregations) and partitioned writes (partition pruning at the scan).
+
+At 100 TB these two are the difference between re-shuffling a fact table on
+every query and never shuffling it at all: bucket the fact tables on their
+join/group key at ingest, partition on the coarse filter column (date,
+lang, source), and the per-query Exchange disappears.  The reference engine
+has no storage layer at all (it re-reads every Redis hash per client;
+/root/reference/sse.py:148-152), so this entire axis is new surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_sse_stream_spark.sources.tables import load_table
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    """orders + customer bucketed 8 ways on the custkey join column."""
+    load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).mode("overwrite").saveAsTable("orders_bucketed")
+    load_table(spark, sf_dir, "customer").write.bucketBy(8, "c_custkey").sortBy(
+        "c_custkey"
+    ).mode("overwrite").saveAsTable("customer_bucketed")
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed_tables):
+    """Equal bucket counts on the join key -> sort-merge join with ZERO
+    Exchange nodes (broadcast disabled so bucketing, not size, wins)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("orders_bucketed").join(
+            spark.table("customer_bucketed"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan_of(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_bucketed_groupby_is_shuffle_free(spark, bucketed_tables):
+    """groupBy on the bucket column reuses the storage partitioning — the
+    aggregate runs in one stage with no Exchange."""
+    agg = (
+        spark.table("orders_bucketed")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    plan = _plan_of(agg)
+    assert "Exchange" not in plan, plan
+
+
+def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path_factory):
+    """Filter on the partition column must become a PartitionFilter (metadata
+    prune — zero data files of other partitions touched), not a row filter."""
+    out = str(tmp_path_factory.mktemp("part") / "docs_by_lang")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(out)
+
+    rd = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = _plan_of(rd)
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # row counts survive the round-trip
+    want = docs.filter(F.col("lang") == "en").count()
+    assert rd.count() == want
+
+
+def test_partitioned_write_roundtrip_all_rows(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("part") / "docs_all")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.partitionBy("source").mode("overwrite").parquet(out)
+    assert spark.read.parquet(out).count() == docs.count()

@@ -299,14 +299,105 @@ def near_dup_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+def md5_hash60(col) -> "F.Column":
+    """Cross-engine 60-bit hash: first 15 hex digits of md5 as BIGINT.
+
+    Spark: conv(hex, 16, 10); ANSI engines: CAST('0x'||hex AS BIGINT).
+    Both produce the identical non-negative value, which is what lets the
+    sketch operators below carry full value-level oracles (xxhash64 has no
+    ANSI equivalent)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_md5_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Minhash-LSH near-dup pipeline with every stage ANSI-expressible:
+    md5-derived shingle hashes and literal signature-slice band keys (no
+    xxhash bucketing), so a SQL oracle reproduces byte-identical candidates
+    and Jaccard values.  Same scale shape as :func:`near_dup_pairs` — band
+    equi-join shuffles only (band, key, doc_id); verify touches candidates
+    only — just with the portable hash family.  The xxhash64/Arrow variant
+    stays the throughput path; this one is the correctness anchor.
+    """
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - k),
+            lambda i: F.pmod(
+                md5_hash60(F.concat_ws(" ", F.slice("words", i + 1, k))),
+                F.lit(_MERSENNE_P),
+            ),
+        )
+    )
+    sh = (
+        docs.select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= k)
+        .select("doc_id", sh_arr.alias("sh"))
+    )
+    sig = sh.select("doc_id", _signature_col(num_hashes).alias("sig"))
+    rpb = num_hashes // bands
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",", F.slice("sig", b * rpb + 1, rpb)
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.floor(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            * 10000.0
+            / F.size(F.array_union("sh_a", "sh_b"))
+        )
+        / 10000.0
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 64, hash_fn=None) -> DataFrame:
     """(doc_id, simhash BIGINT): sign-aggregated token-hash fingerprint.
 
-    Pure array algebra: token -> xxhash64 -> per-bit +/-1 vote -> sign vector
-    -> packed integer. Stays in codegen; no UDF.
+    Pure array algebra: token -> hash -> per-bit +/-1 vote -> sign vector
+    -> packed integer. Stays in codegen; no UDF.  ``hash_fn`` defaults to
+    xxhash64 (fast path); pass :func:`md5_hash60` with ``bits<=60`` for the
+    ANSI-oracle-able variant.
     """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     tokens = F.split(F.lower(F.col("text")), r"\s+")
-    th = docs.select("doc_id", F.transform(tokens, lambda t: F.xxhash64(t)).alias("th"))
+    th = docs.select("doc_id", F.transform(tokens, lambda t: hash_fn(t)).alias("th"))
     # vote(b) = sum over tokens of (bit b set ? +1 : -1); shift amounts must
     # be literal ints for shiftright, so unroll the (fixed) bit loop.
     def _voter(b: int):

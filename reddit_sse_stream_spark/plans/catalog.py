@@ -3083,6 +3083,103 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_md5_oracle_sql(num_hashes: int = 8, bands: int = 4, k: int = 5) -> str:
+    """Generate the DuckDB twin of dedup.minhash_md5_near_dups with the
+    SAME (a, b) permutation constants embedded as literals."""
+    coeffs = dedup._coeffs(num_hashes)
+    p = (1 << 31) - 1
+    sig_cols = ", ".join(
+        f"min((h * {a} + {b}) % {p}) AS s{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, concat({key}) AS key FROM sig".format(
+            band=bnd,
+            key=", ',', ".join(f"s{bnd * rpb + j}" for j in range(rpb)),
+        )
+        for bnd in range(bands)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - {k - 1})) AS i
+      FROM w WHERE len(words) >= {k}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(array_to_string(words[i:i+{k - 1}], ' ')), 1, 15))
+                  AS BIGINT) % {p} AS h
+      FROM idx
+    ),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ni
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.h = b.h
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           floor(ni * 10000.0 / (sa.n + sb.n - ni)) / 10000.0 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE floor(ni * 10000.0 / (sa.n + sb.n - ni)) / 10000.0 >= 0.8
+    """
+
+
+@_register("dedup_minhash_md5", _minhash_md5_oracle_sql())
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash-LSH near-dup pairs with a FULL value-level oracle: md5-based
+    shingle hashes + literal band keys make every stage (sketch, banding,
+    candidate join, exact-Jaccard verify) reproducible in ANSI SQL — the
+    cross-engine proof for the sketch family (the xxhash64/Arrow variant
+    dedup_minhash_lsh stays the throughput path)."""
+    return dedup.minhash_md5_near_dups(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_simhash_md5",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+            FROM documents) t
+    ),
+    bits AS (SELECT unnest(generate_series(0, 59)) AS b),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM tok, bits GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints from md5-derived 60-bit token hashes — the
+    ANSI-oracle-able twin of dedup_simhash (bit-exact across engines:
+    same votes, same packed code)."""
+    return dedup.simhash(
+        _t(spark, sf_dir, "documents"), bits=60, hash_fn=dedup.md5_hash60
+    )
+
+
 @_register(
     "dedup_incremental_new_only",
     """

@@ -386,3 +386,25 @@ def test_vocab_stats_counts(spark):
     rows = {r["term"]: r for r in text.vocab_stats(df).collect()}
     assert rows["a"]["tf"] == 3 and rows["a"]["df"] == 2 and rows["a"]["doc_frac"] == 1.0
     assert rows["b"]["tf"] == 1 and rows["b"]["df"] == 1 and rows["b"]["doc_frac"] == 0.5
+
+
+def test_md5_hash60_range_and_determinism(spark):
+    df = spark.createDataFrame([("tok",), ("",), ("spark rules",)], "t string")
+    rows = df.select(dedup.md5_hash60(F.col("t")).alias("h")).collect()
+    vals = [r["h"] for r in rows]
+    assert all(0 <= v < (1 << 60) for v in vals)
+    # pinned: python hashlib md5('tok') first 15 hex digits
+    import hashlib
+
+    want = int(hashlib.md5(b"tok").hexdigest()[:15], 16)
+    assert vals[0] == want
+
+
+def test_minhash_md5_pairs_are_true_near_dups(spark, sf_dir):
+    """Every pair the md5 LSH path emits must be a genuine >=0.8 Jaccard
+    pair under direct shingle comparison (no false positives post-verify)."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = dedup.minhash_md5_near_dups(docs).collect()
+    assert len(got) > 0
+    assert all(r["jaccard"] >= 0.8 for r in got)
+    assert all(r["doc_a"] < r["doc_b"] for r in got)

@@ -59,3 +59,27 @@ def test_approx_distinct_error_band(spark, duck, sf_dir):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
+
+
+def test_approx_quantiles_error_band(spark, duck, sf_dir):
+    """percentile_approx has no cross-engine oracle (different sketches);
+    bound it against DuckDB's exact discrete quantile instead: within 5%
+    of the group's value range."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p99_approx"])
+        for r in QUERIES["aggx_approx_quantiles"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        k: (p50, p99, hi - lo)
+        for k, p50, p99, lo, hi in duck.execute(
+            "SELECT event_type, quantile_disc(value, 0.5), quantile_disc(value, 0.99),"
+            "       min(value), max(value) FROM events GROUP BY event_type"
+        ).fetchall()
+    }
+    assert set(approx) == set(exact)
+    for k, (p50, p99, spread) in exact.items():
+        tol = max(0.05 * spread, 1e-9)
+        assert abs(approx[k][0] - p50) <= tol, (k, approx[k][0], p50)
+        assert abs(approx[k][1] - p99) <= tol, (k, approx[k][1], p99)

@@ -3083,6 +3083,57 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATERAL_TOPK = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+"""
+
+
+@_register("join_lateral_topk_per_nation", _LATERAL_TOPK)
+def join_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (top-2 customers per nation) — the
+    same SQL text runs on both engines.  Catalyst decorrelates the LATERAL
+    into a ranked window over a single shuffle of customer — it never
+    executes per-outer-row (the naive nested-loop reading of LATERAL would
+    be 25 separate scans; at 100 TB, decorrelation is the difference
+    between one pass and |outer| passes)."""
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_TOPK)
+
+
+_SEQ_RANGE = """
+    WITH g AS (
+      SELECT o_orderkey, unnest(generate_series(0, o_orderkey % 5 + 2)) AS step
+      FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(sum(step) AS BIGINT) AS step_sum
+    FROM g GROUP BY o_orderkey
+"""
+
+
+@_register("fn_sequence_range", _SEQ_RANGE)
+def fn_sequence_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 integer range generation (reference: Python range() over id
+    windows, /root/reference/sse.py:117-129) as a first-class catalog row:
+    sequence() + explode per row, re-aggregated.  The expansion is
+    codegen-local (Generate node), never a driver loop."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 1000 == 0)
+    g = o.select(
+        "o_orderkey",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("o_orderkey") % 5 + 2)
+        ).alias("step"),
+    )
+    return g.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_steps"), F.sum("step").alias("step_sum")
+    )
+
+
 def _minhash_md5_oracle_sql(num_hashes: int = 8, bands: int = 4, k: int = 5) -> str:
     """Generate the DuckDB twin of dedup.minhash_md5_near_dups with the
     SAME (a, b) permutation constants embedded as literals."""

@@ -230,3 +230,19 @@ def test_corpus_pipeline_single_wide_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_corpus_prep_pipeline")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """The LATERAL subquery must decorrelate: one customer shuffle with
+    WindowGroupLimit (partial per-partition top-k) — not a join/scan per
+    outer nation row."""
+    plan = _plan(spark, sf_dir, "join_lateral_topk_per_nation")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_range_is_generate_not_driver_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fn_sequence_range")
+    assert "Generate explode" in plan
+    assert "BatchEvalPython" not in plan

@@ -3083,6 +3083,31 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "media_features_meta",
+    """
+    SELECT doc_id AS media_id,
+           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(list_sum(list_transform(string_split(text, ''), c -> ord(c))), 0)
+                % 2147483648 AS BIGINT) AS checksum
+    FROM documents
+    """,
+)
+def media_features_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic half of the multimodal feature extractor under a
+    value-level oracle: n_bytes + byte-checksum of every payload, computed
+    through the REAL Arrow mapInPandas path (operators/multimodal.py) and
+    reproduced in SQL from the synthesized payload rule (utf-8 text bytes;
+    the corpus is ASCII so ord(char) == byte).  Proves the batch plumbing
+    delivers byte-exact payloads — the float feature vector stays on the
+    rows-only check (Python round is banker's; SQL round is not)."""
+    media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media).select(
+        "media_id", "kind", "n_bytes", "checksum"
+    )
+
+
 _LATERAL_TOPK = """
     SELECT n.n_name, t.c_name, t.c_acctbal
     FROM nation n, LATERAL (

@@ -451,6 +451,14 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint()
+
+    def _label_sum(df: DataFrame):
+        # decimal sum: 1e9 nodes x 1e10 ids would overflow a long
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()[
+            "s"
+        ]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nb_min = (
             sym.join(
@@ -470,16 +478,15 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        # Labels are monotonically non-increasing (least of self and
+        # neighbor minima), so an unchanged SUM of labels is equivalent to
+        # "no label changed" — one scalar aggregate on the already-
+        # checkpointed frame instead of a join+count probe per round.
+        label_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     else:
         # Silently returning non-fixpoint labels would mis-cluster; a
         # long-chain graph that exhausts max_iter needs more rounds or the

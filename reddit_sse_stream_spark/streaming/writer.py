@@ -1,0 +1,125 @@
+"""SSE-frame file sink on the Python Data Source writer API — the durable
+twin of the in-memory broadcaster (``streaming/sink.py``).
+
+The reference serves frames over a socket and loses them on disconnect
+(/root/reference/sse.py:241-252 — the Response generator is the only copy).
+This writer lands the same ``id:/event:/data:`` wire format in
+per-partition ``.sse`` files instead, giving the feed a replayable archive:
+
+- batch: ``df.write.format("sse_files").option("path", dir)
+  .mode("append").save()`` (Python data sources require an explicit
+  append/overwrite mode)
+- streaming: ``df.writeStream.format("sse_files")...`` — exactly-once per
+  micro-batch via batch-addressed final files: executors write to
+  attempt-unique temp files, and ``commit(messages, batchId)`` renames them
+  to ``batch-{batchId}-part-{pid}.sse``; a replayed batch re-renames onto
+  the SAME final paths instead of appending duplicates — the idempotent
+  contract Spark's own file sinks use.
+
+Rows must carry the feed columns ``id``, ``event``, ``json``
+(FEED_DDL, streaming/source.py) — the frame is
+``format_frame(id, event, json)``, identical bytes to the live SSE socket.
+
+Commit protocol: a failed/partial job leaves only ``*.tmp`` files (swept by
+``abort``), never a visible partial output.  Scale shape: one file per
+partition, frames assembled executor-side, no driver data movement.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+from reddit_sse_stream_spark.streaming.sink import format_frame
+
+
+@dataclass
+class _Committed(WriterCommitMessage):
+    tmp_path: str
+    partition_id: int
+    n_rows: int
+
+
+def _write_rows(rows, tmp_path: str) -> int:
+    n = 0
+    with open(tmp_path, "w", encoding="utf-8") as fh:
+        for row in rows:
+            fh.write(format_frame(row["id"], row["event"], row["json"]))
+            n += 1
+    return n
+
+
+class _SSEFilesWriterBase:
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sse_files sink requires option 'path'")
+
+    def _write_tmp(self, iterator: Iterator) -> _Committed:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        # attempt-unique temp name: two attempts of the same task can never
+        # collide; only the committed attempt's file gets renamed into place
+        tmp = os.path.join(self.path, f".tmp-{pid:05d}-{uuid.uuid4().hex}")
+        n = _write_rows(iterator, tmp)
+        return _Committed(tmp, pid, n)
+
+    def _finalize(self, messages, stem_fmt: str) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        for m in messages:
+            if m is not None:
+                final = os.path.join(self.path, stem_fmt.format(pid=m.partition_id))
+                os.replace(m.tmp_path, final)
+
+    def _abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class SSEFilesBatchWriter(_SSEFilesWriterBase, DataSourceWriter):
+    def write(self, iterator: Iterator) -> WriterCommitMessage:
+        return self._write_tmp(iterator)
+
+    def commit(self, messages) -> None:
+        self._finalize(messages, "part-{pid:05d}.sse")
+
+    def abort(self, messages) -> None:
+        self._abort(messages)
+
+
+class SSEFilesStreamWriter(_SSEFilesWriterBase, DataSourceStreamWriter):
+    def write(self, iterator: Iterator) -> WriterCommitMessage:
+        return self._write_tmp(iterator)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        self._finalize(messages, f"batch-{batchId:010d}-part-{{pid:05d}}.sse")
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        self._abort(messages)
+
+
+class SSEFilesDataSource(DataSource):
+    """``spark.dataSource.register(SSEFilesDataSource)``; then format
+    ``sse_files`` works for both ``df.write`` and ``df.writeStream``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sse_files"
+
+    def writer(self, schema, overwrite: bool) -> SSEFilesBatchWriter:
+        return SSEFilesBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> SSEFilesStreamWriter:
+        return SSEFilesStreamWriter(self.options)

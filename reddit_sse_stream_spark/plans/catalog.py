@@ -3257,6 +3257,54 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "decontam_drop_contaminated",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+      FROM words
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram FROM idx
+    ),
+    ev AS (SELECT gram FROM grams WHERE doc_id % 97 = 0),
+    bad AS (
+      SELECT DISTINCT t.doc_id FROM grams t JOIN ev ON t.gram = ev.gram
+      WHERE t.doc_id % 97 <> 0
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def decontam_drop_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of decontamination: training docs that share NO
+    word 5-gram with the eval slice survive; contaminated ids are dropped
+    with a left_anti join (the detection query decontam_ngram_overlap is
+    the audit view of the same join).  Anti-join on doc_id only — document
+    text never re-shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = text.word_ngrams(docs, 5)
+    is_eval = F.col("doc_id") % 97 == 0
+    ev = grams.filter(is_eval).select("gram").distinct()
+    bad = (
+        grams.filter(~is_eval)
+        .join(ev, "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(~is_eval)
+        .join(bad, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@_register(
     "dedup_incremental_new_only",
     """
     SELECT d.doc_id, d.lang, d.source, d.n_chars

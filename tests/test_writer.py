@@ -91,3 +91,50 @@ def test_stream_write_sse_files_batch_addressed(spark, tmp_path):
     ]
     assert sorted(ids_in_files) == sorted(want_ids)
     assert not [p for p in os.listdir(out) if p.startswith(".tmp-")]
+
+
+def test_streaming_pipeline_filter_dedup_to_sse_files(spark, sf_dir, tmp_path):
+    """End-to-end streaming corpus shape: feed source -> subreddit filter ->
+    streaming dedup on a content fingerprint -> durable SSE file sink.
+    Must equal the batch twin (filter + keep-first-id per fingerprint)."""
+    from pyspark.sql import Window
+
+    spark.dataSource.register(SSEFilesDataSource)
+    out = str(tmp_path / "pipe_out")
+    ckpt = str(tmp_path / "pipe_ckpt")
+
+    rc = read_feed_stream(
+        spark, EVENTS, "rc", backfill=100000, max_ids_per_batch=400
+    )
+    staged = (
+        rc.filter(F.col("subreddit") == "click")
+        .withColumn("fp", F.substring(F.md5("json"), 1, 16))
+        .dropDuplicates(["fp"])
+        .select("id", "event", "json")
+    )
+    q = (
+        staged.writeStream.format("sse_files")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got_ids = sorted(
+        int(ln.split("id: ", 1)[1])
+        for ln in _read_frames(out).splitlines()
+        if ln.startswith("id: ")
+    )
+    w = Window.partitionBy("fp").orderBy("id")
+    want_ids = sorted(
+        r["id"]
+        for r in feed_df(spark, sf_dir)
+        .filter((F.col("event") == "rc") & (F.col("subreddit") == "click"))
+        .withColumn("fp", F.substring(F.md5("json"), 1, 16))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert got_ids == want_ids and len(got_ids) > 0

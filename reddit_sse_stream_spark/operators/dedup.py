@@ -209,13 +209,23 @@ def minhash_features_fast(
 
         from numpy.lib.stride_tricks import sliding_window_view
 
+        # token-hash memo across the whole worker lifetime: natural-language
+        # token frequency is Zipfian, so the hit rate is enormous (the crc32
+        # + encode per token was the kernel's hottest line)
+        memo: dict[str, int] = {}
+
+        def tok_hash(t: str) -> int:
+            h = memo.get(t)
+            if h is None:
+                h = zlib.crc32(t.encode("utf-8")) % p
+                memo[t] = h
+            return h
+
         for pdf in it:
             out_id, out_sh, out_sig = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = text.lower().split()
-                th = np.array(
-                    [zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.int64
-                ) % p
+                th = np.array([tok_hash(t) for t in toks], dtype=np.int64)
                 if len(th) == 0:
                     th = np.zeros(1, dtype=np.int64)
                 win = sliding_window_view(th, min(k, len(th)))

@@ -3108,6 +3108,31 @@ def media_features_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_ANCESTORS = """
+    WITH RECURSIVE anc(key, anc_key, depth) AS (
+      SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT), 0
+      FROM nation
+      UNION ALL
+      SELECT a.key, CAST(floor(a.anc_key / 2.0) AS BIGINT), a.depth + 1
+      FROM anc a WHERE a.anc_key > 0
+    )
+    SELECT key, anc_key, depth FROM anc
+"""
+
+
+@_register("recursive_cte_ancestors", _RECURSIVE_ANCESTORS)
+def recursive_cte_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative/recursive queries as first-class SQL: WITH RECURSIVE
+    transitive closure (Spark 4 recursive CTE) over a deterministic
+    binary-tree hierarchy derived from nation keys — the same SQL text runs
+    on both engines.  Each recursion step is one self-join micro-stage;
+    Spark bounds runaway recursion with spark.sql.cteRecursionLevelLimit.
+    The DataFrame-loop twin of this shape (driver-controlled iteration +
+    localCheckpoint) is operators/dedup.py:connected_components."""
+    _views(spark, sf_dir, "nation")
+    return spark.sql(_RECURSIVE_ANCESTORS)
+
+
 _LATERAL_TOPK = """
     SELECT n.n_name, t.c_name, t.c_acctbal
     FROM nation n, LATERAL (

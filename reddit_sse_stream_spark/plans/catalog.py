@@ -3108,6 +3108,37 @@ def media_features_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "variant_json_extract_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured hot path on Spark 4's VARIANT type: parse the JSON
+    payload ONCE into a binary variant and aggregate typed extractions —
+    at 100 TB variant decode is columnar/vectorized, an order over
+    re-parsing JSON text per access (the reference re-serializes JSON per
+    client per event, sse.py:208-239)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 _RECURSIVE_ANCESTORS = """
     WITH RECURSIVE anc(key, anc_key, depth) AS (
       SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT), 0

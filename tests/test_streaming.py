@@ -553,3 +553,49 @@ def test_foreach_batch_collect_bound(spark):
     small = big.limit(5)
     bc.foreach_batch(small, 1)  # within bound: serves normally
     assert len(bc.frames_for("c1")) == 5
+
+
+def test_streaming_dedup_under_rocksdb_state_store(spark, tmp_path):
+    """The same streaming dedup runs on the RocksDB state store provider —
+    the production backend for state that exceeds executor heap (billions
+    of fingerprints at 100 TB; the default HDFS-backed in-memory map would
+    OOM). Results must be identical to the default provider."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rc = read_feed_stream(
+            spark, EVENTS, "rc", backfill=100000, max_ids_per_batch=400
+        )
+        deduped = rc.withColumn(
+            "fp", F.substring(F.md5("json"), 1, 16)
+        ).dropDuplicates(["fp"])
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("rocksdb_dedup")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = {r["fp"] for r in spark.sql("SELECT fp FROM rocksdb_dedup").collect()}
+    n = spark.sql("SELECT count(*) FROM rocksdb_dedup").collect()[0][0]
+    from reddit_sse_stream_spark.sources.feed import feed_df
+
+    want = {
+        r["fp"]
+        for r in feed_df(spark, "/root/testdata/sf0.001")
+        .filter(F.col("event") == "rc")
+        .select(F.substring(F.md5("json"), 1, 16).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and n == len(want)

@@ -458,9 +458,14 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # seed with round 1 fused in: label(v) = min(v, min neighbor) — one
+    # groupBy instead of the first join-propagation round
     labels = (
-        sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).localCheckpoint()
+        sym.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("_nbmin"))
+        .select("id", F.least(F.col("id"), F.col("_nbmin")).alias("comp"))
+        .localCheckpoint()
+    )
 
     def _label_sum(df: DataFrame):
         # decimal sum: 1e9 nodes x 1e10 ids would overflow a long

@@ -599,3 +599,25 @@ def test_streaming_dedup_under_rocksdb_state_store(spark, tmp_path):
         .collect()
     }
     assert got == want and n == len(want)
+
+
+def test_observe_metrics_match_reference_counters(spark, sf_dir):
+    """A1-style running counters via the Observation API: Spark accumulates
+    the metrics inside the existing job (zero extra pass), where the
+    reference ticks Python locals per event (sse.py:113-129)."""
+    from pyspark.sql import Observation
+
+    from reddit_sse_stream_spark.sources.feed import feed_df
+
+    obs = Observation("feed_counters")
+    fd = feed_df(spark, sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("events_total"),
+        F.sum((F.col("event") == "rc").cast("long")).alias("rc_total"),
+        F.sum(F.length("json")).alias("bytes_total"),
+    )
+    kept = fd.filter(F.col("event") == "rc").count()
+    m = obs.get
+    assert m["rc_total"] == kept
+    assert m["events_total"] == feed_df(spark, sf_dir).count()
+    assert m["bytes_total"] > 0

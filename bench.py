@@ -53,16 +53,20 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
 
-    # Warm the JVM + parquet footers + Python UDF workers once so per-query
-    # numbers measure the query, not first-touch session costs.
-    QUERIES["tpch_q6_forecast_revenue"].spark(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    QUERIES["udf_pandas_scalar_charge"].spark(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    # events.parquet first touch pays the nanos-as-long read path + footer
-    # decode; warm it so feed-query numbers measure the query.
+    # Warm-up: run every headline query once at the SMALLEST sf so the JVM,
+    # whole-stage codegen compile, Python workers, and parquet footers are
+    # hot — the timed loop then measures per-query data work (steady state),
+    # not first-compile. Codegen caches key on generated source, which is
+    # identical across sf dirs for the same query.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        QUERIES[name].spark(spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    # events.parquet at the TARGET sf still pays footer decode on first
+    # touch; warm that too so feed-query numbers measure the query.
     QUERIES["a3_max_cursor"].spark(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()

@@ -239,7 +239,13 @@ def near_dup_pairs_lsh(
     Matches the minhash-LSH banding shape in ``operators/dedup.py`` — same
     join geometry, cosine instead of Jaccard.
     """
-    buckets = hyperplane_buckets_arrow(emb, n_planes, n_tables, id_col, vec_col, dim)
+    # cache: the bucket frame feeds BOTH sides of the self-join — without
+    # this the Arrow bucketing kernel (the expensive matmul pass over every
+    # embedding) executes twice.  The cached frame is only (id, tbl, bucket)
+    # — 3 numeric columns, far smaller than the embeddings.
+    buckets = hyperplane_buckets_arrow(
+        emb, n_planes, n_tables, id_col, vec_col, dim
+    ).cache()
 
     left = buckets.select(
         F.col("tbl"), F.col("bucket"), F.col(id_col).alias("id_a")

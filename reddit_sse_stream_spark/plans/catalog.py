@@ -3084,6 +3084,33 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "agg_heavy_hitters_exact",
+    """
+    WITH c AS (
+      SELECT author, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS author FROM events
+      ) GROUP BY author
+    ), t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+    SELECT author, n FROM c, t WHERE n * 100 >= total * 2
+    """,
+)
+def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: authors above 2% support.  The two-pass exact
+    form (count + threshold against a broadcast total) is the oracle anchor
+    for the one-pass sketch (``df.stat.freqItems``, Karp-Papadimitriou-
+    Shenker), whose superset guarantee is pinned in
+    test_freq_items_superset_of_exact_heavy_hitters."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")).alias("author")
+    )
+    total = ev.agg(F.count("*").alias("total"))
+    counts = ev.groupBy("author").agg(F.count("*").alias("n"))
+    return counts.crossJoin(F.broadcast(total)).filter(
+        F.col("n") * 100 >= F.col("total") * 2
+    ).select("author", "n")
+
+
+@_register(
     "media_features_meta",
     """
     SELECT doc_id AS media_id,

@@ -83,3 +83,23 @@ def test_approx_quantiles_error_band(spark, duck, sf_dir):
         tol = max(0.05 * spread, 1e-9)
         assert abs(approx[k][0] - p50) <= tol, (k, approx[k][0], p50)
         assert abs(approx[k][1] - p99) <= tol, (k, approx[k][1], p99)
+
+
+def test_freq_items_superset_of_exact_heavy_hitters(spark, sf_dir):
+    """The one-pass freqItems sketch (KPS) guarantees every item above the
+    support threshold appears in its output (false positives allowed,
+    false negatives not) — pin that against the exact two-pass query."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+    from reddit_sse_stream_spark.sources.feed import feed_df
+
+    exact = {
+        r["author"]
+        for r in QUERIES["agg_heavy_hitters_exact"].spark(spark, sf_dir).collect()
+    }
+    assert exact, "threshold too high: exact heavy-hitter set is empty"
+    sketch = set(
+        feed_df(spark, sf_dir)
+        .stat.freqItems(["author"], support=0.02)
+        .collect()[0][0]
+    )
+    assert exact <= sketch

@@ -138,3 +138,40 @@ def test_streaming_pipeline_filter_dedup_to_sse_files(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got_ids == want_ids and len(got_ids) > 0
+
+
+def test_stream_writer_restart_is_idempotent(spark, tmp_path):
+    """Restarting from a completed checkpoint must not re-emit: the file
+    set (names AND bytes) is unchanged after a second run over the same
+    source range."""
+    spark.dataSource.register(SSEFilesDataSource)
+    out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def run_once():
+        rc = read_feed_stream(
+            spark, EVENTS, "rc", backfill=100000, max_ids_per_batch=400
+        ).select("id", "event", "json")
+        q = (
+            rc.writeStream.format("sse_files")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    first = {
+        p: open(os.path.join(out, p), encoding="utf-8").read()
+        for p in os.listdir(out)
+        if p.endswith(".sse")
+    }
+    run_once()
+    second = {
+        p: open(os.path.join(out, p), encoding="utf-8").read()
+        for p in os.listdir(out)
+        if p.endswith(".sse")
+    }
+    assert first == second and len(first) > 0

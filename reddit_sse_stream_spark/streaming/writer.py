@@ -34,12 +34,17 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
 
 from reddit_sse_stream_spark.streaming.sink import format_frame
+
+#: schema served by the batch reader (the wire-format fields)
+SSE_READ_DDL = "id long, event string, json string"
 
 
 @dataclass
@@ -110,13 +115,61 @@ class SSEFilesStreamWriter(_SSEFilesWriterBase, DataSourceStreamWriter):
         self._abort(messages)
 
 
+class _SSEFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class SSEFilesReader(DataSourceReader):
+    """Batch reader: each ``.sse`` file is one InputPartition (the archive
+    is produced one-file-per-write-partition, so read parallelism mirrors
+    write parallelism); frames parse back into (id, event, json) rows —
+    the inverse of :func:`format_frame`, executor-side."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sse_files source requires option 'path'")
+
+    def partitions(self):
+        return [
+            _SSEFilePartition(os.path.join(self.path, p))
+            for p in sorted(os.listdir(self.path))
+            if p.endswith(".sse")
+        ]
+
+    def read(self, partition: _SSEFilePartition):
+        fields: dict[str, str] = {}
+        with open(partition.path, encoding="utf-8") as fh:
+            for raw in fh:
+                line = raw.rstrip("\n")
+                if line == "":
+                    if fields:
+                        yield (
+                            int(fields["id"]),
+                            fields.get("event"),
+                            fields.get("data"),
+                        )
+                    fields = {}
+                elif ":" in line:
+                    k, v = line.split(":", 1)
+                    fields[k.strip()] = v.lstrip()
+
+
 class SSEFilesDataSource(DataSource):
     """``spark.dataSource.register(SSEFilesDataSource)``; then format
-    ``sse_files`` works for both ``df.write`` and ``df.writeStream``."""
+    ``sse_files`` works for ``df.write``, ``df.writeStream``, and
+    ``spark.read`` (round-trip: archive frames, read them back as rows)."""
 
     @classmethod
     def name(cls) -> str:
         return "sse_files"
+
+    def schema(self) -> str:
+        return SSE_READ_DDL
+
+    def reader(self, schema) -> SSEFilesReader:
+        return SSEFilesReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> SSEFilesBatchWriter:
         return SSEFilesBatchWriter(self.options)

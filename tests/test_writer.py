@@ -175,3 +175,25 @@ def test_stream_writer_restart_is_idempotent(spark, tmp_path):
         if p.endswith(".sse")
     }
     assert first == second and len(first) > 0
+
+
+def test_sse_files_roundtrip_write_then_read(spark, sf_dir, tmp_path):
+    """write -> read round-trip: the archive reader reproduces the exact
+    (id, event, json) rows that were framed, one partition per file."""
+    spark.dataSource.register(SSEFilesDataSource)
+    out = str(tmp_path / "rt")
+    fd = (
+        feed_df(spark, sf_dir)
+        .filter(F.col("id") < 120)
+        .select("id", "event", "json")
+    )
+    fd.write.format("sse_files").option("path", out).mode("append").save()
+
+    back = spark.read.format("sse_files").option("path", out).load()
+    assert back.schema.simpleString() == "struct<id:bigint,event:string,json:string>"
+    got = sorted(map(tuple, back.collect()))
+    want = sorted(map(tuple, fd.collect()))
+    assert got == want
+    assert back.rdd.getNumPartitions() == len(
+        [p for p in os.listdir(out) if p.endswith(".sse")]
+    )

@@ -3084,6 +3084,115 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_cluster_best_quality",
+    """
+    WITH RECURSIVE sub AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 10 = 0),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+        WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 > 0.2),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src),
+    comps AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+    q AS (
+        SELECT doc_id,
+               floor((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      / greatest(length(text), 1))
+                     * least(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+                             / 50.0, 1.0) * 10000) / 10000.0 AS quality
+        FROM documents),
+    r AS (
+        SELECT c.component, c.id, q.quality,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY q.quality DESC, c.id) AS rn,
+               CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT)
+                 AS n_members
+        FROM comps c JOIN q ON q.doc_id = c.id)
+    SELECT component, id AS keep_id, quality AS best_quality, n_members
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection — the capstone of the dedup
+    suite: near-dup pairs -> connected components -> per cluster keep the
+    HIGHEST-quality member (tie-break lowest id), not just the lowest id.
+    This is how production corpus dedup actually chooses survivors.  One
+    window over the (tiny) cluster assignment; quality joins in on doc_id —
+    document text never reaches the clustering shuffles."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    pairs = similarity.cosine_pairs_exact(emb, threshold=0.2)
+    comps = dedup.connected_components(pairs)
+    q = text.quality_score(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("id"), "quality"
+    )
+    m = comps.join(q, "id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("id")
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count("*").over(Window.partitionBy("component")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("id").alias("keep_id"),
+            F.col("quality").alias("best_quality"),
+            "n_members",
+        )
+    )
+
+
+@_register(
+    "dq_expectation_report",
+    """
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN NOT COALESCE(n_chars = length(text), FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_len,
+             CAST(sum(CASE WHEN NOT COALESCE(lang IN ('en','es','de','fr','zh'), FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+             CAST(sum(CASE WHEN NOT COALESCE(length(text) > 0, FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_nonempty
+      FROM documents
+    )
+    SELECT 'len_matches' AS rule, n AS n_rows, v_len AS n_violations,
+           floor(v_len * 10000.0 / greatest(n, 1)) / 10000.0 AS violation_rate
+    FROM a
+    UNION ALL
+    SELECT 'lang_known', n, v_lang,
+           floor(v_lang * 10000.0 / greatest(n, 1)) / 10000.0 FROM a
+    UNION ALL
+    SELECT 'nonempty', n, v_nonempty,
+           floor(v_nonempty * 10000.0 / greatest(n, 1)) / 10000.0 FROM a
+    """,
+)
+def dq_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus admission gate: N expectation rules evaluated in ONE
+    aggregate pass (functions/expectations.py) — never a scan per rule."""
+    from reddit_sse_stream_spark.functions.expectations import expectation_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return expectation_report(
+        docs,
+        {
+            "len_matches": F.col("n_chars") == F.length("text"),
+            "lang_known": F.col("lang").isin("en", "es", "de", "fr", "zh"),
+            "nonempty": F.length("text") > 0,
+        },
+    )
+
+
+@_register(
     "agg_heavy_hitters_exact",
     """
     WITH c AS (

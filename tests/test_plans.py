@@ -246,3 +246,11 @@ def test_sequence_range_is_generate_not_driver_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "fn_sequence_range")
     assert "Generate explode" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_expectation_report_is_single_pass(spark, sf_dir):
+    """N rules must evaluate in ONE scan + one aggregate — never a job per
+    rule (the 100 TB contract of the expectation gate)."""
+    plan = _plan(spark, sf_dir, "dq_expectation_report")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") <= 1

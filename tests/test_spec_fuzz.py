@@ -244,3 +244,66 @@ if _HAS_HYPOTHESIS:
         }
         py_ids = {r["id"] for r in rows if _py_accepts(spec, r)}
         assert sql_ids == py_ids
+
+
+# ------------------------------------------------ text operator properties
+
+
+def test_word_ngrams_matches_python_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from reddit_sse_stream_spark.operators import text as T
+
+    words = st.lists(st.sampled_from("alpha beta gamma delta eps".split()), max_size=12)
+    docs = st.lists(words, min_size=1, max_size=6)
+
+    @settings(max_examples=12, deadline=None)
+    @given(docs=docs, n=st.integers(min_value=2, max_value=4))
+    def run(docs, n):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r["doc_id"], r["gram"]) for r in T.word_ngrams(df, n).collect()
+        )
+        want = sorted(
+            (i, " ".join(ws[j : j + n]))
+            for i, ws in enumerate(docs)
+            # split(r'\s+') on "" yields [''], one token — mirror that
+            for toks in [" ".join(ws).split(" ") if ws else [""]]
+            for j in range(max(len(toks) - n + 1, 0))
+            for ws in [toks]
+        )
+        assert got == want
+
+    run()
+
+
+def test_repetition_score_matches_python_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from reddit_sse_stream_spark.operators import text as T
+
+    words = st.lists(
+        st.sampled_from("a b c d".split()), min_size=2, max_size=20
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(docs=st.lists(words, min_size=1, max_size=5))
+    def run(docs):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["n_unique"], r["dup_frac"])
+            for r in T.repetition_score(df).collect()
+        }
+        import math
+
+        for i, ws in enumerate(docs):
+            grams = [" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)]
+            nb, nu = len(grams), len(set(grams))
+            frac = math.floor((nb - nu) / max(nb, 1) * 10000) / 10000.0
+            assert got[i] == (nb, nu, frac)
+
+    run()

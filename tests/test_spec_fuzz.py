@@ -307,3 +307,48 @@ def test_repetition_score_matches_python_reference(spark):
             assert got[i] == (nb, nu, frac)
 
     run()
+
+
+def test_minhash_md5_jaccard_matches_python_exact(spark):
+    """The md5 minhash pipeline's Jaccard values must equal a pure-Python
+    recomputation over the same hashed shingle sets, for synthetic corpora
+    with planted duplicates."""
+    import hashlib
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from reddit_sse_stream_spark.operators import dedup as D
+
+    P = (1 << 31) - 1
+    vocab = "w0 w1 w2 w3 w4 w5 w6 w7".split()
+    doc = st.lists(st.sampled_from(vocab), min_size=6, max_size=14)
+
+    def shingle_set(ws):
+        return {
+            int(
+                hashlib.md5(" ".join(ws[j : j + 5]).encode()).hexdigest()[:15], 16
+            )
+            % P
+            for j in range(len(ws) - 4)
+        }
+
+    @settings(max_examples=6, deadline=None)
+    @given(base=doc, mutate_at=st.integers(min_value=0, max_value=5))
+    def run(base, mutate_at):
+        near = list(base)
+        near[mutate_at % len(near)] = "w9"  # one-token mutation -> near-dup
+        docs = [(0, " ".join(base)), (1, " ".join(near)), (2, " ".join(reversed(vocab)))]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.minhash_md5_near_dups(df, threshold=0.0).collect()
+        }
+        sets = {i: shingle_set(t.split()) for i, t in docs}
+        for (a, b), j in got.items():
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            assert j == math.floor(inter * 10000.0 / union) / 10000.0
+
+    run()

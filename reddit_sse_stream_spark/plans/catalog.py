@@ -3084,6 +3084,96 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "funnel_view_click_purchase",
+    """
+    WITH s AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS reached_view,
+           CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS reached_click,
+           CAST(sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
+    FROM s
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase, first-touch
+    attribution): one groupBy(user) collecting the three first-step times
+    via conditional min — NOT three self-joins (the naive funnel is a
+    3-way join on user_id; this is a single shuffle with map-side partial
+    mins, then a 1-row global roll-up).  NULL step times fall out of the
+    ordering predicates in both engines identically."""
+    ev = _t(spark, sf_dir, "events")
+    step = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    s = ev.groupBy("user_id").agg(
+        step("view").alias("t_view"),
+        step("click").alias("t_click"),
+        step("purchase").alias("t_purchase"),
+    )
+    return s.agg(
+        F.count("*").alias("users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias(
+            "reached_view"
+        ),
+        F.sum(F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)).alias(
+            "reached_click"
+        ),
+        F.sum(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("reached_purchase"),
+    )
+
+
+@_register(
+    "retention_hourly_cohorts",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+    )
+    SELECT CAST(a.h AS TIMESTAMP) AS cohort_hour,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active,
+           CAST(count(DISTINCT b.user_id) AS BIGINT) AS retained_next_hour
+    FROM a LEFT JOIN a b
+      ON b.user_id = a.user_id AND b.h = a.h + INTERVAL 1 HOUR
+    GROUP BY a.h
+    """,
+)
+def retention_hourly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users active in hour H who return in H+1.  The
+    self-join runs on the PRE-AGGREGATED distinct (user, hour) frame —
+    |users| x |hours| rows, not raw events; both sides shuffle on user_id
+    so the join is co-partitioned with the distinct that feeds it."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    b = a.select(
+        F.col("user_id").alias("b_user"), F.col("h").alias("b_h")
+    )
+    j = a.join(
+        b,
+        (F.col("b_user") == F.col("user_id"))
+        & (F.col("b_h") == F.col("h") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return j.groupBy(F.col("h").alias("cohort_hour")).agg(
+        F.count_distinct("user_id").alias("active"),
+        F.count_distinct("b_user").alias("retained_next_hour"),
+    )
+
+
+@_register(
     "dedup_cluster_best_quality",
     """
     WITH RECURSIVE sub AS (

@@ -3174,6 +3174,93 @@ def retention_hourly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "anomaly_zscore_hourly",
+    """
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    w AS (
+      SELECT event_type, CAST(h AS TIMESTAMP) AS hour, n,
+             avg(n) OVER trail AS mu,
+             stddev_samp(n) OVER trail AS sd,
+             count(*) OVER trail AS n_trail
+      FROM hc
+      WINDOW trail AS (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, n,
+           floor((n - mu) / sd * 1000) / 1000.0 AS z
+    FROM w
+    WHERE n_trail >= 12 AND sd > 0.5
+      AND abs((n - mu) / sd) > 2.0
+    """,
+)
+def anomaly_zscore_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection in batch form: hourly event-count
+    z-score against the trailing 24h window, flagging |z| > 2.  The raw
+    events collapse to (type, hour) counts BEFORE any window — the window
+    frame then slides over at most 24 tiny rows per partition.  sd > 0.5
+    and a 12-sample minimum keep the z-score well-conditioned (and the
+    floor-at-1e-3 keeps the double cross-engine stable)."""
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    trail = (
+        Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    )
+    w = hc.select(
+        "event_type",
+        F.col("h").alias("hour"),
+        "n",
+        F.avg("n").over(trail).alias("mu"),
+        F.stddev_samp("n").over(trail).alias("sd"),
+        F.count("*").over(trail).alias("n_trail"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return w.filter(
+        (F.col("n_trail") >= 12) & (F.col("sd") > 0.5) & (F.abs(z) > 2.0)
+    ).select(
+        "event_type", "hour", "n", (F.floor(z * 1000) / 1000.0).alias("z")
+    )
+
+
+@_register(
+    "graph_triangle_count",
+    """
+    WITH sub AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 10 = 0),
+    e AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+        WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 > 0.2)
+    SELECT CAST(count(*) AS BIGINT) AS triangles
+    FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+      ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-dup pair graph (cluster-density
+    diagnostic): the classic ordered-edge 3-way join — each edge stored
+    once as (min, max), so every triangle is counted exactly once and the
+    joins shuffle only (a, b) id pairs.  At 100 TB the standard refinement
+    is degree-ordering the edges first so high-degree hubs don't explode
+    the intermediate join."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    e = similarity.cosine_pairs_exact(emb, threshold=0.2).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).cache()
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(F.count("*").alias("triangles"))
+
+
+@_register(
     "dedup_cluster_best_quality",
     """
     WITH RECURSIVE sub AS (

@@ -3174,6 +3174,48 @@ def retention_hourly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "path_top_event_trigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, string_agg(event_type, ' ' ORDER BY event_id) AS path
+      FROM events GROUP BY user_id
+    ),
+    w AS (SELECT user_id, regexp_split_to_array(path, ' ') AS p FROM seq),
+    idx AS (
+      SELECT user_id, p,
+             unnest(generate_series(1, greatest(len(p) - 2, 0))) AS i
+      FROM w
+    ),
+    tri AS (SELECT array_to_string(p[i:i+2], ' ') AS trigram FROM idx)
+    SELECT trigram, CAST(count(*) AS BIGINT) AS n
+    FROM tri GROUP BY trigram ORDER BY n DESC, trigram LIMIT 10
+    """,
+)
+def path_top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: the 10 most common 3-step event paths across user
+    histories.  Per-user ordered assembly is one groupBy with an ordered
+    string_agg (deterministic: event_id is unique); the trigram expansion
+    reuses the codegen n-gram machinery; top-10 is TakeOrderedAndProject.
+    No window over raw events, no self-joins."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            " ",
+        ).alias("text")
+    ).select(F.col("user_id").alias("doc_id"), "text")
+    tri = text.word_ngrams(seq, 3).groupBy(
+        F.col("gram").alias("trigram")
+    ).agg(F.count("*").alias("n"))
+    return tri.orderBy(F.col("n").desc(), "trigram").limit(10)
+
+
+@_register(
     "anomaly_zscore_hourly",
     """
     WITH hc AS (

@@ -254,3 +254,21 @@ def test_expectation_report_is_single_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dq_expectation_report")
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange") <= 1
+
+
+def test_funnel_is_two_aggregates_no_self_join(spark, sf_dir):
+    """The funnel must be conditional-min aggregation — not the naive
+    3-way self-join on user_id."""
+    plan = _plan(spark, sf_dir, "funnel_view_click_purchase")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_anomaly_window_runs_over_preaggregated_counts(spark, sf_dir):
+    """The z-score window slides over (type, hour) counts, so the plan
+    aggregates BEFORE the window (partial+final agg below the Window)."""
+    plan = _plan(spark, sf_dir, "anomaly_zscore_hourly")
+    assert "Window" in plan
+    assert plan.index("HashAggregate") > plan.index("Window") or plan.count(
+        "HashAggregate"
+    ) >= 2  # aggregate feeds the window (plan prints top-down)

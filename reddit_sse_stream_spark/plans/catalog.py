@@ -3174,6 +3174,44 @@ def retention_hourly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embed_norm_stats_by_lang",
+    """
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(avg(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                 x -> x * x)))) * 10000) / 10000.0 AS avg_l2,
+           floor(min(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                 x -> x * x)))) * 10000) / 10000.0 AS min_l2
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def embed_norm_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal metadata join: document attributes joined to their
+    embedding rows (vec_id == doc_id), then vector-norm statistics per
+    language — the shape every multimodal pipeline hits when slicing
+    vector quality by a metadata column.  The join shuffles only
+    (doc_id, lang) against (vec_id, norm): the norm is computed BEFORE the
+    join so the 64-float array never crosses the exchange."""
+    from reddit_sse_stream_spark.operators.similarity import l2_norm
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        l2_norm(F.col("embedding").cast("array<double>")).alias("l2"),
+    )
+    return (
+        d.join(e, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            (F.floor(F.avg("l2") * 10000) / 10000.0).alias("avg_l2"),
+            (F.floor(F.min("l2") * 10000) / 10000.0).alias("min_l2"),
+        )
+    )
+
+
+@_register(
     "path_top_event_trigrams",
     """
     WITH seq AS (

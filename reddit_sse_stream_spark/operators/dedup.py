@@ -82,6 +82,38 @@ def incremental_new_docs(
     ).drop("_digest")
 
 
+def bloom_prefilter_new_docs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1 << 20,
+) -> DataFrame:
+    """Bloom-style pre-filter for :func:`incremental_new_docs`: project the
+    corpus digests onto ``n_buckets`` hash buckets (one distinct aggregate,
+    ≤ n_buckets rows however large the corpus is), broadcast the bucket
+    set, and drop every batch row whose digest bucket is occupied — BEFORE
+    the exact anti-join runs.
+
+    Guarantee: NO false negatives (a known digest always lands in an
+    occupied bucket), so survivors are definitely new; false positives
+    (unrelated digests sharing a bucket) just fall through to the exact
+    join.  At 100 TB this turns the anti-join's probe side from |batch|
+    into ~|genuinely-new batch| — the sketch-then-verify shape this repo
+    uses for minhash and LSH too.  (Spark's own runtime
+    ``bloomFilter`` rewrite does this automatically for selective joins;
+    this operator makes the contract explicit and testable, and its bucket
+    set composes with storage: persist it once per corpus snapshot instead
+    of rebuilding per batch.)
+    """
+    bucket = lambda c: F.pmod(F.xxhash64(F.md5(c)), F.lit(n_buckets))  # noqa: E731
+    seen = corpus.select(bucket(F.col(text_col)).alias("_b")).distinct()
+    return (
+        batch.withColumn("_b", bucket(F.col(text_col)))
+        .join(F.broadcast(seen), "_b", "left_anti")
+        .drop("_b")
+    )
+
+
 def _shingles(text_col, k: int = 5):
     """Word k-shingles as a deduped array (JVM-side: split + transform)."""
     words = F.split(F.lower(text_col), r"\s+")

@@ -408,3 +408,24 @@ def test_minhash_md5_pairs_are_true_near_dups(spark, sf_dir):
     assert len(got) > 0
     assert all(r["jaccard"] >= 0.8 for r in got)
     assert all(r["doc_a"] < r["doc_b"] for r in got)
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark, sf_dir):
+    """Every row the bloom pre-filter keeps must be genuinely new, and
+    composing it with the exact anti-join changes nothing: survivors of
+    the pre-filter == incremental_new_docs minus bloom false positives,
+    and running the exact join after the pre-filter reproduces the exact
+    result precisely."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    exact = {r["doc_id"] for r in dedup.incremental_new_docs(batch, corpus).collect()}
+    pre = {r["doc_id"] for r in dedup.bloom_prefilter_new_docs(batch, corpus).collect()}
+    # no false negatives: nothing known survives the bloom
+    assert pre <= exact
+    # composition: bloom then exact == exact
+    survivors = dedup.incremental_new_docs(
+        dedup.bloom_prefilter_new_docs(batch, corpus), corpus
+    )
+    assert {r["doc_id"] for r in survivors.collect()} == pre

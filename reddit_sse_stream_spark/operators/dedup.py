@@ -642,3 +642,54 @@ def connected_components_star(
     return all_nodes.join(labels, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
+
+
+def triangle_count_degree_ordered(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Triangle count with degree-ordering [Suri & Vassilvitskii, WWW'11]:
+    orient every edge from its lower-degree endpoint to its higher-degree
+    endpoint (ties by id), so the wedge-building self-join fans out from
+    LOW-degree vertices only — a hub of degree d contributes O(d) oriented
+    out-edges instead of O(d^2) wedges.  This is the upgrade over naive
+    ordered-edge joining (plans/catalog.py:graph_triangle_count) that
+    survives power-law graphs at 100 TB; both count every triangle exactly
+    once.
+
+    Shuffle shape: degrees = one groupBy(node); orientation = two
+    broadcast-or-shuffle joins of (edge, degree); wedges = one self-join on
+    the oriented source; closure check = one equi-join back to the oriented
+    edge set.  Everything narrow (pairs of longs).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")).distinct()
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    withdeg = und.join(da, "a").join(db, "b")
+    # orient lower(deg, id) -> higher(deg, id)
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    w1 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("u"))
+    w2 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("v"))
+    wedges = w1.join(w2, "c").filter(F.col("u") < F.col("v"))
+    closing = oriented.select(
+        F.least("lo", "hi").alias("u"), F.greatest("lo", "hi").alias("v")
+    ).unionByName(
+        oriented.select(F.greatest("lo", "hi").alias("u"), F.least("lo", "hi").alias("v"))
+    ).distinct().filter(F.col("u") < F.col("v"))
+    # a wedge (u, v) centered at c closes iff (u, v) is an edge
+    tri = wedges.join(closing, ["u", "v"])
+    return tri.agg(F.count("*").alias("triangles"))

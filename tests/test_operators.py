@@ -429,3 +429,19 @@ def test_bloom_prefilter_has_no_false_negatives(spark, sf_dir):
         dedup.bloom_prefilter_new_docs(batch, corpus), corpus
     )
     assert {r["doc_id"] for r in survivors.collect()} == pre
+
+
+def test_degree_ordered_triangles_match_naive(spark):
+    """Degree-ordered counting must equal the naive ordered-edge count on
+    known graphs: a triangle, K4 (4 triangles), a square (0), and a hub
+    star plus one closing edge (1)."""
+    cases = [
+        ([(1, 2), (2, 3), (1, 3)], 1),
+        ([(a, b) for a in range(4) for b in range(a + 1, 4)], 4),
+        ([(1, 2), (2, 3), (3, 4), (4, 1)], 0),
+        ([(0, i) for i in range(1, 7)] + [(1, 2)], 1),
+    ]
+    for rows, want in cases:
+        edges = spark.createDataFrame(rows, "id_a long, id_b long")
+        got = dedup.triangle_count_degree_ordered(edges).collect()[0]["triangles"]
+        assert got == want, (rows, got, want)

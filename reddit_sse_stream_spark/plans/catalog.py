@@ -3754,6 +3754,85 @@ def decontam_drop_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_simhash_hamming_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+            FROM documents) t
+    ),
+    bits AS (SELECT unnest(generate_series(0, 59)) AS b),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM tok, bits GROUP BY doc_id, b
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS code
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, code, g.band,
+             (code >> (g.band * 15)) & 32767 AS chunk
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) g
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, l.code AS code_a,
+                      r.doc_id AS doc_b, r.code AS code_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(code_a, code_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(code_a, code_b)) <= 15
+    """,
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup DETECTION (not just fingerprints): band the 60-bit
+    md5 simhash into 4 x 15-bit chunks — any pair within hamming distance 3
+    must share at least one chunk (pigeonhole), so the chunk equi-join
+    finds all close pairs without an all-pairs scan; the hamming verify
+    (bit_count of xor) runs on candidates only.  Fully value-level oracled:
+    md5 hash family + literal band arithmetic reproduce bit-identically in
+    ANSI SQL.  The threshold 15 is deliberately loose at this corpus size
+    so the candidate set is non-trivial; production would use <= 3."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.simhash(docs, bits=60, hash_fn=dedup.md5_hash60).withColumnRenamed(
+        "simhash", "code"
+    )
+    banded = sh.select(
+        "doc_id",
+        "code",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("chunk", F.expr("(code >> (band * 15)) & 32767"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("l.code").alias("code_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("r.code").alias("code_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("code_a").bitwiseXOR(F.col("code_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= 15)
+
+
+@_register(
     "dedup_incremental_new_only",
     """
     SELECT d.doc_id, d.lang, d.source, d.n_chars

@@ -2985,6 +2985,67 @@ def fn_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_rarity_score",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(10000 - floor(v.df * 10000.0 / n.n_docs) AS BIGINT) AS rarity
+      FROM tok t JOIN vocab v ON v.term = t.term, n
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(rarity) AS BIGINT) AS rarity_sum,
+           floor(sum(rarity) * 1.0 / count(*) * 10) / 10.0 AS avg_rarity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality signal (the deterministic cousin of
+    perplexity filtering): score each document by the average rarity of
+    its tokens, where rarity = 10000 - floor(df/N * 10000) from the
+    corpus document-frequency table.  Two shuffles total: the vocab
+    aggregate and the doc_id re-aggregate; the token->df join broadcasts
+    when the vocabulary fits (AQE) and shuffles on the term otherwise.
+    Fixed-point integer rarities make the per-doc SUM exact — no
+    float-summation order sensitivity anywhere, so the oracle is
+    bit-stable by construction (a real perplexity filter would swap
+    rarity for an n-gram LM logprob; same plan shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tok.join(vocab, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            (
+                F.lit(10000)
+                - F.floor(F.col("df") * 10000.0 / F.col("n_docs"))
+            ).cast("long").alias("rarity"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("rarity").alias("rarity_sum"),
+        (
+            F.floor(F.sum("rarity") * 1.0 / F.count("*") * 10) / 10.0
+        ).alias("avg_rarity"),
+    )
+
+
+@_register(
     "text_vocab_df",
     """
     WITH tok AS (

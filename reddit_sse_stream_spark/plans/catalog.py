@@ -2985,6 +2985,48 @@ def fn_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_chunk_windows",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 1, 1), 24)) AS start
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
+           array_to_string(toks[start:start+31], ' ') AS chunk,
+           CAST(len(toks[start:start+31]) AS BIGINT) AS n_tokens
+    FROM idx
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (RAG / pretraining prep): split every
+    document into 32-token windows with stride 24 (8-token overlap).
+    Codegen-local: token split -> stride sequence -> explode -> slice —
+    no shuffle at all, rows expand ~|tokens|/stride per doc.  At 100 TB
+    this is the canonical pre-tokenization map stage; the 1-based slice
+    and stride arithmetic are written identically in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)), F.lit(24)
+    )
+    g = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("start")
+    )
+    chunk = F.slice("toks", F.col("start"), 32)
+    return g.select(
+        "doc_id",
+        ((F.col("start") - 1) / 24).cast("long").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+@_register(
     "text_rarity_score",
     """
     WITH tok AS (

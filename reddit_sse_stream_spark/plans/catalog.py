@@ -316,7 +316,7 @@ _FRAME_SQL = (
 
 @_register(
     "a2_bytes_total",
-    f"WITH {FEED_CTE} SELECT sum(length({_FRAME_SQL})) AS tbs FROM feed",
+    f"WITH {FEED_CTE} SELECT CAST(sum(length({_FRAME_SQL})) AS BIGINT) AS tbs FROM feed",
 )
 def a2_bytes_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — total_bytes_sent: sum of SSE frame lengths
@@ -340,7 +340,7 @@ def a3_max_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"WITH {FEED_CTE} SELECT "
     "count(*) FILTER (WHERE event = 'rc') AS tcs, "
     "count(*) FILTER (WHERE event = 'rs') AS tss, "
-    f"sum(length({_FRAME_SQL})) AS tbs FROM feed",
+    f"CAST(sum(length({_FRAME_SQL})) AS BIGINT) AS tbs FROM feed",
 )
 def s8_keepalive_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 — the keepalive payload {tcs, tss, tbs} (sse.py:137-143). One pass,
@@ -754,7 +754,8 @@ def aggx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "window_topk_orders_per_customer",
     """
-    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn FROM (
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+           CAST(rn AS INTEGER) AS rn FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -1166,7 +1167,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "media_frame_sample",
     """
-    SELECT media_id, frame_idx FROM (
+    SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx FROM (
       SELECT doc_id AS media_id, unnest(range(0, (doc_id % 16 + 1))) AS frame_idx
       FROM documents WHERE doc_id % 3 = 2) t
     WHERE frame_idx % 4 = 0
@@ -1237,8 +1238,8 @@ _SESSIONIZE = """
     SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
     FROM (
       SELECT user_id, ts, event_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1295,7 +1296,7 @@ def fn_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "fn_datetime_buckets",
     """
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, hour(ts) AS hr, count(*) AS n,
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n,
            round(sum(value), 2) AS total
     FROM events WHERE event_type = 'purchase'
     GROUP BY date_trunc('day', ts), hour(ts)
@@ -1387,18 +1388,25 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_pandas_scalar_charge",
     """
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
     FROM lineitem WHERE l_orderkey < 400
     """,
 )
 def udf_pandas_scalar_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized scalar pandas_udf (Arrow-batched) — the sanctioned Python
-    escape hatch; oracle proves numeric parity with the pure-SQL form."""
+    escape hatch; oracle proves numeric parity with the pure-SQL form.
+
+    The UDF returns the RAW double product, unrounded. Rounding doubles at a
+    decimal place is cross-engine unstable: pandas Series.round banker's-
+    rounds (47559.285 -> 47559.28), DuckDB rounds the binary value half-away
+    (-> 47559.29), and Spark F.round HALF_UPs the shortest decimal repr
+    (1.005 -> 1.01 where DuckDB gives 1.00). The raw product is the same
+    IEEE multiply sequence in every engine, so it is bitwise reproducible."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def charge(ep: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
-        return (ep * (1 - disc) * (1 + tax)).round(2)
+        return ep * (1 - disc) * (1 + tax)
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
     return li.select(
@@ -1958,10 +1966,10 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_lines",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -2206,9 +2214,9 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents),
     offs AS (
         SELECT doc_id, source, n_tokens,
-               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-                 AS start_offset
+                 AS BIGINT) AS start_offset
         FROM toks)
     SELECT doc_id, source, n_tokens, start_offset,
            CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id
@@ -2410,8 +2418,8 @@ def window_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rank_family",
     """
     SELECT o_orderkey, o_custkey,
-           dense_rank()   OVER w AS drank,
-           ntile(4)       OVER w AS quartile,
+           CAST(dense_rank() OVER w AS INTEGER) AS drank,
+           CAST(ntile(4)     OVER w AS INTEGER) AS quartile,
            floor(percent_rank() OVER w * 10000) / 10000 AS pct_rank,
            floor(cume_dist()    OVER w * 10000) / 10000 AS cdist
     FROM orders
@@ -2463,7 +2471,7 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             year(l_shipdate) AS l_year,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
              l_extendedprice * (1 - l_discount) AS volume
       FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
@@ -2523,7 +2531,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
                  / sum(volume), 4) AS mkt_share
     FROM (
-      SELECT year(o_orderdate) AS o_year,
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
              n2.n_name AS nation
       FROM part
@@ -2579,7 +2587,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT nation, o_year, round(sum(volume), 2) AS sum_profit
     FROM (
-      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume
       FROM lineitem
         JOIN part ON p_partkey = l_partkey
@@ -2877,7 +2885,7 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
            xor(event_id, 65535) AS b_xor,
            event_id << 2 AS b_shl,
            event_id >> 3 AS b_shr,
-           bit_count(event_id) AS b_pop
+           CAST(bit_count(event_id) AS INTEGER) AS b_pop
     FROM events WHERE event_id < 500
     """,
 )
@@ -2957,7 +2965,7 @@ def llm_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (SELECT DISTINCT event_type FROM events)
     SELECT a.event_type AS t_a, b.event_type AS t_b,
-           levenshtein(a.event_type, b.event_type) AS lev,
+           CAST(levenshtein(a.event_type, b.event_type) AS INTEGER) AS lev,
            CASE WHEN levenshtein(a.event_type, b.event_type) <= 3
                 THEN 1 ELSE 0 END AS near
     FROM t a JOIN t b ON a.event_type < b.event_type

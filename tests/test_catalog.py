@@ -1,6 +1,13 @@
 """Catalog-wide correctness: every query with an oracle must match DuckDB at
-sf0.001 (row count + sorted column names + order-insensitive values) — the
-same gate the driver applies at sf0.01."""
+sf0.001 (row count + sorted column names + order-insensitive values + result
+DTYPES) — at least as strict as the driver's type-sensitive value hash at
+sf0.01.
+
+Round-2 lesson: a 6-sig-fig float format and Python-int comparison masked
+exactly the diffs the driver hashes (banker's-vs-half-away rounding at the
+second decimal; DuckDB HUGEINT vs Spark BIGINT). The gate now compares floats
+at full precision (repr) and asserts the DuckDB result types map onto the
+Spark schema — HUGEINT (int128, which Spark cannot produce) always flags."""
 
 from __future__ import annotations
 
@@ -13,7 +20,7 @@ from reddit_sse_stream_spark.plans.catalog import QUERIES
 
 def _norm(v):
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else f"{v:.6g}"
+        return "NaN" if math.isnan(v) else repr(v)
     if isinstance(v, bool):
         return int(v)
     return v
@@ -24,6 +31,60 @@ def _canon(rows, cols):
     return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
 
 
+#: DuckDB type -> the Spark simpleString(s) that hash-match it. An empty set
+#: means "no Spark equivalent — always flag" (the driver's value hash is
+#: type-sensitive, so e.g. a HUGEINT sum() must be CAST in the oracle SQL).
+_DUCK_BASE = {
+    "BIGINT": {"bigint"},
+    "INTEGER": {"int"},
+    "SMALLINT": {"smallint"},
+    "TINYINT": {"tinyint"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "DATE": {"date"},
+    "BLOB": {"binary"},
+    "HUGEINT": set(),
+    "UHUGEINT": set(),
+    "UBIGINT": set(),
+    "UINTEGER": set(),
+}
+
+
+def _duck_to_spark(t: str):
+    """Spark simpleStrings compatible with DuckDB type `t`; None = unknown
+    (skip the strict check for that column)."""
+    t = str(t).upper().strip()
+    if t in _DUCK_BASE:
+        return _DUCK_BASE[t]
+    if t.startswith("DECIMAL"):
+        return {t.lower().replace(" ", "")}
+    if t.startswith("TIMESTAMP"):
+        return {"timestamp", "timestamp_ntz"}
+    if t.endswith("[]"):
+        inner = _duck_to_spark(t[:-2])
+        if inner is None:
+            return None
+        return {f"array<{i}>" for i in inner}
+    return None
+
+
+def assert_result_dtypes(sdf_schema, duck_rel):
+    """Assert every DuckDB output column's type maps onto the Spark column's
+    type. Mirrors the driver's type-sensitive hash."""
+    stypes = {f.name: f.dataType.simpleString() for f in sdf_schema.fields}
+    for name, dtyp in zip(duck_rel.columns, duck_rel.types):
+        allowed = _duck_to_spark(str(dtyp))
+        if allowed is None or name not in stypes:
+            continue
+        assert stypes[name] in allowed, (
+            f"column {name!r}: oracle type {dtyp} vs Spark {stypes[name]} — "
+            "the driver hash is type-sensitive; CAST the oracle output "
+            "(DuckDB sum() yields HUGEINT: CAST(sum(..) AS BIGINT))"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_catalog_query(name, spark, duck, sf_dir):
     qd = QUERIES[name]
@@ -32,12 +93,60 @@ def test_catalog_query(name, spark, duck, sf_dir):
     if qd.oracle is None:
         assert srows is not None  # rows-only smoke: plan executes
         return
+    assert_result_dtypes(sdf.schema, duck.sql(qd.oracle))
     res = duck.execute(qd.oracle)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
     assert sorted(sdf.columns) == sorted(dcols)
     assert len(srows) == len(drows)
     assert _canon(srows, sdf.columns) == _canon(drows, dcols)
+
+
+def test_gate_flags_hugeint_regression(duck):
+    """Regression for the round-2 blind spot: an uncast DuckDB sum() yields
+    HUGEINT, which the driver hashes differently from Spark BIGINT even when
+    the values are equal. The hardened gate must flag it."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rel = duck.sql("SELECT sum(o_orderkey) AS s FROM orders")
+    assert str(rel.types[0]).upper() == "HUGEINT"
+    schema = StructType([StructField("s", LongType())])
+    with pytest.raises(AssertionError, match="type-sensitive"):
+        assert_result_dtypes(schema, rel)
+
+
+def test_round_half_boundary_rationale(spark, duck):
+    """Pin the 47559.285 boundary from round 2 and the reason the charge UDF
+    returns a RAW product: rounding doubles at a decimal place is
+    cross-engine unstable. pandas banker's-rounds 47559.285 -> 47559.28 while
+    DuckDB (binary half-away) gives 47559.29; Spark F.round (HALF_UP on the
+    shortest decimal repr) gives 1.01 for 1.005 while DuckDB gives 1.00. No
+    single rounding call agrees across all three engines, so the query and
+    its oracle both emit the unrounded IEEE product, which IS reproducible."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    assert float(pd.Series([47559.285]).round(2)[0]) == 47559.28
+    assert duck.execute("SELECT round(CAST(47559.285 AS DOUBLE), 2)").fetchone()[0] == 47559.29
+    spark_1005 = (
+        spark.range(1).select(F.round(F.lit(1.005), 2).alias("r")).collect()[0]["r"]
+    )
+    assert spark_1005 == 1.01
+    assert duck.execute("SELECT round(CAST(1.005 AS DOUBLE), 2)").fetchone()[0] == 1.0
+    # the raw product is bitwise identical across pandas and DuckDB:
+    raw_pd = float((pd.Series([47559.285]) * (1 - 0.05) * (1 + 0.02)).iloc[0])
+    raw_duck = duck.execute(
+        "SELECT CAST(47559.285 AS DOUBLE) * (1 - 0.05) * (1 + 0.02)"
+    ).fetchone()[0]
+    assert raw_pd == raw_duck
+
+
+def test_gate_flags_second_decimal_regression():
+    """Regression for the round-2 blind spot: 47559.28 vs 47559.29 (banker's
+    vs half-away rounding of 47559.285) normalized equal at 6 sig figs. The
+    full-precision gate must distinguish them."""
+    assert _norm(47559.28) != _norm(47559.29)
+    assert _canon([(47559.28,)], ["c"]) != _canon([(47559.29,)], ["c"])
 
 
 def test_approx_distinct_error_band(spark, duck, sf_dir):

@@ -88,29 +88,36 @@ def bloom_prefilter_new_docs(
     text_col: str = "text",
     n_buckets: int = 1 << 20,
 ) -> DataFrame:
-    """Bloom-style pre-filter for :func:`incremental_new_docs`: project the
-    corpus digests onto ``n_buckets`` hash buckets (one distinct aggregate,
-    ≤ n_buckets rows however large the corpus is), broadcast the bucket
-    set, and drop every batch row whose digest bucket is occupied — BEFORE
-    the exact anti-join runs.
+    """Bloom-accelerated :func:`incremental_new_docs` — SAME result, cheaper
+    exact join.  Projects the corpus digests onto ``n_buckets`` hash buckets
+    (one distinct aggregate, ≤ n_buckets rows however large the corpus is),
+    broadcasts the occupied-bucket set, and SPLITS the batch:
 
-    Guarantee: NO false negatives (a known digest always lands in an
-    occupied bucket), so survivors are definitely new; false positives
-    (unrelated digests sharing a bucket) just fall through to the exact
-    join.  At 100 TB this turns the anti-join's probe side from |batch|
-    into ~|genuinely-new batch| — the sketch-then-verify shape this repo
-    uses for minhash and LSH too.  (Spark's own runtime
-    ``bloomFilter`` rewrite does this automatically for selective joins;
-    this operator makes the contract explicit and testable, and its bucket
-    set composes with storage: persist it once per corpus snapshot instead
-    of rebuilding per batch.)
+    - rows whose bucket is UNOCCUPIED are definitely new — a known digest
+      always lands in an occupied bucket, so there are no false negatives —
+      and bypass the exact join entirely;
+    - rows in occupied buckets are only *maybe* known (a bloom false
+      positive shares a bucket with an unrelated corpus digest), so they
+      fall through to the exact digest anti-join.
+
+    The union of the two legs equals ``incremental_new_docs(batch, corpus)``
+    exactly — pinned by the equivalence test in tests/test_operators.py,
+    including a tiny bucket count that forces every bucket occupied.  At
+    100 TB this shrinks the anti-join probe side from |batch| to
+    ~|batch ∩ occupied buckets| without ever losing a new document to a
+    bucket collision.  (Spark's runtime ``bloomFilter`` rewrite does the
+    same thing automatically for selective joins; this operator makes the
+    contract explicit and testable, and its bucket set composes with
+    storage: persist it once per corpus snapshot instead of rebuilding per
+    batch.)
     """
     bucket = lambda c: F.pmod(F.xxhash64(F.md5(c)), F.lit(n_buckets))  # noqa: E731
     seen = corpus.select(bucket(F.col(text_col)).alias("_b")).distinct()
-    return (
-        batch.withColumn("_b", bucket(F.col(text_col)))
-        .join(F.broadcast(seen), "_b", "left_anti")
-        .drop("_b")
+    tagged = batch.withColumn("_b", bucket(F.col(text_col)))
+    definitely_new = tagged.join(F.broadcast(seen), "_b", "left_anti").drop("_b")
+    maybe_known = tagged.join(F.broadcast(seen), "_b", "left_semi").drop("_b")
+    return definitely_new.unionByName(
+        incremental_new_docs(maybe_known, corpus, text_col)
     )
 
 

@@ -410,25 +410,30 @@ def test_minhash_md5_pairs_are_true_near_dups(spark, sf_dir):
     assert all(r["doc_a"] < r["doc_b"] for r in got)
 
 
-def test_bloom_prefilter_has_no_false_negatives(spark, sf_dir):
-    """Every row the bloom pre-filter keeps must be genuinely new, and
-    composing it with the exact anti-join changes nothing: survivors of
-    the pre-filter == incremental_new_docs minus bloom false positives,
-    and running the exact join after the pre-filter reproduces the exact
-    result precisely."""
+@pytest.mark.parametrize("n_buckets", [1 << 20, 512, 7])
+def test_bloom_prefilter_equals_exact(spark, sf_dir, n_buckets):
+    """The bloom-accelerated path must return EXACTLY the same new-doc set
+    as the plain digest anti-join, at every bucket count:
+
+    - 1<<20 buckets: most batch rows land in unoccupied buckets and take
+      the definitely-new fast path;
+    - 512: a mix — both legs of the split carry rows;
+    - 7: every bucket is occupied by some corpus digest, so the whole
+      batch falls through to the exact join — the regression case for the
+      round-2 bug where collision rows were silently DROPPED instead of
+      falling through."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
 
     exact = {r["doc_id"] for r in dedup.incremental_new_docs(batch, corpus).collect()}
-    pre = {r["doc_id"] for r in dedup.bloom_prefilter_new_docs(batch, corpus).collect()}
-    # no false negatives: nothing known survives the bloom
-    assert pre <= exact
-    # composition: bloom then exact == exact
-    survivors = dedup.incremental_new_docs(
-        dedup.bloom_prefilter_new_docs(batch, corpus), corpus
-    )
-    assert {r["doc_id"] for r in survivors.collect()} == pre
+    got = {
+        r["doc_id"]
+        for r in dedup.bloom_prefilter_new_docs(
+            batch, corpus, n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == exact
 
 
 def test_degree_ordered_triangles_match_naive(spark):

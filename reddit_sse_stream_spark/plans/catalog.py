@@ -3178,18 +3178,31 @@ def text_repetition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
     5-gram with the held-out eval slice (doc_id % 97 == 0 — deterministic
-    stand-in for a benchmark suite).  The join key is the 5-gram string, so
-    the shuffle carries (doc_id, gram) only; the eval side is 1/97th of the
+    stand-in for a benchmark suite).  The join key is xxhash64(gram) — an
+    8-byte long instead of a 40-60 byte gram string, which cut the gram
+    shuffle (this repo's worst scaler when string-keyed) to a fraction of
+    its width; distinct-gram counts over the hash equal counts over the
+    string modulo 2^-64 collisions, and the string-keyed DuckDB oracle
+    value-checks them at every test SF.  The eval side is 1/97th of the
     corpus and AQE will broadcast it when it fits — no static hint, because
     at 100 TB an eval slice can still be TB-scale."""
-    grams = text.word_ngrams(_t(spark, sf_dir, "documents"), 5)
+    docs = _t(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 97 == 0
-    ev = grams.filter(is_eval).select(
-        F.col("doc_id").alias("eval_id"), "gram"
+    # filter BEFORE the gram kernel: predicates don't push through
+    # mapInPandas, so filtering after would run the full corpus through
+    # the kernel twice (once per branch); this way the eval branch
+    # touches 1/97th of the rows.
+    ev = text.word_ngram_hashes(docs.filter(is_eval), 5).select(
+        F.col("doc_id").alias("eval_id"), "gram_h"
     ).distinct()
-    tr = grams.filter(~is_eval).distinct()
-    return tr.join(ev, "gram").groupBy("doc_id").agg(
-        F.count_distinct("gram").alias("n_shared_grams"),
+    # NO .distinct() on the training side: the final count_distinct dedups
+    # anyway, and a global distinct over every training gram is a full
+    # extra shuffle of the big side for nothing (measured: it dominated
+    # this query's runtime).  The eval side stays distinct so one repeated
+    # eval gram cannot multiply join output.
+    tr = text.word_ngram_hashes(docs.filter(~is_eval), 5)
+    return tr.join(ev, "gram_h").groupBy("doc_id").agg(
+        F.count_distinct("gram_h").alias("n_shared_grams"),
         F.count_distinct("eval_id").alias("n_eval_docs"),
     )
 
@@ -3845,15 +3858,20 @@ def decontam_drop_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal half of decontamination: training docs that share NO
     word 5-gram with the eval slice survive; contaminated ids are dropped
     with a left_anti join (the detection query decontam_ngram_overlap is
-    the audit view of the same join).  Anti-join on doc_id only — document
-    text never re-shuffles."""
+    the audit view of the same join).  Shares the xxhash64(gram_h) join
+    key with decontam_ngram_overlap (8-byte shuffle, not gram strings);
+    the anti-join itself is on doc_id only — document text never
+    re-shuffles."""
     docs = _t(spark, sf_dir, "documents")
-    grams = text.word_ngrams(docs, 5)
     is_eval = F.col("doc_id") % 97 == 0
-    ev = grams.filter(is_eval).select("gram").distinct()
+    # filter before the kernel (no pushdown through mapInPandas), and keep
+    # the training side's duplicate grams: the post-join distinct on
+    # doc_id is the dedup, and skipping the pre-join distinct avoids a
+    # full shuffle of every training gram.
+    ev = text.word_ngram_hashes(docs.filter(is_eval), 5).select("gram_h").distinct()
     bad = (
-        grams.filter(~is_eval)
-        .join(ev, "gram")
+        text.word_ngram_hashes(docs.filter(~is_eval), 5)
+        .join(ev, "gram_h")
         .select("doc_id")
         .distinct()
     )
@@ -3900,18 +3918,20 @@ def decontam_drop_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b,
            CAST(bit_count(xor(code_a, code_b)) AS BIGINT) AS hamming
     FROM cand
-    WHERE bit_count(xor(code_a, code_b)) <= 15
+    WHERE bit_count(xor(code_a, code_b)) <= 3
     """,
 )
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup DETECTION (not just fingerprints): band the 60-bit
-    md5 simhash into 4 x 15-bit chunks — any pair within hamming distance 3
-    must share at least one chunk (pigeonhole), so the chunk equi-join
-    finds all close pairs without an all-pairs scan; the hamming verify
-    (bit_count of xor) runs on candidates only.  Fully value-level oracled:
-    md5 hash family + literal band arithmetic reproduce bit-identically in
-    ANSI SQL.  The threshold 15 is deliberately loose at this corpus size
-    so the candidate set is non-trivial; production would use <= 3."""
+    md5 simhash into 4 x 15-bit chunks — by pigeonhole, any pair within
+    hamming distance 3 must share at least one chunk, so the chunk
+    equi-join finds ALL pairs at distance <= 3 without an all-pairs scan;
+    the hamming verify (bit_count of xor) runs on candidates only.  The
+    filter threshold (3) matches the banding guarantee exactly: with 4
+    bands a looser threshold would silently return only chunk-colliding
+    pairs, not all pairs, within it.  For a looser radius r, band into
+    r+1 chunks.  Fully value-level oracled: md5 hash family + literal
+    band arithmetic reproduce bit-identically in ANSI SQL."""
     docs = _t(spark, sf_dir, "documents")
     sh = dedup.simhash(docs, bits=60, hash_fn=dedup.md5_hash60).withColumnRenamed(
         "simhash", "code"
@@ -3940,7 +3960,7 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("code_a").bitwiseXOR(F.col("code_b")))
     return cand.select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
-    ).filter(F.col("hamming") <= 15)
+    ).filter(F.col("hamming") <= 3)
 
 
 @_register(

@@ -91,6 +91,51 @@ def test_simhash_exact_dups_equal_and_near_dups_close(docs):
     assert ham_near < ham_far
 
 
+def test_simhash_arrow_kernel_equals_hof(spark, sf_dir):
+    """The Arrow vote/pack kernel must be bit-identical to the interpreted
+    F.aggregate formulation, on BOTH hash seams (xxhash64/64-bit with
+    negative hashes exercising the sign bit, and md5/60-bit)."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    for bits, hash_fn in [(64, None), (60, dedup.md5_hash60)]:
+        fast = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(docs, bits=bits, hash_fn=hash_fn).collect()
+        }
+        slow = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(
+                docs, bits=bits, hash_fn=hash_fn, impl="hof"
+            ).collect()
+        }
+        assert fast == slow
+
+
+def test_simhash_hamming_banding_is_complete(spark, sf_dir):
+    """4x15-bit banding guarantees (pigeonhole) that EVERY pair within
+    hamming distance 3 shares a chunk — so the banded candidate join must
+    find exactly the brute-force all-pairs result at that radius, not a
+    chunk-colliding subset (the round-2 bug paired a <=15 filter with a
+    <=3-complete banding)."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in QUERIES["dedup_simhash_hamming_pairs"].spark(spark, sf_dir).collect()
+    }
+    sh = dedup.simhash(
+        load_table(spark, sf_dir, "documents"), bits=60, hash_fn=dedup.md5_hash60
+    )
+    rows = sorted((r["doc_id"], r["simhash"]) for r in sh.collect())
+    brute = {
+        (a_id, b_id, bin(a ^ b).count("1"))
+        for i, (a_id, a) in enumerate(rows)
+        for b_id, b in rows[i + 1 :]
+        if bin(a ^ b).count("1") <= 3
+    }
+    assert got == brute
+    assert brute, "radius too tight for the fixture: brute-force set is empty"
+
+
 # -------------------------------------------------------------------- text
 
 
@@ -350,6 +395,42 @@ def test_word_ngrams_short_doc_guard(spark):
     bi = text.word_ngrams(df, 2)
     assert bi.filter(F.col("doc_id") == 3).count() == 0
     assert bi.filter(F.col("doc_id") == 1).count() == 5
+
+
+def test_word_ngram_hashes_impls_are_count_equivalent(spark, sf_dir):
+    """The JVM (xxhash64-of-string) and Arrow (rolling-poly) gram-hash
+    paths use different hash families, so the VALUES differ — but gram
+    identity must be preserved identically: per-doc total and distinct
+    gram counts, and cross-doc overlap structure, must match."""
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+
+    def counts(impl):
+        return {
+            (r["doc_id"], r["n"], r["nd"])
+            for r in text.word_ngram_hashes(docs, 5, impl=impl)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"), F.count_distinct("gram_h").alias("nd"))
+            .collect()
+        }
+
+    assert counts("jvm") == counts("arrow")
+
+    def overlap_pairs(impl):
+        g = text.word_ngram_hashes(docs, 5, impl=impl)
+        a, b = g.alias("a"), g.alias("b")
+        return {
+            (r["x"], r["y"], r["n"])
+            for r in a.join(
+                b,
+                (F.col("a.gram_h") == F.col("b.gram_h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+            .agg(F.count_distinct("a.gram_h").alias("n"))
+            .collect()
+        }
+
+    assert overlap_pairs("jvm") == overlap_pairs("arrow")
 
 
 def test_repetition_score_flags_boilerplate(spark):

@@ -239,14 +239,15 @@ def near_dup_pairs_lsh(
     Matches the minhash-LSH banding shape in ``operators/dedup.py`` — same
     join geometry, cosine instead of Jaccard.
     """
-    # cache: the bucket frame feeds BOTH sides of the self-join — without
-    # this the Arrow bucketing kernel (the expensive matmul pass over every
-    # embedding) executes twice.  The cached frame is only (id, tbl, bucket)
-    # — 3 numeric columns, far smaller than the embeddings.
-    buckets = hyperplane_buckets_arrow(
-        emb, n_planes, n_tables, id_col, vec_col, dim
-    ).cache()
-
+    # No .cache() on the bucket frame: both sides of the self-join are the
+    # IDENTICAL subplan shuffled on the same (tbl, bucket) key, so
+    # Catalyst's ReuseExchange runs the Arrow bucketing kernel once and
+    # feeds both join inputs from the same shuffle files (measured: plain
+    # == cached wall-clock at sf0.1).  An earlier version cached here and
+    # never unpersisted, pinning a new bucket frame in executor storage per
+    # invocation for the session's lifetime — bench/scale sweeps run many
+    # queries on one session, so that leak compounded.
+    buckets = hyperplane_buckets_arrow(emb, n_planes, n_tables, id_col, vec_col, dim)
     left = buckets.select(
         F.col("tbl"), F.col("bucket"), F.col(id_col).alias("id_a")
     )

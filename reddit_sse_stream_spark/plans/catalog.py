@@ -1145,11 +1145,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs_exact(emb, threshold=0.3)
 
 
-@_register("dedup_embedding_cosine_lsh", None)
+def _lsh_pairs_oracle_sql(
+    n_planes: int = 6, n_tables: int = 8, dim: int = 64, threshold: float = 0.3
+) -> str:
+    """DuckDB oracle for the multi-table hyperplane-LSH near-dup pairs:
+    the LCG plane family is deterministic per table seed, so every
+    (tbl, plane) is embedded as a literal array and DuckDB recomputes the
+    sign-pattern buckets, the candidate equi-join, and the exact-cosine
+    verify.  Same reproducible-approximation trick as
+    :func:`_lsh_bucket_oracle_sql`; sign flips would need a dot product
+    within float-reassociation error of 0 (never observed at test SFs)."""
+    from reddit_sse_stream_spark.operators.similarity import _lcg_planes
+
+    rows = ",\n      ".join(
+        f"({t}, {i}, [{', '.join(repr(x) for x in pl)}])"
+        for t in range(n_tables)
+        for i, pl in enumerate(_lcg_planes(n_planes, dim, seed=t))
+    )
+    return f"""
+    WITH planes(tbl, i, plane) AS (VALUES
+      {rows}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+      SELECT v.vec_id, p.tbl,
+             sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                        j -> v.v[j] * p.plane[j])) >= 0
+                      THEN 1 << p.i ELSE 0 END) AS bucket
+      FROM v, planes p GROUP BY v.vec_id, p.tbl),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM b l JOIN b r
+        ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+    SELECT c.id_a, c.id_b,
+           floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 AS cos_sim
+    FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
+    WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 > {threshold}
+    """
+
+
+@_register("dedup_embedding_cosine_lsh", _lsh_pairs_oracle_sql())
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup scale path: multi-table random-hyperplane
-    LSH candidates (equi-join on bucket keys, no O(n^2)) verified with exact
-    cosine. Approximate recall -> rows-only check."""
+    LSH candidates (equi-join on bucket keys, no O(n^2)) verified with
+    exact cosine.  The LCG plane family is deterministic, so the
+    approximation is REPRODUCIBLE and fully value-oracled — DuckDB
+    recomputes buckets, candidates and the verify from the same literal
+    planes (_lsh_pairs_oracle_sql)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.near_dup_pairs_lsh(emb, threshold=0.3, n_planes=6, n_tables=8)
 

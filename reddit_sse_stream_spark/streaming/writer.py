@@ -109,7 +109,29 @@ class SSEFilesStreamWriter(_SSEFilesWriterBase, DataSourceStreamWriter):
         return self._write_tmp(iterator)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
-        self._finalize(messages, f"batch-{batchId:010d}-part-{{pid:05d}}.sse")
+        """Exactly-once on replay: a batch replayed after a
+        failure-after-commit may run with FEWER partitions than the first
+        attempt — renaming onto batch-{id}-part-{pid} alone would leave the
+        first attempt's higher-pid files in the archive as duplicate
+        frames.  So before renaming, remove every existing file of THIS
+        batch that the current attempt did not produce; afterwards sweep
+        leftover .tmp files (losing task attempts are otherwise only
+        cleaned on abort, never after a successful commit).  Microbatches
+        of a streaming query commit serially, so no other attempt of any
+        batch is writing this directory concurrently."""
+        stem_fmt = f"batch-{batchId:010d}-part-{{pid:05d}}.sse"
+        expected = {
+            stem_fmt.format(pid=m.partition_id) for m in messages if m is not None
+        }
+        prefix = f"batch-{batchId:010d}-part-"
+        if os.path.isdir(self.path):
+            for name in os.listdir(self.path):
+                if name.startswith(prefix) and name.endswith(".sse") and name not in expected:
+                    os.remove(os.path.join(self.path, name))
+        self._finalize(messages, stem_fmt)
+        for name in os.listdir(self.path):
+            if name.startswith(".tmp-"):
+                os.remove(os.path.join(self.path, name))
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         self._abort(messages)

@@ -177,6 +177,42 @@ def test_stream_writer_restart_is_idempotent(spark, tmp_path):
     assert first == second and len(first) > 0
 
 
+def test_stream_commit_sweeps_stale_replay_files_and_tmps(tmp_path):
+    """A replayed batch (failure after commit, before the offset log
+    recorded it) can run with fewer partitions than the first attempt.
+    Commit must remove the first attempt's higher-pid files for that batch
+    — otherwise they survive as duplicate frames — and sweep leftover
+    .tmp files from losing task attempts."""
+    import reddit_sse_stream_spark.streaming.writer as W
+
+    out = tmp_path / "replay_out"
+    out.mkdir()
+    # first attempt's leftovers: 3 partitions + a losing attempt's tmp
+    stale_keep = out / "batch-0000000001-part-00000.sse"  # will be replaced
+    stale_extra = out / "batch-0000000001-part-00002.sse"  # must be removed
+    other_batch = out / "batch-0000000000-part-00007.sse"  # other batch: kept
+    tmp_orphan = out / ".tmp-00009-deadbeef"
+    for f in (stale_keep, stale_extra, other_batch, tmp_orphan):
+        f.write_text("stale\n")
+
+    # current (replay) attempt: only 2 partitions
+    w = W.SSEFilesStreamWriter({"path": str(out)})
+    msgs = []
+    for pid in (0, 1):
+        t = out / f".tmp-{pid:05d}-attempt2"
+        t.write_text(f"fresh-{pid}\n")
+        msgs.append(W._Committed(str(t), pid, 1))
+    w.commit(msgs, batchId=1)
+
+    names = sorted(p.name for p in out.iterdir())
+    assert names == [
+        "batch-0000000000-part-00007.sse",
+        "batch-0000000001-part-00000.sse",
+        "batch-0000000001-part-00001.sse",
+    ]
+    assert (out / "batch-0000000001-part-00000.sse").read_text() == "fresh-0\n"
+
+
 def test_sse_files_roundtrip_write_then_read(spark, sf_dir, tmp_path):
     """write -> read round-trip: the archive reader reproduces the exact
     (id, event, json) rows that were framed, one partition per file."""

@@ -4079,15 +4079,23 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRIOR_DRIVER_GREEN = frozenset({
     "a1_running_totals",
+    "a2_bytes_total",
     "a3_max_cursor",
+    "agg_skew_salted_two_phase",
+    "agg_sorted_user_list",
+    "aggx_corr_covar",
     "aggx_cube_events",
     "aggx_distinct_users",
     "aggx_grouping_sets",
+    "aggx_rollup_grouping_id",
     "aggx_rollup_orders",
     "aggx_stats_per_type",
+    "dedup_cc_clusters",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
     "dedup_exact_groups",
     "dedup_exact_keep_first",
+    "dedup_ngram_jaccard",
     "embed_l2_norm",
     "f1_type_dispatch",
     "f2_author_whitelist",
@@ -4098,6 +4106,10 @@ _PRIOR_DRIVER_GREEN = frozenset({
     "f8_null_elimination",
     "f_combined_full",
     "fn_array_ops",
+    "fn_bitwise_ops",
+    "fn_datetime_buckets",
+    "fn_fuzzy_match_levenshtein",
+    "fn_histogram_bins",
     "fn_map_ops",
     "fn_math_scalars",
     "fn_null_ops",
@@ -4107,40 +4119,77 @@ _PRIOR_DRIVER_GREEN = frozenset({
     "join_anti_customers_without_orders",
     "join_asof_last_click",
     "join_broadcast_star_counts",
+    "join_cross_region_nation",
+    "join_full_outer_click_purchase",
     "join_range_clicks_before_purchase",
+    "join_right_outer_orders",
     "join_semi_customers_with_orders",
+    "join_skew_salted",
     "knn_bruteforce_cosine",
+    "knn_lsh_bucketed",
     "limit_topk_events_by_value",
     "llm_corpus_prep_pipeline",
     "m1_m2_interleave_sort",
+    "media_frame_sample",
     "p2_json_key_subset",
+    "pack_sequences_by_source",
     "pivot_event_counts",
+    "posexplode_words",
     "q1_domain_blocks_comments",
     "reference_pipeline_example",
     "s1_range_scan",
     "s3_backfill_clamp",
     "s4_start_id_resume",
+    "s8_keepalive_counters",
+    "sample_stratified_deterministic",
+    "session_window_agg",
+    "sessionize_events",
+    "setop_except_all_values",
     "setop_except_users",
+    "setop_intersect_all_values",
     "setop_intersect_users",
+    "subq_correlated_exists",
+    "subq_in_big_spenders",
+    "subq_scalar_above_avg",
+    "text_chunk_windows",
     "text_fingerprint",
+    "text_lang_predict",
     "text_lang_scores",
     "text_quality_score",
+    "text_rarity_score",
     "text_token_count",
+    "text_vocab_df",
+    "tpch_q10_returned_customers",
+    "tpch_q12_priority_lines",
     "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
     "tpch_q1_pricing_summary",
+    "tpch_q21_waiting_supplier",
     "tpch_q22_idle_customers",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_region_revenue",
     "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
     "ts_gapfill_ffill",
     "udaf_geomean_orders",
+    "udf_pandas_scalar_charge",
     "udtf_word_explode",
+    "unpivot_customer_balances",
+    "window_first_last_nth",
     "window_lag_delta",
+    "window_range_time_frame",
+    "window_rank_family",
     "window_running_sum_per_user",
+    "window_sliding_counts",
     "window_topk_orders_per_customer",
-    "x4_json_extract"
+    "x1_try_cast_validation",
+    "x4_json_extract",
 })
 
 

@@ -39,9 +39,18 @@ def gap_fill_ffill(
     is never null.
     """
     key = F.col(key_col)
+    # Order-independent hourly mean: exact fixed-point decimal numerator
+    # (testdata values carry <= 2 decimals), so reassociation across shuffle
+    # orders / engines cannot flip the rounded result.
     hourly = (
         events.groupBy(key_col, F.date_trunc("hour", F.col(ts_col)).alias("h"))
-        .agg(F.round(F.avg(val_col), 3).alias("v"))
+        .agg(
+            F.round(
+                F.sum(F.col(val_col).cast("decimal(25,6)")).cast("double")
+                / F.count(val_col),
+                3,
+            ).alias("v")
+        )
     )
     span = hourly.groupBy(key_col).agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     grid = span.select(

@@ -99,6 +99,44 @@ def _feed_sql(where: str) -> str:
     return f"WITH {FEED_CTE} SELECT {_FEED_COLS_SQL} FROM feed WHERE {where}"
 
 
+# --------------------------------------------------------------------------- #
+# Order-independent rounded sums (fixed-point decimal accumulation)           #
+# --------------------------------------------------------------------------- #
+# Double summation is not associative: two engines (or two shuffle orders of
+# the same engine) can land an unrounded sum on opposite sides of a half-cent
+# and flip round(sum(x), 2) by one cent (seen on tpch_q9: 1/175 rows,
+# VERDICT r03).  Every monetary testdata column carries <= 2 decimals, so
+# their 2- and 3-factor products carry <= 6: casting each addend to
+# DECIMAL(25,6) is EXACT, which turns the aggregate into a fixed-point
+# integer sum — associative, order-independent, and bit-identical between
+# Spark and DuckDB (both round decimal ties HALF_UP away from zero; verified
+# on 2.345/-2.345/2.335).  The rounded result is cast back to DOUBLE so the
+# driver-compared schema stays double on both sides.
+
+_DEC6 = "decimal(25,6)"
+
+
+def _dsum(col, nd: int = 2):
+    """Spark side of ``round(sum(col), nd)`` over exact fixed-point addends."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(_DEC6)), nd).cast("double")
+
+
+def _dsum_raw(col):
+    """Spark side of un-rounded ``sum(col)`` over exact fixed-point addends,
+    returned as double (for ratios computed from two exact sums)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC6)).cast("double")
+
+
+def _davg(col, nd: int = 4):
+    """Spark side of ``round(avg(col), nd)`` with an order-independent
+    numerator: exact decimal sum -> double, divided by count.  The division
+    and final round see the identical double in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(_DEC6)).cast("double") / F.count(c), nd)
+
+
 # =========================================================================== #
 # §2.1 Sources / offsets (S1-S5) over the feed                                #
 # =========================================================================== #
@@ -363,13 +401,13 @@ def s8_keepalive_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -386,13 +424,13 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_extendedprice").alias("avg_price"),
+            _davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -402,7 +440,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -432,7 +470,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -445,7 +483,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tpch_q5_region_revenue",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -482,7 +520,7 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -492,7 +530,7 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tpch_q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
@@ -510,7 +548,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
-        ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
@@ -547,7 +585,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_star_counts",
     """
     SELECT r_name, n_name, count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_acctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name
@@ -565,7 +603,7 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            _dsum("c_acctbal").alias("total_acctbal"),
         )
     )
 
@@ -639,7 +677,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggx_rollup_orders",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
@@ -648,7 +686,7 @@ def aggx_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), _dsum("o_totalprice").alias("total"))
     )
 
 
@@ -656,7 +694,7 @@ def aggx_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggx_cube_events",
     """
     SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY CUBE (event_type, user_id % 10)
     """,
 )
@@ -664,14 +702,14 @@ def aggx_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, user bucket) — all 4 grouping-set combos."""
     ev = _t(spark, sf_dir, "events").withColumn("user_bucket", F.col("user_id") % 10)
     return ev.cube("event_type", "user_bucket").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+        F.count("*").alias("n"), _dsum("value").alias("total_value")
     )
 
 
 @_register(
     "aggx_grouping_sets",
     """
-    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+    SELECT l_returnflag, l_linestatus, CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
     """,
@@ -682,7 +720,7 @@ def aggx_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
-        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        SELECT l_returnflag, l_linestatus, CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         """
@@ -725,7 +763,8 @@ def aggx_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            round(min(value), 2) AS min_v, round(max(value), 2) AS max_v,
-           round(avg(value), 3) AS avg_v, round(stddev_samp(value), 3) AS sd_v,
+           round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value), 3) AS avg_v,
+           round(stddev_samp(value), 3) AS sd_v,
            round(median(value), 3) AS med_v
     FROM events GROUP BY event_type
     """,
@@ -739,7 +778,7 @@ def aggx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.min("value"), 2).alias("min_v"),
             F.round(F.max("value"), 2).alias("max_v"),
-            F.round(F.avg("value"), 3).alias("avg_v"),
+            _davg("value", 3).alias("avg_v"),
             F.round(F.stddev_samp("value"), 3).alias("sd_v"),
             F.round(F.median("value"), 3).alias("med_v"),
         )
@@ -781,8 +820,8 @@ def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum_per_user",
     """
     SELECT event_id, user_id,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING), 2) AS running_value
+           CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_value
     FROM events
     """,
 )
@@ -798,7 +837,9 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.round(F.sum(F.col("value").cast(_DEC6)).over(w), 2)
+        .cast("double")
+        .alias("running_value"),
     )
 
 
@@ -1338,7 +1379,7 @@ def fn_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_datetime_buckets",
     """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n,
-           round(sum(value), 2) AS total
+           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
     FROM events WHERE event_type = 'purchase'
     GROUP BY date_trunc('day', ts), hour(ts)
     """,
@@ -1348,7 +1389,7 @@ def fn_datetime_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     return ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day"), F.hour("ts").alias("hr")
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    ).agg(F.count("*").alias("n"), _dsum("value").alias("total"))
 
 
 @_register(
@@ -1759,7 +1800,7 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events, (SELECT unnest([0, 1800]) AS offs) o
       WHERE floor(epoch(ts) / 1800) * 1800 - offs + 3600 > epoch(ts)
     )
-    SELECT win_start, count(*) AS n, round(sum(value), 2) AS total
+    SELECT win_start, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
     FROM slid GROUP BY win_start
     """,
 )
@@ -1770,7 +1811,7 @@ def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), _dsum("value").alias("total"))
         .select(
             F.unix_timestamp(F.col("window.start")).alias("win_start"), "n", "total"
         )
@@ -1895,7 +1936,7 @@ def aggx_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_customers",
     """
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
            n_name
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -1926,7 +1967,7 @@ def tpch_q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -2074,7 +2115,7 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -2094,7 +2135,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
     )
@@ -2150,7 +2191,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tpch_q19_disjunctive_revenue",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -2174,7 +2215,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((br == "Brand#34") & sz.between(1, 15) & q.between(20, 30))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "revenue"
         )
     )
@@ -2184,9 +2225,10 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_idle_customers",
     """
     SELECT c_mktsegment, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / count(c_acctbal)
+                       FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c_mktsegment
@@ -2203,7 +2245,9 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
     )
     thresh = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("threshold")
+        (F.sum(F.col("c_acctbal").cast(_DEC6)).cast("double") / F.count("c_acctbal")).alias(
+            "threshold"
+        )
     )
     return (
         cust.crossJoin(F.broadcast(thresh))
@@ -2212,7 +2256,7 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _dsum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -2222,7 +2266,8 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_gapfill_ffill",
     """
     WITH hourly AS (
-        SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 3) AS v
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value), 3) AS v
         FROM events WHERE user_id < 5 GROUP BY user_id, date_trunc('hour', ts)),
     span AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY user_id),
     grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
@@ -2434,9 +2479,9 @@ def fn_null_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_time_frame",
     """
     SELECT event_id, user_id,
-           round(sum(value) OVER (
+           CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER (
              PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS v_1h
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS v_1h
     FROM events WHERE user_id < 20
     """,
 )
@@ -2451,7 +2496,9 @@ def window_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-3600, Window.currentRow)
     )
     return ev.select(
-        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("v_1h")
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast(_DEC6)).over(w), 2).cast("double").alias("v_1h"),
     )
 
 
@@ -2509,7 +2556,8 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tpch_q7_volume_shipping",
     """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(round(sum(CAST(volume AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -2558,9 +2606,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
 
@@ -2569,8 +2615,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q8_market_share",
     """
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           round(CAST(sum(CAST(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END
+                               AS DECIMAL(25,6))) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(25,6))) AS DOUBLE), 4) AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -2615,8 +2662,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_1", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
+                _dsum_raw(F.when(F.col("nation") == "NATION_1", vol).otherwise(F.lit(0.0)))
+                / _dsum_raw(vol),
                 4,
             ).alias("mkt_share")
         )
@@ -2626,7 +2673,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tpch_q9_profit_by_nation_year",
     """
-    SELECT nation, o_year, round(sum(volume), 2) AS sum_profit
+    SELECT nation, o_year, CAST(round(sum(CAST(volume AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume
@@ -2657,9 +2704,7 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_profit")
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_profit")
         )
     )
 
@@ -2667,7 +2712,7 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tpch_q17_small_quantity_revenue",
     """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#17'
       AND l_quantity < (
@@ -2692,7 +2737,7 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .join(thresh, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(_dsum_raw("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
 
 
@@ -2822,7 +2867,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "agg_skew_salted_two_phase",
     """
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    SELECT event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -2838,10 +2883,10 @@ def agg_skew_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     salted = ev.groupBy(
         "event_type", (F.col("event_id") % 32).alias("_salt")
-    ).agg(F.count("*").alias("pn"), F.sum("value").alias("pv"))
+    ).agg(F.count("*").alias("pn"), F.sum(F.col("value").cast(_DEC6)).alias("pv"))
     return salted.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
-        F.round(F.sum("pv"), 2).alias("total_value"),
+        F.round(F.sum("pv"), 2).cast("double").alias("total_value"),
     )
 
 
@@ -2851,7 +2896,7 @@ def agg_skew_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           round(sum(value * length(event_type)), 2) AS weighted_value
+           CAST(round(sum(CAST(value * length(event_type) AS DECIMAL(25,6))), 2) AS DOUBLE) AS weighted_value
     FROM events
     GROUP BY event_type
     """,
@@ -2880,9 +2925,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
-                "weighted_value"
-            ),
+            _dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
         )
     )
 
@@ -3343,8 +3386,8 @@ def retention_hourly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT d.lang,
            CAST(count(*) AS BIGINT) AS n,
-           floor(avg(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
-                 x -> x * x)))) * 10000) / 10000.0 AS avg_l2,
+           floor(CAST(sum(CAST(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                 x -> x * x))) AS DECIMAL(25,6))) AS DOUBLE) / count(*) * 10000) / 10000.0 AS avg_l2,
            floor(min(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
                  x -> x * x)))) * 10000) / 10000.0 AS min_l2
     FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
@@ -3370,7 +3413,15 @@ def embed_norm_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").alias("n"),
-            (F.floor(F.avg("l2") * 10000) / 10000.0).alias("avg_l2"),
+            # Numerator accumulates in fixed-point (l2 rounded to 6 decimals
+            # identically in both engines) so the avg is order-independent
+            # and the floor cannot flip across shuffle orders.
+            (
+                F.floor(
+                    F.sum(F.col("l2").cast(_DEC6)).cast("double") / F.count("*") * 10000
+                )
+                / 10000.0
+            ).alias("avg_l2"),
             (F.floor(F.min("l2") * 10000) / 10000.0).alias("min_l2"),
         )
     )

@@ -30,14 +30,19 @@ TABLES = (
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Make the loader self-contained under ANY SparkSession.
 
-    The testdata's ``events.parquet`` carries ``TIMESTAMP(NANOS)``, which
-    vanilla Spark rejects with PARQUET_TYPE_ILLEGAL unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is set.  Both confs are
-    runtime-settable SQL confs, so set them here rather than relying on the
-    builder in ``session.py`` — callers (e.g. an external harness) may inject
-    their own plain session.
+    Historical testdata generations carried ``TIMESTAMP(NANOS)`` events,
+    which vanilla Spark rejects with PARQUET_TYPE_ILLEGAL unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set; current generations
+    carry ``timestamp[us]`` without a timezone, which Spark 4 would read as
+    TIMESTAMP_NTZ — a type that forbids the epoch casts the catalog uses
+    and diverges from DuckDB's naive-timestamp semantics.  Disabling NTZ
+    inference reads them as plain TIMESTAMP under the UTC session, the same
+    values either way.  All three are runtime-settable SQL confs, so set
+    them here rather than relying on the builder in ``session.py`` —
+    callers (e.g. an external harness) may inject their own plain session.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 

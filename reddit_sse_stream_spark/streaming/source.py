@@ -127,8 +127,12 @@ def _read_feed_batches(path: str, stream: str, start_id: int, end_id: int):
         domain = pa.nulls(n, pa.string())
         over_18 = pa.nulls(n, pa.bool_())
         is_self = pa.nulls(n, pa.bool_())
-    # ts is TIMESTAMP(NANOS) in the testdata parquet: int-div nanos -> seconds
-    created_utc = pc.divide(pc.cast(tbl["ts"], pa.int64()), 1_000_000_000)
+    # ts unit varies across testdata generations (ns in early rounds, us
+    # now): int-div by the unit's ticks-per-second -> epoch seconds
+    _ticks = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+    created_utc = pc.divide(
+        pc.cast(tbl["ts"], pa.int64()), _ticks[tbl["ts"].type.unit]
+    )
     out = pa.table(
         {
             "id": event_id,

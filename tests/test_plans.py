@@ -130,7 +130,9 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
 def test_q4_semi_join_and_date_pushdown(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q4_order_priority")
     assert "LeftSemi" in plan
-    assert "GreaterThanOrEqual(o_orderdate,1996-01-01T00:00" in plan  # pushed to scan
+    # pushed to scan (timestamp renders as "1996-01-01 00:00:00.0" for LTZ,
+    # "1996-01-01T00:00" for NTZ — accept either)
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
     assert "CartesianProduct" not in plan
 
 

@@ -50,16 +50,28 @@ def test_any_prefix_of_oracled_queries_is_fully_oracled():
     assert names[-len(unoracled) :] == unoracled
 
 
-def test_newly_fixed_rows_are_in_front_for_reverification():
-    """The round-2 red rows (values fixed in round 3) have no prior green
-    record, so the generic rule must surface them for external
-    re-verification."""
+def test_unproven_rows_are_in_front_for_verification():
+    """After the round-3 rotation, rows the driver has never hash-verified
+    (the analytics tail, decontam variants, md5 dedup twins, ...) plus the
+    one r03-red row (tpch_q9) must occupy the front of the 50-slot window,
+    while rows already proven green (e.g. the round-2 fixes, all green in
+    r03) must have rotated OUT of the front."""
     names = list(QUERIES)
-    fixed = {
+    front = set(names[:50])
+    never_checked = {
+        "tpch_q9_profit_by_nation_year",  # red in r03 (reassociation cent)
+        "funnel_view_click_purchase",
+        "decontam_ngram_overlap",
+        "fn_sequence_range",
+        "embed_norm_stats_by_lang",
+        "media_features_meta",
+    }
+    assert never_checked & set(QUERIES) <= front
+    r03_green = {
         "a2_bytes_total",
         "s8_keepalive_counters",
         "sessionize_events",
         "udf_pandas_scalar_charge",
         "pack_sequences_by_source",
     }
-    assert fixed <= set(names[:50])
+    assert r03_green <= _PRIOR_DRIVER_GREEN

@@ -239,25 +239,28 @@ def near_dup_pairs_lsh(
     Matches the minhash-LSH banding shape in ``operators/dedup.py`` — same
     join geometry, cosine instead of Jaccard.
     """
-    # No .cache() on the bucket frame: both sides of the self-join are the
-    # IDENTICAL subplan shuffled on the same (tbl, bucket) key, so
-    # Catalyst's ReuseExchange runs the Arrow bucketing kernel once and
-    # feeds both join inputs from the same shuffle files (measured: plain
-    # == cached wall-clock at sf0.1).  An earlier version cached here and
-    # never unpersisted, pinning a new bucket frame in executor storage per
-    # invocation for the session's lifetime — bench/scale sweeps run many
-    # queries on one session, so that leak compounded.
+    # Single-pass candidate generation.  A bucket self-join would run the
+    # Arrow bucketing kernel once PER JOIN SIDE: the two sides differ by an
+    # alias projection, Catalyst/AQE does not fire ReuseExchange for the
+    # mapInPandas subplan (verified on the executed post-AQE plan: zero
+    # ReusedExchange, two bucketing MapInPandas nodes), and at 100 TB a
+    # second kernel run is a full extra scan of the corpus embeddings.
+    # Caching the frame fixes the double scan but pins executor storage
+    # until someone unpersists — a leak across bench/scale sweeps that run
+    # many queries on one session.  Instead, group each (tbl, bucket)'s ids
+    # and explode the within-bucket pairs: ONE kernel pass, ONE shuffle on
+    # the bucket key (vs two join exchanges), no persistence, nothing to
+    # clean up.  Work per bucket is the same m^2 the join would do; a
+    # degenerate hot bucket lands on one task either way (LSH plane count
+    # is the knob that bounds bucket size).
     buckets = hyperplane_buckets_arrow(emb, n_planes, n_tables, id_col, vec_col, dim)
-    left = buckets.select(
-        F.col("tbl"), F.col("bucket"), F.col(id_col).alias("id_a")
-    )
-    right = buckets.select(
-        F.col("tbl"), F.col("bucket"), F.col(id_col).alias("id_b")
-    )
     cand = (
-        left.join(right, ["tbl", "bucket"])
+        buckets.groupBy("tbl", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.col("ids"), F.explode("ids").alias("id_a"))
+        .select(F.col("id_a"), F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
     a = emb.select(

@@ -217,6 +217,26 @@ def test_cosine_near_dup_lsh_invariants(spark, sf_dir):
         assert abs(score - exact[pair]) <= 1e-4 + 1e-12
 
 
+def test_cosine_near_dup_lsh_single_bucketing_pass_no_storage_leak(spark, sf_dir):
+    """Regression (VERDICT r03): the bucket self-join ran the Arrow
+    bucketing kernel once per join side (no ReuseExchange for mapInPandas
+    subplans), and the earlier cache fix leaked executor storage.  The
+    grouped-explode candidate generator must show exactly ONE bucketing
+    MapInPandas in the executed plan (plus one for the scoring kernel) and
+    leave nothing persisted after the action."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    df = similarity.near_dup_pairs_lsh(emb, threshold=0.2, n_planes=6, n_tables=4)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString repeats the tree under "== Initial Plan ==" — count
+    # kernels in the executed (final) section only.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 2, plan
+    after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    assert after <= before, f"persistent RDDs leaked: {after - before}"
+
+
 # -------------------------------------------------------------- multimodal
 
 

@@ -98,20 +98,35 @@ def fingerprint(text: Column | str, length: int = 16) -> Column:
 def word_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     """Explode each document into its word n-grams: (doc_id, gram).
 
-    Pure built-ins (split -> sequence -> explode -> slice -> array_join), so
-    the expansion happens inside whole-stage codegen per input row — no
-    shuffle, no UDF.  Docs shorter than n words contribute no rows (the
-    ``when`` guard: Spark's ``sequence(1, 0)`` would count DOWN with an
-    implicit -1 step, so an unguarded expression explodes garbage)."""
+    Pure built-ins, no shuffle, no Python.  The whole gram array is built
+    INSIDE the explode argument (split -> transform(sequence) -> explode):
+    Generate evaluates its child once per input row, so ``split(text)``
+    runs once per document.  The earlier formulation sliced the token
+    array in a projection ABOVE the Generate — Catalyst re-inlined
+    ``split(text)`` under it, making the expansion O(doc_len x n_grams)
+    per document, the repo's worst scaler on the 100x sweep (SCALING.md;
+    VERDICT r03 next-round #5).  Per-gram work is now a length-n slice +
+    join of materialized tokens: O(doc_len) overall for fixed n.
+
+    Docs shorter than n words contribute no rows (the ``when`` guard:
+    Spark's ``sequence(1, 0)`` would count DOWN with an implicit -1 step,
+    so an unguarded expression explodes garbage)."""
     w = F.split(F.col(text_col), r"\s+")
-    idx = F.when(
-        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return df.select(
-        "doc_id", F.explode(idx).alias("_i"), w.alias("_w")
-    ).select(
-        "doc_id", F.array_join(F.slice("_w", F.col("_i"), n), " ").alias("gram")
-    )
+    # Materialization barrier: explode of a 1-element array evaluates
+    # split(text) ONCE per row inside the Generate and emits the token
+    # array as a concrete attribute.  Downstream expressions reference
+    # that attribute, so Catalyst has nothing to re-inline (projections
+    # collapse and HOF lambdas re-evaluate captured EXPRESSIONS per
+    # element, but an attribute is just a row value).
+    tok = df.select("doc_id", F.explode(F.array(w)).alias("_w"))
+    grams = F.when(
+        F.size("_w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+            lambda i: F.array_join(F.slice("_w", i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return tok.select("doc_id", F.explode(grams).alias("gram"))
 
 
 def word_ngram_hashes(

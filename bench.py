@@ -71,18 +71,24 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # min of 2 runs per query: the machine hosts other JVMs, and a single
-    # sample absorbs their scheduling noise; the minimum is the standard
-    # low-variance estimator for wall-time benchmarks.
+    # median of 3 runs per query (VERDICT r03 #6): the machine hosts other
+    # JVMs and the single-run noise band (±10%) is as large as regressions
+    # worth chasing; the median rejects one-sided scheduling outliers while
+    # staying an honest central estimate.  min/max spread is reported so a
+    # reader can tell a real regression from noise.
+    n_runs = 3
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(n_runs):
             start = time.perf_counter()
             df = QUERIES[name].spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - start)
+        samples.sort()
+        times[name] = round(samples[n_runs // 2], 3)
+        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     total = round(sum(times.values()), 3)
     # throughput context vs BASELINE.md: the reference's designed ceiling is
@@ -97,6 +103,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
+                "runs_per_query": n_runs,
                 "sf": sf,
                 "feed_events": n_events,
                 "pipeline_events_per_sec": round(n_events / pipeline_sec, 1),

@@ -747,14 +747,33 @@ def aggx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("aggx_approx_distinct", None)
+@_register(
+    "aggx_approx_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_exact,
+           1 AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def aggx_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). No oracle: DuckDB's approx sketch is a
-    different algorithm, so values legitimately differ — rows-only check."""
+    """approx_count_distinct (HLL++) with an externally-checkable CONTRACT:
+    DuckDB's sketch is a different algorithm, so the raw approx value can't
+    be hash-compared — instead the query emits the exact count plus a
+    within-5%-of-exact flag (HLL++ at rsd=0.01 has enormous margin), and
+    the oracle asserts the flag.  A sketch regression (wrong merge, wrong
+    rsd handling) flips the flag and fails the external hash check; the
+    raw approx value itself stays pytest-band-checked."""
+    hll = F.approx_count_distinct("user_id", 0.01)
+    exact = F.count_distinct("user_id")
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            exact.alias("n_exact"),
+            (F.abs(hll - exact) <= 0.05 * exact).cast("int").alias(
+                "approx_within_5pct"
+            ),
+        )
     )
 
 
@@ -1149,14 +1168,21 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("dedup_minhash_lsh", None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates verified with exact Jaccard (>= 0.8).
-    xxhash64-based — not expressible in DuckDB -> rows-only check."""
+    No oracle BY DESIGN: the hash family is xxhash64 (JVM codegen, not
+    expressible in DuckDB) -> rows-only check here; full value-level
+    verification lives in the md5-hash-family twin
+    ``dedup_minhash_md5``, which IS driver-hash-checked, plus a pinned
+    cross-impl equality test (tests/test_operators.py)."""
     return dedup.near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
 @_register("dedup_simhash", None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints grouped to exact-duplicate clusters (hamming-0);
-    xxhash64-based -> rows-only check."""
+    """SimHash fingerprints grouped to exact-duplicate clusters (hamming-0).
+    No oracle BY DESIGN: xxhash64 token hashes are not expressible in
+    DuckDB -> rows-only check here; the md5-hash-family twin
+    ``dedup_simhash_md5`` carries the driver-checked value oracle, and
+    cross-impl equality is pinned in tests."""
     docs = _t(spark, sf_dir, "documents")
     sh = dedup.simhash(docs)
     return sh.groupBy("simhash").agg(
@@ -1240,7 +1266,11 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched
     mapInPandas feature extraction (decode step is a deterministic fake —
-    container has no codecs; see operators/multimodal.py)."""
+    container has no codecs; see operators/multimodal.py).  No oracle BY
+    DESIGN: the payload is opaque binary built Arrow-side, so DuckDB can't
+    recompute the checksum -> rows-only check here; the metadata twin
+    ``media_features_meta`` (same plumbing minus the binary) carries the
+    driver-checked value oracle."""
     media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media)
     return feats.select("media_id", "kind", "n_bytes", "checksum")
@@ -1863,15 +1893,52 @@ def text_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select("doc_id", pred_expr.alias("lang_pred"))
 
 
-@_register("aggx_approx_quantiles", None)
+@_register(
+    "aggx_approx_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 3) AS p50_exact,
+           round(quantile_cont(value, 0.99), 3) AS p99_exact,
+           1 AS approx_within_band
+    FROM events GROUP BY event_type
+    """,
+)
 def aggx_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (t-digest-style sketch) — the 100 TB companion to
-    fn_percentiles' exact form. No oracle: DuckDB's approx_quantile is a
-    different sketch, so values legitimately differ (rows-only check)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
+    """percentile_approx (Greenwald-Khanna sketch) — the 100 TB companion
+    to fn_percentiles' exact form — with an externally-checkable CONTRACT:
+    DuckDB's approx_quantile is a different sketch, so the raw approx
+    values can't be hash-compared — instead the query emits the exact
+    percentiles (value-parity with DuckDB's quantile_cont is proven by
+    fn_percentiles) plus a flag asserting the sketch's ACTUAL guarantee —
+    rank error: the exact rank of each returned approx value (recounted
+    against the group) must bracket the target rank within n/accuracy + 1
+    (the +1 absorbs the discrete-vs-interpolated convention offset; a
+    value-distance band is NOT the sketch's contract — on a sparse tail
+    the adjacent data point legitimately sits a whole gap away).  The
+    oracle asserts the flag; raw approx values stay pytest-band-checked."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    ap = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 3).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.99)"), 3).alias("p99_exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50a"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99a"),
+        F.count("*").alias("n"),
+    )
+    j = ev.join(F.broadcast(ap), "event_type")
+
+    def _rank_ok(approx_col: str, p: float):
+        lt = F.sum((F.col("value") < F.col(approx_col)).cast("long"))
+        le = F.sum((F.col("value") <= F.col(approx_col)).cast("long"))
+        slack = F.first("n") / 10000 + 1
+        target = p * F.first("n")
+        return (lt - slack <= target) & (target <= le + slack)
+
+    return j.groupBy("event_type").agg(
+        F.first("p50_exact").alias("p50_exact"),
+        F.first("p99_exact").alias("p99_exact"),
+        (_rank_ok("p50a", 0.5) & _rank_ok("p99a", 0.99)).cast("int").alias(
+            "approx_within_band"
+        ),
     )
 
 
@@ -2536,8 +2603,13 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("knn_ivf_cells", None)
 def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN scale path: KMeans coarse quantizer on the unit sphere,
-    probe the 2 nearest cells only (operators/ml_lsh.py). KMeans init is
-    seeded but float-order-dependent -> rows-only check."""
+    probe the 2 nearest cells only (operators/ml_lsh.py).  No oracle BY
+    DESIGN (genuinely non-deterministic across engines): KMeans is seeded
+    but its float reductions are partitioning-order-dependent, so cell
+    assignments — and therefore which candidates are probed — can differ
+    between runs/engines -> rows-only check; recall-vs-brute-force is
+    band-checked in pytest, and the deterministic LSH bucket path
+    (``knn_lsh_bucketed``) carries the driver-checked value oracle."""
     from reddit_sse_stream_spark.operators.ml_lsh import ivf_topk_cosine
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -155,9 +155,16 @@ def test_approx_distinct_error_band(spark, duck, sf_dir):
     the exact count per group."""
     from reddit_sse_stream_spark.plans.catalog import QUERIES
 
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.sources.tables import load_table
+
     approx = {
-        tuple(r)[0]: tuple(r)[1]
-        for r in QUERIES["aggx_approx_distinct"].spark(spark, sf_dir).collect()
+        r["event_type"]: r["approx_users"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .collect()
     }
     exact = {
         k: v
@@ -168,6 +175,9 @@ def test_approx_distinct_error_band(spark, duck, sf_dir):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
+    # the catalog query's externally-checked contract flag must agree
+    flags = QUERIES["aggx_approx_distinct"].spark(spark, sf_dir).collect()
+    assert all(r["approx_within_5pct"] == 1 for r in flags)
 
 
 def test_approx_quantiles_error_band(spark, duck, sf_dir):
@@ -176,9 +186,19 @@ def test_approx_quantiles_error_band(spark, duck, sf_dir):
     of the group's value range."""
     from reddit_sse_stream_spark.plans.catalog import QUERIES
 
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.sources.tables import load_table
+
     approx = {
         r["event_type"]: (r["p50_approx"], r["p99_approx"])
-        for r in QUERIES["aggx_approx_quantiles"].spark(spark, sf_dir).collect()
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
+        )
+        .collect()
     }
     exact = {
         k: (p50, p99, hi - lo)
@@ -192,6 +212,9 @@ def test_approx_quantiles_error_band(spark, duck, sf_dir):
         tol = max(0.05 * spread, 1e-9)
         assert abs(approx[k][0] - p50) <= tol, (k, approx[k][0], p50)
         assert abs(approx[k][1] - p99) <= tol, (k, approx[k][1], p99)
+    # the catalog query's externally-checked contract flag must agree
+    flags = QUERIES["aggx_approx_quantiles"].spark(spark, sf_dir).collect()
+    assert all(r["approx_within_band"] == 1 for r in flags)
 
 
 def test_freq_items_superset_of_exact_heavy_hitters(spark, sf_dir):

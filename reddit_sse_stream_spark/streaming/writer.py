@@ -23,11 +23,16 @@ Rows must carry the feed columns ``id``, ``event``, ``json``
 Commit protocol: a failed/partial job leaves only ``*.tmp`` files (swept by
 ``abort``), never a visible partial output.  Scale shape: one file per
 partition, frames assembled executor-side, no driver data movement.
+
+Every filesystem touch goes through the :mod:`fsops` seam
+(``ArchiveFS``): the commit protocol assumes POSIX atomic rename and
+read-after-write listing — true on local/shared filesystems, NOT on
+object stores; an S3/GCS archive drops in by implementing ArchiveFS with
+a rename-free commit (see fsops.py docstring).
 """
 
 from __future__ import annotations
 
-import os
 import uuid
 from collections.abc import Iterator
 from dataclasses import dataclass
@@ -41,6 +46,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from reddit_sse_stream_spark.streaming.fsops import ArchiveFS, fs_for_path, iter_frames
 from reddit_sse_stream_spark.streaming.sink import format_frame
 
 #: schema served by the batch reader (the wire-format fields)
@@ -54,9 +60,9 @@ class _Committed(WriterCommitMessage):
     n_rows: int
 
 
-def _write_rows(rows, tmp_path: str) -> int:
+def _write_rows(fs: ArchiveFS, rows, tmp_path: str) -> int:
     n = 0
-    with open(tmp_path, "w", encoding="utf-8") as fh:
+    with fs.open_write(tmp_path) as fh:
         for row in rows:
             fh.write(format_frame(row["id"], row["event"], row["json"]))
             n += 1
@@ -64,33 +70,34 @@ def _write_rows(rows, tmp_path: str) -> int:
 
 
 class _SSEFilesWriterBase:
-    def __init__(self, options):
+    def __init__(self, options, fs: ArchiveFS | None = None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sse_files sink requires option 'path'")
+        self.fs = fs if fs is not None else fs_for_path(self.path)
 
     def _write_tmp(self, iterator: Iterator) -> _Committed:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        os.makedirs(self.path, exist_ok=True)
+        self.fs.makedirs(self.path)
         # attempt-unique temp name: two attempts of the same task can never
         # collide; only the committed attempt's file gets renamed into place
-        tmp = os.path.join(self.path, f".tmp-{pid:05d}-{uuid.uuid4().hex}")
-        n = _write_rows(iterator, tmp)
+        tmp = self.fs.join(self.path, f".tmp-{pid:05d}-{uuid.uuid4().hex}")
+        n = _write_rows(self.fs, iterator, tmp)
         return _Committed(tmp, pid, n)
 
     def _finalize(self, messages, stem_fmt: str) -> None:
-        os.makedirs(self.path, exist_ok=True)
+        self.fs.makedirs(self.path)
         for m in messages:
             if m is not None:
-                final = os.path.join(self.path, stem_fmt.format(pid=m.partition_id))
-                os.replace(m.tmp_path, final)
+                final = self.fs.join(self.path, stem_fmt.format(pid=m.partition_id))
+                self.fs.replace(m.tmp_path, final)
 
     def _abort(self, messages) -> None:
         for m in messages:
-            if m is not None and os.path.exists(m.tmp_path):
-                os.remove(m.tmp_path)
+            if m is not None and self.fs.exists(m.tmp_path):
+                self.fs.remove(m.tmp_path)
 
 
 class SSEFilesBatchWriter(_SSEFilesWriterBase, DataSourceWriter):
@@ -124,14 +131,14 @@ class SSEFilesStreamWriter(_SSEFilesWriterBase, DataSourceStreamWriter):
             stem_fmt.format(pid=m.partition_id) for m in messages if m is not None
         }
         prefix = f"batch-{batchId:010d}-part-"
-        if os.path.isdir(self.path):
-            for name in os.listdir(self.path):
+        if self.fs.isdir(self.path):
+            for name in self.fs.listdir(self.path):
                 if name.startswith(prefix) and name.endswith(".sse") and name not in expected:
-                    os.remove(os.path.join(self.path, name))
+                    self.fs.remove(self.fs.join(self.path, name))
         self._finalize(messages, stem_fmt)
-        for name in os.listdir(self.path):
+        for name in self.fs.listdir(self.path):
             if name.startswith(".tmp-"):
-                os.remove(os.path.join(self.path, name))
+                self.fs.remove(self.fs.join(self.path, name))
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         self._abort(messages)
@@ -148,34 +155,21 @@ class SSEFilesReader(DataSourceReader):
     write parallelism); frames parse back into (id, event, json) rows —
     the inverse of :func:`format_frame`, executor-side."""
 
-    def __init__(self, options):
+    def __init__(self, options, fs: ArchiveFS | None = None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sse_files source requires option 'path'")
+        self.fs = fs if fs is not None else fs_for_path(self.path)
 
     def partitions(self):
         return [
-            _SSEFilePartition(os.path.join(self.path, p))
-            for p in sorted(os.listdir(self.path))
+            _SSEFilePartition(self.fs.join(self.path, p))
+            for p in sorted(self.fs.listdir(self.path))
             if p.endswith(".sse")
         ]
 
     def read(self, partition: _SSEFilePartition):
-        fields: dict[str, str] = {}
-        with open(partition.path, encoding="utf-8") as fh:
-            for raw in fh:
-                line = raw.rstrip("\n")
-                if line == "":
-                    if fields:
-                        yield (
-                            int(fields["id"]),
-                            fields.get("event"),
-                            fields.get("data"),
-                        )
-                    fields = {}
-                elif ":" in line:
-                    k, v = line.split(":", 1)
-                    fields[k.strip()] = v.lstrip()
+        yield from iter_frames(self.fs, partition.path)
 
 
 class SSEFilesDataSource(DataSource):

@@ -213,6 +213,88 @@ def test_stream_commit_sweeps_stale_replay_files_and_tmps(tmp_path):
     assert (out / "batch-0000000001-part-00000.sse").read_text() == "fresh-0\n"
 
 
+class _FakeFS:
+    """In-memory ArchiveFS: proves the commit protocol touches the
+    filesystem ONLY through the seam (an object-store implementation is a
+    drop-in)."""
+
+    def __init__(self):
+        import io
+
+        self.files: dict[str, str] = {}
+        self._io = io
+
+    def makedirs(self, path):
+        pass
+
+    def open_write(self, path):
+        io, files = self._io, self.files
+
+        class _W(io.StringIO):
+            def __exit__(s, *a):
+                files[path] = s.getvalue()
+                return False
+
+        return _W()
+
+    def open_read(self, path):
+        return self._io.StringIO(self.files[path])
+
+    def replace(self, src, dst):
+        self.files[dst] = self.files.pop(src)
+
+    def remove(self, path):
+        del self.files[path]
+
+    def exists(self, path):
+        return path in self.files
+
+    def isdir(self, path):
+        return True
+
+    def listdir(self, path):
+        import os as _os
+
+        return [_os.path.basename(k) for k in self.files]
+
+    def join(self, *parts):
+        import os as _os
+
+        return _os.path.join(*parts)
+
+
+def test_stream_commit_protocol_runs_entirely_through_fs_seam():
+    """Replay cleanup + finalize + tmp sweep against a pure in-memory FS:
+    no os call escapes the ArchiveFS interface, so an S3/GCS ArchiveFS is
+    a drop-in (VERDICT r03 #8)."""
+    import reddit_sse_stream_spark.streaming.writer as W
+
+    fs = _FakeFS()
+    out = "/archive"
+    fs.files["/archive/batch-0000000001-part-00002.sse"] = "stale\n"
+    fs.files["/archive/.tmp-00009-orphan"] = "orphan\n"
+    w = W.SSEFilesStreamWriter({"path": out}, fs=fs)
+    for pid in (0, 1):
+        fs.files[f"/archive/.tmp-{pid:05d}-a2"] = f"fresh-{pid}\n"
+    msgs = [W._Committed(f"/archive/.tmp-{pid:05d}-a2", pid, 1) for pid in (0, 1)]
+    w.commit(msgs, batchId=1)
+    assert sorted(fs.files) == [
+        "/archive/batch-0000000001-part-00000.sse",
+        "/archive/batch-0000000001-part-00001.sse",
+    ]
+    assert fs.files["/archive/batch-0000000001-part-00000.sse"] == "fresh-0\n"
+
+
+def test_cloud_scheme_paths_are_rejected_with_pointer():
+    from reddit_sse_stream_spark.streaming.fsops import fs_for_path
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="rename-free"):
+        fs_for_path("s3://bucket/archive")
+    assert fs_for_path("/local/path").__class__.__name__ == "LocalFS"
+
+
 def test_sse_files_roundtrip_write_then_read(spark, sf_dir, tmp_path):
     """write -> read round-trip: the archive reader reproduces the exact
     (id, event, json) rows that were framed, one partition per file."""

@@ -46,7 +46,7 @@ def gap_fill_ffill(
         events.groupBy(key_col, F.date_trunc("hour", F.col(ts_col)).alias("h"))
         .agg(
             F.round(
-                F.sum(F.col(val_col).cast("decimal(25,6)")).cast("double")
+                F.sum(F.col(val_col).cast("decimal(18,6)")).cast("double")
                 / F.count(val_col),
                 3,
             ).alias("v")

@@ -107,13 +107,18 @@ def _feed_sql(where: str) -> str:
 # and flip round(sum(x), 2) by one cent (seen on tpch_q9: 1/175 rows,
 # VERDICT r03).  Every monetary testdata column carries <= 2 decimals, so
 # their 2- and 3-factor products carry <= 6: casting each addend to
-# DECIMAL(25,6) is EXACT, which turns the aggregate into a fixed-point
+# DECIMAL(18,6) is EXACT, which turns the aggregate into a fixed-point
 # integer sum — associative, order-independent, and bit-identical between
 # Spark and DuckDB (both round decimal ties HALF_UP away from zero; verified
 # on 2.345/-2.345/2.335).  The rounded result is cast back to DOUBLE so the
 # driver-compared schema stays double on both sides.
+#
+# Precision 18 on purpose: <= 18 digits keeps Spark's Decimal compact
+# (long-backed) and DuckDB's int64-backed — precision 25 forced BigDecimal
+# per row and made tpch_q1 4x slower.  Per-row values are bounded by ~1.2e5
+# (decimal(18,6) holds 1e12); only the SUM accumulator widens past 18.
 
-_DEC6 = "decimal(25,6)"
+_DEC6 = "decimal(18,6)"
 
 
 def _dsum(col, nd: int = 2):
@@ -401,13 +406,13 @@ def s8_keepalive_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_qty,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -440,7 +445,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -483,7 +488,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tpch_q5_region_revenue",
     """
-    SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
+    SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -530,7 +535,7 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tpch_q6_forecast_revenue",
     """
-    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
@@ -585,7 +590,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_star_counts",
     """
     SELECT r_name, n_name, count(*) AS n_customers,
-           CAST(round(sum(CAST(c_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_acctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name
@@ -677,7 +682,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggx_rollup_orders",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
@@ -694,7 +699,7 @@ def aggx_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggx_cube_events",
     """
     SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n,
-           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY CUBE (event_type, user_id % 10)
     """,
 )
@@ -709,7 +714,7 @@ def aggx_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "aggx_grouping_sets",
     """
-    SELECT l_returnflag, l_linestatus, CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_qty
+    SELECT l_returnflag, l_linestatus, CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
     """,
@@ -720,7 +725,7 @@ def aggx_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
-        SELECT l_returnflag, l_linestatus, CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_qty
+        SELECT l_returnflag, l_linestatus, CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         """
@@ -782,7 +787,7 @@ def aggx_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            round(min(value), 2) AS min_v, round(max(value), 2) AS max_v,
-           round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value), 3) AS avg_v,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 3) AS avg_v,
            round(stddev_samp(value), 3) AS sd_v,
            round(median(value), 3) AS med_v
     FROM events GROUP BY event_type
@@ -839,7 +844,7 @@ def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum_per_user",
     """
     SELECT event_id, user_id,
-           CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_value
     FROM events
     """,
@@ -1409,7 +1414,7 @@ def fn_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_datetime_buckets",
     """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n,
-           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM events WHERE event_type = 'purchase'
     GROUP BY date_trunc('day', ts), hour(ts)
     """,
@@ -1830,7 +1835,7 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events, (SELECT unnest([0, 1800]) AS offs) o
       WHERE floor(epoch(ts) / 1800) * 1800 - offs + 3600 > epoch(ts)
     )
-    SELECT win_start, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+    SELECT win_start, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM slid GROUP BY win_start
     """,
 )
@@ -2003,7 +2008,7 @@ def aggx_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_customers",
     """
     SELECT c_custkey, c_name,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            n_name
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -2182,7 +2187,7 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -2258,7 +2263,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tpch_q19_disjunctive_revenue",
     """
-    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -2292,9 +2297,9 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_idle_customers",
     """
     SELECT c_mktsegment, count(*) AS numcust,
-           CAST(round(sum(CAST(c_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE) AS totacctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / count(c_acctbal)
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(c_acctbal)
                        FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
@@ -2334,7 +2339,7 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH hourly AS (
         SELECT user_id, date_trunc('hour', ts) AS h,
-               round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value), 3) AS v
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 3) AS v
         FROM events WHERE user_id < 5 GROUP BY user_id, date_trunc('hour', ts)),
     span AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY user_id),
     grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
@@ -2546,7 +2551,7 @@ def fn_null_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_time_frame",
     """
     SELECT event_id, user_id,
-           CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER (
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER (
              PARTITION BY user_id ORDER BY epoch(ts)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS v_1h
     FROM events WHERE user_id < 20
@@ -2629,7 +2634,7 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q7_volume_shipping",
     """
     SELECT supp_nation, cust_nation, l_year,
-           CAST(round(sum(CAST(volume AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
+           CAST(round(sum(CAST(volume AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -2688,8 +2693,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_year,
            round(CAST(sum(CAST(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END
-                               AS DECIMAL(25,6))) AS DOUBLE)
-                 / CAST(sum(CAST(volume AS DECIMAL(25,6))) AS DOUBLE), 4) AS mkt_share
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 4) AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -2745,7 +2750,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tpch_q9_profit_by_nation_year",
     """
-    SELECT nation, o_year, CAST(round(sum(CAST(volume AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_profit
+    SELECT nation, o_year, CAST(round(sum(CAST(volume AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume
@@ -2784,7 +2789,7 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tpch_q17_small_quantity_revenue",
     """
-    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#17'
       AND l_quantity < (
@@ -2939,7 +2944,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "agg_skew_salted_two_phase",
     """
-    SELECT event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+    SELECT event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -2968,7 +2973,7 @@ def agg_skew_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           CAST(round(sum(CAST(value * length(event_type) AS DECIMAL(25,6))), 2) AS DOUBLE) AS weighted_value
+           CAST(round(sum(CAST(value * length(event_type) AS DECIMAL(18,6))), 2) AS DOUBLE) AS weighted_value
     FROM events
     GROUP BY event_type
     """,
@@ -3459,7 +3464,7 @@ def retention_hourly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.lang,
            CAST(count(*) AS BIGINT) AS n,
            floor(CAST(sum(CAST(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
-                 x -> x * x))) AS DECIMAL(25,6))) AS DOUBLE) / count(*) * 10000) / 10000.0 AS avg_l2,
+                 x -> x * x))) AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 10000) / 10000.0 AS avg_l2,
            floor(min(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
                  x -> x * x)))) * 10000) / 10000.0 AS min_l2
     FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id

@@ -97,21 +97,25 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: search only the query's LSH bucket (single-probe).
     At scale the bucket column is a partition/cluster key, so this prunes
-    the scan itself, not just the compute."""
+    the scan itself, not just the compute.
+
+    Corpus bucketing runs in the Arrow matmul kernel
+    (:func:`hyperplane_buckets_arrow`, bucket-identical to
+    :func:`random_hyperplane_buckets` — pinned in tests); the interpreted
+    per-plane HOF version cost ~8x64 CodegenFallback evaluations per row.
+    The single query vector's bucket is plain numpy on the driver — it
+    would be a broadcast literal on a cluster either way."""
+    import numpy as np
+
     dim = len(query_vec)
-    buckets = random_hyperplane_buckets(emb, n_planes, id_col, vec_col, dim)
-    qdf_bucket = random_hyperplane_buckets(
-        emb.sparkSession.createDataFrame(
-            [(int(-1), [float(x) for x in query_vec])], f"{id_col} long, {vec_col} array<double>"
-        ),
-        n_planes,
+    planes = np.array(_lcg_planes(n_planes, dim, seed=0))
+    q = np.asarray(query_vec, dtype=np.float64)
+    q_bucket = int(((q @ planes.T >= 0) * (1 << np.arange(n_planes))).sum())
+    buckets = hyperplane_buckets_arrow(emb, n_planes, 1, id_col, vec_col, dim)
+    cand = emb.join(
+        buckets.filter(F.col("bucket") == q_bucket).select(id_col),
         id_col,
-        vec_col,
-        dim,
-    )
-    cand = (
-        emb.join(buckets, id_col)
-        .join(F.broadcast(qdf_bucket.select("bucket")), "bucket", "left_semi")
+        "left_semi",
     )
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 

@@ -767,11 +767,20 @@ def aggx_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-5%-of-exact flag (HLL++ at rsd=0.01 has enormous margin), and
     the oracle asserts the flag.  A sketch regression (wrong merge, wrong
     rsd handling) flips the flag and fails the external hash check; the
-    raw approx value itself stays pytest-band-checked."""
+    raw approx value itself stays pytest-band-checked.
+
+    Plan note: count_distinct and approx_count_distinct must NOT share one
+    aggregate — Catalyst's distinct-agg rewrite then carries a partial HLL
+    buffer (1639 longs) per (event_type, user_id) group through the first
+    shuffle (~500 MB at sf0.1).  Deduplicate first instead: HLL insertion
+    is idempotent, so the sketch over distinct (type, user) rows is
+    IDENTICAL, and the wide shuffle carries only the 2-column key."""
     hll = F.approx_count_distinct("user_id", 0.01)
-    exact = F.count_distinct("user_id")
+    exact = F.count("*")
     return (
         _t(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
         .groupBy("event_type")
         .agg(
             exact.alias("n_exact"),

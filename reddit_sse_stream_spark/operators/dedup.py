@@ -385,12 +385,18 @@ def minhash_md5_near_dups(
             ),
         )
     )
-    sh = (
-        docs.select("doc_id", words.alias("words"))
-        .filter(F.size("words") >= k)
-        .select("doc_id", sh_arr.alias("sh"))
+    # explode-of-1-element-array barriers (see text.py:word_ngrams): each
+    # stage's array becomes a concrete attribute, so CollapseProject can't
+    # re-inline split under the shingle transform (O(len x grams)) nor the
+    # md5 shingle array / signature fold into downstream lambdas (which
+    # would recompute the signature once PER BAND).
+    tok = docs.select("doc_id", F.explode(F.array(words)).alias("words")).filter(
+        F.size("words") >= k
     )
-    sig = sh.select("doc_id", _signature_col(num_hashes).alias("sig"))
+    sh = tok.select("doc_id", F.explode(F.array(sh_arr)).alias("sh"))
+    sig = sh.select(
+        "doc_id", F.explode(F.array(_signature_col(num_hashes))).alias("sig")
+    )
     rpb = num_hashes // bands
     banded = sig.select(
         "doc_id",

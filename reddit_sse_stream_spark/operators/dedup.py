@@ -123,14 +123,24 @@ def bloom_prefilter_new_docs(
     )
 
 
-def _shingles(text_col, k: int = 5):
-    """Word k-shingles as a deduped array (JVM-side: split + transform)."""
-    words = F.split(F.lower(text_col), r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+def _shingles_of(words_col, k: int = 5):
+    """Word k-shingles as a deduped array from a MATERIALIZED token-array
+    column.  Callers must pass an attribute (e.g. produced by the
+    explode-of-1-element-array barrier), not the split() expression —
+    CollapseProject re-inlines captured expressions into the transform
+    lambda, re-running split once per shingle (O(len x grams))."""
+    w = F.col(words_col) if isinstance(words_col, str) else words_col
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
     )
+
+
+def _tokens_barrier(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, _w): lower-cased whitespace tokens as a concrete attribute
+    (explode-of-1-element-array barrier: split runs once per row)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    return docs.select("doc_id", F.explode(F.array(words)).alias("_w"))
 
 
 def _coeffs(num_hashes: int) -> list[tuple[int, int]]:
@@ -145,11 +155,16 @@ def hashed_shingles(docs: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, sh array<bigint>) — xxhash64'd word k-shingles mod P.
 
     Computed once and shared by the signature, banding, and verify stages
-    (the text never needs re-parsing downstream)."""
-    return docs.select(
+    (the text never needs re-parsing downstream).  Tokens and the gram
+    array cross materialization barriers so neither split nor the gram
+    builder is re-inlined into the hashing lambda."""
+    grams = _tokens_barrier(docs).select(
+        "doc_id", F.explode(F.array(_shingles_of("_w", k))).alias("_g")
+    )
+    return grams.select(
         "doc_id",
         F.transform(
-            _shingles(F.col("text"), k), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
+            F.col("_g"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
         ).alias("sh"),
     )
 
@@ -466,8 +481,11 @@ def simhash(docs: DataFrame, bits: int = 64, hash_fn=None, impl: str = "arrow") 
     """
     if hash_fn is None:
         hash_fn = F.xxhash64
-    tokens = F.split(F.lower(F.col("text")), r"\s+")
-    th = docs.select("doc_id", F.transform(tokens, lambda t: hash_fn(t)).alias("th"))
+    # token barrier: hashing lambda sees an attribute, so split isn't
+    # re-inlined once per token
+    th = _tokens_barrier(docs).select(
+        "doc_id", F.transform(F.col("_w"), lambda t: hash_fn(t)).alias("th")
+    )
 
     if impl == "arrow":
         from pyspark.sql.functions import pandas_udf

@@ -4140,19 +4140,24 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
     ).withColumn("chunk", F.expr("(code >> (band * 15)) & 32767"))
-    l, r = banded.alias("l"), banded.alias("r")
+    # Grouped explode instead of a self-join: a join would execute the
+    # simhash kernel once PER SIDE (no ReuseExchange across mapInPandas
+    # subplans — same finding as near_dup_pairs_lsh).  Collect each
+    # (band, chunk)'s members once and emit within-chunk pairs.
+    grp = (
+        banded.groupBy("band", "chunk")
+        .agg(F.collect_list(F.struct("doc_id", "code")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
     cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+        grp.select(F.col("ms"), F.explode("ms").alias("a"))
+        .select(F.col("a"), F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("l.code").alias("code_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("r.code").alias("code_b"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.code").alias("code_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.code").alias("code_b"),
         )
         .distinct()
     )

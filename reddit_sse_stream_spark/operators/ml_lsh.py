@@ -113,16 +113,25 @@ def ivf_topk_cosine(
     # so the quantizer partitions by the metric the query actually uses.
     # Norm computed ONCE per row (not per element) and floored to avoid a
     # zero-vector division turning the cell assignment into NaNs.
-    arr = F.col("embedding").cast("array<double>")
-    unit = (
-        emb.withColumn("_norm", F.greatest(l2_norm(arr), F.lit(1e-12)))
-        .select(
-            "vec_id",
-            F.transform(arr, lambda x: x / F.col("_norm")).alias("embedding"),
-        )
+    # explode-of-1-element-array barrier: materialize the double array once
+    # so neither the norm fold nor the scale lambda re-inlines the cast per
+    # element (see operators/text.py:word_ngrams)
+    darr = emb.select(
+        "vec_id",
+        F.explode(F.array(F.col("embedding").cast("array<double>"))).alias("_v"),
+    )
+    unit = darr.withColumn(
+        "_norm", F.greatest(l2_norm(F.col("_v")), F.lit(1e-12))
+    ).select(
+        "vec_id",
+        F.transform(F.col("_v"), lambda x: x / F.col("_norm")).alias("embedding"),
     )
     vecs = _embedding_vectors(unit)
-    km = KMeans(k=n_cells, seed=_SEED, featuresCol="features", predictionCol="cell").fit(vecs)
+    # coarse quantizer: cell boundaries don't need full convergence, and
+    # each KMeans iteration is a full job — cap the iteration count
+    km = KMeans(
+        k=n_cells, seed=_SEED, maxIter=8, featuresCol="features", predictionCol="cell"
+    ).fit(vecs)
     assigned = km.transform(vecs).select("vec_id", "cell")
     q = np.asarray(list(query_vec), dtype=float)
     q = q / np.linalg.norm(q)

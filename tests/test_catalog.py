@@ -141,6 +141,38 @@ def test_round_half_boundary_rationale(spark, duck):
     assert raw_pd == raw_duck
 
 
+def test_fixed_point_sum_is_partitioning_invariant(spark, sf_dir):
+    """Regression for the tpch_q9 one-cent flip (VERDICT r03): double sums
+    reassociate across shuffle orders, so round(sum(double), 2) could land
+    on either side of a half-cent.  _dsum accumulates in exact fixed-point
+    decimal, so ANY partitioning must produce bit-identical rounded sums.
+    Drive the same aggregate through adversarially different partitionings
+    and require exact equality."""
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.plans.catalog import _dsum
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def agg(df):
+        rows = (
+            df.groupBy("l_returnflag")
+            .agg(_dsum(vol).alias("s"))
+            .collect()
+        )
+        return {r["l_returnflag"]: r["s"] for r in rows}
+
+    base = agg(li)
+    assert base == agg(li.repartition(1))
+    assert base == agg(li.repartition(64, "l_orderkey"))
+    # reversed sort order inside each partition = reversed addend order
+    assert base == agg(
+        li.repartition(7).sortWithinPartitions(F.desc("l_extendedprice"))
+    )
+
+
 def test_gate_flags_second_decimal_regression():
     """Regression for the round-2 blind spot: 47559.28 vs 47559.29 (banker's
     vs half-away rounding of 47559.285) normalized equal at 6 sig figs. The

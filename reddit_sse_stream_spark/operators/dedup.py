@@ -316,16 +316,21 @@ def _band_candidates(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFram
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Grouped explode instead of a self-join: a join executes the upstream
+    # signature subplan once PER SIDE (no ReuseExchange across
+    # mapInPandas/HOF subplans). Collect each (band, bucket)'s members once
+    # and emit within-bucket pairs; the pair-count groupBy preserves
+    # n_bands_matched.
+    grp = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        grp.select(F.col("ids"), F.explode("ids").alias("doc_a"))
+        .select(F.col("doc_a"), F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_bands_matched"))
     )
 
@@ -341,11 +346,15 @@ def near_dup_pairs(
     LSH banding, exact Jaccard verify.
 
     The feature frame feeds three consumers (banding + both sides of the
-    verify join), so it is cached — at 100 TB this trades one
-    materialization (ids + long arrays, far smaller than the text) against
-    three re-parses of the corpus.
+    verify join), so it is materialized ONCE via localCheckpoint — at
+    100 TB this trades one materialization (ids + long arrays, far smaller
+    than the text) against three re-parses of the corpus.  localCheckpoint
+    rather than cache(): cached plans are pinned by the CacheManager until
+    an explicit unpersist (the storage-leak class VERDICT r03 flagged),
+    while checkpoint blocks are weak-ref cleaned when the frame is
+    garbage-collected.
     """
-    feat = minhash_features_fast(docs, num_hashes, k).cache()
+    feat = minhash_features_fast(docs, num_hashes, k).localCheckpoint(eager=True)
     cands = _band_candidates(feat.select("doc_id", "sig"), num_hashes, bands)
     a = feat.select("doc_id", "sh").alias("a")
     b = feat.select("doc_id", "sh").alias("b")

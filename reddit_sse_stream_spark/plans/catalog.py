@@ -3653,9 +3653,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     is degree-ordering the edges first so high-degree hubs don't explode
     the intermediate join."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    e = similarity.cosine_pairs_exact(emb, threshold=0.2).select(
-        F.col("id_a").alias("a"), F.col("id_b").alias("b")
-    ).cache()
+    # localCheckpoint, not cache(): the edge frame feeds three join legs,
+    # but a cached plan stays pinned in the CacheManager until an explicit
+    # unpersist (storage leak across bench sweeps); checkpoint blocks are
+    # weak-ref cleaned when the frame is garbage-collected.
+    e = (
+        similarity.cosine_pairs_exact(emb, threshold=0.2)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))

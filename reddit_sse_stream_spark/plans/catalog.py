@@ -2504,6 +2504,83 @@ def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @_register(
+    "sample_temperature_by_lang",
+    """
+    WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+               FROM documents GROUP BY lang),
+    t AS (SELECT sum(sqrt(n)) AS z, sum(n) AS total FROM c),
+    p AS (SELECT lang, least((total / 2) * sqrt(n) / z / n, 1.0) AS p_keep
+          FROM c, t)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN p USING (lang)
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) / 1152921504606846976.0 < p_keep
+    """,
+)
+def sample_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (alpha = 0.5), the standard
+    training-mix resample: per-language keep probability proportional to
+    n^alpha / n, scaled so the expected kept total is half the corpus —
+    upsamples the tail languages relative to the head exactly like
+    multilingual pretraining mixes do.  The keep decision hashes the
+    stable doc_id (md5 60-bit -> uniform [0,1)), so the sample is
+    deterministic and fully value-oracled — no RNG, no seed skew across
+    engines.  Scale shape: a 5-row broadcast of per-language
+    probabilities against the corpus scan; one tiny aggregation, zero
+    wide shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").cast("double").alias("n"))
+    t = c.agg(F.sum(F.sqrt("n")).alias("z"), F.sum("n").alias("total"))
+    p = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.least(
+            (F.col("total") / 2) * F.sqrt("n") / F.col("z") / F.col("n"),
+            F.lit(1.0),
+        ).alias("p_keep"),
+    )
+    u = dedup.md5_hash60(F.col("doc_id").cast("string")) / F.lit(
+        float(1 << 60)
+    )
+    return (
+        docs.join(F.broadcast(p), "lang")
+        .filter(u < F.col("p_keep"))
+        .select("doc_id", "lang")
+    )
+
+
+@_register(
+    "text_stopword_scrub",
+    r"""
+    SELECT doc_id,
+           substr(regexp_replace(trim(regexp_replace(lower(text),
+                    '\b(a|the)\b', '', 'g')), '\s+', ' ', 'g'), 1, 80)
+             AS scrubbed_80,
+           CAST(len(regexp_extract_all(lower(text), '\b(a|the)\b'))
+                AS BIGINT) AS n_stopwords
+    FROM documents
+    """,
+)
+def text_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword scrub + whitespace renormalization — the text-cleaning
+    stage every corpus pipeline runs before tokenization, with the
+    removed-token count kept as a quality feature.  Pure JVM regex
+    (java.util.regex vs DuckDB RE2 agree on \\b and \\s+ here), zero
+    shuffle, codegen end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    scrub = F.regexp_replace(
+        F.trim(F.regexp_replace(low, r"\b(a|the)\b", "")), r"\s+", " "
+    )
+    return docs.select(
+        "doc_id",
+        F.substring(scrub, 1, 80).alias("scrubbed_80"),
+        F.size(F.regexp_extract_all(low, F.lit(r"\b(a|the)\b"), 0))
+        .cast("bigint")
+        .alias("n_stopwords"),
+    )
+
+
+@_register(
     "fn_regexp_ops",
     """
     SELECT doc_id,

@@ -1223,7 +1223,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB path is dedup_embedding_cosine_lsh). floor-at-1e-4 keeps the
     double bit-identical across Spark and DuckDB."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    return similarity.cosine_pairs_exact(emb, threshold=0.3)
+    return similarity.cosine_pairs_exact(emb, threshold=0.3, allow_quadratic=True)
 
 
 def _lsh_pairs_oracle_sql(
@@ -2423,7 +2423,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph. Oracle: WITH RECURSIVE reachability in DuckDB — min reachable
     id == component id for undirected (symmetrized) edges."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    pairs = similarity.cosine_pairs_exact(emb, threshold=0.2)
+    pairs = similarity.cosine_pairs_exact(emb, threshold=0.2, allow_quadratic=True)
     return dedup.connected_components(pairs)
 
 
@@ -3735,7 +3735,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpersist (storage leak across bench sweeps); checkpoint blocks are
     # weak-ref cleaned when the frame is garbage-collected.
     e = (
-        similarity.cosine_pairs_exact(emb, threshold=0.2)
+        similarity.cosine_pairs_exact(emb, threshold=0.2, allow_quadratic=True)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .localCheckpoint(eager=True)
     )
@@ -3790,7 +3790,7 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the (tiny) cluster assignment; quality joins in on doc_id —
     document text never reaches the clustering shuffles."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    pairs = similarity.cosine_pairs_exact(emb, threshold=0.2)
+    pairs = similarity.cosine_pairs_exact(emb, threshold=0.2, allow_quadratic=True)
     comps = dedup.connected_components(pairs)
     q = text.quality_score(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("id"), "quality"

@@ -58,6 +58,26 @@ def test_load_table_normalizes_timestamp_units(spark, tmp_path, unit):
 
 
 @pytest.mark.parametrize("unit", ["ns", "us"])
+def test_stream_reader_created_utc_per_unit(tmp_path, unit):
+    """The streaming source's pyarrow read path must derive created_utc by
+    the parquet timestamp unit's ticks-per-second, not assume nanos (the
+    round-4 testdata regeneration switched ns -> us)."""
+    from reddit_sse_stream_spark.streaming.source import _read_feed_batches
+
+    sf_dir = _write_events(tmp_path, unit)
+    rows = [
+        r
+        for b in _read_feed_batches(f"{sf_dir}/events.parquet", "rc", 0, 10)
+        for r in b.to_pylist()
+    ]
+    want = {
+        i + 1: int(t.replace(tzinfo=dt.timezone.utc).timestamp())
+        for i, t in enumerate(TS)
+    }
+    assert {r["id"]: r["created_utc"] for r in rows} == want
+
+
+@pytest.mark.parametrize("unit", ["ns", "us"])
 def test_stream_source_epoch_seconds_per_unit(spark, tmp_path, unit):
     from pyspark.sql import functions as F
 

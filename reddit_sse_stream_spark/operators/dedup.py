@@ -354,7 +354,7 @@ def near_dup_pairs(
     while checkpoint blocks are weak-ref cleaned when the frame is
     garbage-collected.
     """
-    feat = minhash_features_fast(docs, num_hashes, k).localCheckpoint(eager=True)
+    feat = minhash_features_fast(docs, num_hashes, k).localCheckpoint(eager=False)
     cands = _band_candidates(feat.select("doc_id", "sig"), num_hashes, bands)
     a = feat.select("doc_id", "sh").alias("a")
     b = feat.select("doc_id", "sh").alias("b")

@@ -3737,7 +3737,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         similarity.cosine_pairs_exact(emb, threshold=0.2, allow_quadratic=True)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))

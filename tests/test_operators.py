@@ -472,6 +472,45 @@ def test_word_ngram_hashes_impls_are_count_equivalent(spark, sf_dir):
     assert overlap_pairs("jvm") == overlap_pairs("arrow")
 
 
+def test_word_ngram_hashes_impls_agree_on_adversarial_text(spark):
+    """Hypothesis fuzz over whitespace-heavy / short / repetitive texts:
+    the JVM and Arrow paths must tokenize identically (java.util.regex
+    \\s+ vs Python re \\s+ — both keep empty edge tokens), so per-doc
+    gram counts and cross-impl gram-identity structure must match on ANY
+    input, not just the corpus.  Cases are drawn once (deterministic
+    seed) and run as one batch so the Spark overhead is paid once."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.operators import text
+
+    rng = random.Random(0xC0FFEE)
+    words = ["a", "bb", "ccc", "Ab", "été", "x1", "", "zz"]
+    seps = [" ", "  ", "\t", "\n", " \t ", "   "]
+    cases = []
+    for i in range(60):
+        n = rng.randint(0, 12)
+        t = "".join(
+            rng.choice(words) + rng.choice(seps) for _ in range(n)
+        )
+        if rng.random() < 0.3:
+            t = rng.choice(seps) + t  # leading whitespace -> empty edge token
+        cases.append((i, t))
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+
+    def counts(impl):
+        return {
+            (r["doc_id"], r["n"], r["nd"])
+            for r in text.word_ngram_hashes(df, 3, impl=impl)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"), F.count_distinct("gram_h").alias("nd"))
+            .collect()
+        }
+
+    assert counts("jvm") == counts("arrow")
+
+
 def test_repetition_score_flags_boilerplate(spark):
     df = spark.createDataFrame(
         [(1, "spam spam spam spam spam"), (2, "all words differ here now")],

@@ -144,8 +144,9 @@ def test_round_half_boundary_rationale(spark, duck):
 def test_fixed_point_sum_is_partitioning_invariant(spark, sf_dir):
     """Regression for the tpch_q9 one-cent flip (VERDICT r03): double sums
     reassociate across shuffle orders, so round(sum(double), 2) could land
-    on either side of a half-cent.  _dsum accumulates in exact fixed-point
-    decimal, so ANY partitioning must produce bit-identical rounded sums.
+    on either side of a half-cent.  _dsum accumulates exact fixed-point
+    int64 addends, so ANY partitioning must produce bit-identical rounded
+    sums.
     Drive the same aggregate through adversarially different partitionings
     and require exact equality."""
     from pyspark.sql import functions as F

@@ -274,3 +274,38 @@ def test_anomaly_window_runs_over_preaggregated_counts(spark, sf_dir):
     assert plan.index("HashAggregate") > plan.index("Window") or plan.count(
         "HashAggregate"
     ) >= 2  # aggregate feeds the window (plan prints top-down)
+
+
+def _final_plan_after_collect(spark, sf_dir, name: str) -> str:
+    """Execute the query, then return only the FINAL (post-AQE) physical
+    plan — AdaptiveSparkPlan's toString appends an '== Initial Plan =='
+    section that would double-count operators."""
+    df = QUERIES[name].spark(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_cosine_lsh_single_kernel_materialization(spark, sf_dir):
+    """Pin the r04 fix for the r03 double-kernel regression (VERDICT r04):
+    the executed cosine-LSH plan must contain EXACTLY 2 MapInPandas nodes —
+    one grouped-explode bucketing pass feeding both candidate sides and one
+    exact-cosine verify over candidates.  A third node means the per-side
+    kernel re-run (cost +56% in r03) is back."""
+    plan = _final_plan_after_collect(spark, sf_dir, "dedup_embedding_cosine_lsh")
+    assert plan.count("MapInPandas") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_lsh_feature_pass_behind_checkpoint(spark, sf_dir):
+    """The minhash feature kernel must run ONCE: the shared frame is
+    localCheckpoint(eager=False)-materialized, so every downstream consumer
+    (banding + both verify sides) scans the checkpointed RDD instead of
+    re-running the Arrow pass.  The executed plan therefore shows ZERO
+    MapInPandas (the kernel lives inside the checkpointed lineage) and only
+    ExistingRDD scans; any MapInPandas reappearing means a consumer was
+    rewired to the raw kernel frame (the +27% r03 regression class)."""
+    plan = _final_plan_after_collect(spark, sf_dir, "dedup_minhash_lsh")
+    assert plan.count("MapInPandas") == 0
+    assert plan.count("ExistingRDD") >= 1

@@ -3011,6 +3011,17 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================== #
 
 
+#: grams seen in more than this many docs are excluded from CANDIDATE
+#: GENERATION (never from the verify sets).  A no-op on every test scale
+#: (max gram DF at sf0.1 is 10) but the unconditional hot-gram guard at
+#: 100 TB: a stop-phrase in f docs costs f^2 join rows, and real corpus
+#: dedup drops such grams outright (rare-gram selection).  A pair is
+#: missed only if EVERY shared gram is hotter than the cap — at a 0.02
+#: jaccard threshold over >=64-hot grams both docs are boilerplate the
+#: exact-dedup / fingerprint passes already capture.
+_JACCARD_DF_CAP = 64
+
+
 @_register(
     "dedup_ngram_jaccard",
     r"""
@@ -3021,13 +3032,17 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(words) - 1),
-               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+               i -> CAST(concat('0x', substr(md5(
+                      words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                    ), 1, 15)) AS BIGINT))) AS sh
       FROM w WHERE len(words) >= 3
     ),
     ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    cold AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 64),
+    exc AS (SELECT e.doc_id, e.g FROM ex e JOIN cold USING (g)),
     cand AS (
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+      FROM exc l JOIN exc r ON l.g = r.g AND l.doc_id < r.doc_id
     )
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT c.doc_a, c.doc_b,
@@ -3040,16 +3055,28 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity over a subsampled documents
-    slice — the first near-dup family member with a full value-level DuckDB
-    oracle (the minhash/simhash entries hash with xxhash64, which DuckDB
-    lacks).  Candidate pairs come from a shared-shingle equi-join — a
-    COMPLETE prefilter, not an approximation: jaccard > 0 requires at
-    least one common shingle, so skipping gram-disjoint pairs loses
-    nothing.  That replaces the all-pairs theta join (interpreted
-    array_intersect over every pair: 25 s at sf0.1, quadratic at scale)
-    with shuffle-by-gram + verify-candidates, the same sketch-then-verify
-    geometry as the minhash path.  floor-at-1e-4 keeps the double
-    bit-identical across engines."""
+    slice — the near-dup family member with a full value-level DuckDB
+    oracle.  Candidate pairs come from a shared-gram equi-join — jaccard
+    > 0 requires a common gram, so gram-disjoint pairs cost nothing —
+    the same sketch-then-verify geometry as the minhash path.
+
+    Scale shape (r05, was the sweep's 3.9x worst scaler):
+
+    * Grams are 60-bit md5 hashes (``dedup.md5_hash60`` / the identical
+      ``concat('0x', substr(md5(..),1,15))::BIGINT`` in DuckDB) computed
+      BEFORE candidate gen, so the gram shuffle and the verify's set ops
+      move fixed-width longs, never gram strings.  Both engines hash with
+      the same function, so jaccard over hashed sets is engine-identical;
+      it deviates from string-set jaccard only on a 60-bit collision
+      inside one pair's gram union (p < 2^-45 per pair).
+    * Grams hotter than ``_JACCARD_DF_CAP`` docs are dropped from
+      candidate generation only (see the cap's comment for the bound) —
+      the unconditional guard against the f^2 stop-phrase blowup.
+    * The hashed-gram frame is localCheckpoint(eager=False)-materialized
+      once and feeds the exploded join plus both verify sides, instead of
+      re-running the split/transform chain per consumer.
+
+    floor-at-1e-4 keeps the double bit-identical across engines."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     words = F.split(F.lower(F.col("text")), r"\s+")
     # explode-of-1-element-array barrier: materialize the token array once
@@ -3061,14 +3088,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size("words") - 3),
-            lambda i: F.concat_ws(" ", F.slice("words", i + 1, 3)),
+            lambda i: dedup.md5_hash60(F.concat_ws(" ", F.slice("words", i + 1, 3))),
         )
     )
-    s = tok.select("doc_id", sh.alias("sh"))
+    s = tok.select("doc_id", sh.alias("sh")).localCheckpoint(eager=False)
     ex = s.select("doc_id", F.explode("sh").alias("g"))
+    cold = ex.groupBy("g").count().filter(F.col("count") <= _JACCARD_DF_CAP).select("g")
+    exc = ex.join(cold, "g")
     cand = (
-        ex.select(F.col("doc_id").alias("doc_a"), "g")
-        .join(ex.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        exc.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(exc.select(F.col("doc_id").alias("doc_b"), "g"), "g")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

@@ -27,6 +27,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from reddit_sse_stream_spark.operators import dedup
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -251,22 +253,16 @@ def near_dup_pairs_lsh(
     # second kernel run is a full extra scan of the corpus embeddings.
     # Caching the frame fixes the double scan but pins executor storage
     # until someone unpersists — a leak across bench/scale sweeps that run
-    # many queries on one session.  Instead, group each (tbl, bucket)'s ids
-    # and explode the within-bucket pairs: ONE kernel pass, ONE shuffle on
-    # the bucket key (vs two join exchanges), no persistence, nothing to
-    # clean up.  Work per bucket is the same m^2 the join would do; a
-    # degenerate hot bucket lands on one task either way (LSH plane count
-    # is the knob that bounds bucket size).
+    # many queries on one session.  Instead, bucket_pair_explode groups each
+    # (tbl, bucket)'s ids into size-capped triangular cells (window count,
+    # so the kernel subplan still has exactly ONE consumer) and explodes
+    # within-cell pairs: one kernel pass, bucket-key shuffles only, no
+    # persistence, and a degenerate hot bucket fans out over ~(m/cap)^2/2
+    # tasks of ~cap^2 work instead of serializing m^2 on one straggler.
     buckets = hyperplane_buckets_arrow(emb, n_planes, n_tables, id_col, vec_col, dim)
-    cand = (
-        buckets.groupBy("tbl", "bucket")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.col("ids"), F.explode("ids").alias("id_a"))
-        .select(F.col("id_a"), F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    cand = dedup.bucket_pair_explode(
+        buckets, ["tbl", "bucket"], id_col, "id_a", "id_b"
+    ).distinct()
     a = emb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
     )

@@ -609,3 +609,53 @@ def test_degree_ordered_triangles_match_naive(spark):
         edges = spark.createDataFrame(rows, "id_a long, id_b long")
         got = dedup.triangle_count_degree_ordered(edges).collect()[0]["triangles"]
         assert got == want, (rows, got, want)
+
+
+def test_bucket_pair_explode_full_recall_and_uniqueness(spark):
+    """bucket_pair_explode is a WORK PARTITION, not a filter: every
+    within-bucket pair must appear exactly once, including pairs whose
+    members hash into different sub-groups."""
+    import itertools
+
+    rows = [("b1", i) for i in range(40)] + [("b2", i) for i in range(100, 103)]
+    members = spark.createDataFrame(rows, "bucket string, id long")
+    got = sorted(
+        (r.a, r.b)
+        for r in dedup.bucket_pair_explode(
+            members, ["bucket"], "id", "a", "b", cap=7
+        ).collect()
+    )
+    want = sorted(
+        itertools.chain(
+            itertools.combinations(range(40), 2),
+            itertools.combinations(range(100, 103), 2),
+        )
+    )
+    assert got == want
+
+
+def test_bucket_pair_explode_bounds_hot_bucket_cells(spark):
+    """Adversarial degenerate bucket (every doc in ONE bucket): the pair
+    work must fan out over many triangular cells with a bounded member
+    count each — no single collect_list/m^2 explode task (VERDICT r04
+    next #4)."""
+    m, cap = 500, 50
+    members = spark.createDataFrame(
+        [("hot", i) for i in range(m)], "bucket string, id long"
+    )
+    cells = (
+        dedup._pair_cells(members, ["bucket"], "id", cap)
+        .groupBy("bucket", "ci", "cj")
+        .count()
+        .collect()
+    )
+    s = -(-m // cap)  # 10 sub-groups -> 55 cells
+    assert len(cells) == s * (s + 1) // 2
+    # Each cell holds one sub-group as L plus at most one as R; allow 4x
+    # slack over the ideal m/s for hash skew.
+    assert max(r["count"] for r in cells) <= 4 * cap
+    # And the pairs coming out of those bounded cells are still complete.
+    n_pairs = dedup.bucket_pair_explode(
+        members, ["bucket"], "id", "a", "b", cap=cap
+    ).count()
+    assert n_pairs == m * (m - 1) // 2

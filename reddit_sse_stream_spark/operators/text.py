@@ -155,9 +155,13 @@ def word_ngram_hashes(
     Hash semantics (why a kernel with a different hash family is still
     correct): tokens contain no whitespace, so the joined gram string
     determines the token tuple and vice versa — tuple-hash equality IS
-    gram-string equality modulo ~2^-61 collisions, and Python
-    ``re.split(r"\\s+")`` matches the Java/DuckDB ``\\s+`` split exactly
-    (both keep empty edge tokens).  Distinct/overlap counts are
+    gram-string equality modulo ~2^-61 collisions, and the kernel splits
+    on the explicit ASCII class ``[ \\t\\n\\r\\f\\v]+`` — exactly Java's
+    ``\\s`` (Python's own ``\\s`` is Unicode-aware and would diverge on
+    U+00A0/U+2028-class whitespace; both impls keep empty edge tokens).
+    DuckDB's RE2 ``\\s`` is the same set minus ``\\v`` (U+000B) — an
+    oracle-side-only caveat, and no testdata column carries vertical
+    tabs.  Distinct/overlap counts are
     value-checked against the string-keyed DuckDB oracle at every test
     SF, and the two impls are count-equivalence-tested against each
     other (same verification pattern as minhash_features_fast)."""
@@ -186,7 +190,11 @@ def word_ngram_hashes(
                 memo[t] = h
             return h
 
-        ws = re.compile(r"\s+")
+        # ASCII class, NOT \s: Python's \s is Unicode-aware (U+00A0,
+        # U+2028, ...) while Java's and RE2's \s match ASCII whitespace
+        # only — the two impls must tokenize identically on ANY input
+        # (ADVICE r04; the Unicode-whitespace fuzz cases pin this).
+        ws = re.compile(r"[ \t\n\r\f\v]+")
         for pdf in it:
             out_id, out_h = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):

@@ -798,7 +798,7 @@ def aggx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type, count(DISTINCT user_id) AS n_exact,
            1 AS approx_within_5pct
-    FROM events GROUP BY event_type
+    FROM events WHERE user_id IS NOT NULL GROUP BY event_type
     """,
 )
 def aggx_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,8 +818,14 @@ def aggx_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL, and the wide shuffle carries only the 2-column key."""
     hll = F.approx_count_distinct("user_id", 0.01)
     exact = F.count("*")
+    # NULL user_id must be excluded BEFORE the distinct(): count(*) over
+    # distinct (type, user) rows would count a NULL user as one distinct
+    # value, while the oracle's count(DISTINCT user_id) — and HLL insertion
+    # — skip NULLs (ADVICE r04; testdata regenerates per round, so a future
+    # generation may ship NULLs).
     return (
         _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
         .select("event_type", "user_id")
         .distinct()
         .groupBy("event_type")
@@ -3638,8 +3644,8 @@ def retention_hourly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT d.lang,
            CAST(count(*) AS BIGINT) AS n,
-           floor(CAST(sum(CAST(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
-                 x -> x * x))) AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 10000) / 10000.0 AS avg_l2,
+           floor(sum(CAST(floor(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                 x -> x * x))) * 1000000) AS BIGINT)) / 1000000.0 / count(*) * 10000) / 10000.0 AS avg_l2,
            floor(min(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
                  x -> x * x)))) * 10000) / 10000.0 AS min_l2
     FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
@@ -3665,12 +3671,18 @@ def embed_norm_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").alias("n"),
-            # Numerator accumulates in fixed-point (l2 rounded to 6 decimals
-            # identically in both engines) so the avg is order-independent
-            # and the floor cannot flip across shuffle orders.
+            # Numerator accumulates exact int64 addends.  The l2 is an
+            # UNROUNDED double, so the quantization must be floor (pure
+            # IEEE, identical on both engines) — a decimal cast or round()
+            # here would be Spark shortest-repr HALF_UP vs DuckDB
+            # binary-value rounding, the .xxxx5 divergence class this repo
+            # documents for round() (ADVICE r04).
             (
                 F.floor(
-                    F.sum(F.col("l2").cast(_DEC6)).cast("double") / F.count("*") * 10000
+                    F.sum(F.floor(F.col("l2") * 1_000_000))
+                    / 1_000_000.0
+                    / F.count("*")
+                    * 10000
                 )
                 / 10000.0
             ).alias("avg_l2"),

@@ -473,12 +473,16 @@ def test_word_ngram_hashes_impls_are_count_equivalent(spark, sf_dir):
 
 
 def test_word_ngram_hashes_impls_agree_on_adversarial_text(spark):
-    """Hypothesis fuzz over whitespace-heavy / short / repetitive texts:
-    the JVM and Arrow paths must tokenize identically (java.util.regex
-    \\s+ vs Python re \\s+ — both keep empty edge tokens), so per-doc
-    gram counts and cross-impl gram-identity structure must match on ANY
-    input, not just the corpus.  Cases are drawn once (deterministic
-    seed) and run as one batch so the Spark overhead is paid once."""
+    """Fuzz over whitespace-heavy / short / repetitive texts: the JVM and
+    Arrow paths must tokenize identically on ANY input, not just the
+    corpus.  The Arrow kernel splits on the explicit ASCII class (Java's
+    \\s); Unicode whitespace (U+00A0 NBSP, U+2028 LS, U+3000) must be
+    treated as TOKEN CHARACTERS by both impls — Python's Unicode-aware
+    \\s would split there while java.util.regex \\s does not (ADVICE
+    r04), so the seps pool mixes ASCII separators with Unicode
+    pseudo-separators and words carrying embedded Unicode spaces.  Cases
+    are drawn once (deterministic seed) and run as one batch so the
+    Spark overhead is paid once."""
     import random
 
     from pyspark.sql import functions as F
@@ -486,8 +490,10 @@ def test_word_ngram_hashes_impls_agree_on_adversarial_text(spark):
     from reddit_sse_stream_spark.operators import text
 
     rng = random.Random(0xC0FFEE)
-    words = ["a", "bb", "ccc", "Ab", "été", "x1", "", "zz"]
-    seps = [" ", "  ", "\t", "\n", " \t ", "   "]
+    words = ["a", "bb", "ccc", "Ab", "\u00e9t\u00e9", "x1", "", "zz",
+             "q\u00a0r", "s\u3000t", "\u2028w"]
+    seps = [" ", "  ", "\t", "\n", " \t ", "   ", "\x0b",
+            " \u00a0 ", "\u2028", "\u00a0"]
     cases = []
     for i in range(60):
         n = rng.randint(0, 12)

@@ -4393,141 +4393,175 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      original registration order — these benefit most from an external
 #      check (and this automatically front-loads queries whose oracles
 #      were just fixed, so the fix gets proven);
-#   2. oracled queries already proven green by a recorded external run
-#      (``_PRIOR_DRIVER_GREEN``: the union of hash-green rows across the
+#   2. oracled queries already proven green, LEAST-RECENTLY-PROVEN FIRST
+#      (``_PRIOR_GREEN_ROUND``: latest proving round per query across the
 #      committed CORRECTNESS_r*.json artifacts — regenerate with
-#      ``python tools/regen_prior_green.py``);
+#      ``python tools/regen_prior_green.py``).  The external driver
+#      regenerates testdata between rounds, so an old green row AGES: a
+#      fixed sampling window keeps re-proving the stalest rows against
+#      fresh data instead of re-confirming last round's (VERDICT r04
+#      next #5);
 #   3. queries without an oracle last — there is nothing to hash-check.
 #
-# Rationale (also in README.md): rotating not-yet-verified queries to the
-# front grows cumulative externally-verified coverage every round instead
-# of re-proving the same rows, and every query cycles through eventually.
+# Rationale (also in README.md): rotating not-yet-verified (then
+# longest-unverified) queries to the front grows — then continually
+# refreshes — externally-verified coverage, and every query cycles
+# through eventually.
 
-_PRIOR_DRIVER_GREEN = frozenset({
-    "a1_running_totals",
-    "a2_bytes_total",
-    "a3_max_cursor",
-    "agg_skew_salted_two_phase",
-    "agg_sorted_user_list",
-    "aggx_corr_covar",
-    "aggx_cube_events",
-    "aggx_distinct_users",
-    "aggx_grouping_sets",
-    "aggx_rollup_grouping_id",
-    "aggx_rollup_orders",
-    "aggx_stats_per_type",
-    "dedup_cc_clusters",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "dedup_exact_groups",
-    "dedup_exact_keep_first",
-    "dedup_ngram_jaccard",
-    "embed_l2_norm",
-    "f1_type_dispatch",
-    "f2_author_whitelist",
-    "f3_subreddit_whitelist",
-    "f4_domain_whitelist",
-    "f5_whitelist_combiner",
-    "f6_f7_flag_filters",
-    "f8_null_elimination",
-    "f_combined_full",
-    "fn_array_ops",
-    "fn_bitwise_ops",
-    "fn_datetime_buckets",
-    "fn_fuzzy_match_levenshtein",
-    "fn_histogram_bins",
-    "fn_map_ops",
-    "fn_math_scalars",
-    "fn_null_ops",
-    "fn_percentiles",
-    "fn_regexp_ops",
-    "fn_string_ops",
-    "join_anti_customers_without_orders",
-    "join_asof_last_click",
-    "join_broadcast_star_counts",
-    "join_cross_region_nation",
-    "join_full_outer_click_purchase",
-    "join_range_clicks_before_purchase",
-    "join_right_outer_orders",
-    "join_semi_customers_with_orders",
-    "join_skew_salted",
-    "knn_bruteforce_cosine",
-    "knn_lsh_bucketed",
-    "limit_topk_events_by_value",
-    "llm_corpus_prep_pipeline",
-    "m1_m2_interleave_sort",
-    "media_frame_sample",
-    "p2_json_key_subset",
-    "pack_sequences_by_source",
-    "pivot_event_counts",
-    "posexplode_words",
-    "q1_domain_blocks_comments",
-    "reference_pipeline_example",
-    "s1_range_scan",
-    "s3_backfill_clamp",
-    "s4_start_id_resume",
-    "s8_keepalive_counters",
-    "sample_stratified_deterministic",
-    "session_window_agg",
-    "sessionize_events",
-    "setop_except_all_values",
-    "setop_except_users",
-    "setop_intersect_all_values",
-    "setop_intersect_users",
-    "subq_correlated_exists",
-    "subq_in_big_spenders",
-    "subq_scalar_above_avg",
-    "text_chunk_windows",
-    "text_fingerprint",
-    "text_lang_predict",
-    "text_lang_scores",
-    "text_quality_score",
-    "text_rarity_score",
-    "text_token_count",
-    "text_vocab_df",
-    "tpch_q10_returned_customers",
-    "tpch_q12_priority_lines",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q1_pricing_summary",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "ts_gapfill_ffill",
-    "udaf_geomean_orders",
-    "udf_pandas_scalar_charge",
-    "udtf_word_explode",
-    "unpivot_customer_balances",
-    "window_first_last_nth",
-    "window_lag_delta",
-    "window_range_time_frame",
-    "window_rank_family",
-    "window_running_sum_per_user",
-    "window_sliding_counts",
-    "window_topk_orders_per_customer",
-    "x1_try_cast_validation",
-    "x4_json_extract",
-})
+_PRIOR_GREEN_ROUND = {
+    "a1_running_totals": 4,
+    "a2_bytes_total": 4,
+    "a3_max_cursor": 4,
+    "agg_heavy_hitters_exact": 4,
+    "agg_skew_salted_two_phase": 3,
+    "agg_sorted_user_list": 3,
+    "aggx_approx_distinct": 4,
+    "aggx_approx_quantiles": 4,
+    "aggx_corr_covar": 3,
+    "aggx_cube_events": 2,
+    "aggx_distinct_users": 2,
+    "aggx_grouping_sets": 1,
+    "aggx_rollup_grouping_id": 3,
+    "aggx_rollup_orders": 1,
+    "aggx_stats_per_type": 2,
+    "anomaly_zscore_hourly": 4,
+    "decontam_drop_contaminated": 4,
+    "decontam_ngram_overlap": 4,
+    "dedup_cc_clusters": 3,
+    "dedup_cluster_best_quality": 4,
+    "dedup_embedding_cosine": 2,
+    "dedup_embedding_cosine_lsh": 3,
+    "dedup_exact_groups": 1,
+    "dedup_exact_keep_first": 1,
+    "dedup_incremental_bloom": 4,
+    "dedup_incremental_new_only": 4,
+    "dedup_minhash_md5": 4,
+    "dedup_ngram_jaccard": 3,
+    "dedup_simhash_hamming_pairs": 4,
+    "dedup_simhash_md5": 4,
+    "dq_expectation_report": 4,
+    "embed_l2_norm": 1,
+    "embed_norm_stats_by_lang": 4,
+    "f1_type_dispatch": 4,
+    "f2_author_whitelist": 4,
+    "f3_subreddit_whitelist": 4,
+    "f4_domain_whitelist": 4,
+    "f5_whitelist_combiner": 4,
+    "f6_f7_flag_filters": 4,
+    "f8_null_elimination": 4,
+    "f_combined_full": 4,
+    "fn_array_ops": 2,
+    "fn_bitwise_ops": 3,
+    "fn_datetime_buckets": 3,
+    "fn_fuzzy_match_levenshtein": 3,
+    "fn_histogram_bins": 3,
+    "fn_map_ops": 2,
+    "fn_math_scalars": 2,
+    "fn_null_ops": 2,
+    "fn_percentiles": 2,
+    "fn_regexp_ops": 2,
+    "fn_sequence_range": 4,
+    "fn_string_ops": 2,
+    "funnel_view_click_purchase": 4,
+    "graph_triangle_count": 4,
+    "join_anti_customers_without_orders": 1,
+    "join_asof_last_click": 2,
+    "join_broadcast_star_counts": 1,
+    "join_cross_region_nation": 3,
+    "join_full_outer_click_purchase": 3,
+    "join_lateral_topk_per_nation": 4,
+    "join_range_clicks_before_purchase": 2,
+    "join_right_outer_orders": 3,
+    "join_semi_customers_with_orders": 1,
+    "join_skew_salted": 3,
+    "knn_bruteforce_cosine": 1,
+    "knn_lsh_bucketed": 3,
+    "limit_topk_events_by_value": 2,
+    "llm_corpus_prep_pipeline": 2,
+    "m1_m2_interleave_sort": 4,
+    "media_features_meta": 4,
+    "media_frame_sample": 3,
+    "p2_json_key_subset": 4,
+    "pack_sequences_by_source": 3,
+    "path_top_event_trigrams": 4,
+    "pivot_event_counts": 2,
+    "posexplode_words": 3,
+    "q1_domain_blocks_comments": 4,
+    "recursive_cte_ancestors": 4,
+    "reference_pipeline_example": 2,
+    "retention_hourly_cohorts": 4,
+    "s1_range_scan": 4,
+    "s3_backfill_clamp": 4,
+    "s4_start_id_resume": 4,
+    "s8_keepalive_counters": 4,
+    "sample_stratified_deterministic": 3,
+    "sample_temperature_by_lang": 4,
+    "session_window_agg": 3,
+    "sessionize_events": 3,
+    "setop_except_all_values": 3,
+    "setop_except_users": 2,
+    "setop_intersect_all_values": 3,
+    "setop_intersect_users": 2,
+    "subq_correlated_exists": 3,
+    "subq_in_big_spenders": 3,
+    "subq_scalar_above_avg": 3,
+    "text_chunk_windows": 3,
+    "text_fingerprint": 1,
+    "text_lang_predict": 3,
+    "text_lang_scores": 1,
+    "text_quality_score": 1,
+    "text_rarity_score": 3,
+    "text_repetition_bigrams": 4,
+    "text_stopword_scrub": 4,
+    "text_token_count": 1,
+    "text_vocab_df": 3,
+    "tpch_q10_returned_customers": 3,
+    "tpch_q12_priority_lines": 3,
+    "tpch_q13_customer_distribution": 2,
+    "tpch_q14_promo_revenue": 3,
+    "tpch_q15_top_supplier": 2,
+    "tpch_q17_small_quantity_revenue": 3,
+    "tpch_q18_large_orders": 3,
+    "tpch_q19_disjunctive_revenue": 3,
+    "tpch_q1_pricing_summary": 4,
+    "tpch_q21_waiting_supplier": 3,
+    "tpch_q22_idle_customers": 2,
+    "tpch_q3_shipping_priority": 4,
+    "tpch_q4_order_priority": 2,
+    "tpch_q5_region_revenue": 4,
+    "tpch_q6_forecast_revenue": 4,
+    "tpch_q7_volume_shipping": 3,
+    "tpch_q8_market_share": 3,
+    "tpch_q9_profit_by_nation_year": 4,
+    "ts_gapfill_ffill": 2,
+    "udaf_geomean_orders": 2,
+    "udf_pandas_scalar_charge": 3,
+    "udtf_word_explode": 2,
+    "unpivot_customer_balances": 3,
+    "variant_json_extract_agg": 4,
+    "window_first_last_nth": 3,
+    "window_lag_delta": 2,
+    "window_range_time_frame": 3,
+    "window_rank_family": 3,
+    "window_running_sum_per_user": 2,
+    "window_sliding_counts": 3,
+    "window_topk_orders_per_customer": 1,
+    "x1_try_cast_validation": 3,
+    "x4_json_extract": 4,
+}
 
 
-def _registry_rank(item) -> int:
+def _registry_rank(item):
     name, qd = item
     if qd.oracle is None:
-        return 2
-    return 1 if name in _PRIOR_DRIVER_GREEN else 0
+        return (2, 0)
+    if name not in _PRIOR_GREEN_ROUND:
+        return (0, 0)
+    return (1, _PRIOR_GREEN_ROUND[name])
 
 
 def _reorder_registry() -> None:
-    unknown = _PRIOR_DRIVER_GREEN - set(QUERIES)
+    unknown = set(_PRIOR_GREEN_ROUND) - set(QUERIES)
     assert not unknown, f"prior-green names not registered: {unknown}"
     ranked = sorted(QUERIES.items(), key=_registry_rank)  # stable: keeps
     QUERIES.clear()                                       # registration order

@@ -2,17 +2,18 @@
 
 The registry is sorted by external-verification value (see the "Registry
 ordering" section of plans/catalog.py): oracled-but-never-externally-green
-queries first, previously-green oracled queries second, unoracled queries
-last, each group in original registration order.  An external checker that
-samples the registry in order therefore always spends its budget on
-checkable queries it has not yet proven — and a careless reorder of the
-source file cannot silently push an unverified query out of reach or an
-unoracled query into a checkable slot."""
+queries first, then previously-green oracled queries LEAST-RECENTLY-PROVEN
+first, unoracled queries last, ties in original registration order.  An
+external checker that samples the registry in order therefore spends its
+budget on the queries whose green signal is most in need of (re)proving —
+the driver regenerates testdata between rounds, so old green rows age —
+and a careless reorder of the source file cannot silently push a stale
+query out of reach or an unoracled query into a checkable slot."""
 
 from __future__ import annotations
 
 from reddit_sse_stream_spark.plans.catalog import (
-    _PRIOR_DRIVER_GREEN,
+    _PRIOR_GREEN_ROUND,
     _registry_rank,
     QUERIES,
 )
@@ -24,7 +25,7 @@ def test_registry_rank_is_monotone():
 
 
 def test_prior_green_names_are_registered():
-    assert _PRIOR_DRIVER_GREEN <= set(QUERIES)
+    assert set(_PRIOR_GREEN_ROUND) <= set(QUERIES)
 
 
 def test_never_green_oracled_queries_come_first():
@@ -32,11 +33,11 @@ def test_never_green_oracled_queries_come_first():
     n_front = sum(
         1
         for n, q in QUERIES.items()
-        if q.oracle is not None and n not in _PRIOR_DRIVER_GREEN
+        if q.oracle is not None and n not in _PRIOR_GREEN_ROUND
     )
     front = names[:n_front]
     assert all(
-        QUERIES[n].oracle is not None and n not in _PRIOR_DRIVER_GREEN
+        QUERIES[n].oracle is not None and n not in _PRIOR_GREEN_ROUND
         for n in front
     )
 
@@ -50,28 +51,23 @@ def test_any_prefix_of_oracled_queries_is_fully_oracled():
     assert names[-len(unoracled) :] == unoracled
 
 
-def test_unproven_rows_are_in_front_for_verification():
-    """After the round-3 rotation, rows the driver has never hash-verified
-    (the analytics tail, decontam variants, md5 dedup twins, ...) plus the
-    one r03-red row (tpch_q9) must occupy the front of the 50-slot window,
-    while rows already proven green (e.g. the round-2 fixes, all green in
-    r03) must have rotated OUT of the front."""
+def test_green_queries_ordered_stalest_first():
+    """Within the already-proven segment, a query proven in an EARLIER
+    round must never sort after one proven later — the sampling window
+    re-proves the stalest rows against freshly regenerated testdata."""
+    rounds = [
+        _PRIOR_GREEN_ROUND[n] for n in QUERIES if n in _PRIOR_GREEN_ROUND
+    ]
+    assert rounds == sorted(rounds)
+
+
+def test_stale_rows_rotated_into_the_front_window():
+    """r05 state: all 139 oracled queries have been proven at least once
+    (VERDICT r04), so the 50-slot window must now hold the r01/r02-era
+    rows — and the rows just proven in r04 must have rotated OUT."""
     names = list(QUERIES)
     front = set(names[:50])
-    never_checked = {
-        "tpch_q9_profit_by_nation_year",  # red in r03 (reassociation cent)
-        "funnel_view_click_purchase",
-        "decontam_ngram_overlap",
-        "fn_sequence_range",
-        "embed_norm_stats_by_lang",
-        "media_features_meta",
-    }
-    assert never_checked & set(QUERIES) <= front
-    r03_green = {
-        "a2_bytes_total",
-        "s8_keepalive_counters",
-        "sessionize_events",
-        "udf_pandas_scalar_charge",
-        "pack_sequences_by_source",
-    }
-    assert r03_green <= _PRIOR_DRIVER_GREEN
+    r01_era = {n for n, r in _PRIOR_GREEN_ROUND.items() if r <= 2}
+    assert r01_era <= front
+    just_proven = {n for n, r in _PRIOR_GREEN_ROUND.items() if r >= 4}
+    assert not (just_proven & front)

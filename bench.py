@@ -10,8 +10,10 @@ collect — the plan runs distributed end to end, like it would on a cluster).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -46,6 +48,33 @@ HEADLINE = (
     "ts_gapfill_ffill",
     "pack_sequences_by_source",
 )
+
+
+def _prev_bench() -> tuple[int, float, dict[str, float]]:
+    """Latest committed BENCH_r{N}.json as (round, sf, per-query medians),
+    or (0, -1.0, {}) — so each round's output carries per-query vs_prev
+    ratios and a >1.5x regression is visible in the round summary without
+    a manual diff of artifacts (VERDICT r04 next #6)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, float, dict[str, float]] = (0, -1.0, {})
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if rnd <= best[0]:
+            continue
+        try:
+            data = json.load(open(f))
+            # the external driver wraps the bench JSON line under "parsed"
+            if isinstance(data.get("parsed"), dict):
+                data = data["parsed"]
+            queries = data.get("queries", {})
+        except (OSError, ValueError):
+            continue
+        if isinstance(queries, dict) and queries:
+            best = (rnd, data.get("sf", -1.0), queries)
+    return best
 
 
 def main() -> None:
@@ -91,6 +120,15 @@ def main() -> None:
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     total = round(sum(times.values()), 3)
+    prev_round, prev_sf, prev = _prev_bench()
+    if prev_sf != sf:  # ratios against a different scale factor are noise
+        prev_round, prev = 0, {}
+    vs_prev = {
+        name: round(times[name] / prev[name], 2)
+        for name in times
+        if prev.get(name)
+    }
+    regressions = sorted(n for n, r in vs_prev.items() if r > 1.5)
     # throughput context vs BASELINE.md: the reference's designed ceiling is
     # 125 comments/s + 50 submissions/s per connection; this engine filters
     # the full feed (reference_pipeline_example) in times[...] seconds.
@@ -108,6 +146,9 @@ def main() -> None:
                 "sf": sf,
                 "feed_events": n_events,
                 "pipeline_events_per_sec": round(n_events / pipeline_sec, 1),
+                "vs_prev_round": prev_round,
+                "vs_prev": vs_prev,
+                "regressions_vs_prev": regressions,
             }
         )
     )

@@ -77,6 +77,120 @@ def _prev_bench() -> tuple[int, float, dict[str, float]]:
     return best
 
 
+def streaming_e2e(spark, sf_dir: str, n_clients: int = 2) -> dict:
+    """Measured number for the "ONE query, N clients" serving design
+    (VERDICT r04 next #8): drive the actual FeedStreamReader ->
+    foreachBatch -> SSEBroadcaster -> SSEServer path end to end, with
+    concurrent HTTP clients consuming the SSE wire format, and report
+    delivered events/sec across clients.
+
+    This is the real serving stack — Python DataSource micro-batches,
+    driver-side bounded fan-out, chunked HTTP streaming — not the
+    batch-shaped feed pipeline the headline number measures."""
+    import http.client
+    import threading
+
+    from reddit_sse_stream_spark.streaming.server import SSEServer
+    from reddit_sse_stream_spark.streaming.sink import SSEBroadcaster
+    from reddit_sse_stream_spark.streaming.source import read_feed_stream
+
+    # Serving cap raised for bench scale: the reference-mode cap is 35
+    # ids/poll; here each micro-batch carries up to 10k ids (~6k rc rows),
+    # still a bounded serving fan-out.
+    bc = SSEBroadcaster(max_collect_rows=20_000)
+    srv = SSEServer(bc).start()
+    counts = [0] * n_clients
+    last_data_at = [0.0] * n_clients
+    conns: list = [None] * n_clients
+    stop = threading.Event()
+
+    def client(i: int) -> None:
+        # Blocking reads: an SSE stream has no natural end, and a socket
+        # timeout permanently poisons http.client's response object, so the
+        # main thread terminates the read loop by closing the connection
+        # once delivery has gone quiet.
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port)
+        conn.request("GET", "/?type=comments")
+        resp = conn.getresponse()
+        resp.fp.raise_on_eof = False  # type: ignore[attr-defined]
+        conns[i] = conn
+        buf = b""
+        while True:
+            try:
+                chunk = resp.read1(1 << 16)  # chunked-decoding-aware read
+            except Exception:
+                # socket closed / half-read chunk on teardown — http.client
+                # can surface OSError, HTTPException, or an AttributeError
+                # from _close_conn on an already-detached fp
+                break
+            if not chunk:
+                # b'' can surface between chunks while the stream is
+                # alive — only the stop flag (set before the socket is
+                # closed) ends the loop
+                if stop.is_set():
+                    break
+                time.sleep(0.02)
+                continue
+            buf += chunk
+            n = buf.count(b"\n\n")  # one blank line terminates each frame
+            if n:
+                counts[i] += n
+                last_data_at[i] = time.perf_counter()
+                buf = buf[buf.rindex(b"\n\n") + 2 :]
+
+    threads = [threading.Thread(target=client, args=(i,), daemon=True) for i in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    # Default micro-batch trigger + processAllAvailable, NOT availableNow:
+    # availableNow snapshots latestOffset() once, and the source's
+    # per-trigger id cap would truncate the run to a single batch.
+    q = (
+        read_feed_stream(
+            spark,
+            f"{sf_dir}/events.parquet",
+            "rc",
+            backfill=100000,
+            max_ids_per_batch=10000,
+        )
+        .writeStream.foreachBatch(bc.foreach_batch)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # drain: wait until delivery has been quiet for 2s (a 0.3s window can
+    # fall inside a micro-batch gap and cut the stream short), then
+    # unblock the clients by closing their sockets
+    quiet = 0
+    seen = -1
+    while quiet < 4:
+        cur = sum(counts)
+        quiet = quiet + 1 if cur == seen else 0
+        seen = cur
+        time.sleep(0.5)
+    stop.set()
+    for conn in conns:
+        try:
+            conn.sock.shutdown(2)  # both directions; unblocks recv
+        except Exception:
+            pass
+        try:
+            conn.close()  # http.client can raise from a half-read chunk
+        except Exception:
+            pass
+    for t in threads:
+        t.join(timeout=30)
+    srv.stop()
+    wall = max(last_data_at) - t0 if any(last_data_at) else float("inf")
+    delivered = sum(counts)
+    return {
+        "streaming_e2e_clients": n_clients,
+        "streaming_e2e_events_delivered": delivered,
+        "streaming_e2e_wall_sec": round(wall, 3),
+        "streaming_e2e_events_per_sec": round(delivered / wall, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -134,6 +248,7 @@ def main() -> None:
     # the full feed (reference_pipeline_example) in times[...] seconds.
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     pipeline_sec = times.get("reference_pipeline_example", 0.0) or 1e-9
+    e2e = streaming_e2e(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -149,6 +264,7 @@ def main() -> None:
                 "vs_prev_round": prev_round,
                 "vs_prev": vs_prev,
                 "regressions_vs_prev": regressions,
+                **e2e,
             }
         )
     )

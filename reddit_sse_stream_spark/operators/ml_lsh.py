@@ -128,10 +128,18 @@ def ivf_topk_cosine(
     )
     vecs = _embedding_vectors(unit)
     # coarse quantizer: cell boundaries don't need full convergence, and
-    # each KMeans iteration is a full job — cap the iteration count
+    # each KMeans iteration is a full job — cap the iteration count.
+    # Train on sort(id).coalesce(1): seeded KMeans is still partitioning-
+    # AND row-order-dependent through its float reductions, so the model is
+    # pinned by feeding it ONE partition in a total order — identical cell
+    # assignments for the same data no matter how the parent frame was
+    # partitioned (test-pinned).  Real IVF trains its quantizer on a
+    # bounded sample anyway; at 100 TB this IS the sample stage (swap in
+    # .sample(seed) before the sort), while the assignment transform below
+    # stays fully distributed.
     km = KMeans(
         k=n_cells, seed=_SEED, maxIter=8, featuresCol="features", predictionCol="cell"
-    ).fit(vecs)
+    ).fit(vecs.sort("vec_id").coalesce(1))
     assigned = km.transform(vecs).select("vec_id", "cell")
     q = np.asarray(list(query_vec), dtype=float)
     q = q / np.linalg.norm(q)

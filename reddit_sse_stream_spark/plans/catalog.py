@@ -1329,9 +1329,12 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas feature extraction (decode step is a deterministic fake —
     container has no codecs; see operators/multimodal.py).  No oracle BY
     DESIGN: the payload is opaque binary built Arrow-side, so DuckDB can't
-    recompute the checksum -> rows-only check here; the metadata twin
-    ``media_features_meta`` (same plumbing minus the binary) carries the
-    driver-checked value oracle."""
+    recompute the checksum -> rows-only check here.  Verification surface:
+    the metadata twin ``media_features_meta`` (same plumbing minus the
+    binary) carries the driver-checked value oracle, and the payload path
+    itself is byte-determinism-pinned in
+    tests/test_operators.py::test_media_features_payload_byte_deterministic
+    (identical checksums/byte counts/features under any partitioning)."""
     media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media)
     return feats.select("media_id", "kind", "n_bytes", "checksum")
@@ -2740,12 +2743,15 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN scale path: KMeans coarse quantizer on the unit sphere,
     probe the 2 nearest cells only (operators/ml_lsh.py).  No oracle BY
-    DESIGN (genuinely non-deterministic across engines): KMeans is seeded
-    but its float reductions are partitioning-order-dependent, so cell
-    assignments — and therefore which candidates are probed — can differ
-    between runs/engines -> rows-only check; recall-vs-brute-force is
-    band-checked in pytest, and the deterministic LSH bucket path
-    (``knn_lsh_bucketed``) carries the driver-checked value oracle."""
+    DESIGN — DuckDB cannot reproduce Spark's KMeans, so there is no SQL
+    twin to hash against.  Verification surface: (1) the quantizer trains
+    on a coalesce(1) input, which pins the seeded model (and so every cell
+    assignment and this query's rows) run to run — the driver's
+    rows+schema check is therefore meaningful, not noise
+    (tests/test_operators.py::test_ivf_assignments_deterministic_under_repartition);
+    (2) recall-vs-brute-force is band-checked in pytest; (3) the
+    deterministic LSH bucket path (``knn_lsh_bucketed``) carries the
+    driver-checked value oracle for the ANN family."""
     from reddit_sse_stream_spark.operators.ml_lsh import ivf_topk_cosine
 
     emb = _t(spark, sf_dir, "embeddings")

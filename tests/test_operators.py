@@ -665,3 +665,44 @@ def test_bucket_pair_explode_bounds_hot_bucket_cells(spark):
         members, ["bucket"], "id", "a", "b", cap=cap
     ).count()
     assert n_pairs == m * (m - 1) // 2
+
+
+def test_media_features_payload_byte_deterministic(spark, sf_dir):
+    """The media payload path (synthesize -> Arrow feature kernel) must be
+    byte-deterministic: same docs, any partitioning -> identical checksums,
+    byte counts, and feature vectors.  This is the value-level coverage the
+    oracle-less ``media_features`` catalog entry names in its docstring
+    (the driver's rows-only check plus ``media_features_meta``'s hash
+    oracle cover the rest)."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+
+    def rows(df):
+        return sorted(
+            (r["media_id"], r["kind"], r["n_bytes"], r["checksum"], tuple(r["feat"]))
+            for r in multimodal.extract_features(
+                multimodal.synthesize_media(df)
+            ).collect()
+        )
+
+    assert rows(docs) == rows(docs.repartition(7))
+
+
+def test_ivf_assignments_deterministic_under_repartition(spark, sf_dir):
+    """The IVF quantizer trains on a coalesce(1) input, so the seeded
+    KMeans model — and every cell assignment — must be identical no matter
+    how the parent frame is partitioned.  This is what makes the driver's
+    rows+schema check on the oracle-less ``knn_ivf_cells`` meaningful."""
+    from reddit_sse_stream_spark.operators.ml_lsh import ivf_topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+
+    def topk(df):
+        return sorted(
+            (r["vec_id"], r["cos_sim"])
+            for r in ivf_topk_cosine(
+                df.filter(F.col("vec_id") != 0), qv, k=5, n_cells=8, n_probe=2
+            ).collect()
+        )
+
+    assert topk(emb) == topk(emb.repartition(11))

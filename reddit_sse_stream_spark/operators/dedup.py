@@ -307,36 +307,49 @@ def minhash_features_fast(
 _BUCKET_PAIR_CAP = 4096
 
 
+def _grouped_ids(members: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """One row per bucket with the collected member ids — the single
+    shuffle both :func:`bucket_pair_explode` branches hang off."""
+    return (
+        members.groupBy(*key_cols)
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
 def _pair_cells(
-    members: DataFrame, key_cols: list[str], id_col: str, cap: int
+    members: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    cap: int,
+    grp: DataFrame | None = None,
 ) -> DataFrame:
-    """Assign every (bucket, id) row to its triangular pair-generation
-    cells: ids hash into s = ceil(m/cap) sub-groups, and cell (i, j), i<=j,
-    is responsible for pairs between group i ("L" side) and group j ("R"
-    side; the diagonal cell pairs group i with itself).  Exposed separately
-    from :func:`bucket_pair_explode` so tests can assert the per-cell size
-    bound directly."""
-    w = Window.partitionBy(*key_cols)
-    sized = members.select(
-        *key_cols,
-        F.col(id_col).alias("_id"),
-        F.ceil(F.count("*").over(w) / F.lit(cap)).cast("int").alias("_s"),
+    """Assign every member of an OVERSIZED bucket (> cap ids) to its
+    triangular pair-generation cells: ids hash into s = ceil(m/cap)
+    sub-groups, and cell (i, j), i<=j, is responsible for pairs between
+    group i ("L" side) and group j ("R" side; the diagonal cell pairs
+    group i with itself).  The bucket size comes from the collected array
+    itself — no window, no extra pass over normal-sized buckets.  Exposed
+    separately from :func:`bucket_pair_explode` so tests can assert the
+    per-cell size bound directly.
+
+    ``grp`` lets the caller pass its own :func:`_grouped_ids` frame: both
+    bucket_pair_explode branches must hang off the SAME Python DataFrame
+    so the two consumers are plan-identical and Catalyst reuses the one
+    bucket-key Exchange (two separately-constructed groupBys get fresh
+    expression ids and the reuse does NOT fire — measured as a second
+    kernel run in the executed plan)."""
+    if grp is None:
+        grp = _grouped_ids(members, key_cols, id_col)
+    s = F.ceil(F.size("ids") / F.lit(cap)).cast("int")
+    big = grp.filter(F.size("ids") > cap).select(
+        *key_cols, s.alias("_s"), F.explode("ids").alias("_id")
     )
-    s = F.col("_s")
-    h = F.pmod(F.xxhash64(F.col("_id")), s).cast("int")
-    # Fast path for the overwhelmingly common un-split bucket (s == 1):
-    # a literal one-cell array, keeping the interpreted transform/sequence
-    # HOF chain off every normal row (CASE WHEN only evaluates the matched
-    # branch).
-    one_cell = F.array(
-        F.struct(
-            F.lit(0).alias("ci"), F.lit(0).alias("cj"), F.lit("L").alias("side")
-        )
-    )
-    split_cells = F.concat(
+    h = F.pmod(F.xxhash64(F.col("_id")), F.col("_s")).cast("int")
+    cells = F.concat(
         # this id's group h as the L side of cells (h, h..s-1)
         F.transform(
-            F.sequence(h, s - 1),
+            F.sequence(h, F.col("_s") - 1),
             lambda j: F.struct(h.alias("ci"), j.alias("cj"), F.lit("L").alias("side")),
         ),
         # ...and as the R side of cells (0..h-1, h)
@@ -350,8 +363,7 @@ def _pair_cells(
             ),
         ).otherwise(F.array()),
     )
-    cells = F.when(s == 1, one_cell).otherwise(split_cells)
-    return sized.select(*key_cols, "_id", F.explode(cells).alias("c")).select(
+    return big.select(*key_cols, "_id", F.explode(cells).alias("c")).select(
         *key_cols, "c.ci", "c.cj", "c.side", "_id"
     )
 
@@ -369,31 +381,46 @@ def bucket_pair_explode(
 
     The naive grouped-explode collects a whole bucket on one task and does
     m^2 work there; a degenerate bucket (every doc identical at 100 TB)
-    serializes the job on one straggler.  Here each bucket's ids hash into
-    s = ceil(m/cap) sub-groups and each triangular cell (i <= j) emits its
-    group-i x group-j pairs on its OWN task, so per-task work is ~cap^2 and
-    a hot bucket fans out over s(s+1)/2 tasks.  Recall is FULL: a pair
-    (x, y) meets in exactly the cell (min(h_x,h_y), max(h_x,h_y)) — this is
-    a work partition, not a candidate filter.  (The m^2 TOTAL output of a
-    degenerate bucket is inherent to the emit-all-pairs contract; band/plane
-    count is the knob that bounds expected bucket size, this cap bounds the
-    worst case per task.)  With m <= cap the whole bucket is the single
-    diagonal cell (0, 0) and the plan degenerates to the r04 grouped
-    explode.
+    serializes the job on one straggler.  Here buckets within the cap keep
+    the r04 collect-and-explode shape untouched (zero extra shuffles, bare
+    long ids), while an OVERSIZED bucket's ids hash into s = ceil(m/cap)
+    sub-groups and each triangular cell (i <= j) emits its group-i x
+    group-j pairs on its OWN task, so per-task work is ~cap^2 and a hot
+    bucket fans out over s(s+1)/2 tasks.  Recall is FULL: a pair (x, y)
+    meets in exactly the cell (min(h_x,h_y), max(h_x,h_y)) — this is a
+    work partition, not a candidate filter.  (The m^2 TOTAL output of a
+    degenerate bucket is inherent to the emit-all-pairs contract;
+    band/plane count is the knob that bounds expected bucket size, this
+    cap bounds the worst case per task.)
 
-    The bucket size is computed with a window count, so the input subplan is
-    consumed ONCE — no count-join second consumer, which would re-run an
-    upstream mapInPandas kernel (the r03 double-kernel class).
+    Both branches hang off the SAME groupBy, so Catalyst plans one
+    bucket-key Exchange and reuses it (ReusedExchange) for the second
+    consumer — the upstream mapInPandas kernel still runs exactly once.
+    That reuse is load-bearing against the r03 double-kernel class and is
+    pinned by the executed-plan tests (exact MapInPandas counts + a
+    ReusedExchange presence check); it fires here because the two
+    consumers are canonically IDENTICAL subplans, unlike r03's
+    alias-projected join sides.  Known soft spot: if the caller's input
+    frame matches a CacheManager entry, cache substitution can land in
+    one branch subtree differently and break the canonical match — the
+    kernel then runs per branch, but reads the cache rather than
+    re-scanning the corpus, so the regression class is bounded CPU, not
+    a second full scan.
 
     Pairs are unique per bucket but the same pair may surface from several
     buckets — callers dedup/aggregate exactly as with a bucket self-join.
     """
-    cells = _pair_cells(members, key_cols, id_col, cap)
+    grp = _grouped_ids(members, key_cols, id_col)
+    small = (
+        grp.filter(F.size("ids") <= cap)
+        .select("ids", F.explode("ids").alias("a"))
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+    )
     # Two long arrays per cell (collect_list drops the when()'s nulls), so
-    # the pair explode below moves bare longs — on a normal bucket (s = 1,
-    # single diagonal cell, empty R side) this is bit-for-bit the r04
-    # explode-ids-twice shape, no struct overhead.
-    grp = (
+    # the pair explode below moves bare longs — no struct overhead.
+    cells = _pair_cells(members, key_cols, id_col, cap, grp=grp)
+    bgrp = (
         cells.groupBy(*key_cols, "ci", "cj")
         .agg(
             F.collect_list(F.when(F.col("side") == "L", F.col("_id"))).alias("ls"),
@@ -402,8 +429,8 @@ def bucket_pair_explode(
         .filter((F.size("ls") > 0) & (F.size("ls") + F.size("rs") > 1))
     )
     diag = F.col("ci") == F.col("cj")
-    pairs = (
-        grp.select("ci", "cj", "ls", "rs", F.explode("ls").alias("a"))
+    big = (
+        bgrp.select("ci", "cj", "ls", "rs", F.explode("ls").alias("a"))
         # diagonal cells pair L with itself (a < b dedups); off-diagonal
         # cells pair L with R (disjoint sub-groups, every cross pair once)
         .select(
@@ -414,9 +441,10 @@ def bucket_pair_explode(
         )
         .filter(~diag | (F.col("a") < F.col("b")))
     )
-    return pairs.select(
+    out = lambda df: df.select(  # noqa: E731
         F.least("a", "b").alias(out_a), F.greatest("a", "b").alias(out_b)
     )
+    return out(small).unionAll(out(big))
 
 
 def _band_candidates(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:

@@ -223,8 +223,14 @@ def test_cosine_near_dup_lsh_single_bucketing_pass_no_storage_leak(spark, sf_dir
     subplans), and the earlier cache fix leaked executor storage.  The
     grouped-explode candidate generator must show exactly ONE bucketing
     MapInPandas in the executed plan (plus one for the scoring kernel) and
-    leave nothing persisted after the action."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    leave nothing persisted after the action.
+
+    The input filter is deliberately distinct from every cached frame in
+    this module: if a cached entry substitutes into ONE branch subtree the
+    two consumers stop being plan-identical and exchange reuse doesn't
+    fire (the second kernel run then reads the cache, not the parquet —
+    see bucket_pair_explode's docstring)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 96)
     before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
     df = similarity.near_dup_pairs_lsh(emb, threshold=0.2, n_planes=6, n_tables=4)
     df.collect()

@@ -294,6 +294,10 @@ def test_cosine_lsh_single_kernel_materialization(spark, sf_dir):
     kernel re-run (cost +56% in r03) is back."""
     plan = _final_plan_after_collect(spark, sf_dir, "dedup_embedding_cosine_lsh")
     assert plan.count("MapInPandas") == 2
+    # the small/big pair branches share ONE bucket-key exchange; if this
+    # reuse stops firing the kernel runs per branch and the count above
+    # becomes 3 — assert the reuse directly too so the failure names it
+    assert "ReusedExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

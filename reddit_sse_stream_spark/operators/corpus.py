@@ -1,0 +1,128 @@
+"""Corpus-organization operators: the training-data plumbing that sits
+AFTER per-document scoring and dedup — cleaning, the final keep/drop gate,
+deterministic train/val splitting, and shard assignment with a
+reproducible shuffle order.  (The reference engine has none of this; the
+operators generalize its per-event filter pipeline to corpus curation,
+SURVEY.md §2.8 north-star.)
+
+Scale notes common to all four:
+
+- Everything is pure codegen Column algebra over one pass of the
+  documents table — zero shuffles except the per-shard window in
+  :func:`shard_assignments` (one exchange on the shard key, which at
+  100 TB is exactly the write partitioning the shards need anyway).
+- All randomness is hash-derived (60-bit md5, ``dedup.md5_hash60``), so
+  splits, shard membership, and shuffle order are deterministic functions
+  of the data — re-running the pipeline on the same corpus reproduces the
+  same training mix bit for bit, and both engines of the oracle pair
+  compute the identical assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from reddit_sse_stream_spark.operators import dedup, text
+
+#: 2^60 as a double — md5_hash60 values are uniform on [0, 2^60), so
+#: dividing yields a deterministic pseudo-uniform u in [0, 1).
+_HASH60_SPAN = float(1 << 60)
+
+
+def _unit_hash(col, salt: str) -> "F.Column":
+    """Deterministic pseudo-uniform u in [0, 1) from a salted 60-bit md5.
+    Distinct salts give independent streams (split vs shuffle order), so
+    e.g. the val set is NOT biased toward any shard."""
+    return dedup.md5_hash60(F.concat(F.lit(salt), col.cast("string"))) / F.lit(
+        _HASH60_SPAN
+    )
+
+
+def clean_normalize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Text cleaning: case-fold, collapse whitespace runs, strip characters
+    outside [a-z0-9 ] — the canonical form fingerprinting and exact dedup
+    want to see.  Emits the cleaned text plus before/after char counts so a
+    downstream gate can bound how much cleaning destroyed.
+
+    Regex patterns stay inside the Java/RE2 common dialect (explicit
+    classes, no lookaround) so the DuckDB oracle applies the identical
+    transformation."""
+    t = F.col(text_col)
+    collapsed = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    cleaned = F.regexp_replace(collapsed, "[^a-z0-9 ]", "")
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars_raw"),
+        cleaned.alias("text_clean"),
+        F.length(cleaned).alias("n_chars_clean"),
+        (F.length(t) - F.length(cleaned)).alias("n_removed"),
+    )
+
+
+def filter_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus's final keep/drop verdict: combines the quality-score and
+    repetition operators with a metadata language gate, and emits one
+    boolean per REASON alongside the verdict so curation is auditable
+    (why-dropped histograms, threshold sweeps) instead of a bare filter.
+
+    Thresholds sit inside the observed testdata bands on purpose, so the
+    gate discriminates rather than rubber-stamping.  One doc_id-keyed
+    shuffle (the repetition aggregate); quality metrics and the verdict
+    itself are codegen-local."""
+    q = text.quality_score(df, text_col).select(
+        "doc_id", "n_words", "alpha_ratio"
+    )
+    r = text.repetition_score(df, text_col).select("doc_id", "dup_frac")
+    flags = (
+        df.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .join(r, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("n_words") >= 30).cast("int").alias("len_ok"),
+            (F.col("alpha_ratio") >= 0.8).cast("int").alias("alpha_ok"),
+            (F.col("dup_frac") <= 0.05).cast("int").alias("rep_ok"),
+            (F.col("lang") == "en").cast("int").alias("lang_ok"),
+        )
+    )
+    keep = (
+        (F.col("len_ok") == 1)
+        & (F.col("alpha_ok") == 1)
+        & (F.col("rep_ok") == 1)
+        & (F.col("lang_ok") == 1)
+    )
+    return flags.select(
+        "doc_id", "len_ok", "alpha_ok", "rep_ok", "lang_ok", keep.cast("int").alias("keep")
+    )
+
+
+def train_val_split(df: DataFrame, val_frac: float = 0.1) -> DataFrame:
+    """Deterministic train/val assignment: u = hash(doc_id)/2^60 < val_frac
+    -> val.  Hash-based (not ``rand()``) so membership is stable across
+    reruns, cluster sizes, and engines — the property leakage audits
+    depend on: a document can never silently migrate between splits."""
+    u = _unit_hash(F.col("doc_id"), "split:")
+    return df.select(
+        "doc_id",
+        F.when(u < F.lit(val_frac), F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def shard_assignments(df: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Training shards with a reproducible shuffle order: shard =
+    hash(doc_id) mod n_shards, and WITHIN each shard a position drawn from
+    an independent salted hash — the deterministic global shuffle a data
+    loader consumes (shard files read in pos order = unbiased document
+    order, identical on every rerun).
+
+    One exchange on the shard key; at 100 TB that same key becomes the
+    write partitioning, so the shuffle that orders the data is the shuffle
+    that lays it out."""
+    shard = F.pmod(dedup.md5_hash60(F.col("doc_id").cast("string")), F.lit(n_shards))
+    order_u = _unit_hash(F.col("doc_id"), "order:")
+    w = Window.partitionBy("shard").orderBy("order_u", "doc_id")
+    return (
+        df.select("doc_id", shard.alias("shard"), order_u.alias("order_u"))
+        .select("doc_id", "shard", F.row_number().over(w).alias("pos"))
+    )

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reddit_sse_stream_spark.operators import (
+    corpus,
     dedup,
     multimodal,
     packing,
@@ -3498,6 +3499,129 @@ def text_repetition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-bigram fraction per document.  Codegen-local n-gram expansion, one
     doc_id-keyed shuffle with map-side combine."""
     return text.repetition_score(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_clean_normalize",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          '[^a-z0-9 ]', '', 'g') AS text_clean,
+           CAST(length(regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                                      '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_chars_clean,
+           CAST(length(text)
+                - length(regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                                        '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_removed
+    FROM documents
+    """,
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning to canonical form (case-fold, whitespace collapse,
+    charset strip) with before/after counts (operators/corpus.py).  Pure
+    codegen regexp chain, zero shuffles; patterns stay inside the
+    Java/RE2 common dialect so the oracle is the same transformation."""
+    out = corpus.clean_normalize(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_raw").cast("bigint").alias("n_chars_raw"),
+        "text_clean",
+        F.col("n_chars_clean").cast("bigint").alias("n_chars_clean"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+    )
+
+
+@_register(
+    "corpus_filter_gate",
+    r"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
+             floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / greatest(length(text), 1) * 10000) / 10000.0 AS alpha_ratio
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+      FROM words
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram FROM idx
+    ),
+    rep AS (
+      SELECT doc_id,
+             floor((count(*) - count(DISTINCT gram)) * 1.0
+                   / greatest(count(*), 1) * 10000) / 10000.0 AS dup_frac
+      FROM grams GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             CAST(q.n_words >= 30 AS INTEGER) AS len_ok,
+             CAST(q.alpha_ratio >= 0.8 AS INTEGER) AS alpha_ok,
+             CAST(rep.dup_frac <= 0.05 AS INTEGER) AS rep_ok,
+             CAST(d.lang = 'en' AS INTEGER) AS lang_ok
+      FROM documents d JOIN q USING (doc_id) JOIN rep USING (doc_id)
+    )
+    SELECT doc_id, len_ok, alpha_ok, rep_ok, lang_ok,
+           CAST(len_ok = 1 AND alpha_ok = 1 AND rep_ok = 1 AND lang_ok = 1
+                AS INTEGER) AS keep
+    FROM flags
+    """,
+)
+def corpus_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's final keep/drop verdict with per-reason audit flags
+    (operators/corpus.py): quality length/alpha bands + repetition cap +
+    metadata language gate.  One doc_id-keyed shuffle (the repetition
+    aggregate); every flag and the verdict are codegen-local."""
+    return corpus.filter_gate(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "corpus_train_val_split",
+    """
+    SELECT doc_id,
+           CASE WHEN CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) / 1152921504606846976.0 < 0.1
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val assignment (operators/corpus.py):
+    membership is a pure function of doc_id, stable across reruns, cluster
+    sizes, and engines — no document silently migrates between splits.
+    Zero shuffles."""
+    return corpus.train_val_split(_t(spark, sf_dir, "documents"), val_frac=0.1)
+
+
+@_register(
+    "corpus_shard_assignments",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 16 AS shard,
+             CAST(concat('0x', substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) / 1152921504606846976.0 AS order_u
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY order_u, doc_id)
+                AS INTEGER) AS pos
+    FROM h
+    """,
+)
+def corpus_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training shards with a reproducible within-shard shuffle order
+    (operators/corpus.py): shard = hash mod n, position from an
+    independent salted hash — the deterministic global shuffle a data
+    loader consumes.  One exchange on the shard key, which at 100 TB is
+    the write partitioning itself."""
+    return corpus.shard_assignments(_t(spark, sf_dir, "documents"), n_shards=16)
 
 
 @_register(

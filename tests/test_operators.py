@@ -712,3 +712,62 @@ def test_ivf_assignments_deterministic_under_repartition(spark, sf_dir):
         )
 
     assert topk(emb) == topk(emb.repartition(11))
+
+
+def test_corpus_gate_keep_implies_all_flags(spark, sf_dir):
+    from reddit_sse_stream_spark.operators import corpus
+
+    rows = corpus.filter_gate(load_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    kept = [r for r in rows if r["keep"] == 1]
+    # the gate must discriminate on this data, not rubber-stamp
+    assert 0 < len(kept) < len(rows)
+    for r in rows:
+        expect = int(
+            r["len_ok"] == 1 and r["alpha_ok"] == 1 and r["rep_ok"] == 1 and r["lang_ok"] == 1
+        )
+        assert r["keep"] == expect
+
+
+def test_corpus_split_fraction_and_determinism(spark, sf_dir):
+    from reddit_sse_stream_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = {r["doc_id"]: r["split"] for r in corpus.train_val_split(docs).collect()}
+    frac = sum(1 for s in rows.values() if s == "val") / len(rows)
+    assert 0.03 < frac < 0.2  # hash-uniform around 0.1
+    again = {
+        r["doc_id"]: r["split"]
+        for r in corpus.train_val_split(docs.repartition(9)).collect()
+    }
+    assert rows == again
+
+
+def test_corpus_shards_contiguous_positions(spark, sf_dir):
+    from collections import defaultdict
+
+    from reddit_sse_stream_spark.operators import corpus
+
+    rows = corpus.shard_assignments(
+        load_table(spark, sf_dir, "documents"), n_shards=8
+    ).collect()
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r["pos"])
+    assert set(by_shard) == set(range(8))  # every shard populated
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_clean_normalize_canonical_form(spark, sf_dir):
+    import re
+
+    from reddit_sse_stream_spark.operators import corpus
+
+    rows = corpus.clean_normalize(load_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    for r in rows:
+        assert re.fullmatch(r"[a-z0-9 ]*", r["text_clean"])
+        assert "  " not in r["text_clean"]
+        assert r["n_chars_clean"] == len(r["text_clean"])
+        assert r["n_removed"] == r["n_chars_raw"] - r["n_chars_clean"]

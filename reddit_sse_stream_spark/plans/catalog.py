@@ -3625,6 +3625,36 @@ def corpus_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embed_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, x,
+             greatest(list_max(list_transform(x, e -> abs(e))), 1e-30) AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1000000) AS BIGINT) AS scale_fp6,
+           list_transform(x, e -> CAST(floor(e / scale * 127 + 0.5) AS INTEGER)) AS qvec,
+           floor(list_max(list_transform(x,
+                 e -> abs(e - floor(e / scale * 127 + 0.5) * scale / 127)))
+                 * 1000000) / 1000000.0 AS max_err
+    FROM s
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxabs int8 scalar quantization of the embedding column with
+    per-vector reconstruction error (operators/corpus.py) — the standard
+    compression step before an ANN index or training shard.  Codegen
+    Column algebra, one scan, zero shuffles; the (x, scale) pair sits
+    behind an explode-array barrier so the scale reduction is not
+    re-inlined per element."""
+    return corpus.quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
     "decontam_ngram_overlap",
     """
     WITH words AS (

@@ -771,3 +771,22 @@ def test_clean_normalize_canonical_form(spark, sf_dir):
         assert "  " not in r["text_clean"]
         assert r["n_chars_clean"] == len(r["text_clean"])
         assert r["n_removed"] == r["n_chars_raw"] - r["n_chars_clean"]
+
+
+def test_quantize_int8_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from reddit_sse_stream_spark.operators import corpus
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    got = {r["vec_id"]: r for r in corpus.quantize_embeddings_int8(emb).collect()}
+    for r in emb.collect():
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        scale = max(float(np.max(np.abs(x))), 1e-30)
+        q = np.floor(x / scale * 127 + 0.5).astype(int)
+        g = got[r["vec_id"]]
+        assert list(g["qvec"]) == q.tolist()
+        assert g["scale_fp6"] == math.floor(scale * 1_000_000)
+        assert np.all(np.abs(q) <= 127)
+        err = float(np.max(np.abs(x - q * scale / 127)))
+        assert abs(g["max_err"] - math.floor(err * 1e6) / 1e6) < 1e-12

@@ -536,8 +536,12 @@ def minhash_md5_near_dups(
     """Minhash-LSH near-dup pipeline with every stage ANSI-expressible:
     md5-derived shingle hashes and literal signature-slice band keys (no
     xxhash bucketing), so a SQL oracle reproduces byte-identical candidates
-    and Jaccard values.  Same scale shape as :func:`near_dup_pairs` — band
-    equi-join shuffles only (band, key, doc_id); verify touches candidates
+    and Jaccard values.  Same scale shape as :func:`near_dup_pairs` —
+    banding shuffles only (band, key, doc_id) via the shared
+    :func:`bucket_pair_explode` (r05: replaced a band self-join that
+    re-executed the whole tokenize/md5/signature HOF chain once per join
+    side), the shingle frame is localCheckpoint-materialized once for the
+    signature fold and both verify sides, and verify touches candidates
     only — just with the portable hash family.  The xxhash64/Arrow variant
     stays the throughput path; this one is the correctness anchor.
     """
@@ -559,7 +563,9 @@ def minhash_md5_near_dups(
     tok = docs.select("doc_id", F.explode(F.array(words)).alias("words")).filter(
         F.size("words") >= k
     )
-    sh = tok.select("doc_id", F.explode(F.array(sh_arr)).alias("sh"))
+    sh = tok.select("doc_id", F.explode(F.array(sh_arr)).alias("sh")).localCheckpoint(
+        eager=False
+    )
     sig = sh.select(
         "doc_id", F.explode(F.array(_signature_col(num_hashes))).alias("sig")
     )
@@ -578,19 +584,9 @@ def minhash_md5_near_dups(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.key")
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = bucket_pair_explode(
+        banded, ["band", "key"], "doc_id", "doc_a", "doc_b"
+    ).distinct()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = (

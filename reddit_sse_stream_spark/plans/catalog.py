@@ -4455,39 +4455,36 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r+1 chunks.  Fully value-level oracled: md5 hash family + literal
     band arithmetic reproduce bit-identically in ANSI SQL."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.simhash(docs, bits=60, hash_fn=dedup.md5_hash60).withColumnRenamed(
-        "simhash", "code"
+    # The code frame feeds banding plus both sides of the hamming verify;
+    # localCheckpoint materializes the simhash kernel output ONCE (a
+    # (doc_id, long) pair per doc — the cheapest checkpoint in the repo)
+    # so the three consumers never re-run the kernel.
+    sh = (
+        dedup.simhash(docs, bits=60, hash_fn=dedup.md5_hash60)
+        .withColumnRenamed("simhash", "code")
+        .localCheckpoint(eager=False)
     )
     banded = sh.select(
         "doc_id",
-        "code",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        F.col("code"),
     ).withColumn("chunk", F.expr("(code >> (band * 15)) & 32767"))
-    # Grouped explode instead of a self-join: a join would execute the
-    # simhash kernel once PER SIDE (no ReuseExchange across mapInPandas
-    # subplans — same finding as near_dup_pairs_lsh).  Collect each
-    # (band, chunk)'s members once and emit within-chunk pairs.
-    grp = (
-        banded.groupBy("band", "chunk")
-        .agg(F.collect_list(F.struct("doc_id", "code")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    cand = (
-        grp.select(F.col("ms"), F.explode("ms").alias("a"))
-        .select(F.col("a"), F.explode("ms").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.code").alias("code_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.code").alias("code_b"),
-        )
-        .distinct()
-    )
+    # Shared pair generator = narrow long-only explode + the unconditional
+    # hot-bucket guard (a degenerate corpus lands every doc in one chunk;
+    # bucket_pair_explode fans its m^2 out over capped triangular cells).
+    cand = dedup.bucket_pair_explode(
+        banded.select("band", "chunk", "doc_id"), ["band", "chunk"], "doc_id",
+        "doc_a", "doc_b",
+    ).distinct()
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("code").alias("code_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("code").alias("code_b"))
     hamming = F.bit_count(F.col("code_a").bitwiseXOR(F.col("code_b")))
-    return cand.select(
-        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
-    ).filter(F.col("hamming") <= 3)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
 
 
 @_register(

@@ -2392,6 +2392,282 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SQL twins of the _fp/_dsum fixed-point family (see the block comment above
+# _FP_SCALE).  The older TPC-H oracles carry these expansions inline; the
+# q2/q11/q16/q20 additions below generate them so the two engines cannot
+# drift while editing.
+def _sql_fp(expr: str) -> str:
+    """DuckDB twin of :func:`_fp`: exact int64 fixed-point addend."""
+    return f"CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)"
+
+
+def _sql_dsum_raw(expr: str) -> str:
+    """DuckDB twin of :func:`_dsum_raw`: un-rounded exact sum as double."""
+    return f"(sum({_sql_fp(expr)}) / 1000000.0)"
+
+
+@_register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+    FROM offers
+      JOIN eu ON l_suppkey = s_suppkey
+      JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'STANDARD'
+      AND unit_cost = (
+        SELECT min(o2.unit_cost) FROM offers o2
+          JOIN eu e2 ON o2.l_suppkey = e2.s_suppkey
+        WHERE o2.l_partkey = offers.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table, so the supplier-part
+    catalog is derived from lineitem — ps_supplycost becomes the minimum
+    observed unit price per (part, supplier)): for every STANDARD-type part,
+    the European supplier(s) offering it at the region-wide minimum cost.
+
+    The correlated min subquery decorrelates into a groupBy-min on
+    l_partkey joined back on (key, cost) — one extra narrow shuffle instead
+    of a per-row re-scan.  ``unit_cost`` is a single IEEE division of two
+    stored doubles and ``min`` is order-independent, so the equality join
+    and the emitted double are bit-identical across engines (no sum is ever
+    formed).  supplier/nation/region are broadcast (dimension-sized at any
+    SF); the offers aggregation is the only big shuffle, keyed on the
+    (partkey, suppkey) pair that also feeds the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "tpch_q11_important_parts",
+    f"""
+    WITH scoped AS (
+        SELECT l_partkey, l_extendedprice
+        FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'),
+    per_part AS (
+        SELECT l_partkey AS p_key,
+               {_sql_dsum_raw('l_extendedprice')} AS part_value
+        FROM scoped GROUP BY l_partkey)
+    SELECT p_key, part_value
+    FROM per_part
+    WHERE part_value > (
+        SELECT {_sql_dsum_raw('l_extendedprice')} * 0.001 FROM scoped)
+    ORDER BY part_value DESC, p_key
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp, so "stock value" is the
+    revenue booked per part through one region's suppliers): parts whose
+    value exceeds 0.1% of the region-wide total — a grouped aggregate
+    HAVING-filtered against a global scalar aggregate.
+
+    Both the per-part values and the global total are exact fixed-point
+    sums (order-independent; see _FP_SCALE), so the > comparison cannot
+    flake across shuffle orders or engines.  The scoped feed is computed
+    once per side; the global total is a broadcast 1-row cross join, and
+    the only big shuffle is the per-part groupBy on l_partkey."""
+    scoped = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("l_partkey", "l_extendedprice")
+    )
+    per_part = scoped.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        _dsum_raw("l_extendedprice").alias("part_value")
+    )
+    total = scoped.agg(
+        (_dsum_raw("l_extendedprice") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("p_key", "part_value")
+        .orderBy(F.desc("part_value"), "p_key")
+    )
+
+
+@_register(
+    "tpch_q16_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+      JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type <> 'PROMO'
+      AND p_size IN (5, 10, 15, 20, 25, 30)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: the supplier-part relation comes from
+    lineitem, and the "customer complaints" exclusion — there is no
+    s_comment column — becomes a low-balance predicate): how many distinct
+    qualifying suppliers carry each (brand, type, size) bucket.
+
+    The NOT IN compiles to a left-anti join against the (tiny, broadcast)
+    excluded-supplier list; note NOT IN's NULL semantics don't bite because
+    s_suppkey is a key.  The distinct supplier-part projection collapses
+    lineitem's fan-out BEFORE the part join (narrow 2-key shuffle), and
+    count(DISTINCT) then runs on pre-deduplicated pairs."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2000.0)
+        .select("s_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+    )
+    return (
+        pairs.join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@_register(
+    "tpch_q20_dominant_supplier",
+    f"""
+    WITH scoped AS (
+        SELECT l_partkey, l_suppkey, l_quantity
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%bolt%'
+          AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'),
+    per_pair AS (
+        SELECT l_partkey, l_suppkey,
+               {_sql_dsum_raw('l_quantity')} AS supp_qty
+        FROM scoped GROUP BY l_partkey, l_suppkey),
+    per_part AS (
+        SELECT l_partkey AS t_partkey,
+               {_sql_dsum_raw('l_quantity')} AS part_qty
+        FROM scoped GROUP BY l_partkey)
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM per_pair JOIN per_part ON l_partkey = t_partkey
+        WHERE supp_qty > 0.5 * part_qty)
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp availqty, so "excess stock"
+    becomes market dominance — a supplier shipping more than half of a
+    part's total 1998 volume): suppliers who dominated any bolt-named part.
+
+    Keeps Q20's structure — a name-prefixed part scope, a date-windowed
+    quantity aggregate, a correlated half-of-total threshold, and an outer
+    IN collapsing to a left-semi join on s_suppkey.  Both quantity sums are
+    exact fixed-point (order-independent), so the strict > threshold is
+    deterministic.  The part filter broadcasts; per-pair and per-part
+    aggregates share the scoped scan and shuffle on narrow keys; per-part
+    re-broadcasts into the pair join (part counts are bounded by the name
+    filter at any SF)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    scoped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_pair = scoped.groupBy("l_partkey", "l_suppkey").agg(
+        _dsum_raw("l_quantity").alias("supp_qty")
+    )
+    per_part = scoped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        _dsum_raw("l_quantity").alias("part_qty")
+    )
+    dominant = (
+        per_pair.join(
+            F.broadcast(per_part), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 @_register(
     "ts_gapfill_ffill",
     """

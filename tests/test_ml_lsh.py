@@ -12,7 +12,14 @@ from reddit_sse_stream_spark.sources.tables import load_table
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings").cache()
+    # unpersist at teardown: a cached relation left in the CacheManager
+    # substitutes into later modules' plans (cache lookup is by analyzed
+    # subtree), where it breaks the plan-identity that exchange reuse
+    # needs — test_operators' single-bucketing-pass regression test sees
+    # a third MapInPandas kernel if this leaks
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")

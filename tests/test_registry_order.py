@@ -71,7 +71,14 @@ def test_stale_rows_rotated_into_the_front_window():
     names = list(QUERIES)
     front = names[:50]
     green_in_front = [n for n in front if n in _PRIOR_GREEN_ROUND]
-    stalest = sorted(_PRIOR_GREEN_ROUND, key=lambda n: _PRIOR_GREEN_ROUND[n])
-    assert set(green_in_front) == set(stalest[: len(green_in_front)])
+    green_out = [
+        n for n in names[50:] if n in _PRIOR_GREEN_ROUND
+    ]
+    # stalest-first up to same-round ties (ties break in registration
+    # order, which is fine — they are equally in need of re-proof)
+    assert green_in_front and green_out
+    assert max(_PRIOR_GREEN_ROUND[n] for n in green_in_front) <= min(
+        _PRIOR_GREEN_ROUND[n] for n in green_out
+    )
     just_proven = {n for n, r in _PRIOR_GREEN_ROUND.items() if r >= 4}
     assert not (just_proven & set(front))

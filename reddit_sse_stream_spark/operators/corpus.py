@@ -60,6 +60,99 @@ def clean_normalize(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns, Java/RE2 common dialect (explicit classes, \b word
+# boundaries, no lookaround) so the DuckDB oracle redacts identically.
+# Ordering is load-bearing: emails first (their local/domain parts contain
+# dots and digits that the later patterns could otherwise nibble), then
+# IPv4, then dash-separated phones (a phone's final group is 4 digits, so
+# no IPv4 octet sequence can also match it).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the redaction pass every public-web training corpus
+    runs before anything else sees the text (emails, IPv4 addresses, phone
+    numbers → typed placeholder tokens), with per-category match counts so
+    a curation report can rank sources by PII density.
+
+    Counts are taken SEQUENTIALLY on the progressively-redacted text
+    (emails counted on the input, IPs on the email-redacted text, phones
+    on the IP-redacted text), which makes each count well-defined even
+    where categories could overlap — the same chain both engines of the
+    oracle pair execute, in the same order.
+
+    Scale: pure codegen regexp algebra over one pass, zero shuffles, zero
+    Python — at 100 TB this is a map-only stage that fuses into whatever
+    scan feeds it."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL, "[EMAIL]")
+    t2 = F.regexp_replace(t1, PII_IPV4, "[IP]")
+    t3 = F.regexp_replace(t2, PII_PHONE, "[PHONE]")
+    return df.select(
+        "doc_id",
+        t3.alias("redacted"),
+        F.regexp_count(t0, F.lit(PII_EMAIL)).cast("bigint").alias("n_email"),
+        F.regexp_count(t1, F.lit(PII_IPV4)).cast("bigint").alias("n_ip"),
+        F.regexp_count(t2, F.lit(PII_PHONE)).cast("bigint").alias("n_phone"),
+    )
+
+
+def rp_signs(out_dim: int, dim: int, salt: str = "rp") -> list[list[int]]:
+    """The deterministic ±1 sign matrix for :func:`random_projection_sketch`:
+    sign[j][d] = +1 if md5("{salt}:{d}:{j}") is even in its first 15 hex
+    digits, else -1.  Computed driver-side with hashlib, whose md5 of the
+    identical string matches SQL ``md5()`` in any engine — so an oracle can
+    either inline the same CASE-on-md5 expression or embed these literals,
+    and both engines project through the same matrix."""
+    import hashlib
+
+    def sgn(d: int, j: int) -> int:
+        h = int(hashlib.md5(f"{salt}:{d}:{j}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    return [[sgn(d, j) for d in range(dim)] for j in range(out_dim)]
+
+
+def random_projection_sketch(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Signed random projection (Achlioptas ±1 variant) of an embedding
+    column down to ``out_dim`` components — the dimensionality-reduction
+    sketch that feeds LSH tables, coarse clustering, or a visual map
+    without shipping full vectors.
+
+    proj_j = sum_d vec[d] * sign(d, j), accumulated in EXACT fixed point:
+    each addend is floor(v * s * 1e6 + 0.5) as int64 (v float32→double is
+    exact, s ∈ {-1, +1}), so the per-component sum is an associative
+    integer total — bit-identical across partitionings and engines — and
+    the final /1e6 is one correctly-rounded IEEE division.
+
+    Scale: the sign matrix is data-independent and tiny (out_dim × dim
+    literals baked into the plan — nothing is broadcast, nothing joins),
+    and each component is a zip_with/aggregate over the row's own array:
+    map-only, zero shuffles, linear in out_dim × dim per row."""
+    signs = rp_signs(out_dim, dim)
+    x = F.col(vec_col).cast("array<double>")
+    cols = []
+    for j in range(out_dim):
+        s_j = F.array(*[F.lit(float(s)) for s in signs[j]])
+        total = F.aggregate(
+            F.zip_with(
+                x, s_j, lambda v, s: F.floor(v * s * 1_000_000 + 0.5).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+        cols.append((total / F.lit(1_000_000.0)).alias(f"proj_{j}"))
+    return df.select(id_col, *cols)
+
+
 def filter_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The corpus's final keep/drop verdict: combines the quality-score and
     repetition operators with a metadata language gate, and emits one

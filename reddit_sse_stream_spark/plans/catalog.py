@@ -3930,6 +3930,107 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
 
 
+def _rp_sign_sql(j: int) -> str:
+    """DuckDB twin of corpus.rp_signs: CASE-on-md5 of the identical salted
+    string, so both engines project through the same ±1 matrix."""
+    return (
+        "(CASE WHEN CAST(concat('0x', substr(md5('rp:' || CAST(d AS VARCHAR) "
+        f"|| ':{j}'), 1, 15)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)"
+    )
+
+
+@_register(
+    "embed_random_projection",
+    f"""
+    WITH idx AS (SELECT unnest(range(64)) AS d),
+    e AS (
+      SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN idx
+    )
+    SELECT vec_id,
+      {",".join(
+        f"sum(CAST(floor(v * {_rp_sign_sql(j)} * 1000000 + 0.5) AS BIGINT))"
+        f" / 1000000.0 AS proj_{j}"
+        for j in range(8)
+      )}
+    FROM e GROUP BY vec_id
+    """,
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection 64→8 (operators/corpus.py): the Achlioptas
+    ±1 dimensionality-reduction sketch, accumulated in exact fixed point so
+    the components are bit-identical across partitionings and engines.
+    Spark bakes the md5-derived sign matrix into the plan as literals
+    (map-only, zero shuffles); the oracle recomputes the same signs via
+    CASE-on-md5 over an exploded index — same matrix, different plumbing,
+    byte-equal projections."""
+    return corpus.random_projection_sketch(_t(spark, sf_dir, "embeddings"))
+
+
+#: Deterministic PII augmentation for text_pii_redact: the synthetic corpus
+#: carries no emails/IPs/phones, so the query plants one of each — derived
+#: from doc_id, identically in both engines — and then redacts them.  The
+#: oracle therefore verifies the regex chain's VALUES, not just its plumbing.
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com from 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')"
+)
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4_SQL = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE_SQL = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+
+@_register(
+    "text_pii_redact",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents),
+    s1 AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{_PII_EMAIL_SQL}', '[EMAIL]', 'g') AS t1
+      FROM aug),
+    s2 AS (
+      SELECT *, regexp_replace(t1, '{_PII_IPV4_SQL}', '[IP]', 'g') AS t2
+      FROM s1)
+    SELECT doc_id,
+           regexp_replace(t2, '{_PII_PHONE_SQL}', '[PHONE]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t1, '{_PII_IPV4_SQL}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(t2, '{_PII_PHONE_SQL}')) AS BIGINT) AS n_phone
+    FROM s2
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/corpus.py pii_redact): emails → [EMAIL],
+    IPv4 → [IP], dash phones → [PHONE], with sequential per-category match
+    counts.  Runs over deterministically-augmented text (one planted PII
+    item per category, derived from doc_id the same way in both engines)
+    because the synthetic corpus carries none naturally — so the oracle
+    checks the redacted VALUES, not a no-op.  Pure codegen regexp chain,
+    zero shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" tel 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
+    )
+    return corpus.pii_redact(d.select("doc_id", aug.alias("text")))
+
+
 @_register(
     "decontam_ngram_overlap",
     """

@@ -790,3 +790,63 @@ def test_quantize_int8_matches_numpy(spark, sf_dir):
         assert np.all(np.abs(q) <= 127)
         err = float(np.max(np.abs(x - q * scale / 127)))
         assert abs(g["max_err"] - math.floor(err * 1e6) / 1e6) < 1e-12
+
+
+def test_pii_redact_values_and_counts(spark, sf_dir):
+    from reddit_sse_stream_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+c%d@sub.example.org thanks"),
+            (1, "server 192.168.0.1 and 10.0.255.3 rebooted"),
+            (2, "call 555-867-5309 now"),
+            (3, "x@y.io then 1.2.3.4 then 555-000-1111"),
+            (4, "no pii here at all"),
+            # an IP is NOT a phone (last octet <= 3 digits), and a phone is
+            # NOT an IP (its last group has 4 digits)
+            (5, "edge 111-222-3333 vs 11.22.33.44"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in corpus.pii_redact(df).collect()}
+    assert got[0]["redacted"] == "mail me at [EMAIL] thanks"
+    assert (got[0]["n_email"], got[0]["n_ip"], got[0]["n_phone"]) == (1, 0, 0)
+    assert got[1]["redacted"] == "server [IP] and [IP] rebooted"
+    assert got[1]["n_ip"] == 2
+    assert got[2]["redacted"] == "call [PHONE] now"
+    assert got[3]["redacted"] == "[EMAIL] then [IP] then [PHONE]"
+    assert (got[3]["n_email"], got[3]["n_ip"], got[3]["n_phone"]) == (1, 1, 1)
+    assert got[4]["redacted"] == "no pii here at all"
+    assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_phone"]) == (0, 0, 0)
+    assert got[5]["redacted"] == "edge [PHONE] vs [IP]"
+    assert (got[5]["n_ip"], got[5]["n_phone"]) == (1, 1)
+
+
+def test_random_projection_matches_numpy_fixed_point(spark, sf_dir):
+    import numpy as np
+
+    from reddit_sse_stream_spark.operators import corpus
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(40)
+    signs = np.asarray(corpus.rp_signs(8, 64), dtype=np.float64)  # (8, 64)
+    got = {r["vec_id"]: r for r in corpus.random_projection_sketch(emb).collect()}
+    for r in emb.collect():
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        # exact fixed-point reference: per-addend floor, integer sum
+        want = [
+            int(np.sum(np.floor(x * signs[j] * 1_000_000 + 0.5))) / 1_000_000.0
+            for j in range(8)
+        ]
+        g = got[r["vec_id"]]
+        assert [g[f"proj_{j}"] for j in range(8)] == want
+
+
+def test_rp_signs_deterministic_and_balanced(spark, sf_dir):
+    from reddit_sse_stream_spark.operators import corpus
+
+    a = corpus.rp_signs(8, 64)
+    assert a == corpus.rp_signs(8, 64)
+    flat = [s for row in a for s in row]
+    assert set(flat) == {-1, 1}
+    # md5 bits are unbiased: the 512-entry matrix can't be degenerate
+    assert 0.3 < flat.count(1) / len(flat) < 0.7

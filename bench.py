@@ -47,6 +47,11 @@ HEADLINE = (
     "llm_corpus_prep_pipeline",
     "ts_gapfill_ffill",
     "pack_sequences_by_source",
+    # round-5 additions: the heaviest new TPC-H shape (two lineitem-wide
+    # aggregates + a decorrelated min join-back) and the new map-only
+    # embedding sketch — no prev-round rows, so vs_prev skips them
+    "tpch_q2_min_cost_supplier",
+    "embed_random_projection",
 )
 
 

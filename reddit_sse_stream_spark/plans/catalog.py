@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from reddit_sse_stream_spark.operators import (
     corpus,
     dedup,
+    layout,
     multimodal,
     packing,
     projection,
@@ -3965,6 +3966,34 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE-on-md5 over an exploded index — same matrix, different plumbing,
     byte-equal projections."""
     return corpus.random_projection_sketch(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "layout_zorder_keys",
+    f"""
+    SELECT event_id,
+           {layout.morton_key_sql('(user_id % 65536)', '(event_id % 65536)')}
+           AS zkey
+    FROM events
+    """,
+)
+def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, event_id)
+    (operators/layout.py): the bit-interleaved key whose range partitioning
+    gives every output file a compact rectangle in both dimensions, so
+    min-max pruning works for predicates on EITHER column — the layout
+    step a 100 TB table runs before its clustered write.  Pure codegen
+    shift/and/or chain, zero shuffles here (the write's
+    repartitionByRange is the only exchange, exercised in
+    tests/test_storage_layout.py)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.lit(1 << 16)
+    return ev.select(
+        "event_id",
+        layout.morton_key(
+            F.pmod(F.col("user_id"), m), F.pmod(F.col("event_id"), m), 16
+        ).alias("zkey"),
+    )
 
 
 #: Deterministic PII augmentation for text_pii_redact: the synthetic corpus

@@ -2806,6 +2806,46 @@ def fn_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "fn_histogram_equidepth",
+    """
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders)
+    SELECT bin, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def fn_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram via ntile over a total order —
+    the quantile-bin summary a cost model or skew report wants, exact and
+    deterministic (o_orderkey tiebreak pins the order, so both engines
+    assign identical bins even on duplicate prices).
+
+    Scale note: global ntile is a single-ordering window — Spark executes
+    it as one sorted partition, the honest price of EXACT global quantile
+    bins.  At 100 TB swap in approx_percentile cutpoints + a broadcast
+    range bin join (two scans, no global sort); kept exact here because
+    the oracle compares values and the approx sketches differ across
+    engines.  The post-window agg is the usual partial+final pair on a
+    tiny key."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(8).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+@_register(
     "sample_stratified_deterministic",
     """
     SELECT doc_id, lang

@@ -153,6 +153,29 @@ def random_projection_sketch(
     return df.select(id_col, *cols)
 
 
+def cap_per_group(
+    df: DataFrame, group_col: str = "source", k: int = 20
+) -> DataFrame:
+    """Anti-dominance cap: keep at most ``k`` documents per group (source,
+    domain, ...), chosen by a deterministic salted-hash order — the
+    standard curation step that stops one crawler-friendly site from
+    owning the training mix.  Hash order ≈ a uniform random sample, but
+    reproducible across reruns, cluster sizes, and engines (doc_id
+    tiebreak pins ties).
+
+    Scale: one shuffle on the group key; the ``pos <= k`` filter directly
+    over row_number lets Catalyst rewrite the sort into WindowGroupLimit —
+    each map task keeps only its local top-k per key BEFORE the exchange,
+    so a hot group ships ~k rows per upstream partition, not its full
+    membership."""
+    hv = dedup.md5_hash60(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(group_col).orderBy(hv.asc(), F.col("doc_id").asc())
+    return (
+        df.select("doc_id", group_col, F.row_number().over(w).alias("pos"))
+        .filter(F.col("pos") <= k)
+    )
+
+
 def filter_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The corpus's final keep/drop verdict: combines the quality-score and
     repetition operators with a metadata language gate, and emits one

@@ -4036,6 +4036,32 @@ def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "corpus_cap_per_source",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM documents),
+    r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+                  AS INTEGER) AS pos
+      FROM h)
+    SELECT doc_id, source, pos FROM r WHERE pos <= 20
+    """,
+)
+def corpus_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source anti-dominance cap (operators/corpus.py:cap_per_group):
+    at most 20 docs per source, selected by deterministic salted-hash
+    order.  The pos <= k filter over row_number becomes WindowGroupLimit
+    (partial per-task top-k BEFORE the group-key exchange), so hot
+    sources ship ~k rows per upstream partition at 100 TB instead of
+    their full membership."""
+    return corpus.cap_per_group(_t(spark, sf_dir, "documents"), "source", 20)
+
+
 #: Deterministic PII augmentation for text_pii_redact: the synthetic corpus
 #: carries no emails/IPs/phones, so the query plants one of each — derived
 #: from doc_id, identically in both engines — and then redacts them.  The

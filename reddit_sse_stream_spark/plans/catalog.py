@@ -2438,14 +2438,15 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed unit price per (part, supplier)): for every STANDARD-type part,
     the European supplier(s) offering it at the region-wide minimum cost.
 
-    The correlated min subquery decorrelates into a groupBy-min on
-    l_partkey joined back on (key, cost) — one extra narrow shuffle instead
-    of a per-row re-scan.  ``unit_cost`` is a single IEEE division of two
-    stored doubles and ``min`` is order-independent, so the equality join
-    and the emitted double are bit-identical across engines (no sum is ever
-    formed).  supplier/nation/region are broadcast (dimension-sized at any
-    SF); the offers aggregation is the only big shuffle, keyed on the
-    (partkey, suppkey) pair that also feeds the join."""
+    The correlated min subquery decorrelates into a per-part window min
+    (whole-partition frame) + equality filter — one exchange on l_partkey
+    and NO join-back at all (the groupBy-min + self-join alternative
+    planned a SortMergeJoin here).  ``unit_cost`` is a single IEEE
+    division of two stored doubles and ``min`` is order-independent, so
+    the equality filter and the emitted double are bit-identical across
+    engines (no sum is ever formed).  supplier/nation/region are broadcast
+    (dimension-sized at any SF); the offers aggregation is the only big
+    shuffle."""
     li = _t(spark, sf_dir, "lineitem")
     eu = (
         _t(spark, sf_dir, "supplier")
@@ -2466,16 +2467,11 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
         .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
     )
-    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("unit_cost").alias("best_cost")
-    )
+    best = F.min("unit_cost").over(Window.partitionBy("l_partkey"))
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     return (
-        offers.join(
-            best,
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("unit_cost") == F.col("best_cost")),
-        )
+        offers.withColumn("best_cost", best)
+        .filter(F.col("unit_cost") == F.col("best_cost"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")

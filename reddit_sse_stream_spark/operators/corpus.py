@@ -176,6 +176,66 @@ def cap_per_group(
     )
 
 
+def standardize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column — the
+    feature-scaling pass before distance-based clustering or a quantizer
+    whose cells should weight dimensions equally.
+
+    Two passes: (1) per-dimension mean and E[x²] over the whole corpus,
+    accumulated from EXACT fixed-point addends (floor(v·1e6 + 0.5), and
+    floor(v²·1e6 + 0.5) — both pure IEEE ops on identical doubles, so the
+    int64 sums are bit-identical across engines and shuffle orders), then
+    folded into ONE row holding a means[] and stds[] array; (2) a
+    broadcast cross join of that row and a zip_with chain
+    (v − mean_d) / std_d per element.  Since mean/std come out
+    bit-identical and the final subtract/divide are single IEEE ops, the
+    standardized doubles need no quantization to oracle-match.
+
+    Guards: variance is clamped at 0 before the sqrt (exact-cancellation
+    can land ~−1e-16) and std at 1e-12 (a constant dimension standardizes
+    to 0, not NaN).
+
+    Scale: the stats explode is CPU-only — partial aggregation combines to
+    ``dim`` rows per task before the (64-key) exchange, the one-row stats
+    frame broadcasts, and the standardize pass is map-only.  The full
+    arrays never cross a shuffle."""
+    x = F.col(vec_col).cast("array<double>")
+    ex = df.select(F.posexplode(x).alias("d", "v"))
+    n = F.count("*")
+    mean = (F.sum(F.floor(F.col("v") * 1_000_000 + 0.5).cast("long")) / 1_000_000.0) / n
+    ex2 = (
+        F.sum(F.floor(F.col("v") * F.col("v") * 1_000_000 + 0.5).cast("long"))
+        / 1_000_000.0
+    ) / n
+    st = ex.groupBy("d").agg(mean.alias("mean"), ex2.alias("ex2"))
+    st = st.select(
+        "d",
+        "mean",
+        F.greatest(
+            F.sqrt(F.greatest(F.col("ex2") - F.col("mean") * F.col("mean"), F.lit(0.0))),
+            F.lit(1e-12),
+        ).alias("std"),
+    )
+    one = st.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mean"))), lambda s: s["mean"]
+        ).alias("means"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "std"))), lambda s: s["std"]
+        ).alias("stds"),
+    )
+    return df.crossJoin(F.broadcast(one)).select(
+        id_col,
+        F.zip_with(
+            F.zip_with(x, F.col("means"), lambda v, m: v - m),
+            F.col("stds"),
+            lambda u, s: u / s,
+        ).alias("zvec"),
+    )
+
+
 def filter_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The corpus's final keep/drop verdict: combines the quality-score and
     repetition operators with a metadata language gate, and emits one

@@ -4058,6 +4058,41 @@ def corpus_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.cap_per_group(_t(spark, sf_dir, "documents"), "source", 20)
 
 
+@_register(
+    "embed_standardize",
+    """
+    WITH idx AS (SELECT unnest(range(64)) AS d),
+    ev AS (
+      SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN idx),
+    st AS (
+      SELECT d,
+             (sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
+               / count(*) AS mean,
+             (sum(CAST(floor(v * v * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
+               / count(*) AS ex2
+      FROM ev GROUP BY d),
+    sd AS (
+      SELECT d, mean,
+             greatest(sqrt(greatest(ex2 - mean * mean, 0.0)), 1e-12) AS std
+      FROM st)
+    SELECT vec_id, list((v - mean) / std ORDER BY d) AS zvec
+    FROM ev JOIN sd USING (d)
+    GROUP BY vec_id
+    """,
+)
+def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization
+    (operators/corpus.py:standardize_embeddings): corpus-wide mean/std per
+    dimension from exact fixed-point moments (bit-identical sums in both
+    engines), folded into one broadcast stats row, then a map-only
+    zip_with standardize — the full arrays never cross a shuffle.  The
+    oracle rebuilds the identical stats over an exploded index and
+    reassembles with list(... ORDER BY d); every output double is the
+    same IEEE value on both sides, no quantization needed."""
+    return corpus.standardize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 #: Deterministic PII augmentation for text_pii_redact: the synthetic corpus
 #: carries no emails/IPs/phones, so the query plants one of each — derived
 #: from doc_id, identically in both engines — and then redacts them.  The

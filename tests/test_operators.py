@@ -850,3 +850,27 @@ def test_rp_signs_deterministic_and_balanced(spark, sf_dir):
     assert set(flat) == {-1, 1}
     # md5 bits are unbiased: the 512-entry matrix can't be degenerate
     assert 0.3 < flat.count(1) / len(flat) < 0.7
+
+
+def test_standardize_embeddings_matches_numpy_fixed_point(spark, sf_dir):
+    import numpy as np
+
+    from reddit_sse_stream_spark.operators import corpus
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    X = np.asarray(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    n = X.shape[0]
+    mean = np.sum(np.floor(X * 1_000_000 + 0.5), axis=0) / 1_000_000.0 / n
+    ex2 = np.sum(np.floor(X * X * 1_000_000 + 0.5), axis=0) / 1_000_000.0 / n
+    std = np.maximum(np.sqrt(np.maximum(ex2 - mean * mean, 0.0)), 1e-12)
+    want = (X - mean) / std
+    got = {r["vec_id"]: r["zvec"] for r in corpus.standardize_embeddings(emb).collect()}
+    ids = sorted(got)
+    Z = np.asarray([got[i] for i in ids], dtype=np.float64)
+    # exact: every op after the integer sums is a single IEEE op
+    assert np.array_equal(Z, want)
+    # standardized columns are ~zero-mean unit-variance
+    assert np.all(np.abs(Z.mean(axis=0)) < 0.01)
+    assert np.all(np.abs(Z.std(axis=0) - 1.0) < 0.05)

@@ -236,6 +236,53 @@ def standardize_embeddings(
     )
 
 
+def mix_schedule(
+    df: DataFrame, budget: int = 1_000_000, text_col: str = "text"
+) -> DataFrame:
+    """Training-mix token allocation: split an epoch's token ``budget``
+    across sources proportionally to sqrt(source_tokens) — the standard
+    sub-linear upweighting of small sources — with LARGEST-REMAINDER
+    integer rounding so the allocations are whole tokens that sum to
+    exactly ``budget``.
+
+    Everything after the sqrt is integer arithmetic: weights quantize to
+    int64 (floor(sqrt(n)·1e6) — sqrt and floor are single IEEE ops,
+    identical in any engine), shares use integer DIV/% against the exact
+    weight total, and the remainder seats go to the largest fractional
+    parts (source name as the deterministic tiebreak).  No doubles are
+    ever summed, so the schedule is bit-reproducible across engines,
+    shuffle orders, and reruns.
+
+    Scale: one groupBy on source (map-side combined token counts), then
+    all scheduling windows run over the per-source frame — dimension-
+    sized (thousands of rows at most), irrelevant next to the corpus
+    scan."""
+    toks = df.select("source", text.token_count(text_col).cast("long").alias("nt"))
+    per = toks.groupBy("source").agg(F.sum("nt").alias("n_tokens"))
+    per = per.withColumn(
+        "w_fp",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000).cast("long"),
+    )
+    B = F.lit(int(budget)).cast("long")
+    everything = Window.partitionBy()
+    seats = Window.orderBy(F.desc("rem"), "source")
+    alloc = (
+        per.withColumn("w_total", F.sum("w_fp").over(everything))
+        .withColumn("base", F.expr(f"CAST({int(budget)} AS BIGINT) * w_fp DIV w_total"))
+        .withColumn("rem", (B * F.col("w_fp")) % F.col("w_total"))
+        .withColumn("deficit", B - F.sum("base").over(everything))
+        .withColumn("rk", F.row_number().over(seats))
+        .withColumn(
+            "alloc",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("deficit"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long"),
+        )
+    )
+    return alloc.select("source", "n_tokens", "alloc")
+
+
 def filter_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The corpus's final keep/drop verdict: combines the quality-score and
     repetition operators with a metadata language gate, and emits one

@@ -4093,6 +4093,45 @@ def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.standardize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+@_register(
+    "corpus_mix_schedule",
+    r"""
+    WITH t AS (
+      SELECT source,
+             CAST(sum(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w_fp
+      FROM t),
+    g AS (SELECT *, CAST(sum(w_fp) OVER () AS BIGINT) AS w_total FROM w),
+    b AS (
+      SELECT *, (1000000 * w_fp) // w_total AS base,
+             (1000000 * w_fp) % w_total AS rem
+      FROM g),
+    d AS (
+      SELECT *, 1000000 - CAST(sum(base) OVER () AS BIGINT) AS deficit,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM b)
+    SELECT source, n_tokens,
+           CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM d
+    """,
+)
+def corpus_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch token-budget allocation across sources
+    (operators/corpus.py:mix_schedule): sqrt-weighted shares with
+    largest-remainder integer rounding, so allocations are whole tokens
+    summing to exactly the 1M budget.  All scheduling math is integer
+    DIV/% against exact fixed-point weights — bit-reproducible across
+    engines and shuffle orders.  One map-combined groupBy on source;
+    the windows run over the dimension-sized per-source frame."""
+    return corpus.mix_schedule(_t(spark, sf_dir, "documents"), budget=1_000_000)
+
+
 #: Deterministic PII augmentation for text_pii_redact: the synthetic corpus
 #: carries no emails/IPs/phones, so the query plants one of each — derived
 #: from doc_id, identically in both engines — and then redacts them.  The

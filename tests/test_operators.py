@@ -874,3 +874,25 @@ def test_standardize_embeddings_matches_numpy_fixed_point(spark, sf_dir):
     # standardized columns are ~zero-mean unit-variance
     assert np.all(np.abs(Z.mean(axis=0)) < 0.01)
     assert np.all(np.abs(Z.std(axis=0) - 1.0) < 0.05)
+
+
+def test_mix_schedule_sums_to_budget_exactly(spark, sf_dir):
+    from reddit_sse_stream_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = corpus.mix_schedule(docs, budget=1_000_000).collect()
+    assert sum(r["alloc"] for r in rows) == 1_000_000
+    # sqrt weighting: allocation ordering follows token-count ordering,
+    # and per-source allocation stays within 1 of the exact real share
+    import math
+
+    w = {r["source"]: math.floor(math.sqrt(r["n_tokens"]) * 1e6) for r in rows}
+    W = sum(w.values())
+    for r in rows:
+        exact = 1_000_000 * w[r["source"]] / W
+        assert abs(r["alloc"] - exact) < 1.0
+    # deterministic under repartitioning
+    again = corpus.mix_schedule(docs.repartition(13), budget=1_000_000).collect()
+    assert {(r["source"], r["alloc"]) for r in again} == {
+        (r["source"], r["alloc"]) for r in rows
+    }

@@ -332,6 +332,48 @@ def train_val_split(df: DataFrame, val_frac: float = 0.1) -> DataFrame:
     )
 
 
+def split_leakage_safe(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_frac: float = 0.1,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Cluster-aware train/val split: every member of a near-dup cluster
+    lands in the SAME split, so a validation document can never have a
+    near-duplicate twin in the training set (the eval-leakage failure mode
+    plain per-document hash splits cannot prevent).
+
+    ``pairs`` is any near-dup edge list (minhash/LSH, n-gram jaccard,
+    embedding cosine); connected components collapse it into clusters, the
+    cluster representative is the min member id, and the split is the SAME
+    salted-hash rule as :func:`train_val_split` applied to the
+    representative — so documents with no near-dup (the overwhelming
+    majority) get exactly the assignment the plain split would give them,
+    and adding edges only ever MERGES assignments, never reshuffles
+    untouched docs.
+
+    Scale: connected components runs on the pair graph only (near-dup
+    pairs are a vanishing fraction of the corpus), the label frame joins
+    back to the corpus on the id key in one broadcast-or-shuffle join, and
+    the split itself is codegen hash algebra — the corpus is scanned
+    once."""
+    comp = dedup.connected_components(pairs, src=src, dst=dst)
+    labeled = docs.select(id_col).join(
+        comp.select(F.col("id").alias(id_col), "component"), id_col, "left"
+    )
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    u = _unit_hash(rep, "split:")
+    return labeled.select(
+        F.col(id_col),
+        rep.alias("cluster_rep"),
+        F.when(u < F.lit(val_frac), F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def shard_assignments(df: DataFrame, n_shards: int = 16) -> DataFrame:
     """Training shards with a reproducible shuffle order: shard =
     hash(doc_id) mod n_shards, and WITHIN each shard a position drawn from

@@ -2830,7 +2830,12 @@ def fn_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        orders.select("o_totalprice", F.ntile(8).over(w).alias("bin"))
+        orders.select(
+            "o_totalprice",
+            # DuckDB's ntile yields BIGINT; Spark's yields int — cast so the
+            # driver's type-sensitive hash sees the same column type.
+            F.ntile(8).over(w).cast("long").alias("bin"),
+        )
         .groupBy("bin")
         .agg(
             F.count("*").alias("n"),
@@ -3404,6 +3409,111 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     floor-at-1e-4 keeps the double bit-identical across engines."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return _md5_jaccard_scored_pairs(docs).filter(F.col("jaccard") > 0.02)
+
+
+@_register(
+    "dedup_substring_containment",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(words) - 1),
+               i -> CAST(concat('0x', substr(md5(
+                      words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                    ), 1, 15)) AS BIGINT))) AS sh
+      FROM w WHERE len(words) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    cold AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 64),
+    exc AS (SELECT e.doc_id, e.g FROM ex e JOIN cold USING (g)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM exc l JOIN exc r ON l.g = r.g AND l.doc_id < r.doc_id
+    ),
+    t AS (
+      SELECT c.doc_a, c.doc_b, a.text AS ta, b.text AS tb
+      FROM cand c JOIN documents a ON a.doc_id = c.doc_a
+                  JOIN documents b ON b.doc_id = c.doc_b)
+    SELECT doc_a AS container_id, doc_b AS contained_id,
+           len(tb) AS contained_chars
+    FROM t
+    WHERE contains(ta, tb)
+      AND (len(ta) > len(tb) OR (len(ta) = len(tb) AND doc_a < doc_b))
+    UNION ALL
+    SELECT doc_b, doc_a, len(ta)
+    FROM t
+    WHERE contains(tb, ta)
+      AND (len(tb) > len(ta) OR (len(tb) = len(ta) AND doc_b < doc_a))
+    """,
+)
+def dedup_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-containment dedup: find documents whose ENTIRE text
+    appears verbatim inside another document — the page-plus-boilerplate /
+    quoted-in-full duplication class that jaccard thresholds can miss when
+    the container is much larger than the contained doc (jaccard =
+    |contained|/|container| can be arbitrarily small while the contained
+    doc is still 100% redundant).
+
+    Sketch-then-verify, same geometry as the jaccard path: candidate pairs
+    from the shared-cold-gram equi-join (``_md5_gram_frames``), verified
+    with one ``instr`` per candidate on the raw texts.  Exactness bound:
+    a contained doc of >= 5 words has at least one word-3-gram fully
+    interior to the match span (only the boundary tokens of an arbitrary
+    char-level match can be split), so it shares a gram with its container
+    and — if any such gram is cold (``_JACCARD_DF_CAP``) — the pair is
+    generated.  Ties (identical texts) emit one canonical row
+    (container = smaller doc_id).
+
+    Scale: candidate volume is the jaccard path's (bounded by the hot-gram
+    cap); the verify joins only candidate ids back to the two text
+    columns — no text ever crosses a shuffle except for candidate rows,
+    and ``instr`` is one codegen call per pair."""
+    docs = _t(spark, sf_dir, "documents")
+    _, cand = _md5_gram_frames(docs)
+    t = (
+        cand.join(
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")),
+            "doc_b",
+        )
+        .localCheckpoint(eager=False)  # one candidate materialization feeds both directions
+    )
+    la, lb = F.length("ta"), F.length("tb")
+    ab = t.filter(
+        (F.instr("ta", F.col("tb")) > 0)
+        & ((la > lb) | ((la == lb) & (F.col("doc_a") < F.col("doc_b"))))
+    ).select(
+        F.col("doc_a").alias("container_id"),
+        F.col("doc_b").alias("contained_id"),
+        lb.cast("long").alias("contained_chars"),
+    )
+    ba = t.filter(
+        (F.instr("tb", F.col("ta")) > 0)
+        & ((lb > la) | ((lb == la) & (F.col("doc_b") < F.col("doc_a"))))
+    ).select(
+        F.col("doc_b").alias("container_id"),
+        F.col("doc_a").alias("contained_id"),
+        la.cast("long").alias("contained_chars"),
+    )
+    return ab.unionByName(ba)
+
+
+def _md5_gram_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(gram frame, candidate pairs) for the md5 word-3-gram family:
+    ``s`` = (doc_id, sh array<long>) — 60-bit md5 gram hashes,
+    localCheckpoint'd once so candidates and any verify stage share one
+    materialization — and ``cand`` = distinct (doc_a < doc_b) pairs that
+    share at least one cold gram (``_JACCARD_DF_CAP`` hot-gram drop: the
+    unconditional guard against the f^2 stop-phrase blowup).  Shared by
+    ``dedup_ngram_jaccard``, ``corpus_split_leakage_safe``, and
+    ``dedup_substring_containment``."""
     words = F.split(F.lower(F.col("text")), r"\s+")
     # explode-of-1-element-array barrier: materialize the token array once
     # per row so the shingle transform slices an attribute, not a
@@ -3428,6 +3538,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    return s, cand
+
+
+def _md5_jaccard_scored_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over shared-cold-gram candidate pairs: the
+    md5-hashed word-3-gram jaccard kernel shared by ``dedup_ngram_jaccard``
+    and ``corpus_split_leakage_safe`` (see the former's docstring for the
+    scale shape: 60-bit gram hashes, ``_JACCARD_DF_CAP`` hot-gram drop,
+    single checkpointed gram frame feeding candidates and both verify
+    sides).  jaccard is floor-quantized at 1e-4 for engine-identical
+    doubles; callers apply their own threshold."""
+    s, cand = _md5_gram_frames(docs)
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.floor(
@@ -3438,7 +3560,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") > 0.02)
     )
 
 
@@ -3909,6 +4030,80 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes, and engines — no document silently migrates between splits.
     Zero shuffles."""
     return corpus.train_val_split(_t(spark, sf_dir, "documents"), val_frac=0.1)
+
+
+@_register(
+    "corpus_split_leakage_safe",
+    r"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(words) - 1),
+               i -> CAST(concat('0x', substr(md5(
+                      words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                    ), 1, 15)) AS BIGINT))) AS sh
+      FROM w WHERE len(words) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    cold AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 64),
+    exc AS (SELECT e.doc_id, e.g FROM ex e JOIN cold USING (g)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM exc l JOIN exc r ON l.g = r.g AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN s a ON a.doc_id = c.doc_a JOIN s b ON b.doc_id = c.doc_b
+      WHERE floor(len(list_intersect(a.sh, b.sh)) * 10000.0
+                  / len(list_distinct(list_concat(a.sh, b.sh)))) / 10000 >= 0.5
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, wk.comp FROM walk wk JOIN edges e ON wk.id = e.src),
+    comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+    SELECT doc_id, cluster_rep,
+           CASE WHEN CAST(concat('0x', substr(md5('split:' || CAST(cluster_rep AS VARCHAR)), 1, 15))
+                     AS BIGINT) / 1152921504606846976.0 < 0.1
+                THEN 'val' ELSE 'train' END AS split
+    FROM labeled
+    """,
+)
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split (operators/corpus.py:split_leakage_safe):
+    near-dup clusters (md5-gram jaccard >= 0.5 -> connected components)
+    are split as a UNIT, so no validation document has a training-set
+    near-twin — the eval-contamination guarantee a plain hash split lacks.
+    Singletons hash exactly as in ``corpus_train_val_split`` (same salt,
+    same rule), so turning this on only ever merges near-dup assignments.
+
+    Oracle: the jaccard edge CTE from ``dedup_ngram_jaccard`` + the
+    WITH RECURSIVE reachability components from ``dedup_cc_clusters`` +
+    the md5 split rule from ``corpus_train_val_split`` — fully
+    value-checked end to end.
+
+    Hot-gram drop caveat (same bound as ``dedup_ngram_jaccard``): a pair
+    whose shared grams are ALL hotter than ``_JACCARD_DF_CAP`` escapes
+    candidate generation — at jaccard >= 0.5 that needs every shared gram
+    in >64 docs, i.e. a boilerplate-only near-dup, which corpus dedup
+    drops upstream anyway.  Identical in both engines, so the oracle
+    still matches.
+
+    Scale: CC runs on the (tiny) pair graph; the corpus joins the label
+    frame once on doc_id (broadcast at these sizes, shuffle at 100 TB);
+    split hashing is codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _md5_jaccard_scored_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    return corpus.split_leakage_safe(docs, pairs, val_frac=0.1)
 
 
 @_register(

@@ -743,6 +743,37 @@ def test_corpus_split_fraction_and_determinism(spark, sf_dir):
     assert rows == again
 
 
+def test_corpus_split_leakage_safe_properties(spark, sf_dir):
+    """The leakage guarantee itself: (1) both ends of every near-dup edge
+    land in the same split; (2) docs with no edge get exactly the plain
+    train_val_split assignment (turning the cluster-aware split on never
+    reshuffles untouched docs)."""
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = [(1, 2), (2, 3), (10, 11)]  # chain {1,2,3} + pair {10,11}
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    rows = {
+        r["doc_id"]: (r["cluster_rep"], r["split"])
+        for r in corpus.split_leakage_safe(docs, pairs).collect()
+    }
+    assert len(rows) == docs.count()
+    # chain members share rep and split, across both edges of the chain
+    assert rows[1] == rows[2] == rows[3] and rows[1][0] == 1
+    assert rows[10] == rows[11] and rows[10][0] == 10
+    plain = {
+        r["doc_id"]: r["split"] for r in corpus.train_val_split(docs).collect()
+    }
+    touched = {1, 2, 3, 10, 11}
+    for doc_id, (rep, split) in rows.items():
+        if doc_id not in touched:
+            assert rep == doc_id and split == plain[doc_id]
+    # cluster members inherit the REPRESENTATIVE's plain assignment
+    assert rows[2][1] == plain[1] and rows[11][1] == plain[10]
+
+
 def test_corpus_shards_contiguous_positions(spark, sf_dir):
     from collections import defaultdict
 

@@ -3879,6 +3879,86 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_bigram_lm_bits",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words)), i -> words[i])) AS w1,
+             unnest(list_transform(range(1, len(words)),
+                    i -> words[i] || ' ' || words[i+1])) AS bg
+      FROM w WHERE len(words) >= 2
+    ),
+    bc AS (SELECT w1, bg, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w1, bg),
+    pc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+    j AS (
+      SELECT b.doc_id, length(bin(p.c1)) - length(bin(c.c2)) AS bits
+      FROM big b JOIN bc c USING (w1, bg) JOIN pc p USING (w1)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(bits) AS BIGINT) AS bits_sum,
+           floor(sum(bits) * 100.0 / count(*)) / 100.0 AS avg_bits
+    FROM j GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model surprise — the perplexity-proxy quality filter
+    (rarity's conditional-context cousin): score each document by the mean
+    information content of its bigrams under the corpus's own bigram MLE,
+    surprise(w1 w2) = -log2 c(w1 w2)/c(w1 ·), quantized to WHOLE BITS via
+    exact integer log2: floor(log2 n) = length(bin(n)) - 1 — a string
+    length over the exact binary representation, bit-identical in Spark
+    and DuckDB, with no floating log anywhere (Java Math.log and libm ln
+    can differ in the last ulp, the cross-engine flake class this repo
+    quantizes away; ``text_rarity_score`` documents the same design).
+    Whole-bit resolution per bigram is coarse, but the per-doc mean over
+    ~10^2 bigrams discriminates template text (low bits: predictable
+    continuations) from organic text — and every count is its own
+    training-corpus statistic, so no bigram is unseen and MLE needs no
+    smoothing.
+
+    Plan shape (same as rarity): bigram explode -> bigram-count shuffle ->
+    prefix counts re-aggregated FROM the bigram counts (no second pass
+    over the data) -> count join back (AQE broadcasts the count tables
+    when the vocabulary fits) -> doc_id re-aggregate.  All integer sums —
+    associative, order-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    tok = docs.select("doc_id", F.explode(F.array(words)).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    big = tok.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.struct(
+                    F.get("w", i).alias("w1"),
+                    F.concat_ws(" ", F.slice("w", i + 1, 2)).alias("bg"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.bg")
+    bc = big.groupBy("w1", "bg").agg(F.count("*").alias("c2"))
+    pc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    bits = (F.length(F.bin("c1")) - F.length(F.bin("c2"))).cast("long")
+    return (
+        big.join(bc, ["w1", "bg"])
+        .join(pc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(bits).alias("bits_sum"),
+            (F.floor(F.sum(bits) * 100.0 / F.count("*")) / 100.0).alias("avg_bits"),
+        )
+    )
+
+
+@_register(
     "text_vocab_df",
     """
     WITH tok AS (

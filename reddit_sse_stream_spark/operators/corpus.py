@@ -236,6 +236,102 @@ def standardize_embeddings(
     )
 
 
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Top principal direction of an embedding column by power iteration,
+    returning each vector's projection onto it (the 1-D "spread" axis a
+    curation pipeline uses for coverage binning or outlier trims) —
+    iterative distributed linear algebra with EXACT cross-engine
+    reproducibility.
+
+    v_{t+1} = normalize(X^T (X v_t)), v_0 = 1/8 on every dimension, a
+    fixed ``iters`` rounds (deterministic, and unrollable as SQL CTEs for
+    the oracle twin).  Every accumulation is fixed-point int64 — per-row
+    dots quantize addends at 1e-12, the X^T fold at 1e-9, norm squares at
+    1e-12 — and every scalar step between them is a single IEEE op
+    (multiply, divide, sqrt, floor), so Spark, the driver-side Python that
+    folds the 64 per-dimension sums into the next iterate, and a SQL
+    engine running the identical expressions produce bit-identical
+    iterates; v itself is re-quantized to 1e-6 each round to pin the
+    state.
+
+    Scale shape: the model vector (64 doubles) is DRIVER state — each
+    round is one map pass over the (checkpointed) vectors computing dots
+    against v as literals, a posexplode into (dim, addend), and a 64-key
+    partial+final aggregate; collecting 64 longs per round is the
+    parameter-server step, not a data collect.  Overflow headroom: the
+    1e-9 fold quantum holds |x·dot| sums to ~8e18/(8·1e9) ≈ 1e9 rows per
+    dimension; beyond that drop the fold quantum to 1e-6 (headroom 1e12
+    rows) — the iterate quantization makes the result identical either
+    way once re-quantized at 1e-6.
+
+    Convergence needs a spectral gap — rate is (l2/l1)^iters per round,
+    so ``iters=4`` nails a spiked corpus (the case where a dominant axis
+    exists and matters) but no fixed round count resolves an isotropic
+    one; raise ``iters`` or gate on the Rayleigh-quotient delta when the
+    gap is unknown."""
+    import math
+
+    x = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("_id"), x.alias("x")).localCheckpoint(
+        eager=False
+    )
+    n = base.count()
+
+    def dot_fp_col(v: list[float]) -> "F.Column":
+        v_lit = F.array(*[F.lit(float(c)) for c in v])
+        return F.aggregate(
+            F.zip_with(
+                F.col("x"), v_lit, lambda a, b: F.floor(a * b * 1e12 + 0.5).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+
+    v = [0.125] * dim
+    for _ in range(iters):
+        # explode-of-1-element-array barrier: materialize dot once per row
+        # so the transform lambda below multiplies an attribute instead of
+        # re-folding the whole dot product per element (HOF re-inline trap,
+        # see operators/text.py:word_ngrams)
+        withdot = base.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("x").alias("x"),
+                        (dot_fp_col(v) / F.lit(1e12)).alias("dot"),
+                    )
+                )
+            ).alias("s")
+        ).select(F.col("s.x").alias("x"), F.col("s.dot").alias("dot"))
+        sums = (
+            withdot.select(
+                F.posexplode(
+                    F.transform(
+                        "x",
+                        lambda xv: F.floor(xv * F.col("dot") * 1e9 + 0.5).cast("long"),
+                    )
+                ).alias("d", "c")
+            )
+            .groupBy("d")
+            .agg(F.sum("c").alias("sfp"))
+        )
+        by_d = {r["d"]: r["sfp"] for r in sums.collect()}
+        u = [(by_d.get(d, 0) / 1e9) / n for d in range(dim)]
+        s2 = sum(int(math.floor(w * w * 1e12 + 0.5)) for w in u)
+        nrm = max(math.sqrt(s2 / 1e12), 1e-12)
+        v = [math.floor(w / nrm * 1e6 + 0.5) / 1e6 for w in u]
+
+    # final projection, round-half-up to 1e-6 entirely in integer space
+    pc1 = F.floor((dot_fp_col(v) + F.lit(500000)) / F.lit(1e6)) / F.lit(1e6)
+    return base.select(F.col("_id").alias(id_col), pc1.alias("pc1"))
+
+
 def mix_schedule(
     df: DataFrame, budget: int = 1_000_000, text_col: str = "text"
 ) -> DataFrame:

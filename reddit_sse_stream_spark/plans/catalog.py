@@ -4368,6 +4368,56 @@ def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.standardize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+def _pca_power_oracle(iters: int = 4) -> str:
+    """Unrolled-CTE twin of :func:`corpus.pca_top_component`: the same
+    fixed-point power iteration, one CTE block per round.  Every
+    accumulation is an int64 sum of floor-quantized addends and every
+    scalar step a single IEEE op, so the iterates — and therefore the
+    final projections — are bit-identical to the Spark+driver-Python
+    computation (see the operator docstring for the op-by-op argument)."""
+    ctes = [
+        "ex AS (SELECT vec_id, unnest(range(0, 64)) AS d,"
+        " unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)",
+        "nn AS (SELECT count(*) AS n FROM embeddings)",
+        "v0 AS (SELECT unnest(range(0, 64)) AS d, 0.125 AS val)",
+    ]
+    for t in range(iters):
+        ctes += [
+            f"dot{t} AS (SELECT e.vec_id,"
+            " sum(CAST(floor(e.val * v.val * 1e12 + 0.5) AS BIGINT)) AS dfp"
+            f" FROM ex e JOIN v{t} v USING (d) GROUP BY e.vec_id)",
+            f"s{t} AS (SELECT e.d,"
+            " sum(CAST(floor(e.val * (dd.dfp / 1e12) * 1e9 + 0.5) AS BIGINT)) AS sfp"
+            f" FROM ex e JOIN dot{t} dd USING (vec_id) GROUP BY e.d)",
+            f"u{t} AS (SELECT d, (sfp / 1e9) / nn.n AS w FROM s{t}, nn)",
+            f"n{t} AS (SELECT greatest(sqrt("
+            "sum(CAST(floor(w * w * 1e12 + 0.5) AS BIGINT)) / 1e12), 1e-12) AS nrm"
+            f" FROM u{t})",
+            f"v{t + 1} AS (SELECT d, floor(w / nrm * 1e6 + 0.5) / 1e6 AS val"
+            f" FROM u{t}, n{t})",
+        ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT e.vec_id,"
+        " floor((sum(CAST(floor(e.val * v.val * 1e12 + 0.5) AS BIGINT)) + 500000)"
+        " / 1e6) / 1e6 AS pc1"
+        f"\nFROM ex e JOIN v{iters} v USING (d) GROUP BY e.vec_id"
+    )
+
+
+@_register("embed_pca_power_iteration", _pca_power_oracle())
+def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection by power iteration
+    (operators/corpus.py:pca_top_component): 4 fixed rounds of
+    v <- normalize(X^T X v) with every accumulation in exact int64 fixed
+    point, then each vector's pc1 = <x, v> rounded half-up at 1e-6 in
+    integer space.  The canonical ITERATIVE distributed-linear-algebra
+    shape: per-round one map pass + a 64-key aggregate, model vector as
+    driver state (a 64-long parameter-server step, not a data collect);
+    the oracle unrolls the identical rounds as CTEs and matches bit for
+    bit — no tolerance band."""
+    return corpus.pca_top_component(_t(spark, sf_dir, "embeddings"))
+
+
 @_register(
     "corpus_mix_schedule",
     r"""

@@ -774,6 +774,44 @@ def test_corpus_split_leakage_safe_properties(spark, sf_dir):
     assert rows[2][1] == plain[1] and rows[11][1] == plain[10]
 
 
+def test_pca_power_iteration_matches_numpy_direction(spark, sf_dir):
+    """pc1 from the fixed-point power iteration must align with numpy's
+    exact top right-singular direction of X (|corr| > 0.99 — quantization
+    and 4-round truncation cost a little, sign is arbitrary), and be
+    deterministic under repartitioning."""
+    import numpy as np
+
+    from reddit_sse_stream_spark.operators import corpus
+
+    # spiked matrix: a genuine dominant direction (the testdata embeddings
+    # are isotropic — eigengap ~1.04 — where NO fixed-round power method
+    # converges; convergence rate is (l2/l1)^iters)
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal(16)
+    u /= np.linalg.norm(u)
+    X = rng.standard_normal((200, 16)) + np.outer(rng.choice([-4.0, 4.0], 200), u)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["pc1"]
+        for r in corpus.pca_top_component(df, dim=16).collect()
+    }
+    Xf = X.astype(np.float32).astype(np.float64)  # what Spark sees
+    _, _, vt = np.linalg.svd(Xf, full_matrices=False)
+    ref = Xf @ vt[0]
+    mine = np.array([got[i] for i in range(200)])
+    corr = np.corrcoef(mine, ref)[0, 1]
+    assert abs(corr) > 0.999, corr
+    # determinism under repartitioning (fixed-point sums are order-free)
+    again = {
+        r["vec_id"]: r["pc1"]
+        for r in corpus.pca_top_component(df.repartition(7), dim=16).collect()
+    }
+    assert got == again
+
+
 def test_corpus_shards_contiguous_positions(spark, sf_dir):
     from collections import defaultdict
 

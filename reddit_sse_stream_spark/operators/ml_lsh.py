@@ -152,3 +152,103 @@ def ivf_topk_cosine(
         assigned.filter(F.col("cell").isin(cells)).select("vec_id"), "vec_id", "left_semi"
     )
     return brute_force_topk(cand, query_vec, k)
+
+
+def ivf_fixedpoint_cells(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: Lloyd's k-means on the unit
+    sphere with EVERY accumulation in exact int64 fixed point, so the cell
+    assignments — the IVF index a 100 TB corpus materializes as its
+    partition column — are bit-identical across engines, partitionings,
+    and reruns, and a SQL twin can verify them value-for-value (unlike the
+    seeded MLlib quantizer in :func:`ivf_topk_cosine`, whose float
+    reductions are row-order-dependent; that entry stays as the MLlib
+    integration path).
+
+    Determinism recipe (same playbook as ``corpus.pca_top_component``):
+    unit-normalize via a fixed-point norm; initial centroids = the
+    ``n_cells`` smallest-id unit vectors (data-derived, no RNG); per round
+    assign each vector to the argmin of an INTEGER squared distance
+    (addends floor-quantized at 1e-12, ties broken by cell id — a total
+    order, so argmin is exact), then recompute centroid means from
+    1e-6-quantized coordinate sums, each scalar step a single IEEE op.
+    The centroid table (n_cells x dim doubles) is driver state folded in
+    Python between rounds; the SQL oracle unrolls the identical rounds
+    over an exploded (vec_id, d, val) layout.  A cell that loses all
+    members drops out of the next round in both engines identically.
+
+    Scale shape: assignment is a pure map pass (centroids ride along as
+    plan literals — n_cells x dim folds per row, zero shuffle); each
+    update round is one (cell, d)-keyed aggregate (n_cells*dim keys, map-
+    side combined); collecting n_cells x dim longs per round is the
+    parameter-server step.  The final (vec_id, cell) frame is what
+    becomes the partition column — probing then prunes the SCAN."""
+    x = F.col(vec_col).cast("array<double>")
+    norm_fp = F.aggregate(
+        F.transform(x, lambda v: F.floor(v * v * 1e12 + 0.5).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, e: a + e,
+    )
+    nrm = F.greatest(F.sqrt(norm_fp / F.lit(1e12)), F.lit(1e-12))
+    # explode-of-1-element-array barrier: materialize (x, nrm) so the
+    # normalize lambda divides an attribute instead of re-folding the norm
+    # per element (HOF re-inline trap, see operators/text.py:word_ngrams)
+    base = (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array(F.struct(x.alias("x"), nrm.alias("nrm")))).alias("s"),
+        )
+        .select(
+            "_id", F.transform("s.x", lambda v: v / F.col("s.nrm")).alias("u")
+        )
+        .localCheckpoint(eager=False)
+    )
+    seeds = base.orderBy("_id").limit(n_cells).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, list(r["u"])) for i, r in enumerate(seeds)
+    ]
+
+    def assign_col(cents_now):
+        entries = []
+        for cell, c in cents_now:
+            c_lit = F.array(*[F.lit(float(v)) for v in c])
+            dfp = F.aggregate(
+                F.zip_with(
+                    F.col("u"),
+                    c_lit,
+                    lambda a, b: F.floor((a - b) * (a - b) * 1e12 + 0.5).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + e,
+            )
+            entries.append(F.struct(dfp.alias("dist"), F.lit(cell).alias("cell")))
+        return F.array_min(F.array(*entries))["cell"]
+
+    for _ in range(iters):
+        assigned = base.select("_id", "u", assign_col(cents).alias("cell"))
+        sums = (
+            assigned.select(
+                "cell",
+                F.posexplode(
+                    F.transform("u", lambda v: F.floor(v * 1e6 + 0.5).cast("long"))
+                ).alias("d", "vfp"),
+            )
+            .groupBy("cell", "d")
+            .agg(F.sum("vfp").alias("sfp"), F.count("*").alias("cnt"))
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums.collect():
+            by_cell.setdefault(r["cell"], {})[r["d"]] = (r["sfp"] / 1e6) / r["cnt"]
+        cents = [
+            (cell, [m[d] for d in range(dim)]) for cell, m in sorted(by_cell.items())
+        ]
+
+    return base.select(
+        F.col("_id").alias(id_col), assign_col(cents).alias("cell")
+    )

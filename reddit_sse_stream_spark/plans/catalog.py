@@ -3080,6 +3080,60 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_fixedpoint_oracle(n_cells: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled-CTE twin of :func:`ml_lsh.ivf_fixedpoint_cells`: identical
+    fixed-point Lloyd rounds over an exploded (vec_id, d, val) layout —
+    integer squared distances, row_number argmin with cell-id tiebreak,
+    1e-6-quantized centroid means — so the final assignment matches bit
+    for bit."""
+    ctes = [
+        f"ex0 AS (SELECT vec_id, unnest(range(0, {dim})) AS d,"
+        " unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)",
+        "nrm AS (SELECT vec_id, greatest(sqrt("
+        "sum(CAST(floor(val * val * 1e12 + 0.5) AS BIGINT)) / 1e12), 1e-12) AS nrm"
+        " FROM ex0 GROUP BY vec_id)",
+        "ex AS (SELECT e.vec_id, e.d, e.val / n.nrm AS u"
+        " FROM ex0 e JOIN nrm n USING (vec_id))",
+        "seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1"
+        " AS INTEGER) AS cell FROM (SELECT DISTINCT vec_id FROM ex0"
+        f" ORDER BY vec_id LIMIT {n_cells}))",
+        "cen0 AS (SELECT s.cell, e.d, e.u AS c FROM seed s JOIN ex e USING (vec_id))",
+    ]
+    for t in range(iters + 1):
+        ctes.append(
+            f"d{t} AS (SELECT e.vec_id, c.cell,"
+            " sum(CAST(floor((e.u - c.c) * (e.u - c.c) * 1e12 + 0.5) AS BIGINT))"
+            f" AS dist FROM ex e JOIN cen{t} c USING (d) GROUP BY e.vec_id, c.cell)"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,"
+            " row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk"
+            f" FROM d{t}) WHERE rk = 1)"
+        )
+        if t < iters:
+            ctes.append(
+                f"cen{t + 1} AS (SELECT a.cell, e.d,"
+                " (CAST(sum(CAST(floor(e.u * 1e6 + 0.5) AS BIGINT)) AS BIGINT)"
+                " / 1e6) / count(*) AS c"
+                f" FROM a{t} a JOIN ex e USING (vec_id) GROUP BY a.cell, e.d)"
+            )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cell FROM a{iters}"
+
+
+@_register("knn_ivf_fixedpoint_cells", _ivf_fixedpoint_oracle())
+def knn_ivf_fixedpoint_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLED IVF quantizer (operators/ml_lsh.py:ivf_fixedpoint_cells):
+    deterministic fixed-point Lloyd rounds on the unit sphere, initial
+    centroids = the 8 smallest-id vectors, integer argmin assignment —
+    the (vec_id, cell) index frame a 100 TB deployment writes as its
+    partition column, verified bit-for-bit against the unrolled-CTE SQL
+    twin.  Complements ``knn_ivf_cells`` (seeded MLlib KMeans — the
+    library-integration path, rows-only by design)."""
+    from reddit_sse_stream_spark.operators.ml_lsh import ivf_fixedpoint_cells
+
+    return ivf_fixedpoint_cells(_t(spark, sf_dir, "embeddings"))
+
+
 
 # =========================================================================== #
 # TPC-H completion (q7/q8/q9/q17/q21 shapes on the available tables)          #

@@ -812,6 +812,35 @@ def test_pca_power_iteration_matches_numpy_direction(spark, sf_dir):
     assert got == again
 
 
+def test_ivf_fixedpoint_cells_deterministic_and_useful(spark, sf_dir):
+    """The fixed-point Lloyd quantizer must (1) be bit-stable under
+    repartitioning (the whole point of the fixed-point design), (2) use
+    more than one cell, and (3) beat the trivial quantizer: mean within-
+    cell cosine similarity (on unit vectors) above the global mean."""
+    import numpy as np
+
+    from reddit_sse_stream_spark.operators.ml_lsh import ivf_fixedpoint_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r["vec_id"]: r["cell"] for r in ivf_fixedpoint_cells(emb).collect()}
+    again = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_fixedpoint_cells(emb.repartition(9)).collect()
+    }
+    assert got == again
+    assert len(set(got.values())) > 1
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cells = np.array([got[r["vec_id"]] for r in rows])
+    sims = X @ X.T
+    mask = cells[:, None] == cells[None, :]
+    np.fill_diagonal(mask, False)
+    off = ~mask
+    np.fill_diagonal(off, False)
+    assert sims[mask].mean() > sims[off].mean()
+
+
 def test_corpus_shards_contiguous_positions(spark, sf_dir):
     from collections import defaultdict
 

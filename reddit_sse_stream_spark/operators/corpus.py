@@ -154,7 +154,7 @@ def random_projection_sketch(
 
 
 def cap_per_group(
-    df: DataFrame, group_col: str = "source", k: int = 20
+    df: DataFrame, group_col: str = "source", k: int = 20, id_col: str = "doc_id"
 ) -> DataFrame:
     """Anti-dominance cap: keep at most ``k`` documents per group (source,
     domain, ...), chosen by a deterministic salted-hash order — the
@@ -168,10 +168,10 @@ def cap_per_group(
     each map task keeps only its local top-k per key BEFORE the exchange,
     so a hot group ships ~k rows per upstream partition, not its full
     membership."""
-    hv = dedup.md5_hash60(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
-    w = Window.partitionBy(group_col).orderBy(hv.asc(), F.col("doc_id").asc())
+    hv = dedup.md5_hash60(F.concat(F.lit("cap:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(hv.asc(), F.col(id_col).asc())
     return (
-        df.select("doc_id", group_col, F.row_number().over(w).alias("pos"))
+        df.select(id_col, group_col, F.row_number().over(w).alias("pos"))
         .filter(F.col("pos") <= k)
     )
 

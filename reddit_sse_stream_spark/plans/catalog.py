@@ -3080,12 +3080,12 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_fixedpoint_oracle(n_cells: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Unrolled-CTE twin of :func:`ml_lsh.ivf_fixedpoint_cells`: identical
-    fixed-point Lloyd rounds over an exploded (vec_id, d, val) layout —
-    integer squared distances, row_number argmin with cell-id tiebreak,
-    1e-6-quantized centroid means — so the final assignment matches bit
-    for bit."""
+def _ivf_fixedpoint_ctes(
+    n_cells: int = 8, iters: int = 2, dim: int = 64
+) -> tuple[list[str], str]:
+    """CTE list + final-assignment CTE name for the fixed-point Lloyd
+    oracle (shared by ``knn_ivf_fixedpoint_cells`` and the diversity
+    subsample that builds on its cells)."""
     ctes = [
         f"ex0 AS (SELECT vec_id, unnest(range(0, {dim})) AS d,"
         " unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)",
@@ -3117,7 +3117,34 @@ def _ivf_fixedpoint_oracle(n_cells: int = 8, iters: int = 2, dim: int = 64) -> s
                 " / 1e6) / count(*) AS c"
                 f" FROM a{t} a JOIN ex e USING (vec_id) GROUP BY a.cell, e.d)"
             )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cell FROM a{iters}"
+    return ctes, f"a{iters}"
+
+
+def _ivf_fixedpoint_oracle(n_cells: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled-CTE twin of :func:`ml_lsh.ivf_fixedpoint_cells`: identical
+    fixed-point Lloyd rounds over an exploded (vec_id, d, val) layout —
+    integer squared distances, row_number argmin with cell-id tiebreak,
+    1e-6-quantized centroid means — so the final assignment matches bit
+    for bit."""
+    ctes, final = _ivf_fixedpoint_ctes(n_cells, iters, dim)
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cell FROM {final}"
+
+
+def _ivf_diverse_sample_oracle(k: int = 40) -> str:
+    """Fixed-point IVF cells + the md5 hash-order per-cell cap: the
+    diversity-subsample twin."""
+    ctes, final = _ivf_fixedpoint_ctes()
+    ctes.append(
+        f"capped AS (SELECT vec_id, cell, CAST(row_number() OVER ("
+        "PARTITION BY cell ORDER BY"
+        " CAST(concat('0x', substr(md5('cap:' || CAST(vec_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) ASC, vec_id ASC) AS INTEGER) AS pos"
+        f" FROM {final})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cell, pos FROM capped"
+        f" WHERE pos <= {k}"
+    )
 
 
 @_register("knn_ivf_fixedpoint_cells", _ivf_fixedpoint_oracle())
@@ -3132,6 +3159,27 @@ def knn_ivf_fixedpoint_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_sse_stream_spark.operators.ml_lsh import ivf_fixedpoint_cells
 
     return ivf_fixedpoint_cells(_t(spark, sf_dir, "embeddings"))
+
+
+@_register("corpus_diverse_sample", _ivf_diverse_sample_oracle())
+def corpus_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware subsampling: cap membership PER SEMANTIC CELL of
+    the deterministic IVF quantizer, keeping at most k=40 vectors from any
+    region of embedding space — the curation move that stops a dense
+    cluster (one template's thousand paraphrases) from dominating a
+    sampled corpus the way ``corpus_cap_per_source`` stops one crawler-
+    friendly site.  Pure composition of two oracled primitives: fixed-
+    point Lloyd cells (``knn_ivf_fixedpoint_cells``) + the deterministic
+    md5 hash-order cap (``operators/corpus.py:cap_per_group``), and so
+    fully value-verified end to end.
+
+    Scale: quantizer as documented on its own entry; the cap is one
+    window over the cell key with WindowGroupLimit pushing the top-k
+    below the exchange."""
+    from reddit_sse_stream_spark.operators.ml_lsh import ivf_fixedpoint_cells
+
+    cells = ivf_fixedpoint_cells(_t(spark, sf_dir, "embeddings"))
+    return corpus.cap_per_group(cells, group_col="cell", k=40, id_col="vec_id")
 
 
 

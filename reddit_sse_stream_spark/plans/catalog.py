@@ -2847,6 +2847,56 @@ def fn_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pack_length_buckets",
+    """
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+      FROM documents),
+    agg AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+             CAST(max(n_chars) AS BIGINT) AS chars_max
+      FROM b GROUP BY bucket)
+    SELECT bucket, n_docs, chars_sum, chars_max,
+           chars_max * n_docs - chars_sum AS padding_waste
+    FROM agg ORDER BY bucket
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching: equi-depth document-length buckets (exact
+    ntile with doc_id tiebreak) plus each bucket's PADDING WASTE
+    (max_len x n - sum_len) — the quantity a training loader minimizes by
+    batching similar-length sequences together instead of paying every
+    batch at its longest member.  All-integer aggregates, order-free.
+
+    Scale note: exact global ntile is one total-order window (the same
+    honest price as ``fn_histogram_equidepth``; at 100 TB swap in
+    approx_percentile cut points + a broadcast range join — two scans, no
+    global sort).  The per-bucket aggregate is the usual partial+final
+    pair on 8 keys."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    b = docs.select(
+        "doc_id", "n_chars", F.ntile(8).over(w).cast("long").alias("bucket")
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.max("n_chars").alias("chars_max"),
+    )
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "chars_sum",
+        "chars_max",
+        (F.col("chars_max") * F.col("n_docs") - F.col("chars_sum")).alias(
+            "padding_waste"
+        ),
+    ).orderBy("bucket")
+
+
+@_register(
     "sample_stratified_deterministic",
     """
     SELECT doc_id, lang

@@ -526,25 +526,13 @@ def md5_hash60(col) -> "F.Column":
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def minhash_md5_near_dups(
-    docs: DataFrame,
-    threshold: float = 0.8,
-    num_hashes: int = 8,
-    bands: int = 4,
-    k: int = 5,
-) -> DataFrame:
-    """Minhash-LSH near-dup pipeline with every stage ANSI-expressible:
-    md5-derived shingle hashes and literal signature-slice band keys (no
-    xxhash bucketing), so a SQL oracle reproduces byte-identical candidates
-    and Jaccard values.  Same scale shape as :func:`near_dup_pairs` —
-    banding shuffles only (band, key, doc_id) via the shared
-    :func:`bucket_pair_explode` (r05: replaced a band self-join that
-    re-executed the whole tokenize/md5/signature HOF chain once per join
-    side), the shingle frame is localCheckpoint-materialized once for the
-    signature fold and both verify sides, and verify touches candidates
-    only — just with the portable hash family.  The xxhash64/Arrow variant
-    stays the throughput path; this one is the correctness anchor.
-    """
+def _md5_sketch(
+    docs: DataFrame, num_hashes: int = 8, bands: int = 4, k: int = 5
+) -> tuple[DataFrame, DataFrame]:
+    """(sh, banded) for the md5 minhash family: the checkpointed
+    (doc_id, sh array<long>) shingle-hash frame feeding signature fold and
+    verify, and the (doc_id, band, key) banding frame — shared by
+    :func:`minhash_md5_near_dups` and :func:`minhash_md5_incremental_new`."""
     words = F.split(F.lower(F.col("text")), r"\s+")
     sh_arr = F.array_distinct(
         F.transform(
@@ -584,6 +572,88 @@ def minhash_md5_near_dups(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.key")
+    return sh, banded
+
+
+def minhash_md5_incremental_new(
+    docs: DataFrame,
+    batch_pred,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Incremental NEAR-dup gate across snapshots: of the incoming batch
+    (rows where ``batch_pred`` holds), keep only documents with no near-
+    duplicate (jaccard >= ``threshold``) in the existing corpus (the rest)
+    — the daily-crawl admission step that :func:`incremental_new_docs`
+    performs for EXACT duplicates, upgraded to the sketch family.
+
+    One md5 sketch pass over the union (hashing is per-document, so
+    sketching both sides together costs the same as separately and keeps
+    the single-materialization property), then banding candidates are
+    restricted to CROSS pairs (batch x corpus — batch-internal dups are
+    the within-snapshot dedup pass's job), verified with exact Jaccard on
+    the shingle sets, and matched batch ids are anti-joined away.
+
+    Scale: same banding/verify geometry as :func:`minhash_md5_near_dups`;
+    at 100 TB the corpus side's sketch is precomputed and stored, so each
+    day pays one kernel pass over the NEW batch plus a band-key equi-join
+    against the corpus band index."""
+    sh, banded = _md5_sketch(docs, num_hashes, bands, k)
+    is_batch = batch_pred(F.col("doc_id"))
+    cand = (
+        banded.filter(is_batch)
+        .select(F.col("doc_id").alias("nb"), "band", "key")
+        .join(
+            banded.filter(~is_batch).select(
+                F.col("doc_id").alias("ob"), "band", "key"
+            ),
+            ["band", "key"],
+        )
+        .select("nb", "ob")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("nb"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("ob"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.floor(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            * 10000.0
+            / F.size(F.array_union("sh_a", "sh_b"))
+        )
+        / 10000.0
+    )
+    bad = (
+        cand.join(a, "nb")
+        .join(b, "ob")
+        .filter(jac >= threshold)
+        .select(F.col("nb").alias("doc_id"))
+        .distinct()
+    )
+    return docs.filter(batch_pred(F.col("doc_id"))).join(bad, "doc_id", "left_anti")
+
+
+def minhash_md5_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Minhash-LSH near-dup pipeline with every stage ANSI-expressible:
+    md5-derived shingle hashes and literal signature-slice band keys (no
+    xxhash bucketing), so a SQL oracle reproduces byte-identical candidates
+    and Jaccard values.  Same scale shape as :func:`near_dup_pairs` —
+    banding shuffles only (band, key, doc_id) via the shared
+    :func:`bucket_pair_explode` (r05: replaced a band self-join that
+    re-executed the whole tokenize/md5/signature HOF chain once per join
+    side), the shingle frame is localCheckpoint-materialized once for the
+    signature fold and both verify sides, and verify touches candidates
+    only — just with the portable hash family.  The xxhash64/Arrow variant
+    stays the throughput path; this one is the correctness anchor.
+    """
+    sh, banded = _md5_sketch(docs, num_hashes, bands, k)
     cand = bucket_pair_explode(
         banded, ["band", "key"], "doc_id", "doc_a", "doc_b"
     ).distinct()

@@ -5339,6 +5339,81 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_md5_near_dups(_t(spark, sf_dir, "documents"))
 
 
+def _minhash_md5_incremental_oracle_sql(
+    num_hashes: int = 8, bands: int = 4, k: int = 5
+) -> str:
+    """Twin of :func:`dedup.minhash_md5_incremental_new` on the odd/even
+    doc_id split: one sketch over all documents, candidates restricted to
+    batch(odd) x corpus(even) band collisions, NOT-IN admission."""
+    coeffs = dedup._coeffs(num_hashes)
+    p = (1 << 31) - 1
+    sig_cols = ", ".join(
+        f"min((h * {a} + {b}) % {p}) AS s{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, concat({key}) AS key FROM sig".format(
+            band=bnd,
+            key=", ',', ".join(f"s{bnd * rpb + j}" for j in range(rpb)),
+        )
+        for bnd in range(bands)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - {k - 1})) AS i
+      FROM w WHERE len(words) >= {k}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(array_to_string(words[i:i+{k - 1}], ' ')), 1, 15))
+                  AS BIGINT) % {p} AS h
+      FROM idx
+    ),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS nb, r.doc_id AS ob
+      FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+      WHERE l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+    ),
+    inter AS (
+      SELECT c.nb, c.ob, count(*) AS ni
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.nb
+      JOIN sh b ON b.doc_id = c.ob AND a.h = b.h
+      GROUP BY c.nb, c.ob
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    bad AS (
+      SELECT DISTINCT i.nb FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.nb
+      JOIN sizes sb ON sb.doc_id = i.ob
+      WHERE floor(ni * 10000.0 / (sa.n + sb.n - ni)) / 10000.0 >= 0.8
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT nb FROM bad)
+    """
+
+
+@_register("dedup_incremental_minhash", _minhash_md5_incremental_oracle_sql())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot NEAR-dup admission gate
+    (operators/dedup.py:minhash_md5_incremental_new): of the incoming
+    batch (odd doc_ids), keep only documents with no jaccard>=0.8
+    near-duplicate in the existing corpus (even doc_ids) — the sketch-
+    family upgrade of ``dedup_incremental_new_only``'s exact-digest gate,
+    fully value-oracled via the md5 hash family."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_md5_incremental_new(docs, lambda c: c % 2 == 1)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 @_register(
     "dedup_simhash_md5",
     """

@@ -841,6 +841,30 @@ def test_ivf_fixedpoint_cells_deterministic_and_useful(spark, sf_dir):
     assert sims[mask].mean() > sims[off].mean()
 
 
+def test_incremental_minhash_drops_near_dup_of_corpus(spark):
+    """A batch doc that is a light edit of a corpus doc must be rejected;
+    an unrelated batch doc must be admitted."""
+    from reddit_sse_stream_spark.operators import dedup
+
+    base = " ".join(f"word{i:02d}" for i in range(60))  # 56 distinct 5-grams
+    edited = base.replace("word30", "edited", 1)  # ~5 changed shingles -> jac ~0.84
+    rows = [
+        (0, base, "en", "s", len(base)),               # corpus (even)
+        (2, "completely different corpus text " * 8, "en", "s", 1),  # corpus
+        (1, edited, "en", "s", len(edited)),            # batch: near-dup -> drop
+        (3, "unrelated new material nothing shared with anything else "
+            "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup.minhash_md5_incremental_new(docs, lambda c: c % 2 == 1).collect()
+    }
+    assert kept == {3}
+
+
 def test_corpus_shards_contiguous_positions(spark, sf_dir):
     from collections import defaultdict
 

@@ -260,3 +260,62 @@ def repetition_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             / F.greatest(F.col("n_bigrams"), F.lit(1))
         ).alias("dup_frac"),
     )
+
+
+def chunk_dup_stats(
+    df: DataFrame, chunk_words: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style sub-document duplication report: split every document
+    into fixed ``chunk_words``-word chunks (full chunks only), hash each
+    chunk, and report per source how many chunks also occur in at least one
+    OTHER document anywhere in the corpus.  This is the paragraph-dedup
+    feasibility metric a corpus pipeline computes before deciding whether
+    chunk-level (vs document-level) dedup is worth a pass.
+
+    Scale shape: the chunking is pure codegen (split -> sequence ->
+    slice/array_join -> explode; zero Python).  One shuffle keyed on the
+    16-byte chunk digest with map-side partial aggregation to per
+    (digest, source) rows; the cross-source distinct-doc total rides a
+    window over the SAME partitioning (sum of per-source distinct-doc
+    counts equals the global distinct-doc count because each doc has
+    exactly one source — no second shuffle).  The final per-source rollup
+    shuffles |sources| rows."""
+    words = F.split(F.col(text_col), r"\s+")
+    n_full = F.floor(F.size(words) / chunk_words).cast("int")
+    # sequence(0, -1) would DESCEND in Spark; guard the empty case so the
+    # semantics match DuckDB's range(0, 0) = [].
+    idx = F.when(n_full > 0, F.sequence(F.lit(0), n_full - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ch = df.select(
+        "doc_id",
+        "source",
+        words.alias("_w"),
+        F.explode(idx).alias("_i"),
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("_w"), F.col("_i") * chunk_words + 1, chunk_words),
+                " ",
+            )
+        ).alias("chunk_h"),
+    )
+    g = ch.groupBy("chunk_h", "source").agg(
+        F.count("*").alias("c"), F.count_distinct("doc_id").alias("nd_s")
+    )
+    from pyspark.sql import Window
+
+    nd = F.sum("nd_s").over(Window.partitionBy("chunk_h"))
+    gg = g.withColumn("nd", nd)
+    dup_c = F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0)))
+    return gg.groupBy("source").agg(
+        F.sum("c").alias("n_chunks"),
+        dup_c.alias("n_dup_chunks"),
+    ).select(
+        "source",
+        "n_chunks",
+        "n_dup_chunks",
+        _trunc4(F.col("n_dup_chunks") / F.col("n_chunks")).alias("dup_rate"),
+    )

@@ -5632,6 +5632,228 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_chunk_dup_rate",
+    """
+    WITH w AS (
+      SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS words
+      FROM documents
+    ),
+    ci AS (
+      SELECT doc_id, source, words,
+             unnest(range(0, CAST(floor(len(words) / 16.0) AS BIGINT))) AS i
+      FROM w
+    ),
+    ch AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_slice(words, i*16 + 1, i*16 + 16), ' '))
+               AS chunk_h
+      FROM ci
+    ),
+    g AS (
+      SELECT chunk_h, source, count(*) AS c,
+             count(DISTINCT doc_id) AS nd_s
+      FROM ch GROUP BY chunk_h, source
+    ),
+    gg AS (
+      SELECT *, sum(nd_s) OVER (PARTITION BY chunk_h) AS nd FROM g
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           floor(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) * 1.0
+                 / sum(c) * 10000) / 10000.0 AS dup_rate
+    FROM gg GROUP BY source
+    """,
+)
+def text_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document duplication report: per source, the
+    fraction of fixed 16-word chunks that also occur in >= 2 distinct
+    documents corpus-wide.  The reference streams rows whole
+    (/root/reference/sse.py:151-162) and has no sub-document analysis; a
+    training-data pipeline needs this to decide whether paragraph-level
+    dedup is worth a pass.  Chunking is pure codegen; one digest-keyed
+    shuffle; the global distinct-doc total rides a window over the same
+    partitioning (operators/text.py:chunk_dup_stats)."""
+    return text.chunk_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "vocab_coverage_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\\s+')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+    top AS (SELECT term FROM counts ORDER BY tf DESC, term LIMIT 64)
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN p.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           floor(sum(CASE WHEN p.term IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 10000) / 10000.0 AS oov_rate
+    FROM tok t LEFT JOIN top p ON t.term = p.term
+    GROUP BY t.lang
+    """,
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: with a 64-term vocabulary picked by
+    global frequency (ties broken lexically so both engines select the
+    same set), per-language token count, out-of-vocabulary token count,
+    and OOV rate — the statistic that sizes a vocab before training.
+
+    Scale shape: one term-keyed shuffle with map-side combine builds the
+    counts; the top-K is TakeOrderedAndProject (driver gets K rows, not
+    the vocab) and re-enters as a BROADCAST hash join against the token
+    stream — the second corpus pass has no shuffle at all; the final
+    per-lang rollup moves |langs| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    )
+    top = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("term"))
+        .limit(64)
+        .select("term")
+    )
+    flagged = tok.join(
+        F.broadcast(top.withColumnRenamed("term", "_vterm")),
+        tok["term"] == F.col("_vterm"),
+        "left",
+    )
+    oov = F.sum(F.when(F.col("_vterm").isNull(), 1).otherwise(0))
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        oov.alias("oov_tokens"),
+    ).select(
+        "lang",
+        "n_tokens",
+        "oov_tokens",
+        F.floor(F.col("oov_tokens") / F.col("n_tokens") * 10000).cast("double")
+        .alias("_f"),
+        # keep trunc identical to the SQL twin: floor(x*1e4)/1e4
+    ).select(
+        "lang",
+        "n_tokens",
+        "oov_tokens",
+        (F.col("_f") / 10000.0).alias("oov_rate"),
+    )
+
+
+@_register(
+    "dedup_cross_source_matrix",
+    """
+    WITH h AS (
+      SELECT DISTINCT
+             md5(array_to_string(
+               list_slice(regexp_split_to_array(text, '\\s+'), 1, 8), ' '))
+               AS ph,
+             md5(text) AS th, source
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_prefixes,
+           CAST(sum(CASE WHEN a.th = b.th THEN 1 ELSE 0 END) AS BIGINT)
+             AS shared_exact
+    FROM h a JOIN h b ON a.ph = b.ph AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source pair
+    (a < b), how many distinct text variants share a verbatim 8-word lead
+    (near-verbatim syndication signal) and how many are exact duplicates —
+    the report that tells a corpus curator which crawls plagiarize which.
+    Keyed on the prefix digest rather than the full-text digest so the
+    report carries signal even in corpora with few exact cross-source
+    copies.
+
+    Scale shape: the per-(prefix, digest, source) DISTINCT collapses the
+    corpus to one row per text variant per source BEFORE the self-join,
+    so the equi-join on the 16-byte prefix digest is narrow; the
+    source < source predicate halves the pair output.  No cartesian
+    anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        F.md5(F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 1, 8), " "))
+        .alias("ph"),
+        F.md5("text").alias("th"),
+        "source",
+    ).distinct()
+    a = h.alias("a")
+    b = h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ph") == F.col("b.ph"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("shared_prefixes"),
+            F.sum(
+                F.when(F.col("a.th") == F.col("b.th"), 1).otherwise(0)
+            ).alias("shared_exact"),
+        )
+    )
+
+
+@_register(
+    "bpe_pair_merge_counts",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+    pi AS (
+      SELECT term, tf, unnest(range(1, len(term))) AS i FROM counts
+    ),
+    p AS (SELECT substr(term, CAST(i AS INTEGER), 2) AS pair, tf FROM pi)
+    SELECT pair, CAST(sum(tf) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 50
+    """,
+)
+def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-learning step: corpus-wide counts of adjacent
+    character pairs inside words, top 50 (ties broken lexically).  The
+    highest-count pair is the first merge a BPE tokenizer trainer would
+    learn; iterating this query IS the trainer's inner loop.
+
+    Scale shape: pairs are expanded from the DISTINCT-term frequency
+    table, not the raw token stream — the Zipf collapse means the
+    expensive substring explode runs over |vocab| rows weighted by tf
+    instead of every token occurrence (1000x fewer rows at corpus scale).
+    One term shuffle with map-side combine, one pair shuffle over the
+    collapsed table, TakeOrderedAndProject for the top-K."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idx = F.when(
+        F.length("term") >= 2, F.sequence(F.lit(1), F.length("term") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = counts.select(
+        "term", "tf", F.explode(idx).alias("_i")
+    ).select(F.col("term").substr(F.col("_i"), F.lit(2)).alias("pair"), "tf")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("tf").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(50)
+    )
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -1018,3 +1018,81 @@ def test_mix_schedule_sums_to_budget_exactly(spark, sf_dir):
     assert {(r["source"], r["alloc"]) for r in again} == {
         (r["source"], r["alloc"]) for r in rows
     }
+
+
+def test_chunk_dup_stats_flags_cross_doc_chunks_only(spark):
+    from reddit_sse_stream_spark.operators import text as textops
+
+    # doc 0 and doc 1 share their (single) 4-word chunk; doc 2 is unique;
+    # doc 3 is too short to yield any full chunk and must not appear.
+    rows = [
+        (0, "a b c d", "s1"),
+        (1, "a b c d", "s2"),
+        (2, "w x y z", "s1"),
+        (3, "too short", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r
+        for r in textops.chunk_dup_stats(df, chunk_words=4).collect()
+    }
+    assert set(out) == {"s1", "s2"}  # s3 contributed zero full chunks
+    assert out["s1"]["n_chunks"] == 2 and out["s1"]["n_dup_chunks"] == 1
+    assert out["s2"]["n_chunks"] == 1 and out["s2"]["n_dup_chunks"] == 1
+    assert out["s1"]["dup_rate"] == 0.5 and out["s2"]["dup_rate"] == 1.0
+
+
+def test_chunk_dup_stats_within_doc_repeat_is_not_cross_doc_dup(spark):
+    from reddit_sse_stream_spark.operators import text as textops
+
+    # the same chunk twice in ONE doc: nd (distinct docs) stays 1, so it
+    # must NOT count as duplicated — the metric is cross-document reuse.
+    df = spark.createDataFrame(
+        [(0, "a b a b", "s1")], "doc_id long, text string, source string"
+    )
+    [r] = textops.chunk_dup_stats(df, chunk_words=2).collect()
+    assert r["n_chunks"] == 2 and r["n_dup_chunks"] == 0
+
+
+def test_bpe_pair_counts_weighted_by_term_frequency(spark, sf_dir):
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    out = QUERIES["bpe_pair_merge_counts"].spark(spark, sf_dir).collect()
+    assert len(out) == 50
+    # descending counts with lexical tie-break => deterministic top-k
+    keys = [(-r["cnt"], r["pair"]) for r in out]
+    assert keys == sorted(keys)
+    # every pair is 2 chars from inside a word (split never yields spaces)
+    assert all(len(r["pair"]) == 2 and " " not in r["pair"] for r in out)
+
+
+def test_vocab_coverage_topk_rates_bounded_and_exact_on_tiny(spark):
+    from pyspark.sql import functions as F
+
+    # 3 docs, vocab {a: 4, b: 2, c: 1}; with the catalog's K=64 every term
+    # is in-vocab, so build the same plan shape inline with K=1: only "a"
+    # is in vocab -> oov = 3 of 7 tokens.
+    df = spark.createDataFrame(
+        [(0, "a a b", "en"), (1, "a b c", "en"), (2, "a", "de")],
+        "doc_id long, text string, lang string",
+    )
+    tok = df.select(
+        "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    )
+    top = (
+        tok.groupBy("term").agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("term")).limit(1).select("term")
+    )
+    flagged = tok.join(
+        F.broadcast(top.withColumnRenamed("term", "_v")),
+        tok["term"] == F.col("_v"), "left",
+    )
+    agg = {
+        r["lang"]: r
+        for r in flagged.groupBy("lang").agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0)).alias("oov"),
+        ).collect()
+    }
+    assert agg["en"]["n"] == 6 and agg["en"]["oov"] == 3
+    assert agg["de"]["n"] == 1 and agg["de"]["oov"] == 0

@@ -247,7 +247,17 @@ def main() -> None:
         for name in times
         if prev.get(name)
     }
-    regressions = sorted(n for n, r in vs_prev.items() if r > 1.5)
+    # The prev-round numbers were taken on a different machine state (and
+    # possibly regenerated testdata), so a UNIFORM shift is an environment
+    # factor, not N code regressions: r05 measured untouched queries at a
+    # flat 1.7-1.9x with zero code change (SCALING.md).  The median ratio
+    # across all shared queries estimates that factor; a query is flagged
+    # only when it regressed >1.5x RELATIVE to the machine-wide median.
+    ratios = sorted(vs_prev.values())
+    machine_factor = ratios[len(ratios) // 2] if ratios else 1.0
+    regressions = sorted(
+        n for n, r in vs_prev.items() if r / max(machine_factor, 1e-9) > 1.5
+    )
     # throughput context vs BASELINE.md: the reference's designed ceiling is
     # 125 comments/s + 50 submissions/s per connection; this engine filters
     # the full feed (reference_pipeline_example) in times[...] seconds.
@@ -268,6 +278,7 @@ def main() -> None:
                 "pipeline_events_per_sec": round(n_events / pipeline_sec, 1),
                 "vs_prev_round": prev_round,
                 "vs_prev": vs_prev,
+                "machine_factor_vs_prev": machine_factor,
                 "regressions_vs_prev": regressions,
                 **e2e,
             }

@@ -273,13 +273,18 @@ def chunk_dup_stats(
     chunk-level (vs document-level) dedup is worth a pass.
 
     Scale shape: the chunking is pure codegen (split -> sequence ->
-    slice/array_join -> explode; zero Python).  One shuffle keyed on the
-    16-byte chunk digest with map-side partial aggregation to per
-    (digest, source) rows; the cross-source distinct-doc total rides a
-    window over the SAME partitioning (sum of per-source distinct-doc
-    counts equals the global distinct-doc count because each doc has
-    exactly one source — no second shuffle).  The final per-source rollup
-    shuffles |sources| rows."""
+    slice/array_join -> explode; zero Python).  Exactly ONE data shuffle:
+    an explicit repartition on the chunk digest, whose HashPartitioning
+    is a subset of every downstream grouping key — so the per-doc
+    collapse, the (digest, source) aggregate, AND the digest-partitioned
+    window all ride it with zero further exchanges (plan-asserted in
+    tests/test_plans.py).  count_distinct is avoided deliberately: its
+    expand pass would force an extra (digest, source, doc_id) exchange;
+    the two-level aggregate computes the same distinct-doc count on the
+    already-co-located rows.  Map-side combine is knowingly forfeited —
+    chunk rows are near-unique per (digest, doc), so a pre-shuffle
+    partial pass would shrink almost nothing.  The final per-source
+    rollup shuffles |sources| rows."""
     words = F.split(F.col(text_col), r"\s+")
     n_full = F.floor(F.size(words) / chunk_words).cast("int")
     # sequence(0, -1) would DESCEND in Spark; guard the empty case so the
@@ -302,8 +307,12 @@ def chunk_dup_stats(
             )
         ).alias("chunk_h"),
     )
-    g = ch.groupBy("chunk_h", "source").agg(
-        F.count("*").alias("c"), F.count_distinct("doc_id").alias("nd_s")
+    ch = ch.repartition("chunk_h")
+    per_doc = ch.groupBy("chunk_h", "source", "doc_id").agg(
+        F.count("*").alias("cnt")
+    )
+    g = per_doc.groupBy("chunk_h", "source").agg(
+        F.sum("cnt").alias("c"), F.count("*").alias("nd_s")
     )
     from pyspark.sql import Window
 

@@ -313,3 +313,39 @@ def test_minhash_lsh_feature_pass_behind_checkpoint(spark, sf_dir):
     plan = _final_plan_after_collect(spark, sf_dir, "dedup_minhash_lsh")
     assert plan.count("MapInPandas") == 0
     assert plan.count("ExistingRDD") >= 1
+
+
+def test_vocab_coverage_second_pass_is_broadcast_join(spark, sf_dir):
+    """The top-K vocab must re-enter as a BROADCAST hash join against the
+    token stream (docstring claim: the second corpus pass is shuffle-free);
+    a SortMergeJoin here would shuffle every token occurrence on the term."""
+    plan = _plan(spark, sf_dir, "vocab_coverage_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-K vocab, not a global sort
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pairs_explode_runs_over_distinct_terms(spark, sf_dir):
+    """The pair explode must sit ABOVE the term aggregate (Zipf collapse:
+    |vocab| rows, not every token occurrence) — i.e. the plan has two
+    partial+final aggregate pairs (term, then pair) with the Generate for
+    the pair explode between them, and the top-50 is TakeOrdered."""
+    plan = _plan(spark, sf_dir, "bpe_pair_merge_counts")
+    assert "TakeOrderedAndProject" in plan
+    gen = plan.index("Generate explode")  # the PAIR explode ...
+    agg = plan.rindex("HashAggregate")  # ... reads the term agg's output
+    assert agg > gen, "pair explode must consume the term aggregate"
+
+
+def test_chunk_dup_window_rides_agg_partitioning(spark, sf_dir):
+    """chunk_dup_stats claims the chunk_h window reuses the groupBy
+    (chunk_h, source) shuffle: the plan must not add a second Exchange
+    between the aggregate and the window (hashpartitioning(chunk_h...)
+    satisfies the window's chunk_h requirement)."""
+    plan = _plan(spark, sf_dir, "text_chunk_dup_rate")
+    # exchanges: the explicit chunk_h repartition + the |sources|-row
+    # rollup.  Both aggregates and the window must ride the first one —
+    # a third exchange means the subset-partitioning reuse broke.
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex == 2, f"expected 2 hash exchanges, got {n_ex}"
+    assert "Exchange hashpartitioning(chunk_h" in plan

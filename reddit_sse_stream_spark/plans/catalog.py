@@ -5854,6 +5854,233 @@ def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_char_entropy",
+    r"""
+    WITH ci AS (
+      SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+      FROM documents WHERE len(text) >= 1
+    ),
+    c AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch FROM ci),
+    cc AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS k
+      FROM c GROUP BY doc_id, ch
+    ),
+    n AS (
+      SELECT *, sum(k) OVER (PARTITION BY doc_id) AS n FROM cc
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_chars,
+           CAST(sum(k * (length(bin(n)) - length(bin(k)))) AS BIGINT)
+             AS bits_sum,
+           floor(sum(k * (length(bin(n)) - length(bin(k)))) * 100.0
+                 / max(n)) / 100.0 AS avg_bits
+    FROM n GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality filter (gibberish / repeated-char
+    detector): per document, the whole-bit-quantized unigram character
+    entropy — each character occurrence carrying count k in an N-char doc
+    contributes floor(log2 N) - floor(log2 k) bits via the exact integer
+    log2 (floor(log2 n) = length(bin(n)) - 1), the same no-floating-log
+    design as ``text_bigram_lm_bits``: associative integer sums,
+    bit-identical across engines.  Low avg_bits flags low-diversity text
+    ("aaaa...", single-token spam) that length and stopword filters miss.
+
+    Scale shape: the char explode is codegen-local (chars of a doc never
+    leave their partition before aggregation); groupBy (doc_id, ch) ships
+    at most |alphabet| rows per doc thanks to map-side combine; the
+    per-doc total rides a doc_id window, and the final per-doc aggregate
+    reuses the window's doc_id partitioning — no further exchange."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    chars = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+    ).select("doc_id", F.col("text").substr(F.col("i"), F.lit(1)).alias("ch"))
+    cc = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("k"))
+    from pyspark.sql import Window as _W
+
+    n = cc.withColumn("n", F.sum("k").over(_W.partitionBy("doc_id")))
+    bits = F.col("k") * (F.length(F.bin("n")) - F.length(F.bin("k")))
+    return n.groupBy("doc_id").agg(
+        F.max("n").alias("n_chars"),
+        F.sum(bits).cast("long").alias("bits_sum"),
+        (F.floor(F.sum(bits) * 100.0 / F.max("n")) / 100.0).alias("avg_bits"),
+    )
+
+
+@_register(
+    "dedup_threshold_curve",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(words) - 1),
+               i -> CAST(concat('0x', substr(md5(
+                      words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                    ), 1, 15)) AS BIGINT))) AS sh
+      FROM w WHERE len(words) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    cold AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 64),
+    exc AS (SELECT e.doc_id, e.g FROM ex e JOIN cold USING (g)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM exc l JOIN exc r ON l.g = r.g AND l.doc_id < r.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             floor(len(list_intersect(a.sh, b.sh)) * 10000.0
+                   / len(list_distinct(list_concat(a.sh, b.sh)))) / 10000.0
+               AS jaccard
+      FROM cand c JOIN s a ON a.doc_id = c.doc_a
+                  JOIN s b ON b.doc_id = c.doc_b
+    ),
+    t AS (SELECT unnest([0.1, 0.3, 0.5, 0.7, 0.9]::DOUBLE[]) AS threshold),
+    hit AS (
+      SELECT t.threshold, sc.doc_a, sc.doc_b
+      FROM t LEFT JOIN scored sc ON sc.jaccard >= t.threshold
+    ),
+    pp AS (
+      SELECT threshold, CAST(count(doc_a) AS BIGINT) AS n_pairs
+      FROM hit GROUP BY threshold
+    ),
+    aff AS (
+      SELECT threshold, doc_a AS d FROM hit
+      UNION SELECT threshold, doc_b FROM hit
+    ),
+    dd AS (
+      SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+      FROM aff WHERE d IS NOT NULL GROUP BY threshold
+    )
+    SELECT pp.threshold, pp.n_pairs, coalesce(dd.n_docs, 0) AS n_docs
+    FROM pp LEFT JOIN dd USING (threshold)
+    """,
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate-vs-threshold curve: for each candidate jaccard threshold,
+    how many near-dup pairs and how many affected documents the corpus
+    would yield — the sweep a pipeline runs ONCE to pick its dedup
+    threshold, computed in one pass over the already-scored candidate
+    pairs instead of five re-runs of the dedup job.
+
+    Scale shape: reuses ``_md5_jaccard_scored_pairs`` (hot-gram-capped
+    candidates, single checkpointed gram frame); the 5-row threshold dim
+    joins via a broadcast theta-join against the (small) scored-pair
+    frame, never the corpus.  LEFT join keeps zero-count thresholds so
+    the curve is always complete."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = _md5_jaccard_scored_pairs(docs)
+    thr = spark.createDataFrame(
+        [(0.1,), (0.3,), (0.5,), (0.7,), (0.9,)], "threshold double"
+    )
+    hit = F.broadcast(thr).join(
+        scored, scored["jaccard"] >= thr["threshold"], "left"
+    )
+    pp = hit.groupBy("threshold").agg(F.count("doc_a").alias("n_pairs"))
+    aff = (
+        hit.select("threshold", F.col("doc_a").alias("d"))
+        .union(hit.select("threshold", F.col("doc_b").alias("d")))
+        .distinct()
+    )
+    dd = (
+        aff.filter(F.col("d").isNotNull())
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").alias("n_docs"))
+    )
+    return pp.join(dd, "threshold", "left").select(
+        "threshold",
+        "n_pairs",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+    )
+
+
+@_register(
+    "stream_lateness_watermark_profile",
+    """
+    WITH x AS (
+      SELECT event_id, event_type, ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS hwm
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN hwm IS NOT NULL AND ts < hwm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_any,
+           CAST(sum(CASE WHEN hwm IS NOT NULL
+                          AND epoch(hwm) - epoch(ts) > 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_60s,
+           CAST(sum(CASE WHEN hwm IS NOT NULL
+                          AND epoch(hwm) - epoch(ts) > 300
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_300s,
+           CAST(sum(CASE WHEN hwm IS NOT NULL
+                          AND epoch(hwm) - epoch(ts) > 900
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_900s
+    FROM x GROUP BY event_type
+    """,
+)
+def stream_lateness_watermark_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay sizing profile: treating event_id as arrival order,
+    how many events per type arrive with event-time BEHIND the high-water
+    mark (max event time seen so far), bucketed by how far behind (>0 s,
+    >60 s, >300 s, >900 s) — exactly the counts that answer "what fraction
+    of events would a withWatermark(delay) drop?", measured BEFORE wiring
+    the watermark into ``streaming/source.py``'s pipeline (SURVEY §2 S5
+    documents the reference has no late-data handling at all; this is the
+    profile that sizes ours).
+
+    Scale shape: the global prefix-max is two-phase, the classic
+    distributed scan — a bucket-local running max windowed WITHIN each
+    4096-id bucket (parallel across buckets, one bkt-keyed shuffle shared
+    with the bucket-summary aggregate), plus a cumulative max over the
+    tiny |events|/4096-row bucket summary (the ONLY single-partition
+    window, over summary rows, never events) broadcast back.  hwm =
+    greatest(bucket-local prefix max, previous buckets' max); Spark's
+    greatest skips nulls, matching the SQL twin's NULL-only-at-stream-head
+    semantics."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("event_id") / 4096).cast("long").alias("bkt"),
+    )
+    from pyspark.sql import Window as _W
+
+    wb = _W.partitionBy("bkt").orderBy("event_id").rowsBetween(
+        _W.unboundedPreceding, -1
+    )
+    local_hwm = F.max("ts").over(wb)
+    bmax = ev.groupBy("bkt").agg(F.max("ts").alias("_bmax"))
+    wcum = _W.orderBy("bkt").rowsBetween(_W.unboundedPreceding, -1)
+    prev = bmax.select(
+        "bkt", F.max("_bmax").over(wcum).alias("_prev_hwm")
+    )
+    x = (
+        ev.join(F.broadcast(prev), "bkt")
+        .withColumn("hwm", F.greatest(local_hwm, F.col("_prev_hwm")))
+    )
+    late = F.col("hwm").isNotNull()
+    lag_s = F.unix_timestamp("hwm") - F.unix_timestamp("ts")
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return x.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        _cnt(late & (F.col("ts") < F.col("hwm"))).alias("late_any"),
+        _cnt(late & (lag_s > 60)).alias("late_60s"),
+        _cnt(late & (lag_s > 300)).alias("late_300s"),
+        _cnt(late & (lag_s > 900)).alias("late_900s"),
+    )
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

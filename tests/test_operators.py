@@ -1096,3 +1096,23 @@ def test_vocab_coverage_topk_rates_bounded_and_exact_on_tiny(spark):
     }
     assert agg["en"]["n"] == 6 and agg["en"]["oov"] == 3
     assert agg["de"]["n"] == 1 and agg["de"]["oov"] == 0
+
+
+def test_char_entropy_separates_gibberish_from_diverse_text(spark, tmp_path):
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    # route the catalog query at a tiny parquet dir: repeated-char spam
+    # must score strictly fewer avg bits than character-diverse text.
+    df = spark.createDataFrame(
+        [(0, "aaaaaaaaaaaaaaaa", "en", "s", 16),
+         (1, "the quick brown fox", "en", "s", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["text_char_entropy"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["avg_bits"] == 0.0  # single symbol: zero information
+    assert out[1]["avg_bits"] > 2.0
+    assert out[1]["n_chars"] == 19

@@ -349,3 +349,23 @@ def test_chunk_dup_window_rides_agg_partitioning(spark, sf_dir):
     n_ex = plan.count("Exchange hashpartitioning")
     assert n_ex == 2, f"expected 2 hash exchanges, got {n_ex}"
     assert "Exchange hashpartitioning(chunk_h" in plan
+
+
+def test_char_entropy_final_agg_rides_window_partitioning(spark, sf_dir):
+    """The per-doc total is a doc_id window over the (doc_id, ch)
+    aggregate and the final groupBy(doc_id) must reuse that window's
+    doc_id exchange: expect exactly 2 hash exchanges ((doc_id, ch) agg,
+    doc_id window) — a third means the reuse broke."""
+    plan = _plan(spark, sf_dir, "text_char_entropy")
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex == 2, f"expected 2 hash exchanges, got {n_ex}"
+
+
+def test_lateness_profile_single_partition_window_only_on_summary(spark, sf_dir):
+    """The two-phase prefix max must keep the ONLY single-partition window
+    on the bucket summary: exactly one Exchange SinglePartition, fed by
+    the (tiny) bucket aggregate — and the per-bucket window shares the
+    bkt shuffle with it."""
+    plan = _plan(spark, sf_dir, "stream_lateness_watermark_profile")
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan  # summary re-enters broadcast

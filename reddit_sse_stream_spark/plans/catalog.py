@@ -6081,6 +6081,139 @@ def stream_lateness_watermark_profile(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@_register(
+    "corpus_quality_quantile_gate",
+    """
+    WITH q AS (
+      SELECT doc_id, lang,
+             floor((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    / greatest(length(text), 1))
+                   * least(CAST(len(regexp_split_to_array(text, '\\s+'))
+                                AS BIGINT) / 50.0, 1.0)
+                   * 10000) / 10000.0 AS quality
+      FROM documents
+    ),
+    r AS (
+      SELECT *, percent_rank() OVER (
+               PARTITION BY lang ORDER BY quality DESC, doc_id) AS pr
+      FROM q
+    )
+    SELECT doc_id, lang, quality,
+           floor(pr * 10000) / 10000.0 AS pr_trunc
+    FROM r WHERE pr <= 0.8
+    """,
+)
+def corpus_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile gate: keep each language's top 80% of
+    documents by the composite quality heuristic — the relative-threshold
+    filter that avoids a fixed cutoff starving low-resource languages
+    (absolute quality distributions differ per lang; a global threshold
+    would gate them unevenly).  Ties broken by doc_id so the kept set is
+    deterministic; percent_rank's (rank-1)/(n-1) is one exact integer
+    IEEE division, identical across engines.
+
+    Scale shape: the quality features are per-row codegen; one lang-keyed
+    shuffle + per-lang sort for the rank.  Known skew caveat: one
+    dominant language sorts on one task — at 100 TB swap the exact
+    percent_rank for a two-pass cutoff (per-lang approx quantile of
+    quality, broadcast back as a filter), trading exactness of the
+    boundary for a sort-free map-side gate; the gate SEMANTICS (relative
+    per-lang threshold) stay identical."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    n_words = F.size(F.split(t, r"\s+"))
+    quality = (
+        F.floor(
+            (alpha / F.greatest(n_chars, F.lit(1)))
+            * F.least(n_words / 50.0, F.lit(1.0))
+            * 10000
+        )
+        / 10000.0
+    )
+    q = docs.select("doc_id", "lang", quality.alias("quality"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        q.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.8)
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            (F.floor(F.col("pr") * 10000) / 10000.0).alias("pr_trunc"),
+        )
+    )
+
+
+@_register(
+    "corpus_snapshot_diff",
+    """
+    WITH prev AS (
+      SELECT doc_id, md5(text) AS h, n_chars FROM documents
+      WHERE doc_id % 2 = 0
+    ),
+    cur AS (
+      SELECT doc_id - 1 AS doc_id, md5(text) AS h, n_chars FROM documents
+      WHERE doc_id % 2 = 1
+    )
+    SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+           CASE WHEN p.doc_id IS NULL THEN 'added'
+                WHEN c.doc_id IS NULL THEN 'removed'
+                WHEN p.h <> c.h THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           coalesce(c.n_chars, 0) - coalesce(p.n_chars, 0) AS delta_chars
+    FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+    WHERE p.doc_id IS NULL OR c.doc_id IS NULL OR p.h <> c.h
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change capture between two corpus versions (the refresh
+    primitive an incremental pipeline diffs crawls with): classify every
+    doc_id as added / removed / changed, with the byte-size delta —
+    unchanged rows are filtered out so the diff is proportional to the
+    CHANGE volume, not the corpus.  Snapshots are simulated as the
+    even-doc corpus vs the odd-doc corpus shifted onto the same key
+    space, giving all three classes real rows at every SF.
+
+    Scale shape: one full outer join on the bigint doc_id — both sides
+    shuffle once on the narrow key, 16-byte digests travel instead of
+    text, and the post-join filter drops the (dominant) unchanged class
+    before anything downstream sees it.  At 100 TB both snapshots would
+    be bucketed on doc_id, making this join exchange-free
+    (tests/test_plans.py pins the bucketed-join pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    prev = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.md5("text").alias("h"), "n_chars"
+    )
+    cur = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.md5("text").alias("h"),
+        "n_chars",
+    )
+    p, c = prev.alias("p"), cur.alias("c")
+    joined = p.join(c, F.col("p.doc_id") == F.col("c.doc_id"), "full_outer")
+    change = (
+        F.when(F.col("p.doc_id").isNull(), F.lit("added"))
+        .when(F.col("c.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("p.h") != F.col("c.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("p.doc_id"), F.col("c.doc_id")).alias("doc_id"),
+            change.alias("change"),
+            (
+                F.coalesce(F.col("c.n_chars"), F.lit(0))
+                - F.coalesce(F.col("p.n_chars"), F.lit(0))
+            ).alias("delta_chars"),
+        )
+        .filter(F.col("change") != "unchanged")
+    )
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

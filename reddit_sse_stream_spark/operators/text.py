@@ -328,3 +328,134 @@ def chunk_dup_stats(
         "n_dup_chunks",
         _trunc4(F.col("n_dup_chunks") / F.col("n_chunks")).alias("dup_rate"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-integer BM25 top-k retrieval (k1=1.2, b=0.75) — the keyword
+    search every corpus-curation loop runs ("find the docs about X") and
+    the relevance baseline ANN rerankers are judged against.
+
+    Every intermediate is an integer-valued double below 2^53, so each
+    floor() sees the identical correctly-rounded IEEE quotient in any
+    engine and the scores (and the top-k cut) are bit-reproducible:
+
+    - ``idf_fp``   = floor((2(N-df)+1) * 1e4 / (2df+1))       [RSJ idf,
+      log-free rational form: the log is monotone in this ratio and BM25
+      ranking only needs monotonicity, not the log's absolute scale]
+    - ``L``        = floor(dl * 1e6 * N / T)                  [dl/avgdl]
+    - ``denom``    = tf*1e6 + floor(6*(1e6 + 3L) / 20)        [k1*(1-b+b*L),
+      k1=6/5 and b=3/4 as exact rationals]
+    - ``gain``     = floor(tf * 22e5 / denom)                 [(k1+1)*tf/..]
+    - ``score``    = sum(idf_fp * gain) / 1e10                [one final div]
+
+    Magnitude bounds (int64-exact): idf_fp <= 2e4*N/1 -> needs N <= 4e8 at
+    the 1e4 scale (drop the idf scale to 1e2 past that); idf_fp*gain <=
+    (2e4*N)*(2.2e6) and the <=|Q| addends sum in int64.
+
+    Scale shape: dl rides the projection as size(split) — no extra pass;
+    tf is the only data shuffle (doc_id x |Q| keys, map-side combined);
+    df and the (N, T) totals are broadcast 1-row/|Q|-row aggregates; the
+    top-k is TakeOrderedAndProject, never a global sort."""
+    lower = F.lower(F.col(text_col))
+    words = F.split(lower, r"\s+")
+    base = df.select(id_col, F.size(words).alias("dl"), F.explode(words).alias("term"))
+    tf = (
+        base.filter(F.col("term").isin(query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    totals = df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("n_tokens"),
+    )
+    idf_fp = F.floor(
+        (2 * (F.col("n_docs") - F.col("df")) + 1) * 10000.0 / (2 * F.col("df") + 1)
+    )
+    l_fp = F.floor(F.col("dl") * 1000000.0 * F.col("n_docs") / F.col("n_tokens"))
+    denom = F.col("tf") * 1000000 + F.floor(6 * (1000000 + 3 * l_fp) / 20.0)
+    gain = F.floor(F.col("tf") * 2200000.0 / denom)
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, (idf_fp * gain).cast("long").alias("contrib"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            (F.sum("contrib") / F.lit(1e10)).alias("bm25"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def winnow_fingerprint_stats(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints [Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm]: hash every word k-gram, then keep
+    the minimum hash of every sliding window of ``w`` consecutive grams
+    (ties -> leftmost position; MOSS uses rightmost — a pure convention,
+    the guarantee is identical).  Any shared substring of >= w+k-1 words
+    between two documents is guaranteed to share a fingerprint, with at
+    most ``w`` positions between selections — the bounded-gap property
+    plain mod-p hash sampling (:func:`fingerprint`) cannot give.
+
+    Output is the per-document fingerprint-set summary (count / min / max
+    / order-independent XOR) rather than the exploded set, so the frame
+    stays corpus-sized and the value oracle covers every selection via
+    the XOR.
+
+    Scale shape: gram hashing is codegen Column algebra; the only
+    shuffle is the doc_id exchange for the position window (at 100 TB
+    the corpus would be bucketed by doc_id already, making it free); the
+    struct-min window is a streaming frame (no per-row re-scan).  Docs
+    shorter than k words contribute no grams and are absent, matching
+    the SQL twin."""
+    from pyspark.sql import Window
+
+    from reddit_sse_stream_spark.operators.dedup import md5_hash60
+
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    tok = df.select(id_col, F.explode(F.array(words)).alias("ws")).filter(
+        F.size("ws") >= k
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - k),
+        lambda i: md5_hash60(F.concat_ws(" ", F.slice("ws", i + 1, k))),
+    )
+    grams = tok.select(
+        id_col, (F.size("ws") - k + 1).alias("n_grams"), F.posexplode(hashes)
+    ).select(id_col, "n_grams", F.col("pos"), F.col("col").alias("h"))
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    starts = grams.select(
+        id_col,
+        "pos",
+        "n_grams",
+        F.min(F.struct("h", "pos")).over(win).alias("m"),
+    ).filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+    selected = starts.select(
+        id_col, F.col("m.h").alias("h"), F.col("m.pos").alias("fp_pos")
+    ).distinct()
+    return selected.groupBy(id_col).agg(
+        F.count("*").alias("n_fp"),
+        F.min("h").alias("fp_min"),
+        F.max("h").alias("fp_max"),
+        F.bit_xor("h").alias("fp_xor"),
+    )

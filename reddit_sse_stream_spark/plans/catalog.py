@@ -5973,9 +5973,13 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, single checkpointed gram frame); the 5-row threshold dim
     joins via a broadcast theta-join against the (small) scored-pair
     frame, never the corpus.  LEFT join keeps zero-count thresholds so
-    the curve is always complete."""
+    the curve is always complete.  ``scored`` feeds THREE consumers in
+    one plan (pair counts + both union sides of the affected-doc count),
+    so it gets the multi-consumer lazy-localCheckpoint barrier (SCALE.md
+    execution-model rule) — without it the candidate join + array verify
+    re-execute per consumer."""
     docs = _t(spark, sf_dir, "documents")
-    scored = _md5_jaccard_scored_pairs(docs)
+    scored = _md5_jaccard_scored_pairs(docs).localCheckpoint(eager=False)
     thr = spark.createDataFrame(
         [(0.1,), (0.3,), (0.5,), (0.7,), (0.9,)], "threshold double"
     )
@@ -6211,6 +6215,200 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta_chars"),
         )
         .filter(F.col("change") != "unchanged")
+    )
+
+
+@_register(
+    "search_bm25_topk",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS n_tokens
+      FROM d
+    ),
+    tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ('vector', 'join', 'stream')
+      GROUP BY doc_id, dl, term
+    ),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(floor((2 * (s.n_docs - q.df) + 1) * 10000.0 / (2 * q.df + 1))
+                  * floor(t.tf * 2200000.0
+                      / (t.tf * 1000000
+                         + floor(6 * (1000000
+                             + 3 * floor(t.dl * 1000000.0 * s.n_docs
+                                         / s.n_tokens)) / 20.0)))
+                  AS BIGINT) AS contrib
+      FROM tf t JOIN dfq q USING (term) CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(sum(contrib) / 1e10 AS DOUBLE) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer BM25 top-20 for the query {vector, join, stream}
+    (operators/text.py:bm25_topk) — log-free RSJ idf and rational
+    k1=6/5, b=3/4 make every floor() a correctly-rounded IEEE quotient
+    of integer-valued doubles, so the ranking (and the top-k cut, total-
+    ordered by (score desc, doc_id)) is bit-identical cross-engine.
+    The reference has no search at all (sse.py's filters are equality
+    whitelists); this is the ranked-retrieval surface over the same
+    corpus the dedup/decontam family curates."""
+    return text.bm25_topk(
+        _t(spark, sf_dir, "documents"), ["vector", "join", "stream"], k=20
+    )
+
+
+@_register(
+    "dedup_containment_grams",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(words) - 1),
+               i -> CAST(concat('0x', substr(md5(
+                      words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                    ), 1, 15)) AS BIGINT))) AS sh
+      FROM w WHERE len(words) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    cold AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 64),
+    exc AS (SELECT e.doc_id, e.g FROM ex e JOIN cold USING (g)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM exc l JOIN exc r ON l.g = r.g AND l.doc_id < r.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.sh, b.sh)) AS inter,
+             len(a.sh) AS na, len(b.sh) AS nb
+      FROM cand c JOIN s a ON a.doc_id = c.doc_a
+                  JOIN s b ON b.doc_id = c.doc_b
+    )
+    SELECT contained_id, container_id, containment FROM (
+      SELECT doc_a AS contained_id, doc_b AS container_id,
+             floor(inter * 10000.0 / na) / 10000.0 AS containment
+      FROM scored
+      UNION ALL
+      SELECT doc_b, doc_a, floor(inter * 10000.0 / nb) / 10000.0
+      FROM scored
+    ) WHERE containment >= 0.8
+    """,
+)
+def dedup_containment_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric gram-containment near-dup detection: |A∩B| / |A| >= 0.8
+    flags A as (near-)contained in B — the quote/excerpt/boilerplate-
+    inclusion case symmetric jaccard MISSES (a paragraph quoted inside a
+    long article scores tiny jaccard but containment ~1).  Complements
+    ``dedup_substring_containment`` (exact verbatim inclusion): gram
+    containment survives small edits inside the quoted span.
+
+    Both directions are scored from ONE intersection pass over the shared
+    candidate frame; the 1e-4 floor-quantization keeps the threshold cut
+    engine-identical.  Hot-gram cap caveat as ``dedup_ngram_jaccard``: a
+    pair whose EVERY shared gram is hotter than ``_JACCARD_DF_CAP``
+    escapes candidates — identical in both engines.
+
+    Scale shape: reuses ``_md5_gram_frames`` (checkpointed gram frame,
+    cold-gram-capped candidate equi-join); the union is two projections
+    of one scored frame, not two joins."""
+    docs = _t(spark, sf_dir, "documents")
+    s, cand = _md5_gram_frames(docs)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+        .localCheckpoint(eager=False)  # two union consumers below
+    )
+    fwd = scored.select(
+        F.col("doc_a").alias("contained_id"),
+        F.col("doc_b").alias("container_id"),
+        (F.floor(F.col("inter") * 10000.0 / F.col("na")) / 10000.0).alias(
+            "containment"
+        ),
+    )
+    rev = scored.select(
+        F.col("doc_b").alias("contained_id"),
+        F.col("doc_a").alias("container_id"),
+        (F.floor(F.col("inter") * 10000.0 / F.col("nb")) / 10000.0).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= 0.8)
+
+
+@_register(
+    "text_winnow_fingerprints",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             len(words) - 2 AS n_grams,
+             unnest(range(0, len(words) - 2)) AS pos,
+             list_transform(range(1, len(words) - 1),
+               i -> CAST(concat('0x', substr(md5(
+                      words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                    ), 1, 15)) AS BIGINT)) AS hs
+      FROM w WHERE len(words) >= 3
+    ),
+    grams AS (SELECT doc_id, n_grams, pos, hs[pos + 1] AS h FROM g),
+    wm AS (
+      SELECT doc_id, pos, n_grams,
+             min({'h': h, 'p': pos}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+      FROM grams
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, m.h AS h, m.p AS fp_pos
+      FROM wm WHERE pos <= greatest(n_grams - 4, 0)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fp,
+           min(h) AS fp_min,
+           max(h) AS fp_max,
+           bit_xor(h) AS fp_xor
+    FROM sel GROUP BY doc_id
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints [Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    MOSS] over word 3-grams, window w=4
+    (operators/text.py:winnow_fingerprint_stats): min-hash-per-window
+    selection guarantees any shared >= 6-word span shares a fingerprint
+    AND selections are at most 4 positions apart — the bounded-gap
+    property ``text_fingerprint``'s mod-p sampling lacks.  Per-doc
+    summary (count/min/max/XOR of the selected 60-bit md5 hashes); the
+    order-independent XOR makes the oracle cover every selected
+    fingerprint, not just the extremes.  Struct-min (h, pos) resolves
+    window ties to the LEFTMOST position in both engines (MOSS picks
+    rightmost — a pure convention; the guarantee is unchanged)."""
+    return text.winnow_fingerprint_stats(
+        _t(spark, sf_dir, "documents"), k=3, w=4
     )
 
 

@@ -1116,3 +1116,142 @@ def test_char_entropy_separates_gibberish_from_diverse_text(spark, tmp_path):
     assert out[0]["avg_bits"] == 0.0  # single symbol: zero information
     assert out[1]["avg_bits"] > 2.0
     assert out[1]["n_chars"] == 19
+
+
+def test_bm25_ranks_multi_term_doc_first_and_is_exact(spark):
+    from reddit_sse_stream_spark.operators import text as textops
+
+    rows = [
+        (0, "vector join stream vector join stream"),   # all 3 terms, twice
+        (1, "vector vector vector scan scan scan"),      # 1 term, high tf
+        (2, "join stream filter filter filter filter"),  # 2 terms
+        (3, "scan filter sort merge batch window"),      # no query term
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.bm25_topk(df, ["vector", "join", "stream"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids  # zero-match docs never appear
+    assert ids[0] == 0  # covers all three terms -> top
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n_terms"] == 3
+    assert by_id[1]["n_terms"] == 1
+    assert by_id[2]["n_terms"] == 2
+    # exactness: same result under repartition (order-independent sums)
+    out2 = textops.bm25_topk(
+        df.repartition(7), ["vector", "join", "stream"], k=10
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_winnow_guarantee_shared_span_shares_fingerprint(spark):
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.operators import text as textops
+    from reddit_sse_stream_spark.operators.dedup import md5_hash60
+
+    # k=3, w=4: any shared span of >= k+w-1 = 6 words must share a
+    # selected fingerprint between the two documents.
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, f"one two {shared} three four five six"),
+        (1, f"{shared} seven eight nine ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 3),
+        lambda i: md5_hash60(F.concat_ws(" ", F.slice("ws", i + 1, 3))),
+    )
+    # reproduce the selected sets via the operator's own building blocks:
+    # assert on the SUMMARY xor/min/max being consistent with a recompute,
+    # and on the guarantee via the exploded selection.
+    from pyspark.sql import Window
+
+    tok = df.select("doc_id", F.explode(F.array(words)).alias("ws"))
+    grams = tok.select(
+        "doc_id",
+        (F.size("ws") - 2).alias("n_grams"),
+        F.posexplode(hashes),
+    ).select("doc_id", "n_grams", "pos", F.col("col").alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    sel = (
+        grams.select(
+            "doc_id", "pos", "n_grams", F.min(F.struct("h", "pos")).over(win).alias("m")
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - 4, F.lit(0)))
+        .select("doc_id", F.col("m.h").alias("h"))
+        .distinct()
+    )
+    sets = {
+        d: {r["h"] for r in sel.filter(F.col("doc_id") == d).collect()}
+        for d in (0, 1)
+    }
+    assert sets[0] & sets[1], "shared 6-word span must share a fingerprint"
+    # summary stats agree with the exploded selection
+    summ = {
+        r["doc_id"]: r
+        for r in textops.winnow_fingerprint_stats(df, k=3, w=4).collect()
+    }
+    for d in (0, 1):
+        xor = 0
+        for h in sets[d]:
+            xor ^= h
+        assert summ[d]["n_fp"] == len(sets[d])
+        assert summ[d]["fp_min"] == min(sets[d])
+        assert summ[d]["fp_max"] == max(sets[d])
+        assert summ[d]["fp_xor"] == xor
+
+
+def test_winnow_gap_bound_and_short_doc(spark):
+    from pyspark.sql import functions as F, Window
+
+    from reddit_sse_stream_spark.operators import text as textops
+
+    # 40 distinct words -> 38 grams; selected positions can be at most
+    # w=4 apart (the winnowing density guarantee).
+    text = " ".join(f"w{i:02d}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, text), (1, "just two"), (2, "exactly three words")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.winnow_fingerprint_stats(df).collect()}
+    assert 1 not in out  # < k words -> no grams -> absent
+    assert out[2]["n_fp"] == 1  # single gram, single fingerprint
+    # density: selections cover the doc with bounded gaps -> at least
+    # ceil((n_grams - w + 1) / w) distinct fingerprint positions
+    assert out[0]["n_fp"] >= (38 - 4 + 1 + 3) // 4
+
+
+def test_containment_flags_quote_that_jaccard_misses(spark):
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.plans.catalog import _md5_gram_frames
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"word{i}" for i in range(60))
+    rows = [(0, quote), (1, f"{filler} {quote}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s, cand = _md5_gram_frames(df)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")
+            ).alias("cont_a_in_b"),
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .collect()
+    )
+    assert len(scored) == 1
+    r = scored[0]
+    # the short doc is fully contained, but symmetric jaccard is small
+    assert r["cont_a_in_b"] == 1.0
+    assert r["jaccard"] < 0.2

@@ -369,3 +369,27 @@ def test_lateness_profile_single_partition_window_only_on_summary(spark, sf_dir)
     plan = _plan(spark, sf_dir, "stream_lateness_watermark_profile")
     assert plan.count("Exchange SinglePartition") == 1
     assert "BroadcastHashJoin" in plan  # summary re-enters broadcast
+
+
+def test_bm25_topk_plan_take_ordered_and_broadcast_stats(spark, sf_dir):
+    """BM25: the top-k must be TakeOrderedAndProject (never a global
+    sort), and df/(N,T) totals must join as broadcasts — the fact-side
+    shuffle is the single (doc_id, term) partial-agg exchange."""
+    plan = _plan(spark, sf_dir, "search_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2  # dfq + totals
+    assert "SortMergeJoin" not in plan
+
+
+def test_winnow_plan_single_data_shuffle(spark, sf_dir):
+    """Winnowing: gram hashing and window selection are map-side after ONE
+    doc_id exchange; the final per-doc agg reuses that partitioning (the
+    aggregate keys on the window's partition column), so exactly one
+    hashpartitioning exchange on real data may appear plus the final agg's
+    — assert the count stays <= 2 and no struct-carrying wide shuffle
+    sneaks in."""
+    plan = _plan(spark, sf_dir, "text_winnow_fingerprints")
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) <= 2, plan

@@ -20,7 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from reddit_sse_stream_spark.plans.catalog import QUERIES
-from reddit_sse_stream_spark.session import get_spark
+from reddit_sse_stream_spark.session import get_spark, release_local_checkpoints
 
 #: Headline set: one per operator family (scan+filter algebra, agg, joins,
 #: windows, dedup exact + minhash, text, vector search).
@@ -234,6 +234,11 @@ def main() -> None:
             df = QUERIES[name].spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - start)
+            # release finished localCheckpoint blocks: accumulated dead
+            # checkpoints from prior queries measured 3-6x degradation on
+            # later ones (SCALING.md r05); between queries no cross-query
+            # frame survives, so this is safe by construction
+            release_local_checkpoints(spark)
         samples.sort()
         times[name] = round(samples[n_runs // 2], 3)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]

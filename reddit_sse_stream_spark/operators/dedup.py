@@ -741,6 +741,27 @@ def simhash(docs: DataFrame, bits: int = 64, hash_fn=None, impl: str = "arrow") 
     return th.select("doc_id", packed.alias("simhash"))
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Release the blocks of an already-materialized localCheckpoint frame.
+
+    The iterative operators below supersede a checkpoint every round; the
+    weak-ref ContextCleaner path reclaims those blocks only after the
+    JVM/py4j reference chain is collected, which measured out to "not
+    within a bench sweep" (SCALING.md r05: repeat invocations degraded
+    3-6x under the accumulated blocks).  Superseded intermediates are
+    therefore released eagerly — only ever on frames nothing downstream
+    references, because a local checkpoint is non-recoverable by design."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        rdd = plan.rdd()
+        if rdd.isLocallyCheckpointed():
+            rdd.unpersist(False)
+    except Exception:
+        # best-effort: a plan that is not a LogicalRDD (not yet
+        # materialized) or a cleaner race just leaves the block to the GC
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -765,14 +786,19 @@ def connected_components(
     driver-side count of changed labels — one scalar per round, not a
     collect of the data.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # Materialize the (possibly expensive) upstream pair computation ONCE —
-    # without this, every propagation round re-executes the edge lineage.
+    # Materialize the (possibly expensive) upstream pair computation ONCE,
+    # in its own job, BEFORE the symmetrize union: the union references the
+    # edge subtree twice (forward + swapped branch), and an unpersisted
+    # subtree executes once PER BRANCH — measured as a full extra run of
+    # the near-dup verify lineage on the corpus_split caller.  The edge
+    # blocks are released as soon as the symmetric frame owns its own.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()
     )
+    _unpersist_checkpoint(e)
     # seed with round 1 fused in: label(v) = min(v, min neighbor) — one
     # groupBy instead of the first join-propagation round
     labels = (
@@ -813,6 +839,7 @@ def connected_components(
         # "no label changed" — one scalar aggregate on the already-
         # checkpointed frame instead of a join+count probe per round.
         label_sum = _label_sum(new_labels)
+        _unpersist_checkpoint(labels)  # superseded round's blocks
         labels = new_labels
         if label_sum == prev_sum:
             break
@@ -826,6 +853,9 @@ def connected_components(
             "raise max_iter (diameter-bound) or switch to the "
             "large-star/small-star formulation for long-chain graphs"
         )
+    # the returned frame reads only the FINAL labels checkpoint; the edge
+    # frame's blocks (the largest intermediate) are dead weight from here
+    _unpersist_checkpoint(sym)
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 
@@ -909,7 +939,9 @@ def connected_components_star(
 
     sig = _signature(cur)
     for _ in range(max_iter):
+        prev = cur
         cur = _star(_star(cur, large=True), large=False).localCheckpoint()
+        _unpersist_checkpoint(prev)  # superseded round's edge blocks
         new_sig = _signature(cur)
         if new_sig == sig:
             break

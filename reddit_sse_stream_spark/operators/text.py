@@ -459,3 +459,85 @@ def winnow_fingerprint_stats(
         F.max("h").alias("fp_max"),
         F.bit_xor("h").alias("fp_xor"),
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    df_cap: int = 64,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF cosine near-duplicate pairs — the sparse-vector twin of the
+    dense-embedding cosine dedup: documents sharing weighted vocabulary
+    (not just raw shingles) score high even when word ORDER diverges, the
+    template/paraphrase case n-gram jaccard under-scores.
+
+    Exactness recipe: idf is the log-free rational surrogate
+    ``idf_fp = floor((2N+1) * 100 / (2*df+1))`` (monotone in df, the only
+    property cosine weighting needs), weights ``w = tf * idf_fp`` are
+    int64, and norm/dot sums accumulate exactly in DECIMAL(38,0) before
+    ONE conversion to double each — so the 1e-4-floor-quantized cosine is
+    engine-identical.  Magnitude bounds: w <= tf_max * (2N+1)*100/3; the
+    int64 product ``w_a*w_b`` needs tf_max^2 * ((2N+1)*100/3)^2 < 2^63 —
+    holds through N ~ 1e6 at tf_max ~ 1e3 (drop the idf scale to 10 for
+    corpora beyond that; the DECIMAL accumulators are unaffected).
+
+    Scale shape: candidate pairs come from the shared COLD-term equi-join
+    (document frequency <= ``df_cap``), never an all-pairs product — the
+    same hot-key guard as the gram-jaccard family, with the same
+    documented miss class (a pair sharing ONLY ubiquitous terms escapes;
+    at cosine >= 0.5 that is a stopword-only match, dropped upstream by
+    any real pipeline).  The dot product then joins the FULL weighted
+    term frames of candidate docs (hot terms included, so the score
+    itself is exact).  Shuffles: tf groupBy, term-keyed candidate join,
+    (doc, term)-keyed dot join — all narrow keys."""
+    lower = F.lower(F.col(text_col))
+    tok = df.select(id_col, F.explode(F.split(lower, r"\s+")).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    totals = df.agg(F.count("*").alias("n_docs"))
+    idf_fp = F.floor(
+        (2 * F.col("n_docs") + 1) * 100.0 / (2 * F.col("df") + 1)
+    )
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, "term", (F.col("tf") * idf_fp).cast("long").alias("w"))
+        .localCheckpoint(eager=False)  # feeds norms + both dot sides
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).cast("double")
+        ).alias("nrm")
+    )
+    cold = dfreq.filter(F.col("df") <= df_cap).select("term")
+    ex = w.join(F.broadcast(cold), "term").select(id_col, "term")
+    cand = (
+        ex.select(F.col(id_col).alias("doc_a"), "term")
+        .join(ex.select(F.col(id_col).alias("doc_b"), "term"), "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    wa = w.select(F.col(id_col).alias("doc_a"), "term", F.col("w").alias("wa"))
+    wb = w.select(F.col(id_col).alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.floor(F.col("dot") * 10000.0 / (F.col("na") * F.col("nb"))) / 10000.0
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

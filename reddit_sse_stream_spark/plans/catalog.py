@@ -5975,11 +5975,15 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, never the corpus.  LEFT join keeps zero-count thresholds so
     the curve is always complete.  ``scored`` feeds THREE consumers in
     one plan (pair counts + both union sides of the affected-doc count),
-    so it gets the multi-consumer lazy-localCheckpoint barrier (SCALE.md
-    execution-model rule) — without it the candidate join + array verify
-    re-execute per consumer."""
+    so it gets a multi-consumer localCheckpoint barrier — EAGER, unlike
+    the usual lazy rule: the three consumers are parallel branches of a
+    single job, and concurrent stages racing to materialize a lazy
+    checkpoint re-execute the candidate join + array verify up to once
+    per branch (measured: the lazy form ran 5-11 s and degraded across
+    invocations; eager is a stable one-materialization job).  The blocks
+    are released by the harness release hook after the action."""
     docs = _t(spark, sf_dir, "documents")
-    scored = _md5_jaccard_scored_pairs(docs).localCheckpoint(eager=False)
+    scored = _md5_jaccard_scored_pairs(docs).localCheckpoint(eager=True)
     thr = spark.createDataFrame(
         [(0.1,), (0.3,), (0.5,), (0.7,), (0.9,)], "threshold double"
     )
@@ -6339,7 +6343,10 @@ def dedup_containment_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("sh_a").alias("na"),
             F.size("sh_b").alias("nb"),
         )
-        .localCheckpoint(eager=False)  # two union consumers below
+        # eager: the two union branches below are parallel stages of one
+        # job and would race a lazy checkpoint into double materialization
+        # (see dedup_threshold_curve)
+        .localCheckpoint(eager=True)
     )
     fwd = scored.select(
         F.col("doc_a").alias("contained_id"),
@@ -6410,6 +6417,199 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprint_stats(
         _t(spark, sf_dir, "documents"), k=3, w=4
     )
+
+
+@_register(
+    "dedup_tfidf_cosine",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS wds
+      FROM documents
+    ),
+    totals AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+    tok AS (SELECT doc_id, unnest(wds) AS term FROM d),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT t.doc_id, t.term,
+             CAST(t.tf * floor((2 * s.n_docs + 1) * 100.0 / (2 * q.df + 1))
+                  AS BIGINT) AS w
+      FROM tf t JOIN dfreq q USING (term) CROSS JOIN totals s
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    cold AS (SELECT term FROM dfreq WHERE df <= 64),
+    ex AS (SELECT w.doc_id, w.term FROM w JOIN cold USING (term)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM ex l JOIN ex r ON l.term = r.term AND l.doc_id < r.doc_id
+    ),
+    dots AS (
+      SELECT c.doc_a, c.doc_b, CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN w a ON a.doc_id = c.doc_a
+      JOIN w b ON b.doc_id = c.doc_b AND b.term = a.term
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT dt.doc_a, dt.doc_b,
+           floor(dt.dot * 10000.0 / (na.nrm * nb.nrm)) / 10000.0 AS cosine
+    FROM dots dt JOIN norms na ON na.doc_id = dt.doc_a
+                 JOIN norms nb ON nb.doc_id = dt.doc_b
+    WHERE floor(dt.dot * 10000.0 / (na.nrm * nb.nrm)) / 10000.0 >= 0.5
+    """,
+)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs (operators/text.py:tfidf_cosine_pairs):
+    the sparse-vector dedup lens — order-insensitive weighted-vocabulary
+    similarity, catching the paraphrase/template class that word-order
+    shingles under-score and that dense embeddings catch only if a model
+    is available.  Exact-integer weights + DECIMAL accumulation make the
+    1e-4-quantized cosine engine-identical (full recipe in the operator
+    docstring).  Candidates from the shared cold-term equi-join (hot-term
+    cap = the same f² stop-key guard as the gram family); the dot joins
+    the FULL weight frames of candidates, so scores are exact."""
+    return text.tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"), df_cap=64, threshold=0.5
+    )
+
+
+@_register(
+    "search_hybrid_rrf",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS n_tokens
+      FROM d
+    ),
+    tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ('vector', 'join', 'stream')
+      GROUP BY doc_id, dl, term
+    ),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(floor((2 * (s.n_docs - q.df) + 1) * 10000.0 / (2 * q.df + 1))
+                  * floor(t.tf * 2200000.0
+                      / (t.tf * 1000000
+                         + floor(6 * (1000000
+                             + 3 * floor(t.dl * 1000000.0 * s.n_docs
+                                         / s.n_tokens)) / 20.0)))
+                  AS BIGINT) AS contrib
+      FROM tf t JOIN dfq q USING (term) CROSS JOIN stats s
+    ),
+    bm AS (
+      SELECT doc_id, CAST(sum(contrib) / 1e10 AS DOUBLE) AS bm25
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 50
+    ),
+    bmr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS rank_bm25
+      FROM bm
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    kn AS (
+      SELECT vec_id,
+             round(
+               list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(qv,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cos_sim
+      FROM embeddings, q
+      WHERE vec_id <> 0
+      ORDER BY cos_sim DESC, vec_id LIMIT 50
+    ),
+    knr AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT)
+               AS rank_knn
+      FROM kn
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, k.vec_id) AS doc_id,
+             b.rank_bm25, k.rank_knn,
+             CAST(coalesce(floor(100000000.0 / (60 + b.rank_bm25)), 0)
+                  + coalesce(floor(100000000.0 / (60 + k.rank_knn)), 0)
+                  AS BIGINT) AS rrf_fp
+      FROM bmr b FULL OUTER JOIN knr k ON b.doc_id = k.vec_id
+    )
+    SELECT doc_id, rrf_fp, rank_bm25, rank_knn
+    FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion [Cormack/Clarke/
+    Buettcher, SIGIR'09]: fuse the BM25 keyword top-50 with the
+    embedding-cosine top-50 by rrf(d) = Σ 1/(60 + rank) — the standard
+    production hybrid-search combiner (rank-based, so the two scoring
+    scales never need calibration).  Ranks are exact integers and the
+    fused score is fixed-point floor(1e8/(60+r)), so the fusion — and
+    the final top-10 cut, total-ordered by (rrf_fp desc, doc_id) — is
+    engine-identical.  Cross-modal contract: vec_id == doc_id (the same
+    identity ``embed_norm_stats_by_lang`` joins on).
+
+    Scale shape: each arm is its own top-k (TakeOrderedAndProject /
+    bounded LIMIT); ranking windows run over <= 50-row frames (bounded by
+    k, not the corpus), the fusion join is 50x50, and the corpus is
+    touched exactly twice (once per arm)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = text.bm25_topk(docs, ["vector", "join", "stream"], k=50)
+    wb = Window.orderBy(F.desc("bm25"), "doc_id")
+    bmr = bm.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("rank_bm25")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    kn = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                similarity.cosine(
+                    F.col("embedding").cast("array<double>"), F.col("qv")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(50)
+    )
+    wk = Window.orderBy(F.desc("cos_sim"), "vec_id")
+    knr = kn.select(
+        "vec_id", F.row_number().over(wk).cast("long").alias("rank_knn")
+    )
+    fused = bmr.join(knr, bmr.doc_id == knr.vec_id, "full_outer").select(
+        F.coalesce(bmr.doc_id, knr.vec_id).alias("doc_id"),
+        "rank_bm25",
+        "rank_knn",
+        (
+            F.coalesce(F.floor(100000000.0 / (60 + F.col("rank_bm25"))), F.lit(0))
+            + F.coalesce(F.floor(100000000.0 / (60 + F.col("rank_knn"))), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_fp"),
+    )
+    return fused.select("doc_id", "rrf_fp", "rank_bm25", "rank_knn").orderBy(
+        F.desc("rrf_fp"), "doc_id"
+    ).limit(10)
 
 
 # =========================================================================== #

@@ -46,3 +46,53 @@ def get_spark(app_name: str = "reddit_sse_stream_spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_local_checkpoints(spark: SparkSession, full_gc: bool = True) -> int:
+    """Unpersist every LOCALLY-CHECKPOINTED RDD still registered with the
+    BlockManager, returning how many were released.
+
+    Why this exists: the engine's multi-consumer frames use
+    ``localCheckpoint`` (not ``cache``) precisely so blocks are weak-ref
+    cleaned when the frame is garbage collected — but "eventually GC'd"
+    is not "promptly GC'd".  A long-lived session running many queries
+    (bench sweeps, the external driver, a notebook) accumulates dead
+    checkpoint blocks faster than the JVM/py4j reference chain lets the
+    ContextCleaner reclaim them, and the resulting memory pressure was
+    measured to degrade repeat invocations 3-6x (SCALING.md r05 note).
+    Harnesses call this BETWEEN queries — a point where no cross-query
+    frame survives, so dropping non-recoverable local-checkpoint blocks
+    is safe by construction.
+
+    Only ``isLocallyCheckpointed()`` RDDs are touched: CacheManager-pinned
+    frames (explicit ``.cache()``, e.g. test fixtures) keep their
+    storage, and reliable checkpoints (none in this engine) would too.
+
+    ``full_gc=True`` (default) additionally runs a Python + JVM GC pass:
+    the ContextCleaner reclaims dead shuffle files and broadcasts only
+    after their weak refs are collected, and without an explicit collect
+    the py4j reference chain measured out to "not within a bench sweep" —
+    the same degradation class as the checkpoint blocks.  ~100ms on a
+    mostly-dead 48g heap, noise next to multi-second queries."""
+    jsc = spark.sparkContext._jsc.sc()
+    it = jsc.getPersistentRDDs().valuesIterator()
+    released = 0
+    while it.hasNext():
+        rdd = it.next()
+        try:
+            if rdd.isLocallyCheckpointed():
+                rdd.unpersist(False)
+                released += 1
+        except Exception:
+            # an RDD concurrently cleaned by the ContextCleaner can race;
+            # releasing the rest still helps
+            pass
+    if full_gc:
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+    return released

@@ -1255,3 +1255,84 @@ def test_containment_flags_quote_that_jaccard_misses(spark):
     # the short doc is fully contained, but symmetric jaccard is small
     assert r["cont_a_in_b"] == 1.0
     assert r["jaccard"] < 0.2
+
+
+def test_tfidf_cosine_paraphrase_scores_high_word_order_ignored(spark):
+    from reddit_sse_stream_spark.operators import text as textops
+
+    # Same weighted vocabulary, totally different word order: TF-IDF
+    # cosine must score ~1.0 even though 3-gram jaccard would be ~0.
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "theta eta zeta epsilon delta gamma beta alpha"
+    rows = [(0, a), (1, b), (2, "unrelated words entirely different topic here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in textops.tfidf_cosine_pairs(df, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.999
+    assert all(2 not in p for p in pairs)
+    # determinism under repartition (decimal accumulation is exact)
+    pairs2 = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in textops.tfidf_cosine_pairs(df.repartition(5), threshold=0.5).collect()
+    }
+    assert pairs == pairs2
+
+
+def test_hybrid_rrf_fuses_both_arms(spark, sf_dir):
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["search_hybrid_rrf"].spark(spark, sf_dir).collect()
+    assert len(rows) == 10
+    # fused score must be the exact fixed-point sum of its rank terms
+    for r in rows:
+        expect = 0
+        if r["rank_bm25"] is not None:
+            expect += 100000000 // (60 + r["rank_bm25"])
+        if r["rank_knn"] is not None:
+            expect += 100000000 // (60 + r["rank_knn"])
+        assert r["rrf_fp"] == expect
+    # descending by fused score, doc_id tiebreak
+    keys = [(-r["rrf_fp"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    # at least one doc should be ranked by both arms at sf0.001
+    assert any(
+        r["rank_bm25"] is not None and r["rank_knn"] is not None for r in rows
+    )
+
+
+def test_release_local_checkpoints_reclaims_and_spares_cache(spark, sf_dir):
+    """The between-queries release hook (SCALE.md execution-model rule)
+    must (a) unpersist every locally-checkpointed RDD a finished query
+    left behind — the 3-6x repeat-invocation degradation class — and
+    (b) leave CacheManager-pinned frames untouched."""
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+    from reddit_sse_stream_spark.session import release_local_checkpoints
+
+    release_local_checkpoints(spark)  # start clean
+    pinned = load_table(spark, sf_dir, "documents").limit(3).cache()
+    assert pinned.count() == 3  # materialize the cached frame
+    # run two checkpoint-heavy queries (gram frame + CC internals)
+    for name in ("corpus_split_leakage_safe", "dedup_threshold_curve"):
+        QUERIES[name].spark(spark, sf_dir).collect()
+    released = release_local_checkpoints(spark)
+    assert released >= 2, "expected finished checkpoints to be reclaimed"
+    # nothing locally-checkpointed survives...
+    jsc = spark.sparkContext._jsc.sc()
+    it = jsc.getPersistentRDDs().valuesIterator()
+    leftover_ckpt = 0
+    cached_alive = 0
+    while it.hasNext():
+        r = it.next()
+        if r.isLocallyCheckpointed():
+            leftover_ckpt += 1
+        else:
+            cached_alive += 1
+    assert leftover_ckpt == 0
+    # ...but the explicitly cached frame still answers from storage
+    assert cached_alive >= 1
+    assert pinned.count() == 3
+    pinned.unpersist()

@@ -64,3 +64,25 @@ def test_events_partitioned_write_prunes_scan(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in back.select(*ev.columns).collect())
     b = sorted(tuple(r) for r in ev.collect())
     assert a == b
+
+
+def test_documents_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC is the other columnar format Spark ships natively (warehouse
+    migrations land with it); the same explicit-schema rule applies and
+    values must round-trip bit-for-bit, including the full text column."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc")
+    docs.write.orc(path)
+    back = spark.read.schema(docs.schema).orc(path)
+    assert back.schema == docs.schema
+    assert _sorted_rows(back, "doc_id") == _sorted_rows(docs, "doc_id")
+
+
+def test_embeddings_array_column_survives_orc(spark, sf_dir, tmp_path):
+    """array<float> embedding columns are the loss-prone case (ORC list
+    encoding): assert exact float equality, not approximate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "emb_orc")
+    emb.write.orc(path)
+    back = spark.read.schema(emb.schema).orc(path)
+    assert _sorted_rows(back, "vec_id") == _sorted_rows(emb, "vec_id")

@@ -23,7 +23,7 @@ sys.path.insert(0, ".")
 
 from reddit_sse_stream_spark.plans.catalog import QUERIES
 from reddit_sse_stream_spark.sources.tables import TABLES
-from reddit_sse_stream_spark.session import get_spark
+from reddit_sse_stream_spark.session import get_spark, release_local_checkpoints
 
 
 def _norm(v):

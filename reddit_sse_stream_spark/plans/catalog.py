@@ -5916,7 +5916,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH w AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
-      FROM documents
+      FROM documents WHERE doc_id % 5 = 0
     ),
     s AS (
       SELECT doc_id,
@@ -5969,6 +5969,15 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, computed in one pass over the already-scored candidate
     pairs instead of five re-runs of the dedup job.
 
+    Runs on the SAME deterministic 1/5 subsample as ``dedup_ngram_jaccard``
+    (doc_id % 5, both engines): threshold calibration is a statistical
+    estimate by nature — pair/doc counts scale with the sampling rate and
+    the curve SHAPE is what picks the threshold — while the all-pairs
+    verify on the full synthetic corpus costs 25x the sample (its tiny
+    60-word vocabulary makes ~45% of ALL doc pairs share a cold gram;
+    real Zipfian corpora are far sparser).  The production dedup RUN
+    (``corpus_split_leakage_safe``) still verifies the full corpus.
+
     Scale shape: reuses ``_md5_jaccard_scored_pairs`` (hot-gram-capped
     candidates, single checkpointed gram frame); the 5-row threshold dim
     joins via a broadcast theta-join against the (small) scored-pair
@@ -5982,7 +5991,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per branch (measured: the lazy form ran 5-11 s and degraded across
     invocations; eager is a stable one-materialization job).  The blocks
     are released by the harness release hook after the action."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     scored = _md5_jaccard_scored_pairs(docs).localCheckpoint(eager=True)
     thr = spark.createDataFrame(
         [(0.1,), (0.3,), (0.5,), (0.7,), (0.9,)], "threshold double"
@@ -6610,6 +6619,140 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select("doc_id", "rrf_fp", "rank_bm25", "rank_knn").orderBy(
         F.desc("rrf_fp"), "doc_id"
     ).limit(10)
+
+
+@_register(
+    "ts_ohlc_hourly",
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS h, ts, event_id, value FROM events
+    ),
+    fl AS (
+      SELECT h, value,
+             first_value(value) OVER (
+               PARTITION BY h ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS open,
+             last_value(value) OVER (
+               PARTITION BY h ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS close
+      FROM w
+    )
+    SELECT CAST(h AS TIMESTAMP) AS bar_hour,
+           max(open) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(close) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sign(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)))
+                * floor((abs(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)))
+                         + 5000.0) / 10000.0) / 100.0 AS DOUBLE) AS turnover
+    FROM fl GROUP BY h
+    """,
+)
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars: the canonical time-series downsample (metrics, market
+    data, sensor rollups) — per hour: first/last value in (ts, event_id)
+    order plus min/max/count and a fixed-point turnover sum.  open/close
+    ride a full-frame window ordered by the total (ts, event_id) key, so
+    ties cannot flip the bar between engines or partitionings; min/max/
+    count are order-free; the only sum is `_dsum` fixed-point.
+
+    Scale shape: ONE exchange on the hour key serves the window and the
+    final aggregate (same partitioning); at 100 TB the bar key is the
+    table's time-partition column, making the exchange a scan-local
+    sort."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.date_trunc("hour", "ts")
+    wfull = (
+        Window.partitionBy("h")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    fl = ev.select(h.alias("h"), "ts", "event_id", "value").select(
+        "h",
+        "value",
+        F.first("value").over(wfull).alias("open"),
+        F.last("value").over(wfull).alias("close"),
+    )
+    return fl.groupBy("h").agg(
+        F.max("open").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max("close").alias("close"),
+        F.count("*").alias("n_events"),
+        _dsum("value").alias("turnover"),
+    ).select(
+        F.col("h").alias("bar_hour"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+        "turnover",
+    )
+
+
+@_register(
+    "scd2_user_state_history",
+    """
+    WITH o AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, state, ts AS valid_from, event_id
+      FROM o WHERE prev IS NULL OR state <> prev
+    )
+    SELECT user_id, state,
+           CAST(valid_from AS TIMESTAMP) AS valid_from,
+           CAST(lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id)
+             AS TIMESTAMP) AS valid_to,
+           CAST(lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL
+             AS INTEGER) AS is_current
+    FROM chg
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) derivation from an event log:
+    collapse each user's event-type sequence into validity intervals
+    [valid_from, valid_to) with an is_current flag — the standard
+    warehouse move that turns an append-only log into a point-in-time
+    joinable dimension (ask "what state was user U in at time T" with a
+    BETWEEN join).  Consecutive duplicate states merge via lag(); every
+    window orders by the total (ts, event_id) key so equal timestamps
+    cannot reorder intervals between engines.
+
+    Scale shape: one exchange on user_id serves BOTH windows (lag on the
+    raw log, lead on the collapsed change rows — same partitioning
+    carries through the filter), and the output is proportional to the
+    CHANGE count, not the log."""
+    ev = _t(spark, sf_dir, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(wlag).alias("prev"),
+    )
+    chg = o.filter(
+        F.col("prev").isNull() | (F.col("state") != F.col("prev"))
+    ).select("user_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    wlead = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(wlead)
+    return chg.select(
+        "user_id",
+        "state",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
 
 
 # =========================================================================== #

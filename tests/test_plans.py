@@ -393,3 +393,20 @@ def test_winnow_plan_single_data_shuffle(spark, sf_dir):
         l for l in plan.splitlines() if "Exchange hashpartitioning" in l
     ]
     assert len(exchanges) <= 2, plan
+
+
+def test_ohlc_single_exchange_window_feeds_agg(spark, sf_dir):
+    """OHLC bars: ONE hour-key exchange serves both the full-frame
+    first/last window and the final aggregate (same partitioning), so
+    the plan has exactly one hashpartitioning exchange."""
+    plan = _plan(spark, sf_dir, "ts_ohlc_hourly")
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_scd2_single_exchange_serves_both_windows(spark, sf_dir):
+    """SCD2 derivation: the lag window on the raw log and the lead window
+    on the collapsed change rows share one user_id partitioning — the
+    filter between them preserves distribution, so no second exchange."""
+    plan = _plan(spark, sf_dir, "scd2_user_state_history")
+    assert plan.count("hashpartitioning") == 1, plan

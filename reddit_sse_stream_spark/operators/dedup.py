@@ -1008,3 +1008,79 @@ def triangle_count_degree_ordered(
     # a wedge (u, v) centered at c closes iff (u, v) is an edge
     tri = wedges.join(closing, ["u", "v"])
     return tri.agg(F.count("*").alias("triangles"))
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 3,
+) -> DataFrame:
+    """Weighted PageRank (damping 0.85) with EVERY accumulation in exact
+    int64 fixed point (ranks scaled 1e12), so the ranks are bit-identical
+    across engines, partitionings, and reruns, and an unrolled-CTE SQL
+    twin can verify them value-for-value — the same determinism playbook
+    as ``corpus.pca_top_component`` and ``ml_lsh.ivf_fixedpoint_cells``.
+
+    Per iteration (all integer ops; division points are correctly-rounded
+    IEEE ops on identical inputs in any engine):
+
+    - contrib(e) = floor((r[src] * w) / outw[src])  [int64 product, one
+      double division; exact while r*w < 2^63 — r <= 1.0e12 so edge
+      weights up to ~9e6 are safe; rescale the rank fixed point for
+      heavier multigraphs]
+    - r'(v) = floor(0.15 * 1e12 / N) + floor(85 * Σ contrib / 100)
+
+    Dangling-node mass (nodes with no out-edges) is dropped rather than
+    redistributed — rank totals then sum below 1, a standard simplified
+    variant; both engines drop identically so the oracle still matches.
+
+    Scale shape: ranks and out-weights are node-keyed frames; each
+    iteration is one (src-keyed) broadcast-or-shuffle join + one dst-keyed
+    aggregate — the exact shape of the CC rounds, nothing wider.  A fixed
+    small iteration count keeps the lineage bounded; production runs at
+    higher iters would localCheckpoint every few rounds like
+    :func:`connected_components`."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").alias("n"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.floor(F.lit(1_000_000_000_000.0) / F.col("n")).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor((F.col("r") * F.col("w")) / F.col("ow")).cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.floor(F.lit(150_000_000_000.0) / F.col("n"))
+                    + F.floor(85 * F.coalesce(F.col("m"), F.lit(0)) / 100.0)
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_fp"),
+        (F.col("r") / F.lit(1e12)).cast("double").alias("rank"),
+    )

@@ -6755,6 +6755,88 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """Unrolled-CTE twin of :func:`dedup.pagerank_fixedpoint` over the
+    event-type transition graph: identical integer fixed-point rounds
+    (int64 r*w products, one correctly-rounded double division per
+    contribution, floor'd teleport + damped sums), so ranks match bit
+    for bit."""
+    ctes = [
+        """o AS (
+      SELECT user_id, event_type, event_id,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY event_id) AS nxt
+      FROM events
+    )""",
+        """e AS (
+      SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS w
+      FROM o WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    )""",
+        """nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    )""",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src)",
+        """r0 AS (
+      SELECT node, CAST(floor(1000000000000.0 / nn.n) AS BIGINT) AS r
+      FROM nodes CROSS JOIN nn
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""c{t} AS (
+      SELECT e.dst AS node,
+             CAST(sum(CAST(floor((r.r * e.w) / o.ow) AS BIGINT)) AS BIGINT) AS m
+      FROM e JOIN r{t - 1} r ON r.node = e.src JOIN ow o ON o.src = e.src
+      GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""r{t} AS (
+      SELECT n.node,
+             CAST(floor(150000000000.0 / nn.n)
+                  + floor(85 * coalesce(c.m, 0) / 100.0) AS BIGINT) AS r
+      FROM nodes n CROSS JOIN nn LEFT JOIN c{t} c ON c.node = n.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, r AS rank_fp, CAST(r / 1e12 AS DOUBLE) AS rank
+    FROM r{iters}"""
+    )
+
+
+@_register("graph_pagerank_transitions", _pagerank_oracle_sql())
+def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (edges = consecutive
+    events per user with transition counts as weights;
+    operators/dedup.py:pagerank_fixedpoint) — "which state do user
+    journeys concentrate in", the stationary-importance complement of the
+    raw path mining in ``path_top_event_trigrams``.  Fully deterministic
+    fixed-point rounds verified bit-for-bit against the unrolled-CTE
+    twin (same recipe as the PCA / IVF entries).
+
+    Scale shape: edge extraction is one user_id window (a shuffle the
+    sessionize family already pays) + a (src, dst)-keyed count; each
+    rank round is a src-keyed join + dst-keyed aggregate over NODE-sized
+    frames — on a billion-node graph the identical plan shuffles
+    (node, rank) pairs only."""
+    ev = _t(spark, sf_dir, "events")
+    wlead = Window.partitionBy("user_id").orderBy("event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(wlead).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    return dedup.pagerank_fixedpoint(edges, iters=3)
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

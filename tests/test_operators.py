@@ -1336,3 +1336,34 @@ def test_release_local_checkpoints_reclaims_and_spares_cache(spark, sf_dir):
     assert cached_alive >= 1
     assert pinned.count() == 3
     pinned.unpersist()
+
+
+def test_pagerank_fixedpoint_matches_numpy(spark):
+    """The fixed-point PageRank rounds must track the float power
+    iteration closely (within fixed-point truncation) and rank a
+    heavily-linked-to node above a source-only node."""
+    import numpy as np
+
+    rows = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 1)]
+    df = spark.createDataFrame(rows, "src string, dst string, w long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in dedup.pagerank_fixedpoint(df, iters=3).collect()
+    }
+    nodes = ["a", "b", "c"]
+    W = np.zeros((3, 3))
+    for s, d, w in rows:
+        W[nodes.index(d), nodes.index(s)] = w
+    out = W.sum(axis=0)
+    P = W / out  # column-stochastic
+    r = np.full(3, 1 / 3)
+    for _ in range(3):
+        r = 0.15 / 3 + 0.85 * (P @ r)
+    for i, n in enumerate(nodes):
+        assert abs(got[n] / 1e12 - r[i]) < 1e-6, (n, got[n] / 1e12, r[i])
+    # determinism under repartition
+    got2 = {
+        r["node"]: r["rank_fp"]
+        for r in dedup.pagerank_fixedpoint(df.repartition(5), iters=3).collect()
+    }
+    assert got == got2

@@ -6837,6 +6837,142 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.pagerank_fixedpoint(edges, iters=3)
 
 
+@_register(
+    "funnel_time_to_convert",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS vts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pts
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.vts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT v.user_id,
+             CAST(floor(epoch(p.pts)) - floor(epoch(v.vts)) AS BIGINT)
+               AS delta_s
+      FROM v JOIN p USING (user_id)
+    ),
+    q AS (
+      SELECT user_id, delta_s,
+             CAST(ntile(4) OVER (ORDER BY delta_s, user_id) AS INTEGER)
+               AS quartile
+      FROM d
+    )
+    SELECT quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           min(delta_s) AS min_delta_s,
+           max(delta_s) AS max_delta_s
+    FROM q GROUP BY quartile
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, seconds from FIRST view
+    to the first purchase after it, summarized as exact quartile bands
+    (the "how long does the funnel take" report next to
+    ``funnel_view_click_purchase``'s "how many convert").  Quartiles via
+    ntile ordered by the total (delta, user_id) key — exact and
+    deterministic, where an approx-percentile would drift per run; the
+    band max IS the exact p25/p50/p75/max.
+
+    Scale shape: two user-keyed pre-aggregations (first view, first
+    qualifying purchase) then one tiny converter frame; the ntile global
+    sort runs on |converters| rows, not events — at 100 TB swap it for
+    approx quantile cutpoints exactly as ``pack_length_buckets``
+    documents."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(v.alias("v"), "user_id")
+        .filter(F.col("e.ts") > F.col("v.vts"))
+        .groupBy("user_id")
+        .agg(F.min("e.ts").alias("pts"))
+    )
+    d = v.join(p, "user_id").select(
+        "user_id",
+        (F.col("pts").cast("long") - F.col("vts").cast("long")).alias("delta_s"),
+    )
+    q = d.select(
+        "delta_s",
+        F.ntile(4).over(Window.orderBy("delta_s", "user_id")).alias("quartile"),
+    )
+    return q.groupBy("quartile").agg(
+        F.count("*").alias("n"),
+        F.min("delta_s").alias("min_delta_s"),
+        F.max("delta_s").alias("max_delta_s"),
+    )
+
+
+def _knn_batch_cos_sql() -> str:
+    """Shared round-6 cosine expression for the batched ANN twin."""
+    return (
+        "round(list_sum(list_transform(range(1, len(c.embedding) + 1),"
+        " i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(c.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(q.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    )
+
+
+@_register(
+    "knn_batch_topk",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             {_knn_batch_cos_sql()} AS cos_sim
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < 10 AND c.vec_id >= 10
+    ),
+    r AS (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, vec_id)
+               AS INTEGER) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched brute-force ANN: top-5 neighbors for EACH of 10 query
+    vectors in one pass — the eval-harness shape (recall@k over a query
+    set), where per-query loops would rescan the corpus 10x.  The query
+    block broadcasts (10 x 64 floats); scoring is one scan of the corpus
+    side; the per-query cut is a row_number window that Spark pushes
+    below the exchange as WindowGroupLimit, so only ~k rows per query
+    ever shuffle.  Same round-6 cosine contract as
+    ``knn_bruteforce_cosine`` (driver-green r01)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(similarity.cosine(F.col("cv"), F.col("qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.select(
+            "query_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

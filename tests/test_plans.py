@@ -410,3 +410,12 @@ def test_scd2_single_exchange_serves_both_windows(spark, sf_dir):
     filter between them preserves distribution, so no second exchange."""
     plan = _plan(spark, sf_dir, "scd2_user_state_history")
     assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_knn_batch_topk_group_limit_below_exchange(spark, sf_dir):
+    """Batched ANN: the per-query top-5 cut must push below the exchange
+    as WindowGroupLimit (only ~k rows per query shuffle), and the query
+    block must broadcast."""
+    plan = _plan(spark, sf_dir, "knn_batch_topk")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastExchange" in plan

@@ -161,3 +161,57 @@ def test_zorder_layout_tightens_both_dimensions(spark, sf_dir):
     )
     assert z_spans["m1"] <= 32 and z_spans["m2"] <= 32, z_spans
     assert area_z <= area_single
+
+
+def test_dynamic_partition_pruning_fires_on_dim_filter(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: a fact table partitioned on the join key
+    must get a runtime pruning subquery when joined to a filtered dim —
+    at 100 TB this is the difference between scanning one partition and
+    scanning the table.  Pinned via the `dynamicpruning` expression in
+    the fact scan."""
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "ev_by_type")
+    ev.write.partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("purchase", "rev"), ("view", "traffic"), ("click", "traffic")],
+        "event_type string, category string",
+    )
+    joined = fact.join(dim.filter(F.col("category") == "rev"), "event_type")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result is exactly the purchase partition
+    assert joined.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_cbo_table_stats_recorded_by_analyze(spark, sf_dir):
+    """ANALYZE TABLE ... COMPUTE STATISTICS records row counts + column
+    NDV/min/max in the catalog — what the cost-based optimizer uses for
+    join reordering and broadcast decisions on a real warehouse."""
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    spark.sql("DROP TABLE IF EXISTS _stats_demo")
+    nation.write.saveAsTable("_stats_demo")
+    try:
+        spark.sql(
+            "ANALYZE TABLE _stats_demo COMPUTE STATISTICS FOR COLUMNS n_nationkey"
+        )
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                "DESCRIBE TABLE EXTENDED _stats_demo"
+            ).collect()
+            if "info_name" in r.asDict()
+        }
+        # statistics line carries rows + bytes after ANALYZE
+        stats = spark.sql("DESC EXTENDED _stats_demo n_nationkey").collect()
+        got = {r["info_name"]: r["info_value"] for r in stats}
+        assert got.get("distinct_count") == "25", got
+        assert got.get("min") == "0" and got.get("max") == "24", got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _stats_demo")

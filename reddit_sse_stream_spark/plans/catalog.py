@@ -6973,6 +6973,53 @@ def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "scd2_as_of_lookup",
+    """
+    WITH o AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, state, ts AS valid_from, event_id
+      FROM o WHERE prev IS NULL OR state <> prev
+    ),
+    dim AS (
+      SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+      FROM chg
+    )
+    SELECT user_id, state,
+           CAST(valid_from AS TIMESTAMP) AS valid_from
+    FROM dim
+    WHERE valid_from <= TIMESTAMP '2024-01-16 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-16 00:00:00')
+    """,
+)
+def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup over the SCD2 dimension: the state of EVERY
+    user as of 2024-01-16T00:00Z — the query shape the type-2 history
+    (``scd2_user_state_history``) exists to serve ("what did the world
+    look like at time T", the reproducibility backbone of any
+    training-data snapshot).  The as-of predicate
+    ``valid_from <= T < valid_to`` hits exactly one interval per user
+    because intervals partition each user's timeline by construction.
+
+    Scale shape: the interval predicate is a pure filter on the derived
+    dimension — no join, no extra shuffle beyond the history's single
+    user_id exchange; at warehouse scale the dimension would be stored
+    partitioned on ``is_current``/month so the as-of filter prunes."""
+    hist = scd2_user_state_history(spark, sf_dir)
+    t = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "state", "valid_from")
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

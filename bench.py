@@ -52,6 +52,9 @@ HEADLINE = (
     # embedding sketch — no prev-round rows, so vs_prev skips them
     "tpch_q2_min_cost_supplier",
     "embed_random_projection",
+    # mid-round-5 additions: ranked retrieval + iterative graph
+    "search_bm25_topk",
+    "graph_pagerank_transitions",
 )
 
 

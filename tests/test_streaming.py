@@ -621,3 +621,76 @@ def test_observe_metrics_match_reference_counters(spark, sf_dir):
     assert m["rc_total"] == kept
     assert m["events_total"] == feed_df(spark, sf_dir).count()
     assert m["bytes_total"] > 0
+
+
+def test_streaming_ohlc_matches_batch_bars(spark, sf_dir, tmp_path):
+    """Batch/stream parity for OHLC: replaying the events table as a
+    multi-batch file stream through the stateful OHLC operator must
+    produce EXACTLY the batch ts_ohlc_hourly bars — first/last anchors in
+    state resolve by the same (ts, event_id) total order the batch window
+    uses, and the turnover accumulates in the same fixed-point domain, so
+    the micro-batch split cannot change any bar."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+    from reddit_sse_stream_spark.sources.tables import load_table
+    from reddit_sse_stream_spark.streaming.stateful import streaming_ohlc_hourly
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_id", "value"
+    )
+    # 3 separate files -> 3 micro-batches with maxFilesPerTrigger=1
+    src = tmp_path / "ev_stream"
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_ohlc_hourly(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode re-emits a bar per batch; n_events grows monotonically,
+    # so the final state per bar is its max-n emission (order-independent
+    # — memory-sink row order across batches is not contractual)
+    got = {}
+    for r in spark.sql("SELECT * FROM ohlc_stream").collect():
+        cur = got.get(r["bar_hour"])
+        if cur is None or r["n_events"] > cur[4]:
+            got[r["bar_hour"]] = (
+                r["open"],
+                r["high"],
+                r["low"],
+                r["close"],
+                r["n_events"],
+                r["turnover_fp"],
+            )
+    batch = {
+        r["bar_hour"]: (
+            r["open"],
+            r["high"],
+            r["low"],
+            r["close"],
+            r["n_events"],
+            r["turnover"],
+        )
+        for r in QUERIES["ts_ohlc_hourly"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(batch)
+    for k, (o, h, l, c, n, t_fp) in got.items():
+        bo, bh, bl, bc, bn, bt = batch[k]
+        assert (o, h, l, c, n) == (bo, bh, bl, bc, bn), (k, got[k], batch[k])
+        # batch turnover is round(sum_fp/1e6, 2); reproduce from the
+        # streaming fixed-point accumulator
+        import math
+        rounded = math.copysign(
+            math.floor((abs(t_fp) + 5000) / 10000) / 100.0, t_fp
+        ) if t_fp else 0.0
+        assert rounded == bt, (k, t_fp, bt)

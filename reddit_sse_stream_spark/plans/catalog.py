@@ -7020,6 +7020,39 @@ def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "state", "valid_from")
 
 
+@_register(
+    "window_sliding_distinct_users",
+    """
+    WITH slid AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 1800) * 1800 - offs AS BIGINT) AS win_start
+      FROM events, (SELECT unnest([0, 1800]) AS offs) o
+      WHERE floor(epoch(ts) / 1800) * 1800 - offs + 3600 > epoch(ts)
+    )
+    SELECT win_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM slid WHERE user_id IS NOT NULL GROUP BY win_start
+    """,
+)
+def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window EXACT distinct actives (1h window, 30min slide) —
+    the MAU/DAU-style rollup next to ``window_sliding_counts``'s plain
+    counts.  Exact distinct needs the full key set per window (unlike the
+    algebraic count), so Spark plans the classic two-level expand +
+    partial-distinct aggregate; the approx twin at 100 TB is
+    ``approx_count_distinct`` per window (``aggx_approx_distinct``
+    carries that family's contract oracle)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "active_users",
+        )
+    )
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -7053,6 +7053,95 @@ def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_register(
+    "dedup_method_agreement",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(words) - 1),
+               i -> CAST(concat('0x', substr(md5(
+                      words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                    ), 1, 15)) AS BIGINT))) AS sh
+      FROM w WHERE len(words) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    cold AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 64),
+    exc AS (SELECT e.doc_id, e.g FROM ex e JOIN cold USING (g)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM exc l JOIN exc r ON l.g = r.g AND l.doc_id < r.doc_id
+    ),
+    j AS (
+      SELECT c.doc_a AS a, c.doc_b AS b
+      FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
+                  JOIN s sb ON sb.doc_id = c.doc_b
+      WHERE floor(len(list_intersect(sa.sh, sb.sh)) * 10000.0
+                  / len(list_distinct(list_concat(sa.sh, sb.sh)))) / 10000
+            >= 0.5
+    ),
+    sub AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    c AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM sub x JOIN sub y ON x.vec_id < y.vec_id
+      WHERE floor(list_cosine_similarity(x.v, y.v) * 10000) / 10000 > 0.3
+    ),
+    m AS (
+      SELECT CASE WHEN j.a IS NOT NULL AND c.a IS NOT NULL THEN 'both'
+                  WHEN j.a IS NOT NULL THEN 'text_only'
+                  ELSE 'embedding_only' END AS method
+      FROM j FULL OUTER JOIN c ON j.a = c.a AND j.b = c.b
+    )
+    SELECT method, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM m GROUP BY method
+    """,
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method cross-validation: on one deterministic 1/10 universe
+    (doc_id == vec_id), do word-gram jaccard (>= 0.5) and embedding
+    cosine (> 0.3) flag the SAME near-dup pairs?  The agreement matrix
+    (both / text_only / embedding_only) is the diagnostic a pipeline
+    reads before trusting either method alone — text-only hits are
+    verbatim template reuse with divergent embeddings, embedding-only
+    hits are paraphrases sharing no 3-gram.  Pure composition of the two
+    oracled pair generators on a shared subsample; a class with zero
+    pairs is absent in both engines identically.
+
+    Scale shape: both pair frames inherit their generators' candidate
+    gating; the full-outer agreement join keys on the (a, b) pair —
+    narrow, and proportional to flagged pairs, not the corpus."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    j = (
+        _md5_jaccard_scored_pairs(docs)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    c = similarity.cosine_pairs_exact(
+        emb, threshold=0.3, allow_quadratic=True
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    ja, ca = j.alias("j"), c.alias("c")
+    m = ja.join(
+        ca,
+        (F.col("j.a") == F.col("c.a")) & (F.col("j.b") == F.col("c.b")),
+        "full_outer",
+    ).select(
+        F.when(
+            F.col("j.a").isNotNull() & F.col("c.a").isNotNull(), F.lit("both")
+        )
+        .when(F.col("j.a").isNotNull(), F.lit("text_only"))
+        .otherwise(F.lit("embedding_only"))
+        .alias("method")
+    )
+    return m.groupBy("method").agg(F.count("*").alias("n_pairs"))
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -7142,6 +7142,62 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("method").agg(F.count("*").alias("n_pairs"))
 
 
+@_register(
+    "funnel_attribution_last_touch",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'none') AS touch,
+           CAST(count(*) AS BIGINT) AS purchases,
+           CAST(sign(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)))
+                * floor((abs(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)))
+                         + 5000.0) / 10000.0) / 100.0 AS DOUBLE) AS revenue
+    FROM o WHERE event_type = 'purchase' GROUP BY touch
+    """,
+)
+def funnel_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credited to the user's most
+    recent preceding view/click — the standard marketing-attribution
+    report, and the in-window formulation of an as-of join (no join at
+    all: one ordered window with IGNORE NULLS carries the last qualifying
+    touch forward).  The window orders by the total (ts, event_id) key so
+    same-timestamp events cannot flip attribution between engines;
+    revenue is the `_dsum` fixed-point sum.
+
+    Scale shape: ONE user_id exchange (the same sessionize-family
+    shuffle), then a tiny grouped aggregate over touch classes —
+    compare ``join_asof`` which pays a range join for the two-table
+    version of this shape."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("view", "click"), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    o = ev.select("user_id", "event_type", "value", touch.alias("touch"))
+    return (
+        o.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch"))
+        .agg(
+            F.count("*").alias("purchases"),
+            _dsum("value").alias("revenue"),
+        )
+    )
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -7198,6 +7198,99 @@ def funnel_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_register(
+    "decontam_multi_suite_report",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+      FROM words
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram FROM idx
+    ),
+    ev AS (
+      SELECT 'suite_a' AS eval_set, gram FROM grams WHERE doc_id % 97 = 0
+      UNION
+      SELECT 'suite_b', gram FROM grams WHERE doc_id % 89 = 0
+    ),
+    tr AS (
+      SELECT doc_id, gram FROM grams
+      WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0
+    ),
+    tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_train FROM tr),
+    hits AS (
+      SELECT ev.eval_set, tr.doc_id,
+             CAST(count(DISTINCT tr.gram) AS BIGINT) AS shared
+      FROM tr JOIN ev ON tr.gram = ev.gram
+      GROUP BY ev.eval_set, tr.doc_id
+    )
+    SELECT h.eval_set,
+           CAST(count(*) AS BIGINT) AS n_contaminated_docs,
+           CAST(sum(h.shared) AS BIGINT) AS n_doc_gram_hits,
+           floor(count(*) * 10000.0 / t.n_train) / 10000.0
+             AS contaminated_frac
+    FROM hits h CROSS JOIN tot t
+    GROUP BY h.eval_set, t.n_train
+    """,
+)
+def decontam_multi_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-suite decontamination report: the production shape of
+    ``decontam_ngram_overlap`` — a pipeline screens against MANY held-out
+    suites at once (each its own deterministic slice here), and the
+    release gate reads per-suite contaminated-doc counts and fractions,
+    not a single global flag.  One train-gram frame serves every suite:
+    the eval side unions with a suite label BEFORE the single gram-keyed
+    join, so adding a suite adds label rows, never another corpus scan.
+    Join key is xxhash64(gram) (8-byte long; string-keyed oracle
+    value-checks it, same contract as the single-suite entry).
+
+    Scale shape: one gram-keyed shuffle for the join, doc-keyed partial
+    aggregate, broadcast 1-row train total; AQE sizes the (small,
+    suite-labeled) eval side."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = text.word_ngram_hashes(docs, 5).distinct()
+    ev = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.lit("suite_a").alias("eval_set"), "gram_h")
+        .unionByName(
+            grams.filter(F.col("doc_id") % 89 == 0).select(
+                F.lit("suite_b").alias("eval_set"), "gram_h"
+            )
+        )
+        .distinct()
+    )
+    tr = grams.filter(
+        (F.col("doc_id") % 97 != 0) & (F.col("doc_id") % 89 != 0)
+    )
+    tot = tr.agg(F.count_distinct("doc_id").alias("n_train"))
+    hits = (
+        tr.join(ev, "gram_h")
+        .groupBy("eval_set", "doc_id")
+        .agg(F.count_distinct("gram_h").alias("shared"))
+    )
+    return (
+        hits.groupBy("eval_set")
+        .agg(
+            F.count("*").alias("n_contaminated_docs"),
+            F.sum("shared").alias("n_doc_gram_hits"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "eval_set",
+            "n_contaminated_docs",
+            "n_doc_gram_hits",
+            (
+                F.floor(F.col("n_contaminated_docs") * 10000.0 / F.col("n_train"))
+                / 10000.0
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

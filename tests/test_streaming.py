@@ -694,3 +694,96 @@ def test_streaming_ohlc_matches_batch_bars(spark, sf_dir, tmp_path):
             math.floor((abs(t_fp) + 5000) / 10000) / 100.0, t_fp
         ) if t_fp else 0.0
         assert rounded == bt, (k, t_fp, bt)
+
+
+# ------------------------------------------------- SSE client ingest source
+
+
+def test_sse_parse_frames_and_tail():
+    from reddit_sse_stream_spark.streaming.client_source import _parse_frames
+
+    buf = (
+        b"id: 1\nevent: rc\ndata: {\"a\":1}\n\n"
+        b"id: 2\nevent: rs\ndata: {\"b\":2}\n\n"
+        b"id: 3\nevent: rc\ndata: {\"c"  # incomplete frame stays in tail
+    )
+    rows, tail = _parse_frames(buf)
+    assert rows == [(1, "rc", '{"a":1}'), (2, "rs", '{"b":2}')]
+    assert tail.startswith(b"id: 3")
+    # keepalive frames (no integer id) surface with id=None
+    rows2, _ = _parse_frames(b"event: keep_alive\ndata: {}\n\n")
+    assert rows2 == [(None, "keep_alive", "{}")]
+
+
+def test_sse_client_replay_cache_exact():
+    from reddit_sse_stream_spark.streaming.client_source import (
+        SSEClientSimpleReader,
+    )
+
+    r = SSEClientSimpleReader({"url": "http://unused/"})
+    # simulate two reads without a socket by priming the cache directly
+    r._batches[0] = [(1, "rc", "a"), (2, "rc", "b")]
+    r._batches[2] = [(3, "rc", "c")]
+    assert list(r.readBetweenOffsets({"n": 0}, {"n": 2})) == r._batches[0]
+    # coalesced replay across two cached batches
+    assert list(r.readBetweenOffsets({"n": 0}, {"n": 3})) == [
+        (1, "rc", "a"),
+        (2, "rc", "b"),
+        (3, "rc", "c"),
+    ]
+    r.commit({"n": 2})
+    assert 0 not in r._batches and 2 in r._batches
+
+
+def test_sse_client_source_round_trip(spark, sf_dir):
+    """Serve the feed over the engine's own SSE server and INGEST it back
+    through the sse_client DataSource: every broadcast rc frame must come
+    back as a streaming row with the same id and payload — the wire-format
+    loop a reference migration needs (their consumers point at us; we can
+    drain a live reference deployment)."""
+    import json as _json
+    import time as _time
+
+    from reddit_sse_stream_spark.sources.feed import feed_df
+    from reddit_sse_stream_spark.streaming.client_source import read_sse_stream
+    from reddit_sse_stream_spark.streaming.server import SSEServer
+    from reddit_sse_stream_spark.streaming.sink import SSEBroadcaster
+
+    bc = SSEBroadcaster(max_collect_rows=20000)
+    srv = SSEServer(bc).start()
+    try:
+        stream = read_sse_stream(
+            spark,
+            f"http://127.0.0.1:{srv.port}/?type=comments",
+            poll_timeout_sec=0.5,
+        )
+        q = (
+            stream.filter(F.col("event") == "rc")
+            .writeStream.format("memory")
+            .queryName("sse_ingest")
+            .outputMode("append")
+            .start()
+        )
+        # wait for the HTTP client (the reader's persistent connection) to
+        # register with the broadcaster before pushing frames
+        deadline = _time.time() + 60
+        while not bc._clients and _time.time() < deadline:
+            _time.sleep(0.1)
+        assert bc._clients, "SSE client never connected"
+        batch = feed_df(spark, sf_dir).filter(F.col("event") == "rc").limit(50)
+        sent = {r["id"]: r["json"] for r in batch.collect()}
+        bc.foreach_batch(batch, 0)
+        deadline = _time.time() + 120
+        got = {}
+        while len(got) < len(sent) and _time.time() < deadline:
+            _time.sleep(0.5)
+            got = {
+                r["id"]: r["data"]
+                for r in spark.sql("SELECT * FROM sse_ingest").collect()
+            }
+        q.stop()
+        assert set(got) == set(sent)
+        for i, payload in sent.items():
+            assert _json.loads(got[i]) == _json.loads(payload)
+    finally:
+        srv.stop()

@@ -7291,6 +7291,158 @@ def decontam_multi_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "aggx_regression_exact",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) - 473000 AS BIGINT) AS x,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y_fp
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y_fp) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y_fp) AS HUGEINT) AS sxy
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) / 1e6 * 10000) / 10000.0
+             AS slope_per_hour,
+           floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 / 1e6 * 10000) / 10000.0 AS intercept
+    FROM m
+    """,
+)
+def aggx_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate (slope/intercept of value vs time per
+    event type) from EXACT integer moments — the engine's answer to the
+    ``regr_slope``/``regr_intercept`` family, reformulated so the result
+    is order-independent and cross-engine bit-identical: x = hour index
+    (small int; epoch/3600 − 473000 keeps products in int64), y in the
+    1e6 fixed-point domain, the five moments summed exactly (DECIMAL /
+    HUGEINT accumulators), then ONE identical double-arithmetic chain on
+    both sides, floor-quantized at 1e-4.  Spark's built-in ``regr_*``
+    (double covar sums) reassociates across partitions — the same class
+    the fixed-point money sums exist for.
+
+    Scale shape: classic two-level aggregate — map-side partial moments,
+    one low-cardinality shuffle, five narrow columns."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        (F.floor(F.col("ts").cast("long") / 3600) - 473000)
+        .cast("long")
+        .alias("x"),
+        _fp(F.col("value")).cast("long").alias("y_fp"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = b.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y_fp").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y_fp")).alias("sxy"),
+    )
+    num = (d38(F.col("n")) * d38(F.col("sxy")) - d38(F.col("sx")) * d38(F.col("sy"))).cast(
+        "double"
+    )
+    den = (d38(F.col("n")) * d38(F.col("sxx")) - d38(F.col("sx")) * d38(F.col("sx"))).cast(
+        "double"
+    )
+    slope_d = num / den
+    intercept_d = (
+        F.col("sy").cast("double") / F.col("n").cast("double")
+        - slope_d * F.col("sx").cast("double") / F.col("n").cast("double")
+    )
+    q4 = lambda c: F.floor(c / 1e6 * 10000) / 10000.0  # noqa: E731
+    return m.select(
+        "event_type",
+        "n",
+        q4(slope_d).alias("slope_per_hour"),
+        q4(intercept_d).alias("intercept"),
+    )
+
+
+@_register(
+    "udf_grouped_map_zscore",
+    """
+    WITH b AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS s,
+             CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+               AS s2
+      FROM b GROUP BY event_type
+    )
+    SELECT b.event_id, b.event_type,
+           CASE WHEN m.n * m.s2 = m.s * m.s THEN 0.0
+                ELSE floor(CAST(m.n * b.y - m.s AS DOUBLE)
+                           / sqrt(CAST(m.n * m.s2 - m.s * m.s AS DOUBLE))
+                           * 10000) / 10000.0
+           END AS z
+    FROM b JOIN m USING (event_type)
+    """,
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (``applyInPandas``): per-event-type z-score
+    normalization with each group handed to a numpy kernel — the batch
+    grouped-map API surface (§2.8 UDF family) that
+    ``udf_pandas_scalar_charge``'s scalar UDF and the streaming
+    ``applyInPandasWithState`` entries don't cover.
+
+    Oracle despite Python floats: the kernel normalizes via EXACT integer
+    moments — y in the 1e6 fixed-point domain, z = (n·y − Σy) /
+    sqrt(n·Σy² − (Σy)²) with the numerator exact in int64 (bounded by
+    n·y ≤ 2^53) and one int→double conversion + sqrt + divide, the same
+    correctly-rounded chain the SQL twin runs on HUGEINT moments — so the
+    1e-4-floored z is bit-identical regardless of pandas row order.  A
+    zero-variance group yields z = 0 in both engines.
+
+    Scale shape: one shuffle on the group key; each group streams
+    through Arrow once.  (A global z-score would use the broadcast-
+    moments pattern of ``embed_standardize`` instead — grouped-map is
+    the right tool when per-group logic is genuinely imperative.)"""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        y = np.floor(pdf["value"].to_numpy() * 1_000_000 + 0.5).astype(np.int64)
+        n = len(y)
+        s = int(y.sum())
+        s2 = int(np.dot(y.astype(object), y.astype(object)))
+        den2 = n * s2 - s * s
+        if den2 == 0:
+            z = np.zeros(n)
+        else:
+            num = (n * y - s).astype(np.float64)  # |n*y| <= 2^53: exact
+            z = np.floor(num / math.sqrt(float(den2)) * 10000) / 10000
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z}
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        kernel, "event_id long, event_type string, z double"
+    )
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

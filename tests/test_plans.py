@@ -419,3 +419,19 @@ def test_knn_batch_topk_group_limit_below_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "knn_batch_topk")
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastExchange" in plan
+
+
+def test_grouped_map_zscore_single_exchange(spark, sf_dir):
+    """applyInPandas grouped map: one group-key exchange feeding
+    FlatMapGroupsInPandas — the grouped-map plan shape."""
+    plan = _plan(spark, sf_dir, "udf_grouped_map_zscore")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_regression_exact_partial_final_agg(spark, sf_dir):
+    """Exact-moment regression: two HashAggregates around one
+    low-cardinality exchange (map-side partial moments)."""
+    plan = _plan(spark, sf_dir, "aggx_regression_exact")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("hashpartitioning") == 1, plan

@@ -70,6 +70,17 @@ def test_stale_rows_rotated_into_the_front_window():
     re-proof budget without faking a rotation failure."""
     names = list(QUERIES)
     front = names[:50]
+    rank0 = [
+        n
+        for n in names
+        if QUERIES[n].oracle is not None and n not in _PRIOR_GREEN_ROUND
+    ]
+    if len(rank0) >= 50:
+        # a round that added >= 50 never-proven queries: the entire window
+        # is rank-0 by design — every slot goes to a query with no
+        # external proof at all, the highest-value case
+        assert all(n in rank0 for n in front)
+        return
     green_in_front = [n for n in front if n in _PRIOR_GREEN_ROUND]
     green_out = [
         n for n in names[50:] if n in _PRIOR_GREEN_ROUND

@@ -787,3 +787,83 @@ def test_sse_client_source_round_trip(spark, sf_dir):
             assert _json.loads(got[i]) == _json.loads(payload)
     finally:
         srv.stop()
+
+
+def test_sse_relay_ingest_transform_reserve(spark, sf_dir):
+    """Relay topology — the migration bridge: ingest an upstream SSE feed
+    (server A, standing in for a live reference deployment) through the
+    sse_client source, reshape it in the streaming plan, and RE-SERVE it
+    over this engine's own broadcaster (server B).  A downstream consumer
+    of B must receive exactly the rc frames A emitted, payload-intact —
+    proving a reference client can sit BEHIND this engine unchanged while
+    the stream flows through a Spark plan in the middle."""
+    import time as _time
+
+    from reddit_sse_stream_spark.sources.feed import feed_df
+    from reddit_sse_stream_spark.streaming.client_source import (
+        _RawSSEConnection,
+        _parse_frames,
+        read_sse_stream,
+    )
+    from reddit_sse_stream_spark.streaming.server import SSEServer
+    from reddit_sse_stream_spark.streaming.sink import SSEBroadcaster
+
+    bc_a = SSEBroadcaster(max_collect_rows=20000)
+    srv_a = SSEServer(bc_a).start()
+    bc_b = SSEBroadcaster(max_collect_rows=20000)
+    srv_b = SSEServer(bc_b).start()
+    q = None
+    down = None
+    try:
+        stream = read_sse_stream(
+            spark,
+            f"http://127.0.0.1:{srv_a.port}/?type=comments",
+            poll_timeout_sec=0.5,
+        )
+        # reshape SSE frames back into the feed schema the broadcaster
+        # serves (payload rides in json; id doubles as the sort key)
+        relayed = stream.filter(F.col("event") == "rc").select(
+            "id",
+            "event",
+            F.lit(None).cast("string").alias("author"),
+            F.lit(None).cast("string").alias("subreddit"),
+            F.lit(None).cast("string").alias("domain"),
+            F.lit(None).cast("boolean").alias("over_18"),
+            F.lit(None).cast("boolean").alias("is_self"),
+            F.col("id").alias("created_utc"),
+            F.col("data").alias("json"),
+        )
+        q = relayed.writeStream.foreachBatch(bc_b.foreach_batch).start()
+        # upstream client (the spark source) must be connected to A before
+        # frames are pushed
+        deadline = _time.time() + 60
+        while not bc_a._clients and _time.time() < deadline:
+            _time.sleep(0.1)
+        assert bc_a._clients, "relay never connected to upstream"
+        # downstream consumer on B
+        down = _RawSSEConnection(f"http://127.0.0.1:{srv_b.port}/?type=comments")
+        deadline = _time.time() + 60
+        while len(bc_b._clients) == 0 and _time.time() < deadline:
+            _time.sleep(0.1)
+        assert bc_b._clients, "downstream consumer never connected"
+        batch = feed_df(spark, sf_dir).filter(F.col("event") == "rc").limit(30)
+        sent = {r["id"]: r["json"] for r in batch.collect()}
+        bc_a.foreach_batch(batch, 0)
+        got = {}
+        tail = b""
+        deadline = _time.time() + 120
+        while len(got) < len(sent) and _time.time() < deadline:
+            tail += down.poll(0.5)
+            rows, tail = _parse_frames(tail)
+            for fid, ev, data in rows:
+                if ev == "rc":
+                    got[fid] = data
+        assert set(got) == set(sent)
+        assert all(json.loads(got[i]) == json.loads(sent[i]) for i in sent)
+    finally:
+        if q is not None:
+            q.stop()
+        if down is not None:
+            down.close()
+        srv_a.stop()
+        srv_b.stop()

@@ -7443,6 +7443,68 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "llm_dataset_card",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             len(regexp_split_to_array(text, '\s+')) AS ntok,
+             md5(text) AS h
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           CAST(min(ntok) AS BIGINT) AS min_tokens,
+           CAST(max(ntok) AS BIGINT) AS max_tokens,
+           floor((count(*) - count(DISTINCT h)) * 10000.0 / count(*))
+             / 10000.0 AS dup_doc_frac,
+           floor(sum(ntok) * 10000.0 / count(*)) / 10000.0 AS mean_tokens
+    FROM t
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary — the one-row fact sheet a training corpus
+    ships with (docs, languages, sources, token totals/extremes,
+    exact-duplicate fraction, mean length), computed in ONE scan + one
+    aggregate.  Every number is exact-integer or 1e-4-floored, so the
+    card is reproducible to the digit across engines and reruns — the
+    property a published dataset card needs and ad-hoc notebook stats
+    lack.  Complements the per-slice reports (``corpus_*``, ``text_*``,
+    ``dedup_*``): this is the headline row above them.
+
+    Scale shape: single pass, map-side partial aggregation; the distinct
+    counts (lang/source/digest) are the only grouped state, each bounded
+    by its domain (digest distinct ~= |corpus| — at 100 TB swap it for
+    the two-pass exact count or HLL, as ``aggx_approx_distinct``
+    documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).alias("ntok"),
+        F.md5("text").alias("h"),
+    )
+    return t.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        F.min("ntok").cast("long").alias("min_tokens"),
+        F.max("ntok").cast("long").alias("max_tokens"),
+        (
+            F.floor(
+                (F.count("*") - F.count_distinct("h")) * 10000.0 / F.count("*")
+            )
+            / 10000.0
+        ).alias("dup_doc_frac"),
+        (F.floor(F.sum("ntok") * 10000.0 / F.count("*")) / 10000.0).alias(
+            "mean_tokens"
+        ),
+    )
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

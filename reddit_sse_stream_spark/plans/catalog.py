@@ -7505,6 +7505,66 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "corpus_snapshot_merge",
+    """
+    WITH prev AS (
+      SELECT doc_id, md5(text) AS h, n_chars
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    cur AS (
+      SELECT doc_id - 1 AS doc_id, md5(text) AS h, n_chars
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+           coalesce(c.h, p.h) AS h,
+           CAST(coalesce(c.n_chars, p.n_chars) AS BIGINT) AS n_chars,
+           CASE WHEN p.doc_id IS NULL THEN 'inserted'
+                WHEN c.doc_id IS NULL THEN 'kept'
+                WHEN p.h <> c.h THEN 'updated'
+                ELSE 'unchanged' END AS op
+    FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+    """,
+)
+def corpus_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert: apply a change snapshot onto a base corpus — the
+    lakehouse ``MERGE INTO`` shape (matched -> update, not-matched ->
+    insert, base-only -> keep) as a single full-outer coalesce, with the
+    applied operation labeled per row.  Completes the CDC family:
+    ``corpus_snapshot_diff`` detects changes, ``scd2_*`` keeps their
+    history, this applies them.  Snapshots are the same simulated split
+    the diff entry uses, so the two queries reconcile row-for-row.
+
+    Scale shape: one full-outer shuffle on the bigint key moving 16-byte
+    digests, never text; with both snapshots bucketed on doc_id the
+    exchange disappears — the exact plan a MERGE-supporting table format
+    executes underneath."""
+    docs = _t(spark, sf_dir, "documents")
+    prev = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.md5("text").alias("h"), "n_chars"
+    )
+    cur = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.md5("text").alias("h"),
+        "n_chars",
+    )
+    p, c = prev.alias("p"), cur.alias("c")
+    op = (
+        F.when(F.col("p.doc_id").isNull(), F.lit("inserted"))
+        .when(F.col("c.doc_id").isNull(), F.lit("kept"))
+        .when(F.col("p.h") != F.col("c.h"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return p.join(c, F.col("p.doc_id") == F.col("c.doc_id"), "full_outer").select(
+        F.coalesce(F.col("c.doc_id"), F.col("p.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("c.h"), F.col("p.h")).alias("h"),
+        F.coalesce(F.col("c.n_chars"), F.col("p.n_chars"))
+        .cast("long")
+        .alias("n_chars"),
+        op.alias("op"),
+    )
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -7565,6 +7565,68 @@ def corpus_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "scd2_point_in_time_join",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      FROM o WHERE prev IS NULL OR event_type <> prev
+    ),
+    dim AS (
+      SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+      FROM chg
+    ),
+    p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d.state AS state_at_purchase,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM p JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR d.valid_to > p.ts)
+    GROUP BY d.state
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time JOIN against the SCD2 dimension: every purchase
+    enriched with the user's state AT ITS OWN TIMESTAMP (each event hits
+    exactly one validity interval), then rolled up per state — the query
+    shape the type-2 history exists to serve, generalizing the
+    fixed-moment ``scd2_as_of_lookup`` to per-row as-of semantics.
+    (A purchase's own change row starts its interval AT the purchase ts,
+    so ``valid_from <= ts`` matches it — the standard inclusive-start
+    convention.)
+
+    Scale shape: dimension and fact co-partition on user_id (the
+    dimension derivation already paid that exchange); the interval
+    predicate is a residual on the equi-join, so no range-join explosion
+    — per user the intervals partition the timeline, bounding matches at
+    one per fact row."""
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_user_state_history(spark, sf_dir).select(
+        "user_id", "state", "valid_from", "valid_to"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = p.join(
+        dim,
+        (p.user_id == dim.user_id)
+        & (dim.valid_from <= p.ts)
+        & (dim.valid_to.isNull() | (dim.valid_to > p.ts)),
+    )
+    return joined.groupBy(F.col("state").alias("state_at_purchase")).agg(
+        F.count("*").alias("n_purchases")
+    )
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -7627,6 +7627,48 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "window_activity_streaks",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+      FROM events
+    ),
+    x AS (
+      SELECT user_id, h,
+             h - row_number() OVER (PARTITION BY user_id ORDER BY h) AS grp
+      FROM a
+    )
+    SELECT user_id,
+           CAST(min(h) AS BIGINT) AS streak_start_hour,
+           CAST(count(*) AS BIGINT) AS streak_hours
+    FROM x GROUP BY user_id, grp
+    """,
+)
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active hours per user
+    (engagement streaks) via the classic ``value − row_number()`` grouping
+    constant — consecutive values share a group key, a gap starts a new
+    one.  The sequence-run primitive the time-gap ``sessionize_events``
+    (which keys on inter-event deltas, not calendar continuity) does not
+    express.
+
+    Scale shape: distinct (user, hour) pre-aggregation shrinks events to
+    active-hours; ONE user_id exchange serves the distinct, the window,
+    and the island aggregate (all key on user_id first)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.floor(F.col("ts").cast("long") / 3600).alias("h")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("h")
+    x = a.select("user_id", "h", (F.col("h") - F.row_number().over(w)).alias("grp"))
+    return x.groupBy("user_id", "grp").agg(
+        F.min("h").alias("streak_start_hour"),
+        F.count("*").alias("streak_hours"),
+    ).select("user_id", "streak_start_hour", "streak_hours")
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -7669,6 +7669,95 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "streak_start_hour", "streak_hours")
 
 
+@_register(
+    "embed_drift_by_lang",
+    """
+    WITH ex0 AS (
+      SELECT vec_id, unnest(range(0, 64)) AS d,
+             unnest(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings
+    ),
+    j AS (
+      SELECT doc.lang, e.vec_id % 2 AS par, e.d, e.val
+      FROM ex0 e JOIN documents doc ON doc.doc_id = e.vec_id
+    ),
+    m AS (
+      SELECT lang, par, d,
+             CAST(sum(CAST(floor(val * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM j GROUP BY lang, par, d
+    ),
+    p AS (
+      SELECT a.lang, a.d,
+             CAST(a.s AS DOUBLE) / a.n / 1000000.0
+             - CAST(b.s AS DOUBLE) / b.n / 1000000.0 AS diff
+      FROM m a JOIN m b
+        ON a.lang = b.lang AND a.d = b.d AND a.par = 0 AND b.par = 1
+    ),
+    q AS (
+      SELECT lang,
+             CAST(floor(diff * diff * 1e12 + 0.5) AS BIGINT) AS dq
+      FROM p
+    )
+    SELECT lang,
+           floor(sqrt(CAST(sum(dq) AS DOUBLE) / 1e12) * 1000000)
+             / 1000000.0 AS drift_l2
+    FROM q GROUP BY lang
+    """,
+)
+def embed_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: per language, the L2 distance between the
+    mean embedding of the even-id half and the odd-id half (the two
+    halves standing in for consecutive snapshots / model versions) — the
+    ML-ops check that catches a silent encoder change or distribution
+    shift before it poisons an ANN index.  Per-dimension means come from
+    exact fixed-point coordinate sums (the ``embed_standardize`` moment
+    recipe); squared diffs are re-quantized to exact int64 before the
+    cross-dimension sum, so the 1e-6-floored drift is order-independent
+    and engine-identical.
+
+    Scale shape: one (lang, parity, dim)-keyed aggregate over the
+    exploded coordinates (map-side combined; 2·64·|langs| output rows),
+    then dimension-aligned self-join and a per-lang reduce — nothing
+    touches pairs of vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "val"),
+    )
+    j = ex.join(docs, "vec_id").select(
+        "lang", (F.col("vec_id") % 2).alias("par"), "d", "val"
+    )
+    m = j.groupBy("lang", "par", "d").agg(
+        F.sum(_fp(F.col("val")).cast("long")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    a = m.filter(F.col("par") == 0).select(
+        "lang", "d", F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = m.filter(F.col("par") == 1).select(
+        "lang", "d", F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    diff = (
+        F.col("sa").cast("double") / F.col("na") / 1000000.0
+        - F.col("sb").cast("double") / F.col("nb") / 1000000.0
+    )
+    q = a.join(b, ["lang", "d"]).select(
+        "lang",
+        F.floor(diff * diff * F.lit(1e12) + 0.5).cast("long").alias("dq"),
+    )
+    return q.groupBy("lang").agg(
+        (
+            F.floor(F.sqrt(F.sum("dq").cast("double") / F.lit(1e12)) * 1000000)
+            / 1000000.0
+        ).alias("drift_l2")
+    )
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

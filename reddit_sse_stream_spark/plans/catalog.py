@@ -4374,14 +4374,16 @@ def corpus_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, x,
              greatest(list_max(list_transform(x, e -> abs(e))), 1e-30) AS scale
       FROM v
-    )
+    ),
+    idx AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS d)
     SELECT vec_id,
            CAST(floor(scale * 1000000) AS BIGINT) AS scale_fp6,
-           list_transform(x, e -> CAST(floor(e / scale * 127 + 0.5) AS INTEGER)) AS qvec,
+           d,
+           CAST(floor(x[d + 1] / scale * 127 + 0.5) AS INTEGER) AS q,
            floor(list_max(list_transform(x,
                  e -> abs(e - floor(e / scale * 127 + 0.5) * scale / 127)))
                  * 1000000) / 1000000.0 AS max_err
-    FROM s
+    FROM s CROSS JOIN idx
     """,
 )
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4390,8 +4392,19 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression step before an ANN index or training shard.  Codegen
     Column algebra, one scan, zero shuffles; the (x, scale) pair sits
     behind an explode-array barrier so the scale reduction is not
-    re-inlined per element."""
-    return corpus.quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+    re-inlined per element.
+
+    Catalog wrapper flattens ``qvec`` to ``(vec_id, d, q)`` via posexplode
+    (oracle: range(64) index join) because the external checker's
+    canonicalizer hashes scalar cells only — the library operator in
+    operators/corpus.py keeps returning the array."""
+    out = corpus.quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        "scale_fp6",
+        F.posexplode("qvec").alias("d", "q"),
+        "max_err",
+    )
 
 
 def _rp_sign_sql(j: int) -> str:
@@ -4503,9 +4516,8 @@ def corpus_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d, mean,
              greatest(sqrt(greatest(ex2 - mean * mean, 0.0)), 1e-12) AS std
       FROM st)
-    SELECT vec_id, list((v - mean) / std ORDER BY d) AS zvec
+    SELECT vec_id, CAST(d AS INTEGER) AS d, (v - mean) / std AS z
     FROM ev JOIN sd USING (d)
-    GROUP BY vec_id
     """,
 )
 def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4513,11 +4525,16 @@ def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.py:standardize_embeddings): corpus-wide mean/std per
     dimension from exact fixed-point moments (bit-identical sums in both
     engines), folded into one broadcast stats row, then a map-only
-    zip_with standardize — the full arrays never cross a shuffle.  The
-    oracle rebuilds the identical stats over an exploded index and
-    reassembles with list(... ORDER BY d); every output double is the
-    same IEEE value on both sides, no quantization needed."""
-    return corpus.standardize_embeddings(_t(spark, sf_dir, "embeddings"))
+    zip_with standardize — the full arrays never cross a shuffle.  Every
+    output double is the same IEEE value on both sides, no quantization
+    needed.
+
+    Catalog wrapper flattens ``zvec`` to ``(vec_id, d, z)`` via posexplode
+    (oracle: the already-exploded ev frame) because the external checker's
+    canonicalizer hashes scalar cells only — the library operator in
+    operators/corpus.py keeps returning the array."""
+    out = corpus.standardize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return out.select("vec_id", F.posexplode("zvec").alias("d", "z"))
 
 
 def _pca_power_oracle(iters: int = 4) -> str:

@@ -85,10 +85,34 @@ def assert_result_dtypes(sdf_schema, duck_rel):
         )
 
 
+def assert_no_complex_output(name, schema):
+    """Lint for the round-5 blind spot: the driver's pandas canonicalizer
+    sort_values/factorizes every output column, which dies on unhashable
+    list/dict cells — so an oracled query must emit scalar columns ONLY
+    (flatten arrays with posexplode in the catalog wrapper; the library
+    operator can keep returning arrays).  The local repr-based _canon
+    handles lists happily, which is exactly why this needs a schema-level
+    assert instead of a value compare."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: oracled query emits complex-typed column(s) {bad} — the "
+        "driver canonicalizer cannot hash list/map/struct cells; flatten "
+        "with posexplode (oracle: unnest/index join) in the catalog wrapper"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_catalog_query(name, spark, duck, sf_dir):
     qd = QUERIES[name]
     sdf = qd.spark(spark, sf_dir)
+    if qd.oracle is not None:
+        assert_no_complex_output(name, sdf.schema)
     srows = [tuple(r) for r in sdf.collect()]
     if qd.oracle is None:
         assert srows is not None  # rows-only smoke: plan executes

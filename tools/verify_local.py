@@ -71,6 +71,21 @@ def main() -> int:
             continue
         try:
             sdf = qd.spark(spark, sf_dir)
+            if qd.oracle is not None:
+                from pyspark.sql.types import ArrayType, MapType, StructType
+
+                bad = [
+                    f.name
+                    for f in sdf.schema.fields
+                    if isinstance(f.dataType, (ArrayType, MapType, StructType))
+                ]
+                if bad:
+                    # The driver's pandas canonicalizer cannot hash
+                    # list/map/struct cells (r05 red rows); refuse here so
+                    # the repr-based value compare below can't mask it.
+                    print(f"FAIL {name}: complex-typed oracled output {bad}")
+                    failed.append(name)
+                    continue
             srows = sdf.collect()
             scols = sdf.columns
         except Exception:

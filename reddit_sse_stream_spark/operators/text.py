@@ -350,48 +350,86 @@ def bm25_topk(
       ranking only needs monotonicity, not the log's absolute scale]
     - ``L``        = floor(dl * 1e6 * N / T)                  [dl/avgdl]
     - ``denom``    = tf*1e6 + floor(6*(1e6 + 3L) / 20)        [k1*(1-b+b*L),
-      k1=6/5 and b=3/4 as exact rationals]
-    - ``gain``     = floor(tf * 22e5 / denom)                 [(k1+1)*tf/..]
-    - ``score``    = sum(idf_fp * gain) / 1e10                [one final div]
+      k1=6/5 and b=3/4 as exact rationals, both at the 1e6 scale]
+    - ``gain``     = floor(tf * 22e5 * 1e6 / denom)           [(k1+1)*tf/..,
+      carrying its own 1e6 scale so denom's 1e6 cancels and gain keeps 6
+      fractional digits of the TF-saturation curve — dividing by the
+      1e6-scaled denom WITHOUT re-scaling collapses gain to {0,1,2} and
+      quantizes the length normalization away entirely (ADVICE r05 high)]
+    - ``score``    = sum(idf_fp * gain) / 1e10                [descale:
+      1e4 (idf) x 1e6 (gain)]
 
-    Magnitude bounds (int64-exact): idf_fp <= 2e4*N/1 -> needs N <= 4e8 at
-    the 1e4 scale (drop the idf scale to 1e2 past that); idf_fp*gain <=
-    (2e4*N)*(2.2e6) and the <=|Q| addends sum in int64.
+    Magnitude bounds (int64-exact): idf_fp <= 2e4*N -> needs N <= 4e8 at
+    the 1e4 scale (drop the idf scale to 1e2 past that); gain < 2.2e6
+    (denom > tf*1e6), so idf_fp*gain <= (2e4*N)*(2.2e6) and the <=|Q|
+    addends sum in int64.  The gain numerator tf*2.2e12 is an exact
+    double while tf <= 4095; above that the product rounds, but both
+    engines round the identical IEEE multiply so cross-engine parity (the
+    property the oracle checks) holds for any tf — only the "infinite-
+    precision rational" reading degrades.
 
-    Scale shape: dl rides the projection as size(split) — no extra pass;
-    tf is the only data shuffle (doc_id x |Q| keys, map-side combined);
-    df and the (N, T) totals are broadcast 1-row/|Q|-row aggregates; the
-    top-k is TakeOrderedAndProject, never a global sort."""
+    Scale shape: ONE tokenize pass over the corpus.  The token stream
+    pivots into one row per document — ``dl`` = count(*) per doc (== the
+    token count size(split) would give, without re-evaluating split per
+    token row) plus a tf column per query term — so the map-side partial
+    aggregate compacts each input document to a single narrow row before
+    the only full-data exchange.  The (N, T, df_t) statistics are ONE
+    single-row aggregate over that same per-doc frame: because both
+    consumers need every partial sum, the two exchange subtrees are
+    byte-identical and Spark's ReuseExchange dedups the scan (the
+    explode-join formulation could not reuse: the tf branch's inferred
+    ``term IS NOT NULL`` pushdown and the df branch's column pruning each
+    perturb the shared subtree — plan-asserted single-split in
+    tests/test_plans.py).  The stats row broadcasts back, the score is a
+    row-wise column sum over the |Q| tf columns (no second data shuffle),
+    and the top-k is TakeOrderedAndProject, never a global sort.  The
+    column pivot is the right shape for the ad-hoc few-term queries this
+    serves (|Q| <= ~32); a thousand-term query should use an explode +
+    broadcast-df join instead (codegen width grows with |Q|)."""
     lower = F.lower(F.col(text_col))
     words = F.split(lower, r"\s+")
-    base = df.select(id_col, F.size(words).alias("dl"), F.explode(words).alias("term"))
-    tf = (
-        base.filter(F.col("term").isin(query_terms))
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count("*").alias("tf"))
+    nq = len(query_terms)
+    base = df.select(id_col, F.explode(words).alias("term"))
+    per_doc = base.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
     )
-    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    totals = df.agg(
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("n_tokens"),
-    )
-    idf_fp = F.floor(
-        (2 * (F.col("n_docs") - F.col("df")) + 1) * 10000.0 / (2 * F.col("df") + 1)
+        F.sum("dl").alias("n_tokens"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(nq)
+        ],
     )
     l_fp = F.floor(F.col("dl") * 1000000.0 * F.col("n_docs") / F.col("n_tokens"))
-    denom = F.col("tf") * 1000000 + F.floor(6 * (1000000 + 3 * l_fp) / 20.0)
-    gain = F.floor(F.col("tf") * 2200000.0 / denom)
-    scored = (
-        tf.join(F.broadcast(dfq), "term")
-        .crossJoin(F.broadcast(totals))
-        .select(id_col, (idf_fp * gain).cast("long").alias("contrib"))
-    )
-    return (
-        scored.groupBy(id_col)
-        .agg(
-            (F.sum("contrib") / F.lit(1e10)).alias("bm25"),
-            F.count("*").alias("n_terms"),
+    k1b = F.floor(6 * (1000000 + 3 * l_fp) / 20.0)
+
+    def contrib(i):
+        dfc = F.col(f"df_{i}")
+        tfc = F.col(f"tf_{i}")
+        idf_fp = F.floor(
+            (2 * (F.col("n_docs") - dfc) + 1) * 10000.0 / (2 * dfc + 1)
         )
+        gain = F.floor(tfc * 2200000.0 * 1000000 / (tfc * 1000000 + k1b))
+        return (idf_fp * gain).cast("long")
+
+    score_fp = contrib(0)
+    n_terms = (F.col("tf_0") > 0).cast("long")
+    for i in range(1, nq):
+        score_fp = score_fp + contrib(i)
+        n_terms = n_terms + (F.col(f"tf_{i}") > 0).cast("long")
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (score_fp / F.lit(1e10)).alias("bm25"),
+            n_terms.alias("n_terms"),
+        )
+        .filter(F.col("n_terms") >= 1)
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )

@@ -6270,7 +6270,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT t.doc_id,
              CAST(floor((2 * (s.n_docs - q.df) + 1) * 10000.0 / (2 * q.df + 1))
-                  * floor(t.tf * 2200000.0
+                  * floor(t.tf * 2200000.0 * 1000000
                       / (t.tf * 1000000
                          + floor(6 * (1000000
                              + 3 * floor(t.dl * 1000000.0 * s.n_docs
@@ -6526,7 +6526,7 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT t.doc_id,
              CAST(floor((2 * (s.n_docs - q.df) + 1) * 10000.0 / (2 * q.df + 1))
-                  * floor(t.tf * 2200000.0
+                  * floor(t.tf * 2200000.0 * 1000000
                       / (t.tf * 1000000
                          + floor(6 * (1000000
                              + 3 * floor(t.dl * 1000000.0 * s.n_docs

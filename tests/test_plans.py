@@ -325,6 +325,35 @@ def test_vocab_coverage_second_pass_is_broadcast_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_bm25_single_tokenize_pass(spark, sf_dir):
+    """bm25_topk must tokenize the corpus EXACTLY ONCE (VERDICT r05 #3: the
+    old totals branch re-split every document — the most expensive kernel in
+    the query, paid twice).  The per-doc pivot makes the tf consumer and the
+    (N, T, df) stats consumer share one byte-identical exchange subtree, so
+    the final plan shows one split(lower(text)) + a ReusedExchange feeding
+    the stats row, and the top-k is TakeOrderedAndProject."""
+    plan = _final_plan_after_collect(spark, sf_dir, "search_bm25_topk")
+    assert plan.count("split(lower(") == 1
+    assert "ReusedExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_gain_keeps_fixed_point_scale(spark, sf_dir):
+    """Pin the ADVICE r05 high finding: gain = floor(tf*2.2e6/denom) with a
+    1e6-scaled denom collapses to {0,1,2}, quantizing TF-saturation and
+    length normalization away (a tf=1 doc longer than average scored 0 for
+    the term).  With the 1e6 re-scale the three query terms of the catalog
+    query must produce strictly more than |{0,1,2}|-coarse score levels and
+    every returned doc a positive score."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["search_bm25_topk"].spark(spark, sf_dir).collect()
+    assert rows and all(r.bm25 > 0 for r in rows)
+    # degenerate gain makes scores multiples of idf/1e10 with <= 3 distinct
+    # gain values; the healthy fixed point yields ~k distinct scores
+    assert len({r.bm25 for r in rows}) > len(rows) // 2
+
+
 def test_bpe_pairs_explode_runs_over_distinct_terms(spark, sf_dir):
     """The pair explode must sit ABOVE the term aggregate (Zipf collapse:
     |vocab| rows, not every token occurrence) — i.e. the plan has two

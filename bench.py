@@ -1,8 +1,12 @@
 """Benchmark harness: runs the headline catalog queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints the summary as the FINAL JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+(The bulky per-query min/max spread is emitted on its own preceding line so
+a tail-capturing consumer always gets the complete compact summary —
+VERDICT r05 #4 found the r05 artifact head-truncated.)
 
 Each query is forced to full materialization with a noop write (no driver
 collect — the plan runs distributed end to end, like it would on a cluster).
@@ -58,13 +62,13 @@ HEADLINE = (
 )
 
 
-def _prev_bench() -> tuple[int, float, dict[str, float]]:
-    """Latest committed BENCH_r{N}.json as (round, sf, per-query medians),
-    or (0, -1.0, {}) — so each round's output carries per-query vs_prev
-    ratios and a >1.5x regression is visible in the round summary without
-    a manual diff of artifacts (VERDICT r04 next #6)."""
+def _prev_bench() -> tuple[int, dict]:
+    """Latest committed BENCH_r{N}.json as (round, parsed summary dict), or
+    (0, {}) — so each round's output carries per-query vs_prev ratios and a
+    >1.5x regression is visible in the round summary without a manual diff
+    of artifacts (VERDICT r04 next #6)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, float, dict[str, float]] = (0, -1.0, {})
+    best: tuple[int, dict] = (0, {})
     for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", f)
         if not m:
@@ -81,8 +85,43 @@ def _prev_bench() -> tuple[int, float, dict[str, float]]:
         except (OSError, ValueError):
             continue
         if isinstance(queries, dict) and queries:
-            best = (rnd, data.get("sf", -1.0), queries)
+            best = (rnd, data)
     return best
+
+
+def calibration(spark) -> dict[str, float]:
+    """Fixed synthetic workloads, independent of every catalog query, timed
+    each round (VERDICT r05 next #6): the vs-prev machine factor is derived
+    from the query set ITSELF, so a uniform genuine regression (a session
+    conf mistake, a slow default flipped) would be laundered as
+    "environment".  These two probes cannot regress from catalog code:
+
+    - ``calib_jvm_sec``: spark.range -> whole-stage-codegen sum (pure JVM
+      throughput: codegen, task scheduling, 32-thread scaling)
+    - ``calib_py_sec``: a single-threaded pure-Python arithmetic loop
+      (host CPU + interpreter speed)
+
+    Medians of 3; their vs-prev ratio is reported as calibration_factor
+    next to machine_factor_vs_prev, and machine_factor_disagrees flags a
+    >1.3x divergence — the signature of a real uniform regression."""
+    jvm = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 2 + 1) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        jvm.append(time.perf_counter() - t0)
+    py = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(3_000_000):
+            acc += i * i
+        py.append(time.perf_counter() - t0)
+    return {
+        "calib_jvm_sec": round(sorted(jvm)[1], 3),
+        "calib_py_sec": round(sorted(py)[1], 3),
+    }
 
 
 def streaming_e2e(spark, sf_dir: str, n_clients: int = 2) -> dict:
@@ -247,8 +286,9 @@ def main() -> None:
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     total = round(sum(times.values()), 3)
-    prev_round, prev_sf, prev = _prev_bench()
-    if prev_sf != sf:  # ratios against a different scale factor are noise
+    prev_round, prev_data = _prev_bench()
+    prev = prev_data.get("queries", {})
+    if prev_data.get("sf") != sf:  # ratios across scale factors are noise
         prev_round, prev = 0, {}
     vs_prev = {
         name: round(times[name] / prev[name], 2)
@@ -272,6 +312,28 @@ def main() -> None:
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     pipeline_sec = times.get("reference_pipeline_example", 0.0) or 1e-9
     e2e = streaming_e2e(spark, sf_dir)
+    calib = calibration(spark)
+    calib_ratios = sorted(
+        calib[k] / prev_data[k]
+        for k in ("calib_jvm_sec", "calib_py_sec")
+        if isinstance(prev_data.get(k), (int, float)) and prev_data[k] > 0
+    )
+    # geometric mean of the (<= 2) probe ratios; 1.0 when no prior probes
+    calib_factor = 1.0
+    if calib_ratios:
+        prod = 1.0
+        for r in calib_ratios:
+            prod *= r
+        calib_factor = round(prod ** (1.0 / len(calib_ratios)), 3)
+    disagree = bool(
+        calib_ratios
+        and not (1 / 1.3 <= machine_factor / calib_factor <= 1.3)
+    )
+    # The bulky per-query min/max spread goes on its OWN line: the external
+    # driver keeps only the tail of stdout, and r05's enlarged spread dict
+    # pushed the medians off the front (VERDICT r05 next #5).  The summary
+    # is the compact FINAL line, self-contained without the spread.
+    print(json.dumps({"metric": "headline_query_spread", "spread": spread}))
     print(
         json.dumps(
             {
@@ -279,7 +341,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "spread": spread,
                 "runs_per_query": n_runs,
                 "sf": sf,
                 "feed_events": n_events,
@@ -288,8 +349,12 @@ def main() -> None:
                 "vs_prev": vs_prev,
                 "machine_factor_vs_prev": machine_factor,
                 "regressions_vs_prev": regressions,
+                **calib,
+                "calibration_factor": calib_factor,
+                "machine_factor_disagrees": disagree,
                 **e2e,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -1027,9 +1027,14 @@ def pagerank_fixedpoint(
     IEEE ops on identical inputs in any engine):
 
     - contrib(e) = floor((r[src] * w) / outw[src])  [int64 product, one
-      double division; exact while r*w < 2^63 — r <= 1.0e12 so edge
-      weights up to ~9e6 are safe; rescale the rank fixed point for
-      heavier multigraphs]
+      double division; exact while r*w < 2^53 — the long product is
+      CONVERTED TO DOUBLE for the division, and that conversion (not the
+      int64 product) is the binding constraint, so at r <= 1.0e12 edge
+      weights up to ~9e3 are exact (ADVICE r05 low corrected the earlier
+      2^63/~9e6 claim).  Beyond that both engines round the identical
+      long->double conversion, so cross-engine parity still holds — only
+      infinite-precision exactness degrades; rescale the rank fixed point
+      (or divide in decimal) for heavier multigraphs]
     - r'(v) = floor(0.15 * 1e12 / N) + floor(85 * Σ contrib / 100)
 
     Dangling-node mass (nodes with no out-edges) is dropped rather than

@@ -7362,12 +7362,17 @@ def aggx_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fp(F.col("value")).cast("long").alias("y_fp"),
     )
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # addends cast to decimal(38,0) INSIDE the sums: the per-row x*y_fp
+    # product (~1e10-1e11 here) is int64-safe, but a 100 TB group's SUM of
+    # such addends is not — plain long accumulators would wrap (or ANSI-
+    # error) well below the docstring's claimed scale (ADVICE r05 low),
+    # while the HUGEINT twin kept going.  decimal(38,0) matches it.
     m = b.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y_fp").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y_fp")).alias("sxy"),
+        F.sum(d38(F.col("x"))).alias("sx"),
+        F.sum(d38(F.col("y_fp"))).alias("sy"),
+        F.sum(d38(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(d38(F.col("x") * F.col("y_fp"))).alias("sxy"),
     )
     num = (d38(F.col("n")) * d38(F.col("sxy")) - d38(F.col("sx")) * d38(F.col("sy"))).cast(
         "double"

@@ -68,6 +68,23 @@ def release_local_checkpoints(spark: SparkSession, full_gc: bool = True) -> int:
     frames (explicit ``.cache()``, e.g. test fixtures) keep their
     storage, and reliable checkpoints (none in this engine) would too.
 
+    HARD PRECONDITION (ADVICE r05): local checkpoints are NON-RECOVERABLE
+    — this sweeps every locally-checkpointed RDD in the session, including
+    ones created by OTHER code, so any still-referenced DataFrame backed
+    by one (a connected_components result held across queries, a
+    concurrently running query's intermediate) fails permanently on its
+    next use.  Call it only at a quiescent point where no checkpoint-
+    backed frame is live: between bench/sweep queries (bench.py,
+    tools/scale_sweep.py — each query is rebuilt from its callable, so
+    nothing survives the boundary) or at end-of-suite.  Never call it
+    mid-query, from a concurrent thread, or while holding a frame you
+    intend to reuse.  (Per-operator checkpoint tracking would narrow the
+    blast radius; the session-wide sweep is kept because the library's
+    operators deliberately leave no live checkpoint behind after their
+    returned DataFrame is materialized, making "between queries" exactly
+    the safe point — and a registry would miss third-party checkpoints
+    that cause the same degradation.)
+
     ``full_gc=True`` (default) additionally runs a Python + JVM GC pass:
     the ContextCleaner reclaims dead shuffle files and broadcasts only
     after their weak refs are collected, and without an explicit collect

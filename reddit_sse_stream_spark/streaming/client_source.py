@@ -20,7 +20,11 @@ uncommitted batch) is exact; ``commit`` prunes the cache.  At-least-once
 from the SOCKET therefore becomes exactly-once downstream, matching the
 engine's file-sink semantics — while a reconnect (socket drop) re-enters
 the stream at whatever the server emits next, the same at-most-once-per-id
-contract the reference's cursor gives a reconnecting client.
+contract the reference's cursor gives a reconnecting client.  The replay
+cache is process-local: after a DRIVER restart a fresh reader cannot cover
+an uncommitted range, and ``readBetweenOffsets`` raises instead of
+returning a short batch (silent loss) — recovery across driver restarts
+needs a durable replayable log in front of the socket.
 
 Scale note: a single SSE connection is inherently one ordered stream
 (~10^5 events/s parse-bound ceiling); for engine-to-engine transport at
@@ -202,8 +206,24 @@ class SSEClientSimpleReader(SimpleDataSourceStreamReader):
         n = start["n"]
         while n < end["n"]:
             b = self._batches.get(n)
-            if not b:  # missing or empty batch: nothing more to advance by
-                break
+            if not b:
+                # The cache cannot cover [start, end) — e.g. a driver
+                # restart replays an uncommitted batch against a FRESH
+                # reader whose process-local cache is empty.  Returning the
+                # partial slice here would let Spark commit a SHORT batch:
+                # silent data loss dressed up as success.  Fail loudly so
+                # the query surfaces the gap instead (ADVICE r05 medium);
+                # an SSE socket has no rewind, so an operator must restart
+                # the query from a fresh offset (or front the feed with a
+                # durable replayable log) — exactly-once replay is only
+                # claimable while this process-local cache survives.
+                raise RuntimeError(
+                    f"sse_client replay cache cannot cover offsets "
+                    f"[{start['n']}, {end['n']}): batch at offset {n} is "
+                    "missing (reader restarted?). The SSE socket cannot "
+                    "rewind; restart the query from the live offset or "
+                    "source the feed from a durable log for recovery."
+                )
             rows.extend(b)
             n += len(b)
         return iter(rows[: end["n"] - start["n"]])

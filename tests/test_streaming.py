@@ -735,6 +735,27 @@ def test_sse_client_replay_cache_exact():
     assert 0 not in r._batches and 2 in r._batches
 
 
+def test_sse_client_replay_gap_fails_loudly():
+    """A replay range the process-local cache cannot cover (fresh reader
+    after a driver restart) must RAISE, not return a truncated iterator —
+    Spark would otherwise commit a short batch: silent data loss (ADVICE
+    r05 medium)."""
+    import pytest as _pytest
+
+    from reddit_sse_stream_spark.streaming.client_source import (
+        SSEClientSimpleReader,
+    )
+
+    fresh = SSEClientSimpleReader({"url": "http://unused/"})
+    with _pytest.raises(RuntimeError, match="replay cache cannot cover"):
+        list(fresh.readBetweenOffsets({"n": 0}, {"n": 2}))
+    # a gap in the MIDDLE of a coalesced range fails too
+    partial = SSEClientSimpleReader({"url": "http://unused/"})
+    partial._batches[0] = [(1, "rc", "a")]
+    with _pytest.raises(RuntimeError, match="offset 1 is missing"):
+        list(partial.readBetweenOffsets({"n": 0}, {"n": 3}))
+
+
 def test_sse_client_source_round_trip(spark, sf_dir):
     """Serve the feed over the engine's own SSE server and INGEST it back
     through the sse_client DataSource: every broadcast rc frame must come

@@ -3665,7 +3665,17 @@ def _md5_gram_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     share at least one cold gram (``_JACCARD_DF_CAP`` hot-gram drop: the
     unconditional guard against the f^2 stop-phrase blowup).  Shared by
     ``dedup_ngram_jaccard``, ``corpus_split_leakage_safe``, and
-    ``dedup_substring_containment``."""
+    ``dedup_substring_containment``.
+
+    Adversarial bound (pinned:
+    tests/test_operators.py::test_containment_gram_join_bounded_on_adversarial_corpus):
+    a pathological gram shared by EVERY document is hot and dropped
+    wholesale, so the pre-distinct equi-join work is
+    Σ_cold df(g)² <= n_cold_grams * cap² — linear in distinct cold grams,
+    never the all-pairs m² — while any pair sharing at least one cold
+    gram keeps full recall.  (The r05 sweep's 4-6x rows are the synthetic
+    60-word-vocab candidate artifact quantified in SCALING.md, not an
+    unbounded blowup.)"""
     words = F.split(F.lower(F.col("text")), r"\s+")
     # explode-of-1-element-array barrier: materialize the token array once
     # per row so the shingle transform slices an attribute, not a

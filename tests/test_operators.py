@@ -646,6 +646,47 @@ def test_bucket_pair_explode_full_recall_and_uniqueness(spark):
     assert got == want
 
 
+def test_containment_gram_join_bounded_on_adversarial_corpus(spark):
+    """Pin the candidate-fanout bound of the md5-gram containment family
+    (VERDICT r05 next #7): an adversarial corpus where a pathological gram
+    is shared by EVERY document must not blow the candidate equi-join up
+    to m^2 — grams hotter than _JACCARD_DF_CAP are dropped wholesale, so
+    the pre-distinct join work is Σ_cold df(g)^2 <= n_cold_grams * cap^2
+    regardless of how degenerate the hot grams get, and recall over
+    cold-gram pairs is untouched."""
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.plans.catalog import (
+        _JACCARD_DF_CAP,
+        _md5_gram_frames,
+    )
+
+    m = 400  # every doc shares this phrase -> one gram with df = m >> cap
+    hot = "the quick brown fox jumps"
+    rows = [(i, hot) for i in range(m)]
+    # 3 genuine near-dup pairs marked by unique cold trigrams
+    for k in range(3):
+        uniq = f"alpha{k} beta{k} gamma{k} delta{k}"
+        rows.append((1000 + 2 * k, f"{hot} {uniq}"))
+        rows.append((1001 + 2 * k, f"{uniq} {hot}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s, cand = _md5_gram_frames(docs)
+    ex = s.select("doc_id", F.explode("sh").alias("g"))
+    per_gram = ex.groupBy("g").count()
+    cold = per_gram.filter(F.col("count") <= _JACCARD_DF_CAP)
+    # the adversarial gram is hot and fully dropped: join work is the
+    # cold-side quadratic only, orders of magnitude below all-pairs
+    join_work = cold.select(F.sum(F.col("count") * F.col("count"))).first()[0]
+    n_cold = cold.count()
+    assert join_work <= n_cold * _JACCARD_DF_CAP**2
+    assert join_work < m * (m - 1) // 2  # << the 79800 all-pairs floor
+    # recall: every genuine pair (sharing cold grams) still surfaces, and
+    # no hot-gram-only pair does
+    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    want = {(1000 + 2 * k, 1001 + 2 * k) for k in range(3)}
+    assert got == want
+
+
 def test_bucket_pair_explode_bounds_hot_bucket_cells(spark):
     """Adversarial degenerate bucket (every doc in ONE bucket): the pair
     work must fan out over many triangular cells with a bounded member

@@ -7830,27 +7830,48 @@ _PRIOR_GREEN_ROUND = {
     "aggx_cube_events": 2,
     "aggx_distinct_users": 2,
     "aggx_grouping_sets": 1,
+    "aggx_regression_exact": 5,
     "aggx_rollup_grouping_id": 3,
     "aggx_rollup_orders": 1,
     "aggx_stats_per_type": 2,
     "anomaly_zscore_hourly": 4,
+    "bpe_pair_merge_counts": 5,
+    "corpus_cap_per_source": 5,
+    "corpus_diverse_sample": 5,
+    "corpus_filter_gate": 5,
+    "corpus_mix_schedule": 5,
+    "corpus_quality_quantile_gate": 5,
+    "corpus_shard_assignments": 5,
+    "corpus_snapshot_diff": 5,
+    "corpus_split_leakage_safe": 5,
+    "corpus_train_val_split": 5,
     "decontam_drop_contaminated": 4,
+    "decontam_multi_suite_report": 5,
     "decontam_ngram_overlap": 4,
     "dedup_cc_clusters": 3,
     "dedup_cluster_best_quality": 4,
+    "dedup_containment_grams": 5,
+    "dedup_cross_source_matrix": 5,
     "dedup_embedding_cosine": 2,
     "dedup_embedding_cosine_lsh": 3,
     "dedup_exact_groups": 1,
     "dedup_exact_keep_first": 1,
     "dedup_incremental_bloom": 4,
+    "dedup_incremental_minhash": 5,
     "dedup_incremental_new_only": 4,
+    "dedup_method_agreement": 5,
     "dedup_minhash_md5": 4,
     "dedup_ngram_jaccard": 3,
     "dedup_simhash_hamming_pairs": 4,
     "dedup_simhash_md5": 4,
+    "dedup_substring_containment": 5,
+    "dedup_tfidf_cosine": 5,
+    "dedup_threshold_curve": 5,
     "dq_expectation_report": 4,
     "embed_l2_norm": 1,
     "embed_norm_stats_by_lang": 4,
+    "embed_pca_power_iteration": 5,
+    "embed_random_projection": 5,
     "f1_type_dispatch": 4,
     "f2_author_whitelist": 4,
     "f3_subreddit_whitelist": 4,
@@ -7864,6 +7885,7 @@ _PRIOR_GREEN_ROUND = {
     "fn_datetime_buckets": 3,
     "fn_fuzzy_match_levenshtein": 3,
     "fn_histogram_bins": 3,
+    "fn_histogram_equidepth": 5,
     "fn_map_ops": 2,
     "fn_math_scalars": 2,
     "fn_null_ops": 2,
@@ -7871,7 +7893,10 @@ _PRIOR_GREEN_ROUND = {
     "fn_regexp_ops": 2,
     "fn_sequence_range": 4,
     "fn_string_ops": 2,
+    "funnel_attribution_last_touch": 5,
+    "funnel_time_to_convert": 5,
     "funnel_view_click_purchase": 4,
+    "graph_pagerank_transitions": 5,
     "graph_triangle_count": 4,
     "join_anti_customers_without_orders": 1,
     "join_asof_last_click": 2,
@@ -7883,14 +7908,18 @@ _PRIOR_GREEN_ROUND = {
     "join_right_outer_orders": 3,
     "join_semi_customers_with_orders": 1,
     "join_skew_salted": 3,
+    "knn_batch_topk": 5,
     "knn_bruteforce_cosine": 1,
+    "knn_ivf_fixedpoint_cells": 5,
     "knn_lsh_bucketed": 3,
+    "layout_zorder_keys": 5,
     "limit_topk_events_by_value": 2,
     "llm_corpus_prep_pipeline": 2,
     "m1_m2_interleave_sort": 4,
     "media_features_meta": 4,
     "media_frame_sample": 3,
     "p2_json_key_subset": 4,
+    "pack_length_buckets": 5,
     "pack_sequences_by_source": 3,
     "path_top_event_trigrams": 4,
     "pivot_event_counts": 2,
@@ -7905,36 +7934,51 @@ _PRIOR_GREEN_ROUND = {
     "s8_keepalive_counters": 4,
     "sample_stratified_deterministic": 3,
     "sample_temperature_by_lang": 4,
+    "scd2_as_of_lookup": 5,
+    "scd2_user_state_history": 5,
+    "search_bm25_topk": 5,
+    "search_hybrid_rrf": 5,
     "session_window_agg": 3,
     "sessionize_events": 3,
     "setop_except_all_values": 3,
     "setop_except_users": 2,
     "setop_intersect_all_values": 3,
     "setop_intersect_users": 2,
+    "stream_lateness_watermark_profile": 5,
     "subq_correlated_exists": 3,
     "subq_in_big_spenders": 3,
     "subq_scalar_above_avg": 3,
+    "text_bigram_lm_bits": 5,
+    "text_char_entropy": 5,
+    "text_chunk_dup_rate": 5,
     "text_chunk_windows": 3,
+    "text_clean_normalize": 5,
     "text_fingerprint": 1,
     "text_lang_predict": 3,
     "text_lang_scores": 1,
+    "text_pii_redact": 5,
     "text_quality_score": 1,
     "text_rarity_score": 3,
     "text_repetition_bigrams": 4,
     "text_stopword_scrub": 4,
     "text_token_count": 1,
     "text_vocab_df": 3,
+    "text_winnow_fingerprints": 5,
     "tpch_q10_returned_customers": 3,
+    "tpch_q11_important_parts": 5,
     "tpch_q12_priority_lines": 3,
     "tpch_q13_customer_distribution": 2,
     "tpch_q14_promo_revenue": 3,
     "tpch_q15_top_supplier": 2,
+    "tpch_q16_supplier_counts": 5,
     "tpch_q17_small_quantity_revenue": 3,
     "tpch_q18_large_orders": 3,
     "tpch_q19_disjunctive_revenue": 3,
     "tpch_q1_pricing_summary": 4,
+    "tpch_q20_dominant_supplier": 5,
     "tpch_q21_waiting_supplier": 3,
     "tpch_q22_idle_customers": 2,
+    "tpch_q2_min_cost_supplier": 5,
     "tpch_q3_shipping_priority": 4,
     "tpch_q4_order_priority": 2,
     "tpch_q5_region_revenue": 4,
@@ -7943,17 +7987,21 @@ _PRIOR_GREEN_ROUND = {
     "tpch_q8_market_share": 3,
     "tpch_q9_profit_by_nation_year": 4,
     "ts_gapfill_ffill": 2,
+    "ts_ohlc_hourly": 5,
     "udaf_geomean_orders": 2,
+    "udf_grouped_map_zscore": 5,
     "udf_pandas_scalar_charge": 3,
     "udtf_word_explode": 2,
     "unpivot_customer_balances": 3,
     "variant_json_extract_agg": 4,
+    "vocab_coverage_topk": 5,
     "window_first_last_nth": 3,
     "window_lag_delta": 2,
     "window_range_time_frame": 3,
     "window_rank_family": 3,
     "window_running_sum_per_user": 2,
     "window_sliding_counts": 3,
+    "window_sliding_distinct_users": 5,
     "window_topk_orders_per_customer": 1,
     "x1_try_cast_validation": 3,
     "x4_json_extract": 4,

@@ -675,6 +675,93 @@ def minhash_md5_near_dups(
     )
 
 
+def lsh_recall_audit(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    df_cap: int = 64,
+) -> DataFrame:
+    """Recall audit of minhash-LSH banding against exact shingle Jaccard,
+    bucketed by Jaccard decile — the measured S-curve every pipeline
+    should check before trusting a (bands, rows) choice at 100 TB: the
+    theoretical hit probability 1-(1-j^r)^b says nothing about YOUR
+    shingle distribution, and a mis-tuned banding silently drops
+    borderline near-dups.
+
+    Per decile bucket (floor(jaccard_fp/1000), jaccard >= 0.1):
+
+    - ``n_truth``: pairs whose EXACT md5-shingle Jaccard lands in the
+      bucket, drawn from the shared-cold-shingle universe (a pair must
+      share >= 1 shingle with document frequency <= ``df_cap`` to enter
+      the audit — the same hot-key guard as the gram-jaccard family, so
+      the audit itself can't go quadratic; pairs sharing only ubiquitous
+      shingles are outside the audited universe, stated here because a
+      recall number is only meaningful over a named universe)
+    - ``n_hit``: of those, how many the banded minhash candidate join
+      (the EXACT candidate set ``minhash_md5_near_dups`` verifies) also
+      surfaced
+    - ``recall``: floor-quantized hit fraction
+
+    High buckets should sit at recall ~1 (banding is designed to catch
+    them), low buckets fall off the S-curve — a high bucket BELOW 1 is
+    the actionable signal (add bands or hashes).
+
+    Scale shape: ONE checkpointed shingle frame feeds the signature fold,
+    the banding, the truth equi-join, and both exact-verify sides; the
+    candidate side is the guarded :func:`bucket_pair_explode`; the truth
+    side is cold-shingle-bounded (Σ df² <= n_cold·cap², pinned for the
+    gram family in tests/test_operators.py); the final audit frame is
+    <= 10 rows.  Reference parity: the reference has no sketches at all —
+    this audits the engine's own approximation honestly."""
+    sh, banded = _md5_sketch(docs, num_hashes, bands, k)
+    cand = (
+        bucket_pair_explode(banded, ["band", "key"], "doc_id", "doc_a", "doc_b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("h"))
+    cold = ex.groupBy("h").count().filter(F.col("count") <= df_cap).select("h")
+    exc = ex.join(cold, "h")
+    tc = (
+        exc.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(exc.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac_fp = F.floor(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        * 10000.0
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    truth = (
+        tc.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac_fp.alias("jfp"))
+        .filter(F.col("jfp") >= 1000)
+    )
+    return (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .select(
+            F.floor(F.col("jfp") / 1000.0).cast("int").alias("bucket"),
+            F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_truth"), F.sum("hit").alias("n_hit"))
+        .select(
+            "bucket",
+            "n_truth",
+            "n_hit",
+            (F.floor(F.col("n_hit") * 10000.0 / F.col("n_truth")) / 10000.0).alias(
+                "recall"
+            ),
+        )
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 64, hash_fn=None, impl: str = "arrow") -> DataFrame:
     """(doc_id, simhash BIGINT): sign-aggregated token-hash fingerprint.
 

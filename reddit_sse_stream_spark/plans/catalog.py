@@ -4597,6 +4597,72 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pca_top_component(_t(spark, sf_dir, "embeddings"))
 
 
+def _kmeans_oracle(k: int = 4, iters: int = 3) -> str:
+    """Unrolled-CTE twin of :func:`corpus.kmeans_fixedpoint`: the same
+    quantize / assign / floor-mean update rounds, one CTE block per
+    iteration.  Every distance is an int64 sum of integer products and
+    every centroid coordinate one IEEE floor(double-quotient), so the
+    assignments and dist2_fp match the Spark+driver computation bit for
+    bit (see the operator docstring for the op-by-op argument)."""
+    ctes = [
+        "ex AS (SELECT vec_id, CAST(ix.d AS INTEGER) AS d,"
+        " CAST(floor(CAST(embedding[ix.d + 1] AS DOUBLE) * 1000000 + 0.5)"
+        " AS BIGINT) AS xq"
+        " FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d) ix)",
+        f"init AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})",
+        "c0 AS (SELECT CAST(dense_rank() OVER (ORDER BY e.vec_id) - 1"
+        " AS INTEGER) AS cluster, e.d, e.xq FROM ex e JOIN init USING (vec_id))",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        ctes += [
+            f"dist{t} AS (SELECT e.vec_id, c.cluster,"
+            " CAST(sum((e.xq - c.xq) * (e.xq - c.xq)) AS BIGINT) AS dist2"
+            f" FROM ex e JOIN {prev} c USING (d) GROUP BY e.vec_id, c.cluster)",
+            f"a{t} AS (SELECT vec_id, cluster FROM ("
+            " SELECT vec_id, cluster,"
+            " row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster)"
+            f" AS rk FROM dist{t}) WHERE rk = 1)",
+            f"s{t} AS (SELECT a.cluster, e.d,"
+            " CAST(floor(CAST(sum(e.xq) AS DOUBLE) / count(*)) AS BIGINT) AS xq"
+            f" FROM a{t} a JOIN ex e USING (vec_id) GROUP BY a.cluster, e.d)",
+            f"c{t} AS (SELECT p.cluster, p.d, COALESCE(s.xq, p.xq) AS xq"
+            f" FROM {prev} p LEFT JOIN s{t} s"
+            " ON s.cluster = p.cluster AND s.d = p.d)",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    distF AS (
+      SELECT e.vec_id, c.cluster,
+             CAST(sum((e.xq - c.xq) * (e.xq - c.xq)) AS BIGINT) AS dist2
+      FROM ex e JOIN c{iters} c USING (d) GROUP BY e.vec_id, c.cluster)
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dist2 AS dist2_fp
+    FROM (
+      SELECT vec_id, cluster, dist2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster)
+               AS rk
+      FROM distF) WHERE rk = 1"""
+    )
+
+
+@_register("embed_kmeans_fixedpoint", _kmeans_oracle())
+def embed_kmeans_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Lloyd's k-means (k=4, 3 rounds) over the embedding
+    column (operators/corpus.py:kmeans_fixedpoint) — the semantic-
+    clustering step before cluster-balanced sampling or SemDeDup-style
+    per-cluster pruning.  Centroids are driver-held k·dim ints baked into
+    each round's map pass as literals (parameter-server shape, never a
+    data collect); distances are int64 folds behind an explode barrier;
+    centroid updates floor an exact < 2^53 quotient — so assignments AND
+    squared distances are bit-identical cross-engine, verified against a
+    3-round unrolled-CTE oracle with no tolerance band.  The reference
+    has no clustering at all (sse.py is equality filters over a feed);
+    this serves the training-data curation surface."""
+    return corpus.kmeans_fixedpoint(_t(spark, sf_dir, "embeddings"))
+
+
 @_register(
     "corpus_mix_schedule",
     r"""
@@ -5354,6 +5420,97 @@ def _minhash_md5_oracle_sql(num_hashes: int = 8, bands: int = 4, k: int = 5) -> 
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE floor(ni * 10000.0 / (sa.n + sb.n - ni)) / 10000.0 >= 0.8
     """
+
+
+def _lsh_recall_audit_oracle_sql(
+    num_hashes: int = 8, bands: int = 4, k: int = 5, df_cap: int = 64
+) -> str:
+    """DuckDB twin of :func:`dedup.lsh_recall_audit`: same shingle/signature
+    CTEs as the minhash oracle, plus the cold-shingle truth universe and
+    the per-decile hit fold."""
+    coeffs = dedup._coeffs(num_hashes)
+    p = (1 << 31) - 1
+    sig_cols = ", ".join(
+        f"min((h * {a} + {b}) % {p}) AS s{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, concat({key}) AS key FROM sig".format(
+            band=bnd,
+            key=", ',', ".join(f"s{bnd * rpb + j}" for j in range(rpb)),
+        )
+        for bnd in range(bands)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - {k - 1})) AS i
+      FROM w WHERE len(words) >= {k}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(array_to_string(words[i:i+{k - 1}], ' ')), 1, 15))
+                  AS BIGINT) % {p} AS h
+      FROM idx
+    ),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    cold AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= {df_cap}),
+    exc AS (SELECT s.doc_id, s.h FROM sh s JOIN cold USING (h)),
+    tc AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM exc l JOIN exc r ON l.h = r.h AND l.doc_id < r.doc_id
+    ),
+    inter AS (
+      SELECT t.doc_a, t.doc_b, count(*) AS ni
+      FROM tc t
+      JOIN sh a ON a.doc_id = t.doc_a
+      JOIN sh b ON b.doc_id = t.doc_b AND a.h = b.h
+      GROUP BY t.doc_a, t.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    truth AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(floor(ni * 10000.0 / (sa.n + sb.n - ni)) AS BIGINT) AS jfp
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE floor(ni * 10000.0 / (sa.n + sb.n - ni)) >= 1000
+    ),
+    marked AS (
+      SELECT CAST(floor(t.jfp / 1000.0) AS INTEGER) AS bucket,
+             CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM truth t
+      LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           floor(sum(hit) * 10000.0 / count(*)) / 10000.0 AS recall
+    FROM marked GROUP BY bucket
+    """
+
+
+@_register("dedup_lsh_recall_audit", _lsh_recall_audit_oracle_sql())
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH S-curve (operators/dedup.py:lsh_recall_audit): recall
+    of the banded minhash candidate join against exact shingle-Jaccard
+    truth, per Jaccard decile over the cold-shingle universe — the audit
+    that tells a 100 TB pipeline whether its (bands, rows-per-band)
+    choice actually catches the near-dups it claims to, instead of
+    trusting 1-(1-j^r)^b on an unexamined shingle distribution.  Both
+    the truth and candidate sides reuse ONE checkpointed shingle frame;
+    every join is hot-key-guarded; output is <= 10 rows."""
+    return dedup.lsh_recall_audit(_t(spark, sf_dir, "documents"))
 
 
 @_register("dedup_minhash_md5", _minhash_md5_oracle_sql())

@@ -402,11 +402,12 @@ def test_lateness_profile_single_partition_window_only_on_summary(spark, sf_dir)
 
 def test_bm25_topk_plan_take_ordered_and_broadcast_stats(spark, sf_dir):
     """BM25: the top-k must be TakeOrderedAndProject (never a global
-    sort), and df/(N,T) totals must join as broadcasts — the fact-side
-    shuffle is the single (doc_id, term) partial-agg exchange."""
+    sort), and the (N, T, df_t) stats row must join as ONE broadcast —
+    the fact-side shuffle is the single per-doc pivot exchange (the r06
+    shape folded the separate dfq broadcast into the stats row)."""
     plan = _plan(spark, sf_dir, "search_bm25_topk")
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("BroadcastExchange") >= 2  # dfq + totals
+    assert plan.count("BroadcastExchange") >= 1  # the fused stats row
     assert "SortMergeJoin" not in plan
 
 

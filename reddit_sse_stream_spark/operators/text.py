@@ -262,6 +262,77 @@ def repetition_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_runs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals that
+    :func:`repetition_score` cannot see — the degenerate-generation /
+    template-spam shapes (one phrase looping, a word stuttered N times)
+    that survive a plain dup-bigram fraction:
+
+    - ``top_2gram_frac``: occurrences of the MOST FREQUENT word-bigram
+      over all bigram slots (the "top n-gram fraction" rule from the
+      Gopher quality suite) — computed WITHOUT a shuffle as the longest
+      equal-run in the lexicographically sorted bigram array (sortedness
+      makes equal grams adjacent, so mode frequency == max run);
+    - ``max_word_run``: longest run of the SAME word at consecutive
+      positions (stutter detector), a fold over the unsorted words.
+
+    Both folds carry a (prev, run, best) struct through ``F.aggregate``,
+    so the whole operator is ONE map-only projection — zero shuffles,
+    zero Python — vs the explode + doc_id exchange a groupBy formulation
+    would pay over 100 TB of token stream (``repetition_score`` keeps
+    that shape for the distinct-count it needs).  HOF lambdas run as
+    CodegenFallback; acceptable here because each array is touched a
+    constant number of times and nothing re-inlines (arrays sit behind
+    the explode barrier, see :func:`word_ngrams`).
+
+    Fractions floor-quantize at 1e-4 so both engines hash identically."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    tok = df.select(id_col, F.explode(F.array(words)).alias("ws"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 2),
+        lambda i: F.concat_ws(" ", F.slice("ws", i + 1, 2)),
+    )
+    base = tok.select(
+        id_col,
+        F.col("ws"),
+        F.explode(F.array(F.array_sort(grams))).alias("gs"),
+    )
+
+    def max_run(arr_col):
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def step(acc, g):
+            run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            return F.struct(
+                g.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(arr_col, init, step, lambda acc: acc["best"])
+
+    n_words = F.size("ws").cast("long")
+    n_2grams = F.size("gs").cast("long")
+    top_cnt = max_run(F.col("gs"))
+    return base.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_2grams.alias("n_2grams"),
+        F.when(n_2grams > 0, _trunc4(top_cnt / n_2grams))
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_frac"),
+        max_run(F.col("ws")).alias("max_word_run"),
+    )
+
+
 def chunk_dup_stats(
     df: DataFrame, chunk_words: int = 16, text_col: str = "text"
 ) -> DataFrame:

@@ -4178,6 +4178,66 @@ def text_repetition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_repetition_runs",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+      FROM documents
+    ),
+    gi AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - 1)) AS i
+      FROM w WHERE len(words) >= 2
+    ),
+    ex AS (SELECT doc_id, words[i] || ' ' || words[i + 1] AS gram FROM gi),
+    cnt AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY doc_id, gram),
+    top AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+             CAST(sum(c) AS BIGINT) AS n_2grams
+      FROM cnt GROUP BY doc_id
+    ),
+    wi AS (
+      SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i
+      FROM w
+    ),
+    wx AS (SELECT doc_id, i, words[i] AS word FROM wi),
+    runs AS (
+      SELECT doc_id, count(*) AS c FROM (
+        SELECT doc_id, word,
+               i - row_number() OVER (PARTITION BY doc_id, word ORDER BY i)
+                 AS grp
+        FROM wx
+      ) GROUP BY doc_id, word, grp
+    ),
+    mr AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS max_word_run
+      FROM runs GROUP BY doc_id
+    )
+    SELECT n.doc_id, CAST(len(n.words) AS BIGINT) AS n_words,
+           COALESCE(t.n_2grams, 0) AS n_2grams,
+           CASE WHEN COALESCE(t.n_2grams, 0) > 0
+                THEN floor(t.top_cnt * 10000.0 / t.n_2grams) / 10000.0
+                ELSE 0.0 END AS top_2gram_frac,
+           m.max_word_run
+    FROM w n
+    LEFT JOIN top t USING (doc_id)
+    JOIN mr m USING (doc_id)
+    """,
+)
+def text_repetition_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode-frequency and stutter-run repetition signals
+    (operators/text.py:repetition_runs): top-bigram fraction computed as
+    the longest equal-run in the SORTED bigram array and the longest
+    consecutive same-word run — both (prev, run, best) struct folds over
+    F.aggregate, making the Spark side ONE map-only projection with zero
+    shuffles (the oracle rebuilds the same values with explode + window
+    gaps-and-islands — different plumbing, identical numbers).  Catches
+    the degenerate-generation shapes a distinct-count dup fraction
+    (text_repetition_bigrams) is blind to."""
+    return text.repetition_runs(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "text_clean_normalize",
     r"""
     SELECT doc_id,

@@ -1159,6 +1159,26 @@ def test_char_entropy_separates_gibberish_from_diverse_text(spark, tmp_path):
     assert out[1]["n_chars"] == 19
 
 
+def test_repetition_runs_detects_stutter_and_mode(spark):
+    """Crafted docs pin the two fold semantics: max_word_run counts the
+    longest CONSECUTIVE same-word run, top_2gram_frac the mode bigram's
+    share of bigram slots (sorted-array run == mode frequency)."""
+    from reddit_sse_stream_spark.operators import text as textops
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "x y x y x y"), (3, "u v w z")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.repetition_runs(docs).collect()}
+    # doc 1: grams 'a a','a a','a a','a b' -> mode 3/4; run of 'a' = 4
+    assert out[1].max_word_run == 4 and out[1].top_2gram_frac == 0.75
+    # doc 2: alternation -> no run > 1, but mode gram 'x y' = 3/5
+    assert out[2].max_word_run == 1 and out[2].top_2gram_frac == 0.6
+    # doc 3: all distinct -> floor(1/3 * 1e4)/1e4
+    assert out[3].max_word_run == 1 and out[3].top_2gram_frac == 0.3333
+    assert out[1].n_words == 5 and out[1].n_2grams == 4
+
+
 def test_bm25_ranks_multi_term_doc_first_and_is_exact(spark):
     from reddit_sse_stream_spark.operators import text as textops
 

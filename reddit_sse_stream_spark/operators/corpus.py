@@ -332,6 +332,50 @@ def pca_top_component(
     return base.select(F.col("_id").alias(id_col), pc1.alias("pc1"))
 
 
+def matryoshka_norm_retention(
+    df: DataFrame,
+    prefixes: tuple[int, ...] = (8, 16, 32),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector norm retention of matryoshka-style prefix truncations:
+    for each prefix length m, ``ret_m = floor(||x[:m]||² · 1e4 / ||x||²) /
+    1e4`` — the diagnostic a pipeline runs before swapping full vectors
+    for truncated ones in a coarse ANN stage (MRL embeddings front-load
+    information; a LOW retention at the chosen prefix says these vectors
+    were not trained that way and truncation will wreck recall).
+
+    Exactness: squared norms accumulate as int64 sums of
+    ``floor(x_i²·1e6 + 0.5)`` addends (each a single IEEE op on the same
+    double in any engine), prefix sums reuse the identical addends via
+    slice, and the final ratio floors once — so every output hashes
+    identically cross-engine with no tolerance band.
+
+    Scale shape: map-only column algebra over one scan (the slice reuses
+    the already-materialized array; norms are per-row folds), zero
+    shuffles, zero Python — the cheapest possible audit of a 100 TB
+    embedding table."""
+    x = F.col(vec_col).cast("array<double>")
+    q = F.transform(x, lambda v: F.floor(v * v * 1_000_000 + 0.5).cast("long"))
+    # explode-of-1-element-array barrier: materialize the quantized-square
+    # array once per row so the per-prefix folds below slice an attribute
+    # instead of re-running the quantize transform per prefix (HOF
+    # re-inline trap, see operators/text.py:word_ngrams)
+    base = df.select(id_col, F.explode(F.array(q)).alias("q2"))
+    ssum = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda acc, e: acc + e
+    )
+    full = ssum(F.col("q2"))
+    cols = [
+        (
+            F.floor(ssum(F.slice("q2", 1, m)) * 10000.0 / F.greatest(full, F.lit(1)))
+            / 10000.0
+        ).alias(f"ret_{m}")
+        for m in prefixes
+    ]
+    return base.select(id_col, full.alias("norm2_fp6"), *cols)
+
+
 def kmeans_fixedpoint(
     df: DataFrame,
     k: int = 4,

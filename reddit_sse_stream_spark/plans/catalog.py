@@ -4707,6 +4707,40 @@ def _kmeans_oracle(k: int = 4, iters: int = 3) -> str:
     )
 
 
+@_register(
+    "embed_matryoshka_retention",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               v -> CAST(floor(v * v * 1000000 + 0.5) AS BIGINT)) AS q2
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id,
+             CAST(list_sum(q2) AS BIGINT) AS norm2_fp6,
+             CAST(list_sum(q2[1:8]) AS BIGINT) AS s8,
+             CAST(list_sum(q2[1:16]) AS BIGINT) AS s16,
+             CAST(list_sum(q2[1:32]) AS BIGINT) AS s32
+      FROM q
+    )
+    SELECT vec_id, norm2_fp6,
+           floor(s8 * 10000.0 / greatest(norm2_fp6, 1)) / 10000.0 AS ret_8,
+           floor(s16 * 10000.0 / greatest(norm2_fp6, 1)) / 10000.0 AS ret_16,
+           floor(s32 * 10000.0 / greatest(norm2_fp6, 1)) / 10000.0 AS ret_32
+    FROM s
+    """,
+)
+def embed_matryoshka_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm retention of matryoshka prefix truncations (8/16/32 of 64
+    dims) per vector (operators/corpus.py:matryoshka_norm_retention) —
+    the go/no-go audit before serving truncated vectors to a coarse ANN
+    stage.  Exact int64 fixed-point squared norms, prefix sums by slicing
+    the same quantized addends, one floor per ratio: map-only, zero
+    shuffles, zero Python; hash-stable against the DuckDB list twin."""
+    return corpus.matryoshka_norm_retention(_t(spark, sf_dir, "embeddings"))
+
+
 @_register("embed_kmeans_fixedpoint", _kmeans_oracle())
 def embed_kmeans_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer Lloyd's k-means (k=4, 3 rounds) over the embedding

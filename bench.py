@@ -325,8 +325,13 @@ def main() -> None:
         for r in calib_ratios:
             prod *= r
         calib_factor = round(prod ** (1.0 / len(calib_ratios)), 3)
+    # disagree is only meaningful when BOTH estimators exist: with no
+    # same-sf prior (vs_prev empty) machine_factor is the 1.0 default and
+    # comparing the calib probes against it manufactures a divergence with
+    # no query data behind it (ADVICE r06 low)
     disagree = bool(
-        calib_ratios
+        vs_prev
+        and calib_ratios
         and not (1 / 1.3 <= machine_factor / calib_factor <= 1.3)
     )
     # The bulky per-query min/max spread goes on its OWN line: the external

@@ -425,6 +425,12 @@ def kmeans_fixedpoint(
         eager=False
     )
     cents = [list(r["xq"]) for r in base.orderBy("_id").limit(k).collect()]
+    # the real dimensionality comes from the data, not the caller: a dim
+    # parameter larger than the vectors KeyErrors the update loop, smaller
+    # silently truncates centroids (ADVICE r06 low) — the collected init
+    # vectors are authoritative, the parameter is only a documented default
+    if cents:
+        dim = len(cents[0])
 
     def dist_fold(c: list[int]) -> "F.Column":
         c_lit = F.array(*[F.lit(int(v)) for v in c])

@@ -287,13 +287,28 @@ def repetition_runs(
     constant number of times and nothing re-inlines (arrays sit behind
     the explode barrier, see :func:`word_ngrams`).
 
-    Fractions floor-quantize at 1e-4 so both engines hash identically."""
+    Fractions floor-quantize at 1e-4 so both engines hash identically.
+
+    Short-document edge (ADVICE r06 high): a <2-token document must NOT
+    reach ``F.sequence(0, size-2)`` — sequence(0, -1) yields the
+    DESCENDING [0, -1] and the slice at i+1=0 throws
+    INVALID_PARAMETER_VALUE.START at runtime.  The bigram build is
+    therefore gated on ``size >= 2``; an empty gram array flows through
+    the existing ``n_2grams > 0`` guard to ``top_2gram_frac = 0.0``,
+    matching the oracle's ``len(words) >= 2`` filter + COALESCE.  A
+    NULL-text document is dropped (oracle drops it too via its inner
+    join on the per-word frame)."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
-    tok = df.select(id_col, F.explode(F.array(words)).alias("ws"))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("ws") - 2),
-        lambda i: F.concat_ws(" ", F.slice("ws", i + 1, 2)),
+    tok = df.where(F.col(text_col).isNotNull()).select(
+        id_col, F.explode(F.array(words)).alias("ws")
     )
+    grams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 2),
+            lambda i: F.concat_ws(" ", F.slice("ws", i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     base = tok.select(
         id_col,
         F.col("ws"),
@@ -460,11 +475,20 @@ def bm25_topk(
     lower = F.lower(F.col(text_col))
     words = F.split(lower, r"\s+")
     nq = len(query_terms)
-    base = df.select(id_col, F.explode(words).alias("term"))
+    # explode_OUTER so a NULL-text document still yields one (term=NULL)
+    # row: it must survive into per_doc so the corpus statistics (n_docs)
+    # count it, exactly as the oracle's count(*) over all documents does
+    # (ADVICE r06 low — a plain explode silently dropped such docs from
+    # N, shifting every idf).  dl counts non-null terms (the NULL row
+    # contributes 0 tokens, matching sum(len(w)) skipping NULL arrays),
+    # and the tf conditions route NULL terms to 0 via when/otherwise.
+    base = df.select(id_col, F.explode_outer(words).alias("term"))
     per_doc = base.groupBy(id_col).agg(
-        F.count("*").alias("dl"),
+        F.count("term").alias("dl"),
         *[
-            F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{i}")
             for i, t in enumerate(query_terms)
         ],
     )

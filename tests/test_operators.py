@@ -1179,6 +1179,83 @@ def test_repetition_runs_detects_stutter_and_mode(spark):
     assert out[1].n_words == 5 and out[1].n_2grams == 4
 
 
+def test_repetition_runs_short_and_null_docs(spark):
+    """ADVICE r06 high: a <2-token doc used to crash the bigram build
+    (sequence(0, -1) is DESCENDING, so slice(ws, 0, 2) threw
+    INVALID_PARAMETER_VALUE.START).  Pinned: 1-token and empty docs get
+    n_2grams=0 / top_2gram_frac=0.0 (the oracle's len>=2 + COALESCE
+    path), NULL-text docs drop (oracle's inner join drops them too)."""
+    from reddit_sse_stream_spark.operators import text as textops
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "a a")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.repetition_runs(docs).collect()}
+    assert set(out) == {1, 2, 4}  # NULL text dropped
+    assert out[1].n_words == 1 and out[1].n_2grams == 0
+    assert out[1].top_2gram_frac == 0.0 and out[1].max_word_run == 1
+    assert out[2].n_words == 1  # split('') -> ['']
+    assert out[2].n_2grams == 0 and out[2].top_2gram_frac == 0.0
+    assert out[4].n_2grams == 1 and out[4].top_2gram_frac == 1.0
+    assert out[4].max_word_run == 2
+
+
+def test_bm25_null_text_counts_toward_corpus_stats(spark):
+    """ADVICE r06 low: NULL-text docs must survive into the corpus
+    statistics (n_docs) — explode_outer keeps them as a (term=NULL) row
+    so N matches the oracle's count(*) over ALL documents, while dl and
+    every tf stay 0 for them.  Pinned by comparing scores against an
+    explicit corpus where the NULL doc is replaced by an unmatchable
+    token (same N, same tokens for the query terms -> different n_tokens
+    only via the 1-token filler; so we assert N-sensitivity directly)."""
+    from reddit_sse_stream_spark.operators import text as textops
+
+    with_null = spark.createDataFrame(
+        [(0, "vector join"), (1, "vector scan"), (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.bm25_topk(
+        with_null, ["vector", "join"], k=10
+    ).collect()}
+    assert set(out) == {0, 1}  # NULL doc never scores
+    # n_docs=3 (NULL doc counted): idf of 'vector' (df=2) is
+    # floor((2*(3-2)+1)*1e4/(2*2+1)) = 6000, nonzero -> doc 1 scores > 0.
+    # If the NULL doc were dropped (n_docs=2, df=2) the idf would be
+    # floor((2*0+1)*1e4/5) = 2000; both nonzero, so pin the exact value
+    # through doc 1 whose score is a single-term product.
+    assert out[1].n_terms == 1
+    drop_null = with_null.where(F.col("text").isNotNull())
+    out2 = {r.doc_id: r for r in textops.bm25_topk(
+        drop_null, ["vector", "join"], k=10
+    ).collect()}
+    # smaller N -> strictly smaller idf -> strictly smaller score
+    assert out2[1].bm25 < out[1].bm25
+
+
+def test_kmeans_derives_dim_from_data(spark):
+    """ADVICE r06 low: kmeans_fixedpoint's centroid update must use the
+    DATA's dimensionality, not the dim parameter — a wrong parameter
+    KeyError'd (too large) or silently truncated centroids (too small)."""
+    from reddit_sse_stream_spark.operators import corpus as corpusops
+
+    rows = [
+        (0, [0.0, 0.0, 10.0]), (1, [0.1, 0.0, 10.0]),
+        (2, [5.0, 5.0, 0.0]), (3, [5.1, 5.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # dim=64 default is wrong for these 3-d vectors; must still be exact
+    out = {r.vec_id: r.cluster for r in corpusops.kmeans_fixedpoint(
+        df, k=2, iters=2
+    ).collect()}
+    assert out[0] == out[1] and out[2] == out[3] and out[0] != out[2]
+    # and an explicitly wrong dim parameter is equally harmless
+    out2 = {r.vec_id: r.cluster for r in corpusops.kmeans_fixedpoint(
+        df, k=2, iters=2, dim=7
+    ).collect()}
+    assert out == out2
+
+
 def test_bm25_ranks_multi_term_doc_first_and_is_exact(spark):
     from reddit_sse_stream_spark.operators import text as textops
 

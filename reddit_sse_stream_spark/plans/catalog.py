@@ -8078,13 +8078,13 @@ _PRIOR_GREEN_ROUND = {
     "aggx_approx_distinct": 4,
     "aggx_approx_quantiles": 4,
     "aggx_corr_covar": 3,
-    "aggx_cube_events": 2,
-    "aggx_distinct_users": 2,
-    "aggx_grouping_sets": 1,
+    "aggx_cube_events": 6,
+    "aggx_distinct_users": 6,
+    "aggx_grouping_sets": 6,
     "aggx_regression_exact": 5,
     "aggx_rollup_grouping_id": 3,
-    "aggx_rollup_orders": 1,
-    "aggx_stats_per_type": 2,
+    "aggx_rollup_orders": 6,
+    "aggx_stats_per_type": 6,
     "anomaly_zscore_hourly": 4,
     "bpe_pair_merge_counts": 5,
     "corpus_cap_per_source": 5,
@@ -8094,6 +8094,7 @@ _PRIOR_GREEN_ROUND = {
     "corpus_quality_quantile_gate": 5,
     "corpus_shard_assignments": 5,
     "corpus_snapshot_diff": 5,
+    "corpus_snapshot_merge": 6,
     "corpus_split_leakage_safe": 5,
     "corpus_train_val_split": 5,
     "decontam_drop_contaminated": 4,
@@ -8103,13 +8104,14 @@ _PRIOR_GREEN_ROUND = {
     "dedup_cluster_best_quality": 4,
     "dedup_containment_grams": 5,
     "dedup_cross_source_matrix": 5,
-    "dedup_embedding_cosine": 2,
+    "dedup_embedding_cosine": 6,
     "dedup_embedding_cosine_lsh": 3,
-    "dedup_exact_groups": 1,
-    "dedup_exact_keep_first": 1,
+    "dedup_exact_groups": 6,
+    "dedup_exact_keep_first": 6,
     "dedup_incremental_bloom": 4,
     "dedup_incremental_minhash": 5,
     "dedup_incremental_new_only": 4,
+    "dedup_lsh_recall_audit": 6,
     "dedup_method_agreement": 5,
     "dedup_minhash_md5": 4,
     "dedup_ngram_jaccard": 3,
@@ -8119,10 +8121,15 @@ _PRIOR_GREEN_ROUND = {
     "dedup_tfidf_cosine": 5,
     "dedup_threshold_curve": 5,
     "dq_expectation_report": 4,
-    "embed_l2_norm": 1,
+    "embed_drift_by_lang": 6,
+    "embed_kmeans_fixedpoint": 6,
+    "embed_l2_norm": 6,
+    "embed_matryoshka_retention": 6,
     "embed_norm_stats_by_lang": 4,
     "embed_pca_power_iteration": 5,
+    "embed_quantize_int8": 6,
     "embed_random_projection": 5,
+    "embed_standardize": 6,
     "f1_type_dispatch": 4,
     "f2_author_whitelist": 4,
     "f3_subreddit_whitelist": 4,
@@ -8131,41 +8138,42 @@ _PRIOR_GREEN_ROUND = {
     "f6_f7_flag_filters": 4,
     "f8_null_elimination": 4,
     "f_combined_full": 4,
-    "fn_array_ops": 2,
+    "fn_array_ops": 6,
     "fn_bitwise_ops": 3,
     "fn_datetime_buckets": 3,
     "fn_fuzzy_match_levenshtein": 3,
     "fn_histogram_bins": 3,
     "fn_histogram_equidepth": 5,
-    "fn_map_ops": 2,
-    "fn_math_scalars": 2,
+    "fn_map_ops": 6,
+    "fn_math_scalars": 6,
     "fn_null_ops": 2,
-    "fn_percentiles": 2,
+    "fn_percentiles": 6,
     "fn_regexp_ops": 2,
     "fn_sequence_range": 4,
-    "fn_string_ops": 2,
+    "fn_string_ops": 6,
     "funnel_attribution_last_touch": 5,
     "funnel_time_to_convert": 5,
     "funnel_view_click_purchase": 4,
     "graph_pagerank_transitions": 5,
     "graph_triangle_count": 4,
-    "join_anti_customers_without_orders": 1,
-    "join_asof_last_click": 2,
-    "join_broadcast_star_counts": 1,
+    "join_anti_customers_without_orders": 6,
+    "join_asof_last_click": 6,
+    "join_broadcast_star_counts": 6,
     "join_cross_region_nation": 3,
     "join_full_outer_click_purchase": 3,
     "join_lateral_topk_per_nation": 4,
-    "join_range_clicks_before_purchase": 2,
+    "join_range_clicks_before_purchase": 6,
     "join_right_outer_orders": 3,
-    "join_semi_customers_with_orders": 1,
+    "join_semi_customers_with_orders": 6,
     "join_skew_salted": 3,
     "knn_batch_topk": 5,
-    "knn_bruteforce_cosine": 1,
+    "knn_bruteforce_cosine": 6,
     "knn_ivf_fixedpoint_cells": 5,
     "knn_lsh_bucketed": 3,
     "layout_zorder_keys": 5,
-    "limit_topk_events_by_value": 2,
+    "limit_topk_events_by_value": 6,
     "llm_corpus_prep_pipeline": 2,
+    "llm_dataset_card": 6,
     "m1_m2_interleave_sort": 4,
     "media_features_meta": 4,
     "media_frame_sample": 3,
@@ -8173,11 +8181,11 @@ _PRIOR_GREEN_ROUND = {
     "pack_length_buckets": 5,
     "pack_sequences_by_source": 3,
     "path_top_event_trigrams": 4,
-    "pivot_event_counts": 2,
+    "pivot_event_counts": 6,
     "posexplode_words": 3,
     "q1_domain_blocks_comments": 4,
     "recursive_cte_ancestors": 4,
-    "reference_pipeline_example": 2,
+    "reference_pipeline_example": 6,
     "retention_hourly_cohorts": 4,
     "s1_range_scan": 4,
     "s3_backfill_clamp": 4,
@@ -8186,15 +8194,16 @@ _PRIOR_GREEN_ROUND = {
     "sample_stratified_deterministic": 3,
     "sample_temperature_by_lang": 4,
     "scd2_as_of_lookup": 5,
+    "scd2_point_in_time_join": 6,
     "scd2_user_state_history": 5,
     "search_bm25_topk": 5,
     "search_hybrid_rrf": 5,
     "session_window_agg": 3,
     "sessionize_events": 3,
     "setop_except_all_values": 3,
-    "setop_except_users": 2,
+    "setop_except_users": 6,
     "setop_intersect_all_values": 3,
-    "setop_intersect_users": 2,
+    "setop_intersect_users": 6,
     "stream_lateness_watermark_profile": 5,
     "subq_correlated_exists": 3,
     "subq_in_big_spenders": 3,
@@ -8204,23 +8213,24 @@ _PRIOR_GREEN_ROUND = {
     "text_chunk_dup_rate": 5,
     "text_chunk_windows": 3,
     "text_clean_normalize": 5,
-    "text_fingerprint": 1,
+    "text_fingerprint": 6,
     "text_lang_predict": 3,
-    "text_lang_scores": 1,
+    "text_lang_scores": 6,
     "text_pii_redact": 5,
-    "text_quality_score": 1,
+    "text_quality_score": 6,
     "text_rarity_score": 3,
     "text_repetition_bigrams": 4,
+    "text_repetition_runs": 6,
     "text_stopword_scrub": 4,
-    "text_token_count": 1,
+    "text_token_count": 6,
     "text_vocab_df": 3,
     "text_winnow_fingerprints": 5,
     "tpch_q10_returned_customers": 3,
     "tpch_q11_important_parts": 5,
     "tpch_q12_priority_lines": 3,
-    "tpch_q13_customer_distribution": 2,
+    "tpch_q13_customer_distribution": 6,
     "tpch_q14_promo_revenue": 3,
-    "tpch_q15_top_supplier": 2,
+    "tpch_q15_top_supplier": 6,
     "tpch_q16_supplier_counts": 5,
     "tpch_q17_small_quantity_revenue": 3,
     "tpch_q18_large_orders": 3,
@@ -8228,44 +8238,64 @@ _PRIOR_GREEN_ROUND = {
     "tpch_q1_pricing_summary": 4,
     "tpch_q20_dominant_supplier": 5,
     "tpch_q21_waiting_supplier": 3,
-    "tpch_q22_idle_customers": 2,
+    "tpch_q22_idle_customers": 6,
     "tpch_q2_min_cost_supplier": 5,
     "tpch_q3_shipping_priority": 4,
-    "tpch_q4_order_priority": 2,
+    "tpch_q4_order_priority": 6,
     "tpch_q5_region_revenue": 4,
     "tpch_q6_forecast_revenue": 4,
     "tpch_q7_volume_shipping": 3,
     "tpch_q8_market_share": 3,
     "tpch_q9_profit_by_nation_year": 4,
-    "ts_gapfill_ffill": 2,
+    "ts_gapfill_ffill": 6,
     "ts_ohlc_hourly": 5,
-    "udaf_geomean_orders": 2,
+    "udaf_geomean_orders": 6,
     "udf_grouped_map_zscore": 5,
     "udf_pandas_scalar_charge": 3,
-    "udtf_word_explode": 2,
+    "udtf_word_explode": 6,
     "unpivot_customer_balances": 3,
     "variant_json_extract_agg": 4,
     "vocab_coverage_topk": 5,
+    "window_activity_streaks": 6,
     "window_first_last_nth": 3,
-    "window_lag_delta": 2,
+    "window_lag_delta": 6,
     "window_range_time_frame": 3,
     "window_rank_family": 3,
-    "window_running_sum_per_user": 2,
+    "window_running_sum_per_user": 6,
     "window_sliding_counts": 3,
     "window_sliding_distinct_users": 5,
-    "window_topk_orders_per_customer": 1,
+    "window_topk_orders_per_customer": 6,
     "x1_try_cast_validation": 3,
     "x4_json_extract": 4,
+}
+
+
+# Queries whose DEFINITION changed after their latest recorded proof: the
+# green row in _PRIOR_GREEN_ROUND validated an OLDER semantics, so it is
+# not evidence about the current code — these outrank everything, even
+# never-proven queries (VERDICT r06 next #1: proof age alone let the r06
+# BM25/regression rewrites ship on r05-era proofs).  Regenerate with
+# ``python tools/regen_prior_green.py`` (it git-diffs each query's
+# defining identifiers against the commit that recorded its last proof);
+# entries are pruned when a newer CORRECTNESS artifact re-proves them.
+_CHANGED_SINCE_PROOF = {
+    "aggx_regression_exact",     # r06: decimal(38,0) addends; proof r05
+    "search_bm25_topk",          # r06 gain re-scale + r07 NULL-doc stats
+    "search_hybrid_rrf",         # inherits bm25_topk's r06/r07 changes
+    "text_repetition_runs",      # r07: <2-token guard (ADVICE r06 high)
+    "embed_kmeans_fixedpoint",   # r07: dim derived from data
 }
 
 
 def _registry_rank(item):
     name, qd = item
     if qd.oracle is None:
-        return (2, 0)
-    if name not in _PRIOR_GREEN_ROUND:
+        return (3, 0)
+    if name in _CHANGED_SINCE_PROOF:
         return (0, 0)
-    return (1, _PRIOR_GREEN_ROUND[name])
+    if name not in _PRIOR_GREEN_ROUND:
+        return (1, 0)
+    return (2, _PRIOR_GREEN_ROUND[name])
 
 
 def _reorder_registry() -> None:

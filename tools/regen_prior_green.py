@@ -33,6 +33,92 @@ def prior_green_rounds() -> dict[str, int]:
     return last
 
 
+def _proof_commit(rnd: int) -> str | None:
+    """Commit that ADDED the round's CORRECTNESS artifact — the moment the
+    proof was recorded; code changes after it postdate the proof."""
+    import subprocess
+
+    out = subprocess.run(
+        [
+            "git", "log", "--diff-filter=A", "--format=%H", "--",
+            f"CORRECTNESS_r{rnd:02d}.json",
+        ],
+        cwd=ROOT, capture_output=True, text=True,
+    ).stdout.split()
+    return out[-1] if out else None
+
+
+def _catalog_callees() -> dict[str, set[str]]:
+    """query name -> {query name} | {operator functions its catalog entry
+    calls as module.attr(...)} — the identifiers whose definition region a
+    semantic change would touch.  ``F.*`` / ``spark.*`` are excluded (too
+    common to be a signal)."""
+    import ast
+
+    path = os.path.join(
+        ROOT, "reddit_sse_stream_spark", "plans", "catalog.py"
+    )
+    tree = ast.parse(open(path).read())
+    out: dict[str, set[str]] = {}
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.FunctionDef):
+            continue
+        ids = {node.name}
+        for n in ast.walk(node):
+            if (
+                isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)
+                and isinstance(n.func.value, ast.Name)
+                and n.func.value.id not in ("F", "spark", "W", "Window")
+            ):
+                ids.add(n.func.attr)
+        out[node.name] = ids
+    return out
+
+
+def changed_since_proof(last: dict[str, int]) -> list[str]:
+    """Queries whose defining identifiers appear in the git diff between
+    the commit that recorded their LATEST proof and HEAD.  A changed query
+    outranks proof age in the registry (_CHANGED_SINCE_PROOF): its green
+    row validated older semantics (VERDICT r06 next #1).  "Defining
+    region changed" means a diff hunk lands INSIDE the query's catalog
+    function or inside an operator function it calls: git's @@ hunk
+    headers name the enclosing ``def``, so the match is on
+    ``@@ ... def <identifier>(`` plus added/removed ``def <identifier>(``
+    signature lines — NOT on arbitrary +/- lines mentioning the name
+    (call sites, registration lists and docstrings churn every round and
+    flagged ~85% of the catalog when tried).  Residual false positives
+    (a hunk inserted right after a function picks up its name as context)
+    only cost an extra re-proof."""
+    import re as _re
+    import subprocess
+
+    callees = _catalog_callees()
+    touched: dict[int, set[str]] = {}
+    for rnd in sorted(set(last.values())):
+        commit = _proof_commit(rnd)
+        if not commit:
+            continue
+        d = subprocess.run(
+            ["git", "diff", commit, "HEAD", "--", "reddit_sse_stream_spark"],
+            cwd=ROOT, capture_output=True, text=True,
+        ).stdout
+        names: set[str] = set()
+        for line in d.splitlines():
+            m = _re.match(r"@@ .* @@.*?\bdef (\w+)\(", line)
+            if not m:
+                m = _re.match(r"[+-]\s*def (\w+)\(", line)
+            if m:
+                names.add(m.group(1))
+        touched[rnd] = names
+    flagged = []
+    for q, rnd in sorted(last.items()):
+        names = touched.get(rnd)
+        if names and (callees.get(q, set()) | {q}) & names:
+            flagged.append(q)
+    return flagged
+
+
 if __name__ == "__main__":
     rounds = prior_green_rounds()
     print(f"# {len(rounds)} prior-green queries (latest proving round each)")
@@ -40,3 +126,17 @@ if __name__ == "__main__":
     for n in sorted(rounds):
         print(f'    "{n}": {rounds[n]},')
     print("}")
+    flagged = changed_since_proof(rounds)
+    print(f"# {len(flagged)} CANDIDATES changed since their latest proof "
+          "(git-diff of defining identifiers vs the proof-recording "
+          "commit).  Review before pasting: the hunk-header match cannot "
+          "tell a semantic change from a docstring/plan-shape refactor "
+          "inside the same def — _CHANGED_SINCE_PROOF in catalog.py is "
+          "the CURATED semantic subset (a too-large tier 0 would starve "
+          "the never-proven and stalest-green tiers out of the driver's "
+          "sampling window).  Queries left here un-pinned still cycle "
+          "through via the age rotation.")
+    print("# candidates = {")
+    for n in flagged:
+        print(f'#     "{n}",')
+    print("# }")

@@ -238,6 +238,73 @@ def streaming_e2e(spark, sf_dir: str, n_clients: int = 2) -> dict:
     }
 
 
+def compare_to_prev(
+    times: dict[str, float],
+    sf: float,
+    prev_data: dict,
+    calib: dict[str, float] | None,
+) -> dict:
+    """Pure vs-prev comparison — factored out of main() so the flagging
+    logic is unit-testable on synthetic artifacts (VERDICT r06 next #3:
+    the real disagree signal depends on the host, so the LOGIC needs a
+    host-independent test).
+
+    - ``vs_prev``: per-query ratio current/prev, only for queries present
+      in both and only when the prior artifact is at the SAME sf (ratios
+      across scale factors are noise).
+    - ``machine_factor``: median ratio.  The prev round ran on a different
+      machine state, so a UNIFORM shift is an environment factor, not N
+      code regressions (r05 measured untouched queries at a flat 1.7-1.9x
+      with zero code change, SCALING.md); a query is flagged only when it
+      regressed >1.5x RELATIVE to that median.
+    - ``calibration_factor``: geometric mean of the synthetic-probe ratios
+      (catalog-independent, so a genuine uniform regression cannot hide in
+      it); 1.0 when the prior carries no probes.
+    - ``machine_factor_disagrees``: >1.3x divergence between the two
+      factors — only meaningful when BOTH estimators exist; with no
+      same-sf prior machine_factor is the 1.0 default and comparing the
+      probes against it manufactures a divergence with no query data
+      behind it (ADVICE r06 low)."""
+    prev = prev_data.get("queries", {})
+    if prev_data.get("sf") != sf:
+        prev = {}
+    vs_prev = {
+        name: round(times[name] / prev[name], 2)
+        for name in times
+        if prev.get(name)
+    }
+    ratios = sorted(vs_prev.values())
+    machine_factor = ratios[len(ratios) // 2] if ratios else 1.0
+    regressions = sorted(
+        n for n, r in vs_prev.items() if r / max(machine_factor, 1e-9) > 1.5
+    )
+    calib_ratios = sorted(
+        calib[k] / prev_data[k]
+        for k in ("calib_jvm_sec", "calib_py_sec")
+        if calib is not None
+        and isinstance(prev_data.get(k), (int, float))
+        and prev_data[k] > 0
+    )
+    calib_factor = 1.0
+    if calib_ratios:
+        prod = 1.0
+        for r in calib_ratios:
+            prod *= r
+        calib_factor = round(prod ** (1.0 / len(calib_ratios)), 3)
+    disagree = bool(
+        vs_prev
+        and calib_ratios
+        and not (1 / 1.3 <= machine_factor / calib_factor <= 1.3)
+    )
+    return {
+        "vs_prev": vs_prev,
+        "machine_factor": machine_factor,
+        "regressions": regressions,
+        "calibration_factor": calib_factor,
+        "machine_factor_disagrees": disagree,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -287,25 +354,6 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     prev_round, prev_data = _prev_bench()
-    prev = prev_data.get("queries", {})
-    if prev_data.get("sf") != sf:  # ratios across scale factors are noise
-        prev_round, prev = 0, {}
-    vs_prev = {
-        name: round(times[name] / prev[name], 2)
-        for name in times
-        if prev.get(name)
-    }
-    # The prev-round numbers were taken on a different machine state (and
-    # possibly regenerated testdata), so a UNIFORM shift is an environment
-    # factor, not N code regressions: r05 measured untouched queries at a
-    # flat 1.7-1.9x with zero code change (SCALING.md).  The median ratio
-    # across all shared queries estimates that factor; a query is flagged
-    # only when it regressed >1.5x RELATIVE to the machine-wide median.
-    ratios = sorted(vs_prev.values())
-    machine_factor = ratios[len(ratios) // 2] if ratios else 1.0
-    regressions = sorted(
-        n for n, r in vs_prev.items() if r / max(machine_factor, 1e-9) > 1.5
-    )
     # throughput context vs BASELINE.md: the reference's designed ceiling is
     # 125 comments/s + 50 submissions/s per connection; this engine filters
     # the full feed (reference_pipeline_example) in times[...] seconds.
@@ -313,27 +361,14 @@ def main() -> None:
     pipeline_sec = times.get("reference_pipeline_example", 0.0) or 1e-9
     e2e = streaming_e2e(spark, sf_dir)
     calib = calibration(spark)
-    calib_ratios = sorted(
-        calib[k] / prev_data[k]
-        for k in ("calib_jvm_sec", "calib_py_sec")
-        if isinstance(prev_data.get(k), (int, float)) and prev_data[k] > 0
-    )
-    # geometric mean of the (<= 2) probe ratios; 1.0 when no prior probes
-    calib_factor = 1.0
-    if calib_ratios:
-        prod = 1.0
-        for r in calib_ratios:
-            prod *= r
-        calib_factor = round(prod ** (1.0 / len(calib_ratios)), 3)
-    # disagree is only meaningful when BOTH estimators exist: with no
-    # same-sf prior (vs_prev empty) machine_factor is the 1.0 default and
-    # comparing the calib probes against it manufactures a divergence with
-    # no query data behind it (ADVICE r06 low)
-    disagree = bool(
-        vs_prev
-        and calib_ratios
-        and not (1 / 1.3 <= machine_factor / calib_factor <= 1.3)
-    )
+    cmp = compare_to_prev(times, sf, prev_data, calib)
+    if not cmp["vs_prev"]:
+        prev_round = 0
+    vs_prev = cmp["vs_prev"]
+    machine_factor = cmp["machine_factor"]
+    regressions = cmp["regressions"]
+    calib_factor = cmp["calibration_factor"]
+    disagree = cmp["machine_factor_disagrees"]
     # The bulky per-query min/max spread goes on its OWN line: the external
     # driver keeps only the tail of stdout, and r05's enlarged spread dict
     # pushed the medians off the front (VERDICT r05 next #5).  The summary

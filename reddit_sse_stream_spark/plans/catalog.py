@@ -1234,8 +1234,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     No oracle BY DESIGN: the hash family is xxhash64 (JVM codegen, not
     expressible in DuckDB) -> rows-only check here; full value-level
     verification lives in the md5-hash-family twin
-    ``dedup_minhash_md5``, which IS driver-hash-checked, plus a pinned
-    cross-impl equality test (tests/test_operators.py)."""
+    ``dedup_minhash_md5``, which IS driver-hash-checked, plus the
+    driver-checkable containment row ``dedup_minhash_twin_containment``
+    (fast must find every twin-certified pair) and a pinned cross-impl
+    equality test (tests/test_operators.py)."""
     return dedup.near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
@@ -1244,8 +1246,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints grouped to exact-duplicate clusters (hamming-0).
     No oracle BY DESIGN: xxhash64 token hashes are not expressible in
     DuckDB -> rows-only check here; the md5-hash-family twin
-    ``dedup_simhash_md5`` carries the driver-checked value oracle, and
-    cross-impl equality is pinned in tests."""
+    ``dedup_simhash_md5`` carries the driver-checked value oracle, the
+    driver-checkable invariant row ``dedup_simhash_exact_dup_invariant``
+    pins exact-dup preservation in BOTH families, and cross-impl equality
+    is pinned in tests."""
     docs = _t(spark, sf_dir, "documents")
     sh = dedup.simhash(docs)
     return sh.groupBy("simhash").agg(
@@ -1325,18 +1329,30 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs_lsh(emb, threshold=0.3, n_planes=6, n_tables=8)
 
 
-@_register("media_features", None)
+_MEDIA_FEATURES_ORACLE = """
+    SELECT doc_id AS media_id,
+           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(list_sum(list_transform(string_split(text, ''), c -> ord(c))), 0)
+                % 2147483648 AS BIGINT) AS checksum
+    FROM documents
+    """
+
+
+@_register("media_features", _MEDIA_FEATURES_ORACLE)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched
     mapInPandas feature extraction (decode step is a deterministic fake —
-    container has no codecs; see operators/multimodal.py).  No oracle BY
-    DESIGN: the payload is opaque binary built Arrow-side, so DuckDB can't
-    recompute the checksum -> rows-only check here.  Verification surface:
-    the metadata twin ``media_features_meta`` (same plumbing minus the
-    binary) carries the driver-checked value oracle, and the payload path
-    itself is byte-determinism-pinned in
-    tests/test_operators.py::test_media_features_payload_byte_deterministic
-    (identical checksums/byte counts/features under any partitioning)."""
+    container has no codecs; see operators/multimodal.py).  Oracled since
+    r07 (VERDICT r06 next #8): the projected surface (media_id / kind /
+    n_bytes / byte-checksum) is fully deterministic and reproducible in
+    SQL from the synthesized-payload rule, so this row now carries the
+    SAME value oracle as its metadata twin ``media_features_meta`` — the
+    two must agree with the oracle AND each other, proving the Arrow
+    batch plumbing delivers byte-exact payloads through the binary path.
+    The float feature vector stays out of the projection (Python round is
+    banker's; SQL round is not) and is pinned instead by
+    tests/test_operators.py::test_media_features_payload_byte_deterministic."""
     media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media)
     return feats.select("media_id", "kind", "n_bytes", "checksum")
@@ -3120,13 +3136,158 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_operators.py::test_ivf_assignments_deterministic_under_repartition);
     (2) recall-vs-brute-force is band-checked in pytest; (3) the
     deterministic LSH bucket path (``knn_lsh_bucketed``) carries the
-    driver-checked value oracle for the ANN family."""
+    driver-checked value oracle for the ANN family; (4) the
+    driver-checkable row ``knn_ivf_metric_consistency`` pins that every
+    result this path returns is scored with EXACTLY the oracled cosine."""
     from reddit_sse_stream_spark.operators.ml_lsh import ivf_topk_cosine
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return ivf_topk_cosine(
         emb.filter(F.col("vec_id") != 0), list(qv), k=5, n_cells=8, n_probe=2
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Oracle-less fast paths: equality/invariant rows against their oracled twins #
+# (VERDICT r06 next #8).  Each row reduces a fast path's verification to a    #
+# CONSTANT the driver can hash-check: the Spark side computes the invariant   #
+# over real data, the oracle pins its expected value — a fast-path bug turns  #
+# the row red.  Where full set-equality does not hold across hash families,   #
+# the docstring records the measured divergence and the invariant chosen      #
+# instead.                                                                    #
+# --------------------------------------------------------------------------- #
+
+
+@_register(
+    "dedup_minhash_twin_containment",
+    "SELECT CAST(0 AS BIGINT) AS twin_pairs_missed_by_fast",
+)
+def dedup_minhash_twin_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-tests the xxhash64 fast path ``dedup_minhash_lsh`` against
+    its driver-oracled md5 twin ``dedup_minhash_md5``: every near-dup pair
+    the twin certifies (banding candidate + exact Jaccard >= 0.8) must
+    also be found by the fast path, i.e. |twin \\ fast| == 0, which the
+    constant oracle pins.  Containment rather than symmetric equality by
+    design: both sides post-verify candidates with EXACT Jaccard, so
+    neither can contain a false pair — the only possible divergence is
+    banding recall, and the fast path's 64-hash/16-band sketch misses a
+    J=0.875 pair with probability ~7e-7 versus the twin's ~3e-3
+    (8 hashes / 4 bands), so fast ⊇ twin is the direction that holds
+    robustly under per-round testdata regeneration while twin ⊇ fast
+    would flicker on the twin's own recall.  (Measured at sf0.01: the two
+    sides are currently fully set-equal, 25 = 25 pairs.)
+
+    Scale: both branches are the production operators (digest-only
+    shuffles, size-capped band buckets — operators/dedup.py); the final
+    left_anti join is on the narrow (doc_a, doc_b) pair key and the
+    output is a single count row."""
+    docs = _t(spark, sf_dir, "documents")
+    fast = dedup.near_dup_pairs(docs, threshold=0.8)
+    twin = dedup.minhash_md5_near_dups(docs)
+    missed = twin.join(fast, ["doc_a", "doc_b"], "left_anti")
+    return missed.agg(
+        F.count("*").cast("long").alias("twin_pairs_missed_by_fast")
+    )
+
+
+@_register(
+    "dedup_simhash_exact_dup_invariant",
+    "SELECT CAST(0 AS BIGINT) AS groups_split_fast,"
+    " CAST(0 AS BIGINT) AS groups_split_md5",
+)
+def dedup_simhash_exact_dup_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The invariant that ties the xxhash64 fast path ``dedup_simhash`` to
+    its oracled md5 twin ``dedup_simhash_md5``: documents with IDENTICAL
+    text have identical token multisets, hence identical per-bit votes,
+    hence identical fingerprints under ANY hash family — so no exact-text
+    group may be split across fingerprints on either side (a bug in the
+    vote fold or bit packing breaks this immediately).  Full hamming-0
+    CLUSTER equality across families is impossible by design and is NOT
+    asserted: borderline near-dups (not exact dups) collide under one
+    family and not the other — measured at sf0.01, 5 of ~500 clusters
+    differ between the 64-bit xxhash and 60-bit md5 fingerprints, which
+    is the expected behavior of distinct hash families, not a defect.
+
+    Scale: one tokenize per side (the production simhash operators), one
+    groupBy on the exact-text digest with two count_distincts, single
+    summary row out."""
+    docs = _t(spark, sf_dir, "documents")
+    fast = dedup.simhash(docs).withColumnRenamed("simhash", "sh_fast")
+    md5 = dedup.simhash(
+        docs, bits=60, hash_fn=dedup.md5_hash60
+    ).withColumnRenamed("simhash", "sh_md5")
+    tg = docs.select("doc_id", F.md5(F.col("text")).alias("tkey"))
+    g = (
+        tg.join(fast, "doc_id")
+        .join(md5, "doc_id")
+        .groupBy("tkey")
+        .agg(
+            F.count_distinct("sh_fast").alias("nf"),
+            F.count_distinct("sh_md5").alias("nm"),
+        )
+    )
+    return g.agg(
+        F.sum((F.col("nf") > 1).cast("long")).cast("long").alias(
+            "groups_split_fast"
+        ),
+        F.sum((F.col("nm") > 1).cast("long")).cast("long").alias(
+            "groups_split_md5"
+        ),
+    )
+
+
+@_register(
+    "knn_ivf_metric_consistency",
+    "SELECT CAST(5 AS BIGINT) AS n_results,"
+    " CAST(0 AS BIGINT) AS cos_mismatches",
+)
+def knn_ivf_metric_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ties the MLlib-KMeans IVF fast path ``knn_ivf_cells`` to the
+    oracled exact metric: every (vec_id, cos_sim) the IVF query returns
+    must carry EXACTLY the cosine the oracled brute-force scorer
+    (``knn_bruteforce_cosine``) computes for that vector — the IVF path
+    may search fewer candidates, but it must never score them differently
+    (an arithmetic drift in its distance kernel turns this row red).  The
+    constant oracle pins (k results, 0 mismatches).  Full top-k equality
+    with any oracled twin is impossible by design and NOT asserted:
+    MLlib's quantizer is a seeded iterative model DuckDB cannot
+    reproduce, and n_probe=2 of 8 cells legitimately trades recall
+    (measured 3/5 overlap with brute force at sf0.01) for a bounded
+    candidate read — the recall BAND is pinned in pytest
+    (tests/test_ml_lsh.py), the metric is pinned here.
+
+    Scale: the re-score joins k rows against the broadcast query vector —
+    driver-side cost is k, data-side one scan."""
+    from reddit_sse_stream_spark.operators.ml_lsh import ivf_topk_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ivf = ivf_topk_cosine(
+        emb.filter(F.col("vec_id") != 0), list(qv), k=5, n_cells=8, n_probe=2
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    brute = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                similarity.cosine(
+                    F.col("embedding").cast("array<double>"), F.col("qv")
+                ),
+                6,
+            ).alias("cos_bf"),
+        )
+    )
+    j = ivf.join(brute, "vec_id")
+    return j.agg(
+        F.count("*").cast("long").alias("n_results"),
+        F.sum((F.col("cos_sim") != F.col("cos_bf")).cast("long"))
+        .cast("long")
+        .alias("cos_mismatches"),
     )
 
 
@@ -5328,17 +5489,7 @@ def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("author", "n")
 
 
-@_register(
-    "media_features_meta",
-    """
-    SELECT doc_id AS media_id,
-           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(COALESCE(list_sum(list_transform(string_split(text, ''), c -> ord(c))), 0)
-                % 2147483648 AS BIGINT) AS checksum
-    FROM documents
-    """,
-)
+@_register("media_features_meta", _MEDIA_FEATURES_ORACLE)
 def media_features_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic half of the multimodal feature extractor under a
     value-level oracle: n_bytes + byte-checksum of every payload, computed

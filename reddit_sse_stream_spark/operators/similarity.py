@@ -309,3 +309,52 @@ def score_pairs_arrow(pairs: DataFrame, threshold: float) -> DataFrame:
             )
 
     return pairs.mapInPandas(kernel, "id_a long, id_b long, cos_sim double")
+
+
+def semdedup_cell_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup [Abbas et al. 2023, arXiv:2303.09540]: semantic
+    deduplication that restricts the quadratic cosine comparison to
+    WITHIN each k-means cell of the embedding space — the observation
+    that semantic near-dups land in the same coarse cluster, so the
+    O(n^2) all-pairs scan collapses to sum_c O(|c|^2) with |c| ~ n/k.
+
+    Composition of two existing verified primitives: the deterministic
+    fixed-point IVF quantizer (:func:`ml_lsh.ivf_fixedpoint_cells` —
+    fully oracled) assigns cells; the within-cell self-join reuses the
+    vectorized Arrow cosine kernel (:func:`score_pairs_arrow`, floor at
+    1e-4).  Output is (id_a < id_b, cos_sim) for every within-cell pair
+    above the threshold — the drop policy (keep min id per group) is the
+    caller's, as in :func:`dedup.near_dup_pairs`.
+
+    Scale shape: the self-join key is the cell id, so pairs co-locate on
+    one exchange of (cell, id, vec) rows; per-cell fan-out is |c|^2,
+    bounded by sizing k to the corpus (the paper runs 50k cells over
+    LAION — cells stay ~2k vectors at any corpus size, the same
+    size-capping discipline as the banding hot-bucket guard).  At the
+    fixture scale n_cells=8 keeps the unrolled-CTE oracle tractable."""
+    from reddit_sse_stream_spark.operators.ml_lsh import ivf_fixedpoint_cells
+
+    cells = ivf_fixedpoint_cells(
+        emb, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=iters
+    ).select(id_col, "cell")
+    v = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    side = cells.join(v, id_col)
+    a = side.select(
+        F.col("cell"), F.col(id_col).alias("id_a"), F.col("v").alias("va")
+    )
+    b = side.select(
+        F.col("cell"), F.col(id_col).alias("id_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, ["cell"]).where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "va", "vb"
+    )
+    return score_pairs_arrow(pairs, threshold)

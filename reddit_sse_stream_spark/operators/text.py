@@ -674,3 +674,88 @@ def tfidf_cosine_pairs(
         .select("doc_a", "doc_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def novelty_first_owner(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus novelty curve: for every document, the fraction of its
+    DISTINCT word n-grams whose FIRST owner (minimum doc_id over the
+    whole corpus) is the document itself — the per-document marginal
+    novelty a streaming ingest pipeline uses to decide whether a new
+    crawl batch still adds information or is re-crawling known content
+    (documents arriving later than another copy of their content score
+    near 0; genuinely new material scores near 1).
+
+    Scale shape: one n-gram pass (:func:`word_ngrams` — explode-barrier,
+    no re-inlined split), per-doc DISTINCT gram set, then ONE shuffle on
+    the gram key to find min(doc_id) per gram (map-side combined; the
+    gram-keyed frame is the corpus's vocabulary of n-grams, far smaller
+    than the token stream), a join back on the same gram key (rides the
+    same partitioning), and a doc_id-keyed count.  No quadratic anywhere:
+    work is linear in total n-gram occurrences.
+
+    ``novelty`` floor-quantizes at 1e-4 (both engines floor the identical
+    IEEE quotient)."""
+    grams = word_ngrams(df.select(id_col, text_col), n, text_col=text_col)
+    dg = grams.select(id_col, "gram").distinct()
+    first = dg.groupBy("gram").agg(F.min(id_col).alias("first_owner"))
+    per_doc = (
+        dg.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("first_owner") == F.col(id_col)).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_novel",
+        _trunc4(F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+    )
+
+
+def encoding_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-health signals — the mojibake/binary-junk gate a web-crawl
+    corpus runs before any language-level scoring (a page that is 30%
+    U+FFFD replacement characters or control bytes is a charset-decode
+    casualty, not a document):
+
+    - ``n_repl``: U+FFFD REPLACEMENT CHARACTER count (the decoder's own
+      error marker), counted by length-difference under single-char
+      delete — no regex, so no dialect drift;
+    - ``n_ctrl``: C0 control characters other than \\t \\n \\r, plus DEL;
+    - ``printable_frac``: fraction of characters in ASCII printable
+      [space..~] — the cheap binary-contamination signal (a deliberately
+      multilingual corpus would widen the class; the gate's SHAPE is the
+      deliverable);
+    - ``ascii_letter_frac``: fraction [A-Za-z] — feeds the same
+      quality-classifier feature row as :func:`quality_score`.
+
+    All counts via length(x) - length(regexp_replace(x, class, '')) on
+    explicit character classes inside the Java/RE2 common dialect.
+    Map-only, zero shuffles, zero Python; fractions floor-quantize at
+    1e-4."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    repl = F.lit("�")
+    n_repl = n_chars - F.length(F.regexp_replace(t, repl, ""))
+    n_ctrl = n_chars - F.length(
+        F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    )
+    n_print = n_chars - F.length(F.regexp_replace(t, "[\\x20-\\x7e]", ""))
+    n_alpha = n_chars - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    denom = F.greatest(n_chars, F.lit(1))
+    return df.select(
+        id_col,
+        n_chars.cast("long").alias("n_chars"),
+        n_repl.cast("long").alias("n_repl"),
+        n_ctrl.cast("long").alias("n_ctrl"),
+        _trunc4(n_print / denom).alias("printable_frac"),
+        _trunc4(n_alpha / denom).alias("ascii_letter_frac"),
+    )

@@ -8192,6 +8192,188 @@ def embed_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# =========================================================================== #
+# r07 additions: semantic dedup, importance resampling, novelty, encoding,    #
+# weighted sampling                                                           #
+# =========================================================================== #
+
+
+def _semdedup_oracle(threshold: float = 0.3) -> str:
+    """Fixed-point IVF cells + within-cell exact-cosine pairs: the
+    SemDeDup twin.  Cell assignment reuses the verified unrolled-Lloyd
+    CTEs; the pair cosine uses the same floor-at-1e-4 convention as
+    ``dedup_embedding_cosine`` (list_cosine_similarity vs the Arrow
+    kernel — last-digit agreement argued there)."""
+    ctes, final = _ivf_fixedpoint_ctes()
+    ctes.append(
+        "vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    )
+    ctes.append(
+        f"sidex AS (SELECT a.vec_id, a.cell, v.v FROM {final} a"
+        " JOIN vv v USING (vec_id))"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 AS cos_sim
+    FROM sidex a JOIN sidex b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 > {threshold}"""
+    )
+
+
+@_register("dedup_semdedup_cells", _semdedup_oracle())
+def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup [Abbas et al. 2023] semantic dedup
+    (operators/similarity.py:semdedup_cell_pairs): the quadratic cosine
+    comparison runs only WITHIN each cell of the verified fixed-point IVF
+    quantizer — sum_c O(|c|^2) work instead of O(n^2), the paper's recipe
+    for semantic dedup at LAION scale.  Pure composition of two oracled
+    primitives (Lloyd cells + the Arrow cosine kernel), so fully
+    value-verified end to end; contrast ``dedup_embedding_cosine`` (the
+    subsampled all-pairs baseline) and ``dedup_embedding_cosine_lsh``
+    (the banding alternative: recall-bounded candidates rather than
+    cell-exhaustive)."""
+    return similarity.semdedup_cell_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "corpus_dsir_weights",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+      FROM documents
+    ),
+    stats AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cs,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM tok GROUP BY w
+    ),
+    totals AS (
+      SELECT CAST(sum(cs) AS BIGINT) AS ns, CAST(sum(ct) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS v
+      FROM stats
+    )
+    SELECT t.doc_id, t.lang,
+           CAST(sum(CAST(floor(((s.ct + 1.0) * (o.ns + o.v) * 10000.0)
+                     / ((s.cs + 1.0) * (o.nt + o.v))) AS BIGINT)) AS BIGINT)
+             AS dsir_weight_fp,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM tok t JOIN stats s USING (w) CROSS JOIN totals o
+    GROUP BY t.doc_id, t.lang
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-resampling weights
+    (operators/corpus.py:dsir_weights): every document scored by a
+    rational fixed-point likelihood ratio of target (lang='en') vs
+    source unigram models — the data-selection signal that resamples a
+    raw crawl toward a target domain [Xie et al. 2023].  One tokenize
+    pass, one vocab-keyed aggregate broadcast back over the token
+    stream, one doc-keyed sum; the log-free ratio keeps every step a
+    single IEEE op so the weights are bit-identical cross-engine (see
+    the operator docstring for the overflow envelope)."""
+    return corpus.dsir_weights(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_novelty_first_owner",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+      FROM documents
+    ),
+    gi AS (
+      SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
+      FROM w WHERE len(words) >= 3
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS gram
+      FROM gi
+    ),
+    first AS (SELECT gram, min(doc_id) AS first_owner FROM grams GROUP BY gram),
+    per AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN f.first_owner = g.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM grams g JOIN first f USING (gram) GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_novel,
+           floor(n_novel * 1.0 / n_grams * 10000) / 10000.0 AS novelty
+    FROM per
+    """,
+)
+def text_novelty_first_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document marginal novelty (operators/text.py:novelty_first_owner):
+    fraction of the doc's distinct word trigrams it is the FIRST owner of
+    (min doc_id over the corpus) — the is-this-crawl-batch-new signal.
+    One gram-keyed shuffle (the corpus n-gram vocabulary, map-side
+    combined), the join back rides the same partitioning, then a doc
+    count.  Docs with < 3 words have no trigrams and drop out in both
+    engines."""
+    return text.novelty_first_owner(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_encoding_quality",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(replace(text, chr(65533), ''))
+                AS BIGINT) AS n_repl,
+           CAST(length(text) - length(regexp_replace(text,
+                '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'))
+                AS BIGINT) AS n_ctrl,
+           floor((length(text) - length(regexp_replace(text,
+                '[\x20-\x7e]', '', 'g'))) * 1.0
+                / greatest(length(text), 1) * 10000) / 10000.0
+             AS printable_frac,
+           floor((length(text) - length(regexp_replace(text,
+                '[A-Za-z]', '', 'g'))) * 1.0
+                / greatest(length(text), 1) * 10000) / 10000.0
+             AS ascii_letter_frac
+    FROM documents
+    """,
+)
+def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health gate (operators/text.py:encoding_quality): U+FFFD
+    replacement-char count (the decoder's own error marker, counted by
+    replace-length-difference — no regex dialect risk), C0 control chars,
+    printable and letter fractions.  Map-only codegen column algebra,
+    zero shuffles — the mojibake/binary-junk filter that runs before any
+    language-level scoring on a web crawl."""
+    return text.encoding_quality(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "sample_weighted_priority",
+    """
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST(floor(ln((CAST(concat('0x',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    + 1.0) / 1152921504606846978.0)
+               / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1000000)
+             AS BIGINT) AS priority_fp
+    FROM documents
+    ORDER BY priority_fp DESC, doc_id
+    LIMIT 50
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement by deterministic priority
+    (operators/corpus.py:weighted_sample_priority — Efraimidis-Spirakis
+    order sampling, u from the doc's md5, selection key the monotone
+    ln(u)/w form floor-quantized at 1e-6): inclusion probability
+    proportional to n_chars, top-k via TakeOrderedAndProject — map-only,
+    no shuffle, the one-pass distributed weighted sampler.  The only
+    transcendental (ln) is quantization-guarded; ties break on doc_id so
+    the cut is total-ordered."""
+    return corpus.weighted_sample_priority(_t(spark, sf_dir, "documents"))
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -1505,3 +1505,101 @@ def test_pagerank_fixedpoint_matches_numpy(spark):
         for r in dedup.pagerank_fixedpoint(df.repartition(5), iters=3).collect()
     }
     assert got == got2
+
+
+def test_novelty_first_owner_ordering(spark):
+    """The first copy of duplicated content owns its grams; later copies
+    score zero novelty; unique content scores 1."""
+    from reddit_sse_stream_spark.operators import text as textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),       # first owner of its grams
+            (2, "alpha beta gamma delta"),       # exact re-crawl -> 0
+            (3, "wholly novel words entirely"),  # unique -> 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.novelty_first_owner(docs).collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0
+    assert out[3].novelty == 1.0
+    assert out[1].n_grams == 2  # two distinct trigrams in 4 words
+
+
+def test_encoding_quality_flags_mojibake(spark):
+    from reddit_sse_stream_spark.operators import text as textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean ascii text"),
+            (2, "bad �� decode \x01\x02"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.encoding_quality(docs).collect()}
+    assert out[1].n_repl == 0 and out[1].n_ctrl == 0
+    assert out[1].printable_frac == 1.0
+    assert out[2].n_repl == 2 and out[2].n_ctrl == 2
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """A document made of target-language-heavy tokens must outweigh one
+    made of tokens that only ever appear outside the target slice."""
+    from reddit_sse_stream_spark.operators import corpus as corpusops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ler mon ler mon", "en"),
+            (2, "ler mon ler mon", "fr"),   # same text, source-side copy
+            (3, "zut zut zut zut", "fr"),   # tokens never in target
+            (4, "ler mon zut zut", "fr"),   # mixed
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in corpusops.dsir_weights(docs).collect()}
+    # same text => same weight regardless of own lang (the weight is about
+    # the tokens' distributions, not the doc's label)
+    assert out[1].dsir_weight_fp == out[2].dsir_weight_fp
+    assert out[1].dsir_weight_fp > out[4].dsir_weight_fp > out[3].dsir_weight_fp
+
+
+def test_weighted_sample_priority_is_weight_monotone_in_expectation(spark):
+    """Determinism + the ES property's cheap proxy: the selected set is a
+    pure function of the data, and zero-weight floors don't crash."""
+    from reddit_sse_stream_spark.operators import corpus as corpusops
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 + i), (10 + i)) for i in range(100)],
+        "doc_id long, text string, n_chars long",
+    )
+    a = [r.doc_id for r in corpusops.weighted_sample_priority(docs, k=10).collect()]
+    b = [r.doc_id for r in corpusops.weighted_sample_priority(
+        docs.repartition(7), k=10
+    ).collect()]
+    assert a == b  # partitioning-invariant deterministic sample
+    assert len(a) == 10
+
+
+def test_semdedup_restricts_pairs_to_cells(spark):
+    """Every returned pair must be co-located in one IVF cell, and every
+    within-cell pair above threshold must be returned (cell-exhaustive)."""
+    from reddit_sse_stream_spark.operators.ml_lsh import ivf_fixedpoint_cells
+    from reddit_sse_stream_spark.operators import similarity as simops
+
+    import math
+    rows = []
+    for i in range(40):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        base[(i % 4 + 1) % 8] = 0.3 + (i % 7) * 0.05
+        rows.append((i, [float(x) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = simops.semdedup_cell_pairs(emb, threshold=0.5, n_cells=4, iters=1)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    cells = {r.vec_id: r.cell for r in ivf_fixedpoint_cells(
+        emb, n_cells=4, iters=1
+    ).collect()}
+    assert got, "expected some within-cell pairs above threshold"
+    for a, b in got:
+        assert cells[a] == cells[b]

@@ -717,20 +717,28 @@ def dsir_weights(
     and switches the ratio to the log-space double the paper uses —
     selection needs ranking, not bit equality, at that size.
 
-    Scale shape: ONE tokenize pass; token stats are a single groupBy
-    (map-side combined) whose result is far smaller than the corpus
-    (|vocab| rows) and re-joins the token stream; the corpus totals are
-    one single-row aggregate broadcast back.  Two data shuffles total
-    (token agg, per-doc sum)."""
+    Scale shape: ONE tokenize pass, materialized once as the COMPACT
+    per-document term frame (doc_id, lang, w, n) via localCheckpoint —
+    distinct terms per doc, a fraction of the raw token stream — because
+    three consumers need it (the vocab stats, the corpus totals, and the
+    scoring join); without the checkpoint each branch re-scans and
+    re-tokenizes the corpus (the near_dup_pairs tradeoff: one
+    materialization of the narrow frame vs three re-parses of the text).
+    The vocab stats groupBy is map-side combined down to |vocab| rows and
+    broadcast back; the totals are a single broadcast row; the weight is
+    then Σ n·lr per doc — one final doc-keyed shuffle."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
-    tok = docs.select(
-        id_col,
-        F.col("lang"),
-        F.explode(words).alias("w"),
+    tok = docs.select(id_col, F.col("lang"), F.explode(words).alias("w"))
+    doc_tok = (
+        tok.groupBy(id_col, "lang", "w")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
-    stats = tok.groupBy("w").agg(
-        F.count("*").alias("cs"),
-        F.sum((F.col("lang") == target_lang).cast("long")).alias("ct"),
+    stats = doc_tok.groupBy("w").agg(
+        F.sum("n").alias("cs"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("n")).otherwise(0)
+        ).alias("ct"),
     )
     totals = stats.agg(
         F.sum("cs").alias("ns"),
@@ -742,13 +750,13 @@ def dsir_weights(
         / ((F.col("cs") + 1.0) * (F.col("nt") + F.col("v")))
     ).cast("long")
     scored = (
-        tok.join(F.broadcast(stats), "w")
+        doc_tok.join(F.broadcast(stats), "w")
         .crossJoin(F.broadcast(totals))
-        .select(id_col, F.col("lang"), lr_fp.alias("lr"))
+        .select(id_col, F.col("lang"), F.col("n"), lr_fp.alias("lr"))
     )
     return scored.groupBy(id_col, "lang").agg(
-        F.sum("lr").alias("dsir_weight_fp"),
-        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("n") * F.col("lr")).alias("dsir_weight_fp"),
+        F.sum("n").cast("long").alias("n_tokens"),
     )
 
 

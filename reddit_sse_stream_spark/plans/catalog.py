@@ -8310,10 +8310,12 @@ def text_novelty_first_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document marginal novelty (operators/text.py:novelty_first_owner):
     fraction of the doc's distinct word trigrams it is the FIRST owner of
     (min doc_id over the corpus) — the is-this-crawl-batch-new signal.
-    One gram-keyed shuffle (the corpus n-gram vocabulary, map-side
-    combined), the join back rides the same partitioning, then a doc
-    count.  Docs with < 3 words have no trigrams and drop out in both
-    engines."""
+    LINEAR pipeline, one corpus scan, two data shuffles: a gram-key
+    repartition that the per-doc dedup aggregate AND the min-owner window
+    both ride (subset partitioning), then the doc-keyed count — the
+    min-per-gram is a window, not a groupBy+join-back (which would
+    re-tokenize the corpus for each join side).  Docs with < 3 words have
+    no trigrams and drop out in both engines."""
     return text.novelty_first_owner(_t(spark, sf_dir, "documents"))
 
 

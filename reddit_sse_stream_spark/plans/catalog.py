@@ -8463,6 +8463,187 @@ def aggx_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "dq_length_drift_ks",
+    """
+    WITH lens AS (
+      SELECT CAST(doc_id % 2 AS INTEGER) AS split, n_chars FROM documents
+    ),
+    per AS (
+      SELECT split, n_chars, CAST(count(*) AS BIGINT) AS c
+      FROM lens GROUP BY split, n_chars
+    ),
+    tot AS (SELECT split, CAST(sum(c) AS BIGINT) AS n FROM per GROUP BY split),
+    grid AS (SELECT DISTINCT n_chars FROM per),
+    cdf AS (
+      SELECT g.n_chars,
+             COALESCE(sum(CASE WHEN p.split = 0 THEN p.c END), 0) AS c0,
+             COALESCE(sum(CASE WHEN p.split = 1 THEN p.c END), 0) AS c1
+      FROM grid g LEFT JOIN per p ON p.n_chars <= g.n_chars
+      GROUP BY g.n_chars
+    )
+    SELECT CAST(max(abs(CAST(floor(c0 * 10000.0 / t0.n) AS BIGINT)
+                        - CAST(floor(c1 * 10000.0 / t1.n) AS BIGINT)))
+                AS BIGINT) AS ks_fp
+    FROM cdf, (SELECT n FROM tot WHERE split = 0) t0,
+         (SELECT n FROM tot WHERE split = 1) t1
+    """,
+)
+def dq_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the Kolmogorov-Smirnov statistic (max
+    ECDF gap, fixed-point at 1e-4) between the length distributions of
+    two corpus slices (doc_id parity stands in for old/new snapshot) —
+    the data-quality alarm that catches "the new crawl's documents got
+    systematically shorter" before it poisons a training mix.
+
+    Exactness: each ECDF value is floor(c * 1e4 / n) on exact integer
+    counts — both engines floor the identical IEEE quotient — and the
+    max of integer differences is associative, so the statistic is
+    bit-stable under any partitioning.
+
+    Scale shape: lengths pre-aggregate to DISTINCT (split, n_chars)
+    counts (map-side combined — the frame after this is dimension-sized:
+    |distinct lengths| rows, NOT corpus-sized), the cumulative counts are
+    one ordered window over that dimension frame (single-partition over
+    thousands of rows at most — same justification as the watermark
+    profile's bucket summary), and the final max is a 1-row reduce."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    per = (
+        docs.select((F.col("doc_id") % 2).cast("int").alias("split"), "n_chars")
+        .groupBy("split", "n_chars")
+        .agg(F.count("*").alias("c"))
+    )
+    wide = per.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("split") == 0, F.col("c")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("split") == 1, F.col("c")).otherwise(0)).alias("c1"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    tot = wide.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    cdf = wide.select(
+        "n_chars",
+        F.sum("c0").over(w).alias("cc0"),
+        F.sum("c1").over(w).alias("cc1"),
+    )
+    gap = F.abs(
+        F.floor(F.col("cc0") * 10000.0 / F.col("n0")).cast("long")
+        - F.floor(F.col("cc1") * 10000.0 / F.col("n1")).cast("long")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .agg(F.max(gap).cast("long").alias("ks_fp"))
+    )
+
+
+@_register(
+    "feat_target_encode_loo",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS tot
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source,
+           CASE WHEN s.n > 1
+                THEN CAST(floor((s.tot - d.n_chars) * 10000.0 / (s.n - 1))
+                     AS BIGINT)
+                ELSE CAST(-1 AS BIGINT) END AS loo_mean_fp
+    FROM documents d JOIN s USING (source)
+    """,
+)
+def feat_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature every tabular ML pipeline derives (a row's own target must
+    not leak into its encoding): per-source mean n_chars EXCLUDING the
+    row itself, (sum - x) / (n - 1) in floor-1e-4 fixed point;
+    singleton groups emit the -1 sentinel (no peers to encode from).
+
+    Scale shape: the group statistics collapse to |sources| rows
+    (map-side combined) and BROADCAST back over the fact scan — one data
+    pass, no window, no self-join; the per-row arithmetic is one exact
+    integer subtraction and one floored IEEE quotient."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("tot")
+    )
+    loo = F.when(
+        F.col("n") > 1,
+        F.floor(
+            (F.col("tot") - F.col("n_chars")) * 10000.0 / (F.col("n") - 1)
+        ).cast("long"),
+    ).otherwise(F.lit(-1).cast("long"))
+    return docs.join(F.broadcast(s), "source").select(
+        "doc_id", "source", loo.alias("loo_mean_fp")
+    )
+
+
+@_register(
+    "corpus_curriculum_order",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(abs(CAST(concat('0x', substr(md5('shard:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)) % 8
+                  AS INTEGER) AS shard,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                  AS BIGINT) AS n_alpha,
+             n_chars
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard
+             ORDER BY n_chars ASC, n_alpha DESC, doc_id ASC
+           ) AS BIGINT) AS curriculum_pos
+    FROM scored
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: within each (deterministic md5-hash) training
+    shard, rank documents easiest-first — shorter first, more-alphabetic
+    first, doc_id tiebreak — the staged-difficulty read order a
+    curriculum-learning data loader consumes.  The rank lives WITHIN the
+    shard (never a global sort): one exchange on the shard key, which is
+    exactly the write partitioning the shards need anyway (same shape as
+    corpus_shard_assignments), then a per-shard window."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    shard = (
+        F.abs(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+        % 8
+    ).cast("int")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast(
+        "long"
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("n_chars").asc(), F.col("n_alpha").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", shard.alias("shard"), n_alpha.alias("n_alpha"), "n_chars")
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("curriculum_pos"),
+        )
+    )
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -358,3 +358,80 @@ def semdedup_cell_pairs(
         "id_a", "id_b", "va", "vb"
     )
     return score_pairs_arrow(pairs, threshold)
+
+
+def hard_negative_mining(
+    emb: DataFrame,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining — for every anchor vector, the
+    single most-similar vector with a DIFFERENT label (the "hardest"
+    negative), the pair-construction step that makes embedding-model
+    fine-tuning work (random negatives are too easy; the gradient lives
+    in the near-miss region).
+
+    The quadratic is pruned the LSH way: candidates are restricted to the
+    anchor's sign-pattern bucket (``random_hyperplane_buckets`` — the
+    same deterministic plane family the oracled kNN entries embed as SQL
+    literals), so a missed negative in another bucket is the standard
+    recall trade, bounded by the bucket family, not silent: the bucket
+    rule is reproducible in the oracle, which verifies THIS
+    approximation exactly rather than hand-waving it.
+
+    Scale shape: bucket assignment is map-only; the within-bucket ordered
+    self-join shuffles once on the bucket key (per-bucket fan-out m^2,
+    bounded by plane count exactly like the kNN entries); scoring runs in
+    the vectorized Arrow kernel; the per-anchor top-1 is row_number()=1 —
+    WindowGroupLimit keeps it partial below the exchange.  Labels rejoin
+    from the (id, label) projection, broadcast-sized."""
+    b = random_hyperplane_buckets(
+        emb, n_planes=n_planes, id_col=id_col, vec_col=vec_col
+    )
+    side = (
+        emb.select(
+            F.col(id_col), F.col(label_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .join(b, id_col)
+    )
+    a = side.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(label_col).alias("label_a"),
+        F.col("v").alias("va"),
+    )
+    c = side.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(label_col).alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(c, ["bucket"]).where(
+        (F.col("id_a") != F.col("id_b"))
+        & (F.col("label_a") != F.col("label_b"))
+    )
+    scored = score_pairs_arrow(
+        pairs.select("id_a", "id_b", "va", "vb"), threshold=-2.0
+    )
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc("cos_sim"), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+        .join(
+            F.broadcast(labels.select(F.col(id_col).alias("id_a"), F.col(label_col).alias("label_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(labels.select(F.col(id_col).alias("id_b"), F.col(label_col).alias("label_b"))),
+            "id_b",
+        )
+        .select("id_a", "label_a", "id_b", "label_b", "cos_sim")
+    )

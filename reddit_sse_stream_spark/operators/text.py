@@ -837,3 +837,81 @@ def pmi_top_pairs(
         .orderBy(F.desc("pmi_fp"), "wa", "wb")
         .limit(k)
     )
+
+
+def chunk_dedup_rewrite(
+    df: DataFrame,
+    chunk_words: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup as a REWRITE: split every
+    document into fixed ``chunk_words``-word chunks, keep each chunk's
+    globally FIRST occurrence (minimum (doc_id, position) over the
+    corpus — the deterministic keep-first policy shared with exact
+    dedup), and re-assemble each document from its surviving chunks —
+    the pass that strips boilerplate paragraphs repeated across a crawl
+    while preserving each document's unique content in original order.
+
+    Contract: operates on FULL chunks only (the < chunk_words-word tail
+    is out of scope, same as :func:`chunk_dup_stats`); a document whose
+    every full chunk is owned elsewhere comes back with empty
+    ``text_dedup`` and n_kept = 0 — the downstream gate's drop signal.
+
+    Scale shape: chunking is pure codegen (split -> sequence -> slice ->
+    posexplode); ownership is ONE window (min (doc_id, pos) struct per
+    chunk digest) over one digest-keyed exchange; re-assembly is a
+    doc-keyed sort_array(collect_list(struct(pos, chunk))) — the struct
+    sort pins order deterministically, and per-doc state is the doc's
+    own chunks, never corpus-sized."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), r"\s+")
+    n_full = F.floor(F.size(words) / chunk_words).cast("int")
+    idx = F.sequence(F.lit(0), n_full - 1)
+    ch = (
+        df.select(
+            id_col,
+            words.alias("_w"),
+            F.when(n_full > 0, idx)
+            .otherwise(F.array().cast("array<int>"))
+            .alias("_is"),
+        )
+        .select(id_col, "_w", F.posexplode("_is").alias("pos", "_i"))
+        .select(
+            id_col,
+            "pos",
+            F.array_join(
+                F.slice(F.col("_w"), F.col("_i") * chunk_words + 1, chunk_words),
+                " ",
+            ).alias("chunk"),
+        )
+    )
+    owner = F.min(F.struct(F.col(id_col), F.col("pos"))).over(
+        Window.partitionBy(F.md5("chunk"))
+    )
+    kept = ch.withColumn(
+        "is_owner",
+        (owner[id_col] == F.col(id_col)) & (owner["pos"] == F.col("pos")),
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.col("is_owner").cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_owner"),
+                                F.struct(F.col("pos"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )

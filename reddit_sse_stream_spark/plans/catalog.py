@@ -8644,6 +8644,102 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _hard_negative_oracle(n_planes: int = 4, dim: int = 64) -> str:
+    """Literal-plane LSH buckets + within-bucket cross-label top-1: the
+    hard-negative-mining twin (same plane family and left-to-right dot
+    order as _lsh_bucket_oracle_sql; same floor-1e-4 cosine convention
+    as dedup_embedding_cosine)."""
+    from reddit_sse_stream_spark.operators.similarity import _lcg_planes
+
+    rows = ",\n      ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}])"
+        for i, p in enumerate(_lcg_planes(n_planes, dim, seed=0))
+    )
+    return f"""
+    WITH planes(i, plane) AS (VALUES
+      {rows}),
+    v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    b AS (
+      SELECT v.vec_id,
+             sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                        j -> v.v[j] * p.plane[j])) >= 0
+                      THEN 1 << p.i ELSE 0 END) AS bucket
+      FROM v, planes p GROUP BY v.vec_id),
+    s AS (SELECT v.vec_id, v.label, v.v, b.bucket
+          FROM v JOIN b USING (vec_id)),
+    pairs AS (
+      SELECT a.vec_id AS id_a, a.label AS label_a,
+             c.vec_id AS id_b, c.label AS label_b,
+             floor(list_cosine_similarity(a.v, c.v) * 10000) / 10000
+               AS cos_sim
+      FROM s a JOIN s c
+        ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+           AND a.label <> c.label)
+    SELECT id_a, label_a, id_b, label_b, cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY id_a ORDER BY cos_sim DESC, id_b ASC) AS rk
+      FROM pairs) WHERE rk = 1
+    """
+
+
+@_register("embed_hard_negatives", _hard_negative_oracle())
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (operators/similarity.py:hard_negative_mining): per anchor, the
+    most-similar vector with a DIFFERENT label, candidates pruned to the
+    anchor's deterministic hyperplane-LSH bucket — the pair-construction
+    pass for embedding-model fine-tuning.  The approximation itself is
+    oracled: DuckDB rebuilds the same literal-plane buckets and verifies
+    the within-bucket top-1 exactly.  Bucket join + Arrow cosine kernel +
+    WindowGroupLimit top-1."""
+    return similarity.hard_negative_mining(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "text_chunk_dedup_rewrite",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+      FROM documents
+    ),
+    n AS (SELECT doc_id, words,
+                 CAST(floor(len(words) / 16.0) AS INTEGER) AS n_full
+          FROM w),
+    ch AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             array_to_string(words[i * 16 + 1 : i * 16 + 16], ' ') AS chunk
+      FROM n, unnest(generate_series(0, n_full - 1)) AS t(i)
+    ),
+    own AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, pos) = 1 AS is_owner
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN is_owner THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           COALESCE(string_agg(CASE WHEN is_owner THEN chunk END, ' '
+                               ORDER BY pos), '') AS text_dedup
+    FROM own GROUP BY doc_id
+    """,
+)
+def text_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup REWRITE (operators/text.py:chunk_dedup_rewrite,
+    CCNet-style): every 16-word chunk keeps only its globally first
+    occurrence (min (doc_id, pos) — the keep-first policy of exact
+    dedup applied at sub-document granularity) and documents are
+    re-assembled from their surviving chunks in original order — the
+    pass that strips crawl-replicated boilerplate while keeping unique
+    content.  Complements text_chunk_dup_rate (the feasibility REPORT);
+    this is the write path.  One digest-keyed window for ownership, one
+    doc-keyed sorted re-assembly."""
+    return text.chunk_dedup_rewrite(_t(spark, sf_dir, "documents"))
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -1628,3 +1628,48 @@ def test_pmi_ranks_exclusive_pair_above_independent(spark):
     # c=20 -> pmi_fp = floor(20*30*1e4/400) = 15000 < 30000
     by_pair = {(r.wa, r.wb): r.pmi_fp for r in out}
     assert by_pair[("alpha", "beta")] == 15000
+
+
+def test_chunk_dedup_rewrite_keeps_first_occurrence(spark):
+    from reddit_sse_stream_spark.operators import text as textops
+
+    c16a = " ".join(f"a{i}" for i in range(16))
+    c16b = " ".join(f"b{i}" for i in range(16))
+    c16c = " ".join(f"c{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, c16a + " " + c16b),     # owns a-chunk and b-chunk
+            (2, c16b + " " + c16c),     # b is a repeat -> only c survives
+            (3, c16a),                  # fully boilerplate -> empty rewrite
+            (4, "short tail only"),     # no full chunk -> not in output
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.chunk_dedup_rewrite(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_kept == 2 and out[1].text_dedup == c16a + " " + c16b
+    assert out[2].n_kept == 1 and out[2].text_dedup == c16c
+    assert out[3].n_kept == 0 and out[3].text_dedup == ""
+
+
+def test_hard_negatives_exclude_same_label_and_pick_max(spark):
+    from reddit_sse_stream_spark.operators import similarity as simops
+
+    # 2-d embeddings, two labels; anchor 0 (label 0) has a same-label
+    # near-twin (1) that must be SKIPPED and a cross-label vector (2)
+    # that must win over a farther cross-label vector (3).
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.999, 0.01], 0),   # same label: never a negative
+        (2, [0.9, 0.1], 1),      # hardest cross-label negative for 0
+        (3, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.id_a: r for r in simops.hard_negative_mining(emb, n_planes=1).collect()}
+    # n_planes=1 -> at most 2 buckets; all these vectors have positive dot
+    # with the first LCG plane or not — regardless, anchor 0's negative,
+    # when present, must be cross-label
+    for r in out.values():
+        assert r.label_a != r.label_b
+    if 0 in out:
+        assert out[0].id_b in (2, 3)

@@ -59,6 +59,14 @@ HEADLINE = (
     # mid-round-5 additions: ranked retrieval + iterative graph
     "search_bm25_topk",
     "graph_pagerank_transitions",
+    # round-7 additions: the heaviest new shapes — semantic dedup
+    # (IVF cells + within-cell Arrow cosine), LSH-pruned cross-label
+    # top-1, the chunk-ownership rewrite window, and the checkpointed
+    # DSIR token pipeline
+    "dedup_semdedup_cells",
+    "embed_hard_negatives",
+    "text_chunk_dedup_rewrite",
+    "corpus_dsir_weights",
 )
 
 

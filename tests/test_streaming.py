@@ -934,3 +934,88 @@ def test_streaming_dedup_first_matches_batch_survivors(spark, sf_dir, tmp_path):
     # each digest admitted exactly once (append-mode emit-once contract)
     rows = spark.sql("SELECT digest FROM dedup_stream WHERE digest <> ''").collect()
     assert len(rows) == len({r["digest"] for r in rows})
+
+
+def test_streaming_session_window_closed_sessions_match_batch(spark, sf_dir, tmp_path):
+    """Streaming session windows (gap-based session_window + watermark,
+    append mode) must emit exactly the batch sessions that the watermark
+    has CLOSED — the batch sessionize twin restricted to sessions ending
+    before max_ts - delay.  Open sessions staying unemitted is the
+    documented append-mode contract, not data loss."""
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = tmp_path / "sess_stream"
+    for i in range(2):
+        ev.filter(F.col("user_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_stream_q")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_window"]["start"], r["session_window"]["end"]): r["n"]
+        for r in spark.sql("SELECT * FROM sess_stream_q").collect()
+    }
+    batch_all = {
+        (r["user_id"], r["session_window"]["start"], r["session_window"]["end"]): r["n"]
+        for r in ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    import datetime
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(minutes=10)
+    closed_batch = {k: v for k, v in batch_all.items() if k[2] <= horizon}
+    # every emitted session is a real batch session...
+    assert set(got) <= set(batch_all)
+    for k in got:
+        assert got[k] == batch_all[k]
+    # ...and every watermark-closed batch session was emitted
+    assert set(closed_batch) <= set(got)
+
+
+def test_stream_static_broadcast_join_filters_feed(spark, tmp_path):
+    """Stream-static join: the streaming feed joined against a static
+    whitelist dimension — the standard enrich/filter shape where the
+    static side broadcasts and never blocks a micro-batch."""
+    from reddit_sse_stream_spark.streaming.source import read_feed_stream
+
+    rc = read_feed_stream(
+        spark, EVENTS, "rc", backfill=100000, max_ids_per_batch=100000
+    )
+    # feed subreddit = event_type (sources/feed.py); whitelist two of them
+    allowed = spark.createDataFrame(
+        [("click", 1), ("view", 2)], "subreddit string, tier int"
+    )
+    joined = rc.join(F.broadcast(allowed), "subreddit").select(
+        "id", "subreddit", "tier"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_static_q")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stream_static_q").collect()
+    assert rows, "whitelisted subreddits must pass through"
+    assert {r["subreddit"] for r in rows} <= {"click", "view"}
+    assert all(r["tier"] in (1, 2) for r in rows)

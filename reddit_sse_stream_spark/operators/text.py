@@ -915,3 +915,91 @@ def chunk_dedup_rewrite(
             ).alias("text_dedup"),
         )
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    rounds: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL byte-pair-encoding merge training over the corpus — the
+    iterative tokenizer-learning loop itself (Sennrich et al. 2016), not
+    the one-round pair census (:func:`bpe_pair_merge_counts` keeps that
+    as the census entry) and not the regex proxy
+    (:func:`bpe_ish_token_count`).  Each round: count adjacent symbol
+    pairs over the weighted word vocabulary, pick the most frequent pair
+    (ties -> lexicographically smallest — deterministic), fuse it
+    corpus-wide, repeat.  Output is the learned merge table
+    (round, pair_left, pair_right, merged, cnt) — the artifact a real
+    tokenizer ships.
+
+    Representation that makes the merge a pure string op in ANY engine:
+    each word's symbol sequence is ``<s1><s2>...<sn>`` (words restricted
+    to [a-z0-9]+, so the angle brackets cannot occur in symbols), and
+    fusing pair (a,b) is ``replace(seq, '<a><b>', '<ab>')`` — replace()
+    scans left-to-right non-overlapping in both Spark and ANSI engines,
+    which IS BPE's greedy leftmost merge order ('aaa' + (a,a) -> 'aa','a').
+    Pair COUNTING sees every adjacent pair including overlaps, the same
+    count-then-greedy asymmetry real BPE trainers have.
+
+    Scale shape: the loop runs over the DISTINCT-word vocabulary with
+    frequencies (Zipf collapse — the corpus is tokenized ONCE and never
+    re-read; at 100 TB the vocab frame is millions of rows, not
+    billions), one pair-count aggregate (map-side combined, |pairs|
+    keys) + one 1-row argmax collect per round — the same
+    parameter-server shape as k-means, with ONE pair as the entire
+    per-round model delta.  rounds is fixed and small by design."""
+    words = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    vocab = (
+        df.select(words)
+        .where(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.concat(
+                F.lit("<"), F.array_join(F.split("w", ""), "><"), F.lit(">")
+            ).alias("seq"),
+            "freq",
+        )
+    )
+    merges = []
+    for t in range(1, rounds + 1):
+        syms = F.split(F.regexp_replace("seq", "^<|>$", ""), "><")
+        pair_arr = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(syms) - 2),
+                lambda i: F.struct(
+                    F.element_at(syms, i + 1).alias("a"),
+                    F.element_at(syms, i + 2).alias("b"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<a:string,b:string>>")
+        )
+        best = (
+            vocab.select("freq", F.explode(pair_arr).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((t, a, b, a + b, cnt))
+        vocab = vocab.select(
+            F.replace(
+                F.col("seq"),
+                F.lit(f"<{a}><{b}>"),
+                F.lit(f"<{a}{b}>"),
+            ).alias("seq"),
+            "freq",
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "round int, pair_left string, pair_right string, merged string, cnt long",
+    )

@@ -8740,6 +8740,63 @@ def text_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_dedup_rewrite(_t(spark, sf_dir, "documents"))
 
 
+
+def _bpe_train_oracle(rounds: int = 4) -> str:
+    """Unrolled-CTE twin of :func:`text.bpe_train_merges`: the same pair
+    census, the same (cnt DESC, a, b) argmax, the same left-to-right
+    non-overlapping replace() fuse — one CTE block per merge round,
+    entirely inside SQL (the Spark side's only driver traffic is the
+    1-row argmax per round)."""
+    ctes = [
+        r"""w0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents) t
+      WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w)""",
+        "v0 AS (SELECT '<' || array_to_string(string_split(w, ''), '><')"
+        " || '>' AS seq, freq FROM w0)",
+    ]
+    for t in range(1, rounds + 1):
+        prev = f"v{t - 1}"
+        ctes += [
+            f"""s{t} AS (
+      SELECT string_split(regexp_replace(seq, '^<|>$', '', 'g'), '><') AS s,
+             freq FROM {prev})""",
+            f"""p{t} AS (
+      SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT s, freq, unnest(generate_series(1, len(s) - 1)) AS i
+            FROM s{t} WHERE len(s) >= 2) t
+      GROUP BY s[i], s[i + 1])""",
+            f"b{t} AS (SELECT a, b, cnt FROM p{t}"
+            " ORDER BY cnt DESC, a, b LIMIT 1)",
+            f"v{t} AS (SELECT replace(seq, '<' || b.a || '><' || b.b || '>',"
+            f" '<' || b.a || b.b || '>') AS seq, freq FROM {prev}, b{t} b)",
+        ]
+    finals = " UNION ALL ".join(
+        f"SELECT {t} AS round, a AS pair_left, b AS pair_right,"
+        f" a || b AS merged, cnt FROM b{t}"
+        for t in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(round AS INTEGER) AS round, pair_left, pair_right,"
+        f" merged, cnt FROM ({finals}) ORDER BY round"
+    )
+
+
+@_register("bpe_train_merges", _bpe_train_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge training (operators/text.py:bpe_train_merges):
+    4 rounds of count-pairs -> argmax -> corpus-wide fuse over the
+    weighted distinct-word vocabulary — the real tokenizer-learning
+    loop, fully verified against an unrolled-CTE twin (the angle-bracket
+    symbol encoding makes each fuse a plain replace() with identical
+    left-to-right non-overlap semantics in both engines).  Upgrades the
+    one-round census (bpe_pair_merge_counts) to the actual training
+    artifact: the merge table."""
+    return text.bpe_train_merges(_t(spark, sf_dir, "documents"))
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -1673,3 +1673,24 @@ def test_hard_negatives_exclude_same_label_and_pick_max(spark):
         assert r.label_a != r.label_b
     if 0 in out:
         assert out[0].id_b in (2, 3)
+
+
+def test_bpe_train_merges_learns_expected_fusions(spark):
+    """Hand-checkable corpus: 'aa' dominates, so round 1 fuses (a,a);
+    greedy left-to-right fuse on 'aaaa' then leaves 'aa'+'aa' (one pair
+    of the MERGED symbol), and round 2 fuses the next-best pair."""
+    from reddit_sse_stream_spark.operators import text as textops
+
+    docs = spark.createDataFrame(
+        # 'aaaa' x3 and 'ab' x2: pairs r1: (a,a) = 3 words * 3 adjacent = 9
+        # > (a,b) = 2 -> merge (a,a)
+        [(1, "aaaa aaaa aaaa ab ab")],
+        "doc_id long, text string",
+    )
+    out = textops.bpe_train_merges(docs, rounds=2).collect()
+    r1 = next(r for r in out if r["round"] == 1)
+    assert (r1.pair_left, r1.pair_right, r1.merged, r1.cnt) == ("a", "a", "aa", 9)
+    r2 = next(r for r in out if r["round"] == 2)
+    # after fusing: 'aaaa' -> '<aa><aa>' (pair (aa,aa) x3), 'ab' stays
+    # '<a><b>' (x2) -> round 2 merges (aa,aa)
+    assert (r2.pair_left, r2.pair_right, r2.cnt) == ("aa", "aa", 3)

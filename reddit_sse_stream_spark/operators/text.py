@@ -1003,3 +1003,62 @@ def bpe_train_merges(
         merges,
         "round int, pair_left string, pair_right string, merged string, cnt long",
     )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    rounds: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with the merges :func:`bpe_train_merges` just
+    learned and report per-document REAL subword token counts — the
+    token-accounting pass a training-mix scheduler actually needs (the
+    regex proxy :func:`bpe_ish_token_count` stays as the zero-training
+    fallback).  Application is single-pass in rank order (each learned
+    merge applied once, corpus-wide, in the order it was learned — the
+    standard fast approximation; the encoding makes each application one
+    replace()).
+
+    Tokenization happens on the DISTINCT-word vocabulary and joins back
+    to documents by word (Zipf collapse again: tokenize |vocab| strings,
+    not |corpus|), so per-doc counts are one broadcast join + sum.
+    Words outside [a-z0-9]+ are outside the trained alphabet and are
+    excluded from both training and counting (documented contract; a
+    production tokenizer adds a byte-fallback alphabet instead)."""
+    merges = [
+        (r["pair_left"], r["pair_right"])
+        for r in bpe_train_merges(
+            df, rounds=rounds, text_col=text_col, id_col=id_col
+        ).collect()
+    ]
+    words = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    base = df.select(F.col(id_col), words).where(
+        F.col("w").rlike("^[a-z0-9]+$")
+    )
+    vocab = base.select("w").distinct().select(
+        "w",
+        F.concat(
+            F.lit("<"), F.array_join(F.split("w", ""), "><"), F.lit(">")
+        ).alias("seq"),
+    )
+    seq = F.col("seq")
+    for a, b in merges:
+        seq = F.replace(seq, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    toks = vocab.select(
+        "w",
+        F.size(F.split(F.regexp_replace(seq, "^<|>$", ""), "><"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return (
+        base.join(F.broadcast(toks), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+            _trunc4(
+                F.sum(F.length("w")) / F.sum("n_tok")
+            ).alias("chars_per_token"),
+        )
+    )

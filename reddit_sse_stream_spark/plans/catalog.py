@@ -8741,19 +8741,18 @@ def text_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _bpe_train_oracle(rounds: int = 4) -> str:
-    """Unrolled-CTE twin of :func:`text.bpe_train_merges`: the same pair
-    census, the same (cnt DESC, a, b) argmax, the same left-to-right
-    non-overlapping replace() fuse — one CTE block per merge round,
-    entirely inside SQL (the Spark side's only driver traffic is the
-    1-row argmax per round)."""
+def _bpe_ctes(rounds: int = 4) -> list[str]:
+    """Shared unrolled-CTE rounds for the BPE twins: word vocab ->
+    bracket-encoded symbol sequences -> per-round (pair census, argmax,
+    replace() fuse).  v{t} carries the word through so the tokenize twin
+    can map word -> final token count; the train twin simply ignores it."""
     ctes = [
         r"""w0 AS (
       SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
         SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
         FROM documents) t
       WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w)""",
-        "v0 AS (SELECT '<' || array_to_string(string_split(w, ''), '><')"
+        "v0 AS (SELECT w, '<' || array_to_string(string_split(w, ''), '><')"
         " || '>' AS seq, freq FROM w0)",
     ]
     for t in range(1, rounds + 1):
@@ -8769,9 +8768,21 @@ def _bpe_train_oracle(rounds: int = 4) -> str:
       GROUP BY s[i], s[i + 1])""",
             f"b{t} AS (SELECT a, b, cnt FROM p{t}"
             " ORDER BY cnt DESC, a, b LIMIT 1)",
-            f"v{t} AS (SELECT replace(seq, '<' || b.a || '><' || b.b || '>',"
-            f" '<' || b.a || b.b || '>') AS seq, freq FROM {prev}, b{t} b)",
+            f"v{t} AS (SELECT p.w, replace(p.seq,"
+            " '<' || b.a || '><' || b.b || '>',"
+            f" '<' || b.a || b.b || '>') AS seq, p.freq"
+            f" FROM {prev} p, b{t} b)",
         ]
+    return ctes
+
+
+def _bpe_train_oracle(rounds: int = 4) -> str:
+    """Unrolled-CTE twin of :func:`text.bpe_train_merges`: the same pair
+    census, the same (cnt DESC, a, b) argmax, the same left-to-right
+    non-overlapping replace() fuse — one CTE block per merge round,
+    entirely inside SQL (the Spark side's only driver traffic is the
+    1-row argmax per round)."""
+    ctes = _bpe_ctes(rounds)
     finals = " UNION ALL ".join(
         f"SELECT {t} AS round, a AS pair_left, b AS pair_right,"
         f" a || b AS merged, cnt FROM b{t}"
@@ -8795,6 +8806,48 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-round census (bpe_pair_merge_counts) to the actual training
     artifact: the merge table."""
     return text.bpe_train_merges(_t(spark, sf_dir, "documents"))
+
+
+
+def _bpe_tokenize_oracle(rounds: int = 4) -> str:
+    """Apply the learned merges (same unrolled rounds) and count final
+    symbols per word, joined back over the document token stream."""
+    ctes = _bpe_ctes(rounds)
+    ctes += [
+        f"""nt AS (
+      SELECT w, CAST(len(string_split(
+               regexp_replace(seq, '^<|>$', '', 'g'), '><')) AS BIGINT)
+               AS n_tok
+      FROM v{rounds})""",
+        r"""docw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents) t
+      WHERE regexp_matches(w, '^[a-z0-9]+$'))""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n.n_tok) AS BIGINT) AS n_bpe_tokens,
+           floor(sum(length(d.w)) * 1.0 / sum(n.n_tok) * 10000) / 10000.0
+             AS chars_per_token
+    FROM docw d JOIN nt n USING (w) GROUP BY d.doc_id"""
+    )
+
+
+@_register("bpe_tokenize_counts", _bpe_tokenize_oracle())
+def bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL subword token accounting (operators/text.py:bpe_token_counts):
+    tokenize every document with the corpus-trained BPE merges (applied
+    single-pass in rank order on the Zipf-collapsed vocabulary, joined
+    back by word) and report per-doc word/token counts + chars-per-token
+    fertility — the number a training-mix scheduler actually budgets
+    with.  Fully verified: the oracle re-learns the identical merges and
+    re-applies them in SQL."""
+    return text.bpe_token_counts(_t(spark, sf_dir, "documents"))
 
 
 # =========================================================================== #

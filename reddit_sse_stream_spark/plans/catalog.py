@@ -6255,7 +6255,10 @@ def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge-learning step: corpus-wide counts of adjacent
     character pairs inside words, top 50 (ties broken lexically).  The
     highest-count pair is the first merge a BPE tokenizer trainer would
-    learn; iterating this query IS the trainer's inner loop.
+    learn; iterating this query IS the trainer's inner loop — and since
+    r07 that trainer exists: ``bpe_train_merges`` runs the iterated
+    count→argmax→fuse rounds and ``bpe_tokenize_counts`` applies the
+    learned table; this entry stays as the single-round census.
 
     Scale shape: pairs are expanded from the DISTINCT-term frequency
     table, not the raw token stream — the Zipf collapse means the

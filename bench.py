@@ -307,10 +307,20 @@ def compare_to_prev(
         for r in calib_ratios:
             prod *= r
         calib_factor = round(prod ** (1.0 / len(calib_ratios)), 3)
+    # Disagree only when the query-derived factor is outside the band of
+    # EVERY probe family.  The families measure different machine axes
+    # (JVM codegen vs Python interpreter) and the JVM probe in particular
+    # is load-volatile across rounds (measured 0.071-0.225 s on
+    # equivalent hosts, r07): one wild probe with the other family
+    # agreeing with the queries is probe noise / a one-axis host shift,
+    # not the uniform-regression signature — that signature is queries
+    # shifting while BOTH catalog-independent probes stay put.
     disagree = bool(
         vs_prev
         and calib_ratios
-        and not (1 / 1.3 <= machine_factor / calib_factor <= 1.3)
+        and all(
+            not (1 / 1.3 <= machine_factor / r <= 1.3) for r in calib_ratios
+        )
     )
     return {
         "vs_prev": vs_prev,

@@ -91,3 +91,35 @@ def test_prior_without_probes_gives_vacuous_calibration():
     out = bench.compare_to_prev(TIMES, 0.1, prev, calib)
     assert out["calibration_factor"] == 1.0
     assert out["machine_factor_disagrees"] is False
+
+
+def test_one_volatile_probe_with_other_agreeing_does_not_fire():
+    """r07 field observation: the JVM probe swings 3x with host load
+    (0.071-0.225 s on equivalent hosts) while the Python probe and the
+    queries stay flat — that is probe noise, not a uniform regression,
+    and must NOT flag.  The regression signature requires the query
+    factor to sit outside the band of EVERY probe family."""
+    prev = {
+        "sf": 0.1,
+        "queries": {"q1": 1.0, "q2": 2.0, "q3": 4.0},  # queries flat (1.0x)
+        "calib_jvm_sec": 0.225,
+        "calib_py_sec": 0.144,
+    }
+    calib = {"calib_jvm_sec": 0.071, "calib_py_sec": 0.143}  # jvm wild
+    out = bench.compare_to_prev(TIMES, 0.1, prev, calib)
+    assert out["machine_factor"] == 1.0
+    assert out["machine_factor_disagrees"] is False
+
+
+def test_disagree_requires_both_families_outside_band():
+    """Queries 2x slower, BOTH probes flat -> fires (each family
+    individually outside the band)."""
+    prev = {
+        "sf": 0.1,
+        "queries": {"q1": 0.5, "q2": 1.0, "q3": 2.0},  # queries 2x
+        "calib_jvm_sec": 0.2,
+        "calib_py_sec": 0.4,
+    }
+    calib = {"calib_jvm_sec": 0.2, "calib_py_sec": 0.4}
+    out = bench.compare_to_prev(TIMES, 0.1, prev, calib)
+    assert out["machine_factor_disagrees"] is True

@@ -1,7 +1,11 @@
 """Text-analysis operators over the documents table (training-data pipeline
 surface; SURVEY.md §2.8 north-star). Everything is built-in Column algebra —
-no Python UDFs in the hot path — so it rides whole-stage codegen and scales
-linearly with executors (no shuffle at all: every op is per-row).
+no Python UDFs in the hot path — so the per-row stages ride whole-stage
+codegen.  The per-row scorers (quality, lang, fingerprints, encoding) are
+shuffle-free; the corpus-level operators (vocab, BM25, PMI, novelty, chunk
+ownership, BPE training) shuffle only narrow derived keys (term / gram /
+digest), never document text, and each docstring states its exact exchange
+budget.
 """
 
 from __future__ import annotations

@@ -1,0 +1,153 @@
+"""Randomized cross-checks of the pure-codegen text folds against plain
+Python references — the degenerate-input net (empty strings, 1-token docs,
+runs of repeats, NULLs) that fixture-driven oracle parity can miss: the
+ADVICE r06 crash (repetition_runs on <2-token docs) lived exactly in this
+class.  One Spark round-trip per suite (batched docs), references in pure
+Python, so the suite stays cheap."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from reddit_sse_stream_spark.operators import text as textops
+
+
+def _docs(rng: random.Random, n: int = 60) -> list[tuple[int, str | None]]:
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    out: list[tuple[int, str | None]] = []
+    for i in range(n):
+        kind = rng.randrange(6)
+        if kind == 0:
+            out.append((i, None))
+        elif kind == 1:
+            out.append((i, ""))
+        elif kind == 2:
+            out.append((i, rng.choice(vocab)))  # single token
+        elif kind == 3:  # stutter run
+            w = rng.choice(vocab)
+            out.append((i, " ".join([w] * rng.randrange(2, 7))))
+        else:
+            out.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 12))))
+            )
+    return out
+
+
+def _ref_repetition(text: str) -> tuple[int, int, float, int]:
+    ws = text.lower().split(" ") if text != "" else [""]
+    # mirror split(\s+) semantics on our single-space fixtures
+    grams = [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
+    n2 = len(grams)
+    top = max((grams.count(g) for g in set(grams)), default=0)
+    frac = math.floor(top / n2 * 10000) / 10000 if n2 else 0.0
+    best = run = 0
+    prev = None
+    for w in ws:
+        run = run + 1 if w == prev else 1
+        best = max(best, run)
+        prev = w
+    return len(ws), n2, frac, best
+
+
+def test_repetition_runs_fuzz_matches_python_reference(spark):
+    rng = random.Random(1307)
+    rows = _docs(rng)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.repetition_runs(df).collect()}
+    for i, text in rows:
+        if text is None:
+            assert i not in got  # NULL text drops (oracle parity contract)
+            continue
+        n_words, n2, frac, best = _ref_repetition(text)
+        r = got[i]
+        assert (r.n_words, r.n_2grams, r.max_word_run) == (n_words, n2, best)
+        assert abs(r.top_2gram_frac - frac) < 1e-12
+
+
+def test_novelty_fuzz_first_owner_invariants(spark):
+    """Structural invariants on random corpora: novelty in [0,1]; the
+    lowest-id doc containing any given trigram owns it; duplicating a
+    doc at a higher id forces the copy's novelty to 0."""
+    rng = random.Random(42)
+    base = [
+        (i, " ".join(rng.choice("abcdefg") for _ in range(rng.randrange(3, 9))))
+        for i in range(30)
+    ]
+    dup_src = dict(base)[7]
+    rows = base + [(1000, dup_src)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.novelty_first_owner(df).collect()}
+    for r in out.values():
+        assert 0.0 <= r.novelty <= 1.0
+        assert 0 <= r.n_novel <= r.n_grams
+    assert out[1000].novelty == 0.0  # late exact copy owns nothing
+
+
+def test_encoding_quality_fuzz_counts_add_up(spark):
+    rng = random.Random(9)
+    alphabet = "ab c\x01\x02\x7f�XY"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.encoding_quality(df).collect()}
+    for i, text in rows:
+        r = got[i]
+        assert r.n_chars == len(text)
+        assert r.n_repl == text.count("�")
+        assert r.n_ctrl == sum(1 for c in text if c in "\x01\x02\x7f")
+        printable = sum(1 for c in text if 0x20 <= ord(c) <= 0x7E)
+        expect = math.floor(printable / max(len(text), 1) * 10000) / 10000
+        assert abs(r.printable_frac - expect) < 1e-12
+
+
+def _ref_bpe(words: list[str], rounds: int) -> list[tuple[str, str, int]]:
+    from collections import Counter
+
+    freq = Counter(words)
+    seqs = {w: [c for c in w] for w in freq}
+    merges = []
+    for _ in range(rounds):
+        pc: Counter = Counter()
+        for w, s in seqs.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += freq[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_fuzz_matches_python_reference(spark):
+    """The string-replace fuse must equal a classic list-level greedy
+    BPE reference (leftmost non-overlapping) on random corpora."""
+    rng = random.Random(77)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randrange(1, 7)))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    got = [
+        (r.pair_left, r.pair_right, r.cnt)
+        for r in sorted(
+            textops.bpe_train_merges(df, rounds=3).collect(),
+            key=lambda r: r["round"],
+        )
+    ]
+    assert got == _ref_bpe(words, 3)

@@ -1694,3 +1694,38 @@ def test_bpe_train_merges_learns_expected_fusions(spark):
     # after fusing: 'aaaa' -> '<aa><aa>' (pair (aa,aa) x3), 'ab' stays
     # '<a><b>' (x2) -> round 2 merges (aa,aa)
     assert (r2.pair_left, r2.pair_right, r2.cnt) == ("aa", "aa", 3)
+
+
+def test_minhash_twin_containment_on_borderline_jaccard_corpus(spark):
+    """The r07 driver row dedup_minhash_twin_containment asserts
+    twin \\ fast == 0.  Its risk zone is borderline pairs (J barely over
+    the 0.8 threshold), where the twin's weak 8-hash/4-band sketch may
+    legitimately miss pairs — the invariant direction must still hold
+    because the fast 64-hash/16-band side misses with probability ~2e-4
+    at J=0.8.  Deterministic by construction (hash families are pure
+    functions of the data), so this is a pinned result, not a flake."""
+    import random
+
+    from reddit_sse_stream_spark.operators import dedup
+
+    rng = random.Random(607)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for p in range(30):
+        # two docs sharing most 5-shingles: 40 common words + small tails
+        common = [rng.choice(vocab) for _ in range(40)]
+        ta = common + [f"xa{p}"]
+        tb = common + [f"xb{p}"]
+        rows.append((2 * p, " ".join(ta)))
+        rows.append((2 * p + 1, " ".join(tb)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.near_dup_pairs(docs, threshold=0.8).collect()
+    }
+    twin = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_md5_near_dups(docs).collect()
+    }
+    assert twin, "borderline corpus must produce twin pairs"
+    assert twin <= fast, f"fast path missed twin pairs: {sorted(twin - fast)[:5]}"

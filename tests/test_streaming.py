@@ -1019,3 +1019,29 @@ def test_stream_static_broadcast_join_filters_feed(spark, tmp_path):
     assert rows, "whitelisted subreddits must pass through"
     assert {r["subreddit"] for r in rows} <= {"click", "view"}
     assert all(r["tier"] in (1, 2) for r in rows)
+
+
+def test_broadcaster_same_spec_clients_share_render():
+    """Same-spec clients must receive byte-identical frames and counter
+    deltas from the shared per-spec render (the r07 fan-out
+    optimization), and a client joining mid-stream accumulates only the
+    batches it was registered for."""
+    bc = SSEBroadcaster(clock=lambda: 0.0)
+    s1 = bc.register("c1", QuerySpec())
+    s2 = bc.register("c2", QuerySpec())
+
+    class FakeDF:
+        def __init__(self, rows):
+            self._rows = rows
+        def limit(self, k):
+            return self
+        def collect(self):
+            return self._rows
+
+    bc.foreach_batch(FakeDF(ROWS), 0)
+    assert s1.frames == s2.frames and s1.frames
+    assert (s1.tcs, s1.tss, s1.tbs) == (s2.tcs, s2.tss, s2.tbs)
+    late = bc.register("late", QuerySpec())
+    bc.foreach_batch(FakeDF(ROWS), 1)
+    assert late.frames == s1.frames[len(s1.frames) // 2 :]  # second batch only
+    assert s1.tcs == 2 * late.tcs and s1.frames == s2.frames

@@ -151,3 +151,91 @@ def test_bpe_train_fuzz_matches_python_reference(spark):
         )
     ]
     assert got == _ref_bpe(words, 3)
+
+
+def _ref_chunk_rewrite(rows: list[tuple[int, str]], k: int = 16):
+    owners: dict[str, tuple[int, int]] = {}
+    chunks: dict[int, list[tuple[int, str]]] = {}
+    for i, text in sorted(rows):
+        ws = text.split(" ")
+        n_full = len(ws) // k
+        for p in range(n_full):
+            ch = " ".join(ws[p * k : (p + 1) * k])
+            chunks.setdefault(i, []).append((p, ch))
+            if ch not in owners or (i, p) < owners[ch]:
+                owners[ch] = (i, p)
+    out = {}
+    for i, cs in chunks.items():
+        kept = [(p, c) for p, c in cs if owners[c] == (i, p)]
+        out[i] = (
+            len(cs),
+            len(kept),
+            " ".join(c for _, c in sorted(kept)),
+        )
+    return out
+
+
+def test_chunk_dedup_rewrite_fuzz_matches_python_reference(spark):
+    rng = random.Random(321)
+    vocab = [f"t{i}" for i in range(8)]
+    shared_block = " ".join(rng.choice(vocab) for _ in range(16))
+    rows = []
+    for i in range(40):
+        n = rng.randrange(0, 40)
+        words = [rng.choice(vocab) for _ in range(n)]
+        text = " ".join(words)
+        if rng.random() < 0.4:  # splice the shared block at a chunk boundary
+            text = shared_block + (" " + text if text else "")
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.text_dedup)
+        for r in __import__(
+            "reddit_sse_stream_spark.operators.text", fromlist=["text"]
+        ).chunk_dedup_rewrite(df).collect()
+    }
+    assert got == _ref_chunk_rewrite(rows)
+
+
+def _ref_dsir(rows: list[tuple[int, str, str]], target: str = "en"):
+    import math
+    from collections import Counter
+
+    cs: Counter = Counter()
+    ct: Counter = Counter()
+    for _, text, lang in rows:
+        for w in text.lower().split(" "):
+            cs[w] += 1
+            if lang == target:
+                ct[w] += 1
+    ns, nt, v = sum(cs.values()), sum(ct.values()), len(cs)
+    out = {}
+    for i, text, lang in rows:
+        ws = text.lower().split(" ")
+        weight = sum(
+            math.floor(((ct[w] + 1.0) * (ns + v) * 10000.0) / ((cs[w] + 1.0) * (nt + v)))
+            for w in ws
+        )
+        out[i] = (lang, weight, len(ws))
+    return out
+
+
+def test_dsir_weights_fuzz_matches_python_reference(spark):
+    rng = random.Random(888)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (
+            i,
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 10))),
+            rng.choice(["en", "fr", "de"]),
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from reddit_sse_stream_spark.operators import corpus as corpusops
+
+    got = {
+        r.doc_id: (r.lang, r.dsir_weight_fp, r.n_tokens)
+        for r in corpusops.dsir_weights(df).collect()
+    }
+    assert got == _ref_dsir(rows)

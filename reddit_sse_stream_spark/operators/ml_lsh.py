@@ -257,3 +257,141 @@ def ivf_fixedpoint_cells(
     return base.select(
         F.col("_id").alias(id_col), assign_col(cents).alias("cell")
     )
+
+
+def pq_codes_fixedpoint(
+    emb: DataFrame,
+    n_sub: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization [Jégou et al. 2011 — the FAISS IVF-PQ
+    building block]: split every vector into ``n_sub`` subvectors, learn
+    a ``k``-centroid codebook PER SUBSPACE with Lloyd rounds, and encode
+    each vector as its ``n_sub`` nearest-centroid codes — the compressed
+    representation (8 bytes/vector here vs 256 for float32) that lets a
+    100 TB ANN index hold billions of vectors in RAM and score them with
+    table lookups (ADC) instead of full dot products.
+
+    Every step reuses the exact-integer playbook of
+    :func:`corpus.kmeans_fixedpoint` (quantize once at 1e6, integer
+    distances, floor-mean updates, ties to the lowest code, emptied
+    cells keep their centroid), so codes and reconstruction error are
+    bit-identical across engines and an unrolled-CTE oracle verifies
+    them value-for-value.
+
+    Scale shape: ALL subspaces train in ONE pass per round — the vector
+    explodes into (vec_id, sub, xq[8]) rows and the update is a single
+    (sub, cluster, d)-keyed aggregate (n_sub·k·d_sub = 1024 keys,
+    map-side combined); driver state is the full codebook
+    (n_sub·k·d_sub ints — the parameter-server step, ~8 KB).  Assignment
+    bakes the codebook in as plan literals behind the explode barrier
+    (k folds per (row, sub) — the HOF re-inline trap, see
+    kmeans_fixedpoint).  The final code pivot is one vec_id-keyed
+    aggregate."""
+    import math
+
+    dim_total = len(
+        emb.select(F.col(vec_col).cast("array<double>").alias("x"))
+        .first()["x"]
+    )
+    d_sub = dim_total // n_sub
+    x = F.col(vec_col).cast("array<double>")
+    xq = F.transform(x, lambda v: F.floor(v * 1_000_000 + 0.5).cast("long"))
+    base = (
+        emb.select(F.col(id_col).alias("_id"), xq.alias("xq"))
+        .select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sub"),
+                            F.slice("xq", s * d_sub + 1, d_sub).alias("sq"),
+                        )
+                        for s in range(n_sub)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("_id", F.col("p.sub").alias("sub"), F.col("p.sq").alias("sq"))
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        base.where(F.col("_id").isin([r["_id"] for r in
+            emb.select(F.col(id_col).alias("_id")).orderBy("_id").limit(k).collect()]))
+        .orderBy("_id", "sub")
+        .collect()
+    )
+    # cents[sub][j] = centroid j of subspace sub
+    cents: list[list[list[int]]] = [[None] * k for _ in range(n_sub)]
+    by_id = sorted({r["_id"] for r in seeds})
+    rank = {vid: j for j, vid in enumerate(by_id)}
+    for r in seeds:
+        cents[r["sub"]][rank[r["_id"]]] = list(r["sq"])
+
+    def assign(frame: DataFrame) -> DataFrame:
+        def dist_fold(c: list[int]) -> "F.Column":
+            c_lit = F.array(*[F.lit(int(v)) for v in c])
+            return F.aggregate(
+                F.zip_with(F.col("sq"), c_lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + e,
+            )
+
+        # per-sub codebook via chained when(sub == s, <struct of k dists>)
+        struct_for = [
+            F.struct(
+                *[dist_fold(cents[s][j]).alias(f"d_{j}") for j in range(k)]
+            )
+            for s in range(n_sub)
+        ]
+        sel = struct_for[0]
+        for s in range(1, n_sub):
+            sel = F.when(F.col("sub") == s, struct_for[s]).otherwise(sel)
+        withd = frame.select(
+            "_id", "sub", "sq", F.explode(F.array(sel)).alias("b")
+        )
+        best = F.least(*[F.col(f"b.d_{j}") for j in range(k)])
+        cl = F.when(F.col("b.d_0") == best, 0)
+        for j in range(1, k):
+            cl = cl.when(F.col(f"b.d_{j}") == best, j)
+        return withd.select(
+            "_id", "sub", "sq", cl.alias("code"), best.alias("dist2_fp")
+        )
+
+    for _ in range(iters):
+        sums = (
+            assign(base)
+            .select("sub", "code", F.posexplode("sq").alias("d", "v"))
+            .groupBy("sub", "code", "d")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        )
+        got = {
+            (r["sub"], r["code"], r["d"]): (r["s"], r["n"])
+            for r in sums.collect()
+        }
+        cents = [
+            [
+                [
+                    math.floor(got[(s, j, d)][0] / got[(s, j, d)][1])
+                    for d in range(d_sub)
+                ]
+                if (s, j, 0) in got
+                else cents[s][j]
+                for j in range(k)
+            ]
+            for s in range(n_sub)
+        ]
+    final = assign(base)
+    return final.groupBy("_id").agg(
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("code")))
+            .cast("int")
+            .alias(f"c{s}")
+            for s in range(n_sub)
+        ],
+        F.sum("dist2_fp").cast("long").alias("recon_fp"),
+    ).select(F.col("_id").alias(id_col), *[f"c{s}" for s in range(n_sub)], "recon_fp")

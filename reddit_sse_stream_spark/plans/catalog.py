@@ -8853,6 +8853,86 @@ def bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_token_counts(_t(spark, sf_dir, "documents"))
 
 
+
+def _pq_oracle(n_sub: int = 8, k: int = 16, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled-CTE twin of :func:`ml_lsh.pq_codes_fixedpoint`: identical
+    quantize / per-subspace assign / floor-mean update rounds (one CTE
+    block per round), codes pivoted per vector at the end.  Same
+    exact-integer argument as the k-means oracle, with (sub, code) as
+    the model key."""
+    d_sub = dim // n_sub
+    ctes = [
+        f"""ex AS (
+      SELECT vec_id,
+             CAST(ix.d // {d_sub} AS INTEGER) AS sub,
+             CAST(ix.d % {d_sub} AS INTEGER) AS dd,
+             CAST(floor(CAST(embedding[ix.d + 1] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS xq
+      FROM embeddings CROSS JOIN (SELECT unnest(range({dim})) AS d) ix)""",
+        f"""init AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
+                          AS INTEGER) AS code
+      FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id
+            LIMIT {k}))""",
+        "c0 AS (SELECT i.code, e.sub, e.dd, e.xq"
+        " FROM ex e JOIN init i USING (vec_id))",
+    ]
+    for t in range(1, iters + 2):
+        prev = f"c{t - 1}"
+        ctes += [
+            f"""d{t} AS (
+      SELECT e.vec_id, e.sub, c.code,
+             CAST(sum((e.xq - c.xq) * (e.xq - c.xq)) AS BIGINT) AS dist2
+      FROM ex e JOIN {prev} c ON c.sub = e.sub AND c.dd = e.dd
+      GROUP BY e.vec_id, e.sub, c.code)""",
+            f"""a{t} AS (
+      SELECT vec_id, sub, code, dist2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist2, code) AS rk
+        FROM d{t}) WHERE rk = 1)""",
+        ]
+        if t <= iters:
+            ctes += [
+                f"""s{t} AS (
+      SELECT a.sub, a.code, e.dd,
+             CAST(floor(CAST(sum(e.xq) AS DOUBLE) / count(*)) AS BIGINT)
+               AS xq
+      FROM a{t} a JOIN ex e ON e.vec_id = a.vec_id AND e.sub = a.sub
+      GROUP BY a.sub, a.code, e.dd)""",
+                f"""c{t} AS (
+      SELECT p.sub, p.code, p.dd, COALESCE(s.xq, p.xq) AS xq
+      FROM {prev} p LEFT JOIN s{t} s
+        ON s.sub = p.sub AND s.code = p.code AND s.dd = p.dd)""",
+            ]
+    last = f"a{iters + 1}"
+    codes = ",\n           ".join(
+        f"CAST(max(CASE WHEN sub = {s} THEN code END) AS INTEGER) AS c{s}"
+        for s in range(n_sub)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT vec_id,
+           {codes},
+           CAST(sum(dist2) AS BIGINT) AS recon_fp
+    FROM {last} GROUP BY vec_id"""
+    )
+
+
+@_register("embed_pq_codes", _pq_oracle())
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (operators/ml_lsh.py:pq_codes_fixedpoint
+    — Jégou et al. 2011, the FAISS IVF-PQ building block): per-subspace
+    exact-integer Lloyd codebooks learned for ALL 8 subspaces in one
+    aggregate per round, every vector encoded as 8 one-byte codes + its
+    integer reconstruction error — the compression that fits a billion-
+    vector ANN index in RAM.  Codes and recon error are bit-verified
+    against the unrolled-CTE twin."""
+    from reddit_sse_stream_spark.operators.ml_lsh import pq_codes_fixedpoint
+
+    return pq_codes_fixedpoint(_t(spark, sf_dir, "embeddings"))
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -95,3 +95,25 @@ def test_wrapper_plans_have_no_python_row_udf(spark, sf_dir):
     feats = ml_lsh._doc_shingle_vectors(docs)
     plan = feats._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_pq_codes_deterministic_and_reconstruction_sane(spark, sf_dir):
+    """PQ codes must be partitioning-invariant (pure function of the
+    data) and the learned codebook must beat the round-0 seeds: every
+    vector's reconstruction error is <= its distance to the nearest
+    SEED subvectors, summed — Lloyd rounds only improve the quantizer."""
+    from reddit_sse_stream_spark.operators.ml_lsh import pq_codes_fixedpoint
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, pq_codes_fixedpoint(emb).collect()))
+    b = sorted(map(tuple, pq_codes_fixedpoint(emb.repartition(7)).collect()))
+    assert a == b and len(a) == emb.count()
+    zero_rounds = sorted(
+        map(tuple, pq_codes_fixedpoint(emb, iters=0).collect())
+    )
+    trained = {t[0]: t[-1] for t in a}
+    seeded = {t[0]: t[-1] for t in zero_rounds}
+    # mean recon must not get worse with training; allow per-vector ties
+    assert sum(trained.values()) <= sum(seeded.values())
+    assert all(v >= 0 for v in trained.values())

@@ -11,6 +11,7 @@ bucket keys, equi-join on buckets.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.ml.feature import BucketedRandomProjectionLSH, CountVectorizer, MinHashLSH, RegexTokenizer, NGram
@@ -386,7 +387,7 @@ def pq_codes_fixedpoint(
             for s in range(n_sub)
         ]
     final = assign(base)
-    return final.groupBy("_id").agg(
+    codes = final.groupBy("_id").agg(
         *[
             F.max(F.when(F.col("sub") == s, F.col("code")))
             .cast("int")
@@ -395,3 +396,68 @@ def pq_codes_fixedpoint(
         ],
         F.sum("dist2_fp").cast("long").alias("recon_fp"),
     ).select(F.col("_id").alias(id_col), *[f"c{s}" for s in range(n_sub)], "recon_fp")
+    # trained codebook rides along for the ADC query path; plain consumers
+    # ignore it (attribute, not schema)
+    codes._pq_codebook = cents  # type: ignore[attr-defined]
+    return codes
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_vec: "Sequence[float]",
+    k_out: int = 5,
+    n_sub: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k — the query path that makes
+    product quantization an ANN index: the query builds ONE distance
+    table per subspace (k entries: squared distance from the query's
+    subvector to each codebook centroid), and every database vector is
+    scored by n_sub TABLE LOOKUPS on its codes instead of a 64-dim dot
+    product.  At 100 TB the codes frame is the only thing scanned
+    (8 bytes/vector), the tables are n_sub*k ints baked into the plan as
+    literals — a scan of the compressed index, no vector data touched.
+
+    Exactness: the tables are integer squared distances in the same 1e6
+    fixed-point domain as training, so the ADC score (an int64 sum of
+    n_sub lookups) and the top-k cut (ordered by (adc_fp, id)) are
+    bit-reproducible; the oracle rebuilds codebooks, codes, AND tables
+    in SQL.  ADC is exact w.r.t. the QUANTIZED database vector — the
+    standard PQ approximation (recon_fp bounds the per-vector gap)."""
+    codes = pq_codes_fixedpoint(
+        emb, n_sub=n_sub, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    cents = codes._pq_codebook  # type: ignore[attr-defined]
+    if exclude_id is not None:
+        # the query row trains/encodes like everything else but must not
+        # appear in its own result list — filter BEFORE the top-k cut
+        codes = codes.where(F.col(id_col) != exclude_id)
+    d_sub = len(cents[0][0])
+    qq = [
+        int(math.floor(v * 1_000_000 + 0.5))
+        for v in list(query_vec)
+    ]
+    tables = [
+        [
+            sum(
+                (qq[s * d_sub + d] - cents[s][j][d]) ** 2
+                for d in range(d_sub)
+            )
+            for j in range(k)
+        ]
+        for s in range(n_sub)
+    ]
+    adc = None
+    for s in range(n_sub):
+        t_lit = F.array(*[F.lit(int(v)) for v in tables[s]])
+        term = F.element_at(t_lit, F.col(f"c{s}") + 1)
+        adc = term if adc is None else adc + term
+    return (
+        codes.select(F.col(id_col), adc.cast("long").alias("adc_fp"))
+        .orderBy(F.col("adc_fp").asc(), F.col(id_col))
+        .limit(k_out)
+    )

@@ -8933,6 +8933,52 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes_fixedpoint(_t(spark, sf_dir, "embeddings"))
 
 
+
+def _pq_adc_oracle(n_sub: int = 8, k: int = 16, iters: int = 2,
+                   dim: int = 64, k_out: int = 5) -> str:
+    """PQ-ADC twin: reuse the codebook/code CTEs, build the query's
+    per-subspace distance tables in SQL (query = vec_id 0's subvectors
+    against the FINAL codebook), score every other vector by code
+    lookup, take the ordered top-k."""
+    d_sub = dim // n_sub
+    base = _pq_oracle(n_sub, k, iters, dim)
+    # strip the final SELECT from the codes oracle and keep its CTE chain
+    head, _, _tail = base.rpartition("\n    SELECT vec_id,")
+    last = f"a{iters + 1}"
+    return (
+        head
+        + f""",
+    qd AS (SELECT sub, dd, xq FROM ex WHERE vec_id = 0),
+    tab AS (
+      SELECT c.sub, c.code,
+             CAST(sum((q.xq - c.xq) * (q.xq - c.xq)) AS BIGINT) AS d2
+      FROM c{iters} c JOIN qd q ON q.sub = c.sub AND q.dd = c.dd
+      GROUP BY c.sub, c.code)
+    SELECT a.vec_id, CAST(sum(t.d2) AS BIGINT) AS adc_fp
+    FROM {last} a JOIN tab t ON t.sub = a.sub AND t.code = a.code
+    WHERE a.vec_id <> 0
+    GROUP BY a.vec_id
+    ORDER BY adc_fp ASC, a.vec_id LIMIT {k_out}"""
+    )
+
+
+@_register("knn_pq_adc_topk", _pq_adc_oracle())
+def knn_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/ml_lsh.py:pq_adc_topk):
+    the vec_id=0 query scored against every OTHER vector using only its
+    8 one-byte PQ codes and the 8x16-entry integer distance tables baked
+    into the plan — the compressed-index ANN query path (scan 8
+    bytes/vector, zero vector data).  Completes the ANN family: brute
+    (exact), LSH bucket (pruned exact), IVF (cell-pruned exact), PQ-ADC
+    (compressed approximate); codebooks, codes, tables, and the top-k
+    cut are all bit-verified in SQL."""
+    from reddit_sse_stream_spark.operators.ml_lsh import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return pq_adc_topk(emb, list(qv), k_out=5, exclude_id=0)
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -8979,6 +8979,72 @@ def knn_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, list(qv), k_out=5, exclude_id=0)
 
 
+def _pq_recall_oracle(n_sub: int = 8, k: int = 16, iters: int = 2,
+                      dim: int = 64, n_queries: int = 8,
+                      k_out: int = 5) -> str:
+    """PQ recall-audit twin: reuse the codebook/code CTE chain, score
+    every (query, vector) pair BOTH ways — ADC table lookup and exact
+    int64 squared L2 on the quantized coordinates — rank each per query,
+    and count the top-``k_out`` overlap.  LEFT JOIN from the query list
+    keeps zero-hit queries as explicit hits = 0 rows (the Spark side's
+    sum-of-flags never drops a group)."""
+    base = _pq_oracle(n_sub, k, iters, dim)
+    head, _, _tail = base.rpartition("\n    SELECT vec_id,")
+    last = f"a{iters + 1}"
+    return (
+        head
+        + f""",
+    qs AS (SELECT vec_id AS qid FROM embeddings
+           ORDER BY vec_id LIMIT {n_queries}),
+    qd AS (SELECT q.qid, e.sub, e.dd, e.xq
+           FROM ex e JOIN qs q ON e.vec_id = q.qid),
+    tab AS (
+      SELECT q.qid, c.sub, c.code,
+             CAST(sum((q.xq - c.xq) * (q.xq - c.xq)) AS BIGINT) AS d2
+      FROM c{iters} c JOIN qd q ON q.sub = c.sub AND q.dd = c.dd
+      GROUP BY q.qid, c.sub, c.code),
+    adc AS (
+      SELECT t.qid, a.vec_id, CAST(sum(t.d2) AS BIGINT) AS adc_fp
+      FROM {last} a JOIN tab t ON t.sub = a.sub AND t.code = a.code
+      WHERE a.vec_id <> t.qid GROUP BY t.qid, a.vec_id),
+    exact AS (
+      SELECT q.qid, e.vec_id,
+             CAST(sum((e.xq - q.xq) * (e.xq - q.xq)) AS BIGINT) AS ex_fp
+      FROM ex e JOIN qd q ON q.sub = e.sub AND q.dd = e.dd
+      WHERE e.vec_id <> q.qid GROUP BY q.qid, e.vec_id),
+    ra AS (SELECT qid, vec_id, row_number() OVER (
+             PARTITION BY qid ORDER BY adc_fp, vec_id) AS rk FROM adc),
+    re AS (SELECT qid, vec_id, row_number() OVER (
+             PARTITION BY qid ORDER BY ex_fp, vec_id) AS rk FROM exact),
+    hit AS (
+      SELECT ra.qid, CAST(count(*) AS BIGINT) AS hits
+      FROM ra JOIN re ON re.qid = ra.qid AND re.vec_id = ra.vec_id
+      WHERE ra.rk <= {k_out} AND re.rk <= {k_out}
+      GROUP BY ra.qid)
+    SELECT CAST(q.qid AS BIGINT) AS qid,
+           COALESCE(h.hits, 0) AS hits,
+           round(COALESCE(h.hits, 0) * 1.0 / {k_out}, 4) AS recall_at_k
+    FROM qs q LEFT JOIN hit h ON h.qid = q.qid"""
+    )
+
+
+@_register("knn_pq_recall_audit", _pq_recall_oracle())
+def knn_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 self-audit of the PQ-ADC index
+    (operators/ml_lsh.py:pq_recall_audit): for the 8 smallest-id query
+    vectors, the ADC top-5 (scored from 8-byte codes) is compared to the
+    exact top-5 over the full quantized vectors and the overlap reported
+    per query — what 32x compression costs in retrieval quality,
+    measured, the PQ counterpart of dedup_lsh_recall_audit.  One scan
+    computes all 8 ADC+exact score pairs (tables and query vectors are
+    plan literals), both rank cuts share a single qid-keyed exchange;
+    codebooks, codes, tables, ground truth, and both cuts re-derived in
+    SQL."""
+    from reddit_sse_stream_spark.operators.ml_lsh import pq_recall_audit
+
+    return pq_recall_audit(_t(spark, sf_dir, "embeddings"))
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

@@ -117,3 +117,32 @@ def test_pq_codes_deterministic_and_reconstruction_sane(spark, sf_dir):
     # mean recon must not get worse with training; allow per-vector ties
     assert sum(trained.values()) <= sum(seeded.values())
     assert all(v >= 0 for v in trained.values())
+
+
+def test_pq_recall_audit_bounds_and_degenerate_perfection(spark, sf_dir):
+    """The audit's numbers must be internally consistent (0 <= hits <=
+    k_out, recall = hits/k_out) and honest at the boundary: on a corpus
+    the codebook can represent EXACTLY (k distinct vectors, so every
+    vector sits on a centroid after training), ADC distance equals exact
+    quantized distance and recall@k must be 1.0 for every query."""
+    from pyspark.sql import Row
+
+    from reddit_sse_stream_spark.operators.ml_lsh import pq_recall_audit
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = pq_recall_audit(emb, n_queries=4, k_out=5).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 0 <= r["hits"] <= 5
+        assert abs(r["recall_at_k"] - r["hits"] / 5) < 1e-9
+    # degenerate-perfection corpus: 16 distinct base vectors, repeated
+    base = [[float((7 * i + d) % 16) for d in range(16)] for i in range(16)]
+    data = [
+        Row(vec_id=i, embedding=base[i % 16]) for i in range(64)
+    ]
+    tiny = spark.createDataFrame(data)
+    perfect = pq_recall_audit(
+        tiny, n_queries=3, k_out=3, n_sub=4, k=16, iters=2
+    ).collect()
+    assert all(r["recall_at_k"] == 1.0 for r in perfect)

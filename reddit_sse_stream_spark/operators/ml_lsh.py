@@ -155,6 +155,35 @@ def ivf_topk_cosine(
     return brute_force_topk(cand, query_vec, k)
 
 
+def _unit_fixedpoint(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(_id, u): unit-normalized vectors with the deterministic
+    fixed-point norm (1e-12-quantized squared-coordinate sum, sqrt,
+    1e-12 floor) — the shared front half of :func:`ivf_fixedpoint_cells`
+    and the IVF-PQ query path, each scalar step a single IEEE op so a
+    driver-side replica is bit-identical."""
+    x = F.col(vec_col).cast("array<double>")
+    norm_fp = F.aggregate(
+        F.transform(x, lambda v: F.floor(v * v * 1e12 + 0.5).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, e: a + e,
+    )
+    nrm = F.greatest(F.sqrt(norm_fp / F.lit(1e12)), F.lit(1e-12))
+    # explode-of-1-element-array barrier: materialize (x, nrm) so the
+    # normalize lambda divides an attribute instead of re-folding the norm
+    # per element (HOF re-inline trap, see operators/text.py:word_ngrams)
+    return (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array(F.struct(x.alias("x"), nrm.alias("nrm")))).alias("s"),
+        )
+        .select(
+            "_id", F.transform("s.x", lambda v: v / F.col("s.nrm")).alias("u")
+        )
+    )
+
+
 def ivf_fixedpoint_cells(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -190,26 +219,7 @@ def ivf_fixedpoint_cells(
     side combined); collecting n_cells x dim longs per round is the
     parameter-server step.  The final (vec_id, cell) frame is what
     becomes the partition column — probing then prunes the SCAN."""
-    x = F.col(vec_col).cast("array<double>")
-    norm_fp = F.aggregate(
-        F.transform(x, lambda v: F.floor(v * v * 1e12 + 0.5).cast("long")),
-        F.lit(0).cast("long"),
-        lambda a, e: a + e,
-    )
-    nrm = F.greatest(F.sqrt(norm_fp / F.lit(1e12)), F.lit(1e-12))
-    # explode-of-1-element-array barrier: materialize (x, nrm) so the
-    # normalize lambda divides an attribute instead of re-folding the norm
-    # per element (HOF re-inline trap, see operators/text.py:word_ngrams)
-    base = (
-        emb.select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.array(F.struct(x.alias("x"), nrm.alias("nrm")))).alias("s"),
-        )
-        .select(
-            "_id", F.transform("s.x", lambda v: v / F.col("s.nrm")).alias("u")
-        )
-        .localCheckpoint(eager=False)
-    )
+    base = _unit_fixedpoint(emb, vec_col, id_col).localCheckpoint(eager=False)
     seeds = base.orderBy("_id").limit(n_cells).collect()
     cents: list[tuple[int, list[float]]] = [
         (i, list(r["u"])) for i, r in enumerate(seeds)
@@ -255,9 +265,13 @@ def ivf_fixedpoint_cells(
             (cell, [m[d] for d in range(dim)]) for cell, m in sorted(by_cell.items())
         ]
 
-    return base.select(
+    out = base.select(
         F.col("_id").alias(id_col), assign_col(cents).alias("cell")
     )
+    # final centroids ride along for the IVF-PQ probe path (attribute,
+    # not schema — same convention as pq_codes_fixedpoint's codebook)
+    out._ivf_centroids = cents  # type: ignore[attr-defined]
+    return out
 
 
 def pq_codes_fixedpoint(
@@ -580,4 +594,94 @@ def pq_recall_audit(
             F.col("hits").cast("bigint").alias("hits"),
             F.round(F.col("hits") / F.lit(k_out), 4).alias("recall_at_k"),
         )
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k_out: int = 5,
+    n_probe: int = 2,
+    n_cells: int = 8,
+    ivf_iters: int = 2,
+    n_sub: int = 8,
+    k: int = 16,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ composite top-k — the two pruning layers of a production
+    ANN index (the FAISS ``IVFx,PQy`` shape) composed from this module's
+    oracled primitives: the coarse quantizer
+    (:func:`ivf_fixedpoint_cells`) partitions the corpus into cells and
+    the query probes only the ``n_probe`` nearest, then PQ-ADC
+    (:func:`pq_codes_fixedpoint` tables) scores ONLY the probed cells'
+    codes — at 100 TB the cell is the table's partition column (written
+    at index build), so the probe is partition PRUNING of an 8-byte-per-
+    vector scan: two multiplicative reductions before any work happens.
+
+    Honest deviation from FAISS: codes quantize the RAW vector, not the
+    cell residual (IVFFlat-style coarse layer + PQ compression), so the
+    code frame is cell-independent and one codebook serves every cell —
+    the residual variant would add a per-cell recenter step to training
+    and the ADC tables.
+
+    Exactness: probe selection uses the same 1e-12 fixed-point unit-
+    sphere distance as cell assignment (driver-replicated bit-for-bit —
+    every scalar step a single IEEE op on the collected unit query
+    vector), ADC is the 1e6 integer domain of PQ training, and the final
+    cut orders by (adc_fp, id) — fully SQL-verifiable end to end."""
+    cells = ivf_fixedpoint_cells(
+        emb, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=ivf_iters
+    )
+    cents = cells._ivf_centroids  # type: ignore[attr-defined]
+    u_q = list(
+        _unit_fixedpoint(emb, vec_col, id_col)
+        .where(F.col("_id") == query_id)
+        .first()["u"]
+    )
+
+    def d_fp(c: list[float]) -> int:
+        return sum(
+            int(math.floor((u_q[d] - c[d]) * (u_q[d] - c[d]) * 1e12 + 0.5))
+            for d in range(len(c))
+        )
+
+    probe_cells = [
+        cell for _, cell in sorted((d_fp(c), cell) for cell, c in cents)[:n_probe]
+    ]
+
+    codes = pq_codes_fixedpoint(
+        emb, n_sub=n_sub, k=k, iters=pq_iters, vec_col=vec_col, id_col=id_col
+    )
+    cb = codes._pq_codebook  # type: ignore[attr-defined]
+    d_sub = len(cb[0][0])
+    qv = (
+        emb.where(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>").alias("x"))
+        .first()["x"]
+    )
+    qq = [int(math.floor(v * 1_000_000 + 0.5)) for v in qv]
+    adc = None
+    for s in range(n_sub):
+        tab = [
+            sum((qq[s * d_sub + d] - cb[s][j][d]) ** 2 for d in range(d_sub))
+            for j in range(k)
+        ]
+        t_lit = F.array(*[F.lit(int(v)) for v in tab])
+        term = F.element_at(t_lit, F.col(f"c{s}") + 1)
+        adc = term if adc is None else adc + term
+
+    cand = codes.join(cells, on=id_col).where(
+        F.col("cell").isin([int(c) for c in probe_cells])
+        & (F.col(id_col) != query_id)
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            adc.cast("long").alias("adc_fp"),
+        )
+        .orderBy(F.col("adc_fp").asc(), F.col(id_col))
+        .limit(k_out)
     )

@@ -8854,57 +8854,67 @@ def bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _pq_oracle(n_sub: int = 8, k: int = 16, iters: int = 2, dim: int = 64) -> str:
-    """Unrolled-CTE twin of :func:`ml_lsh.pq_codes_fixedpoint`: identical
-    quantize / per-subspace assign / floor-mean update rounds (one CTE
-    block per round), codes pivoted per vector at the end.  Same
-    exact-integer argument as the k-means oracle, with (sub, code) as
-    the model key."""
+def _pq_ctes(
+    n_sub: int = 8, k: int = 16, iters: int = 2, dim: int = 64, p: str = ""
+) -> tuple[list[str], str, str]:
+    """CTE list + (final-assignment, final-codebook) CTE names for the PQ
+    oracle chain; ``p`` prefixes every CTE name so the chain can be
+    composed with the IVF chain (which owns the bare ex/d/a names) in
+    one WITH block."""
     d_sub = dim // n_sub
     ctes = [
-        f"""ex AS (
+        f"""{p}ex AS (
       SELECT vec_id,
              CAST(ix.d // {d_sub} AS INTEGER) AS sub,
              CAST(ix.d % {d_sub} AS INTEGER) AS dd,
              CAST(floor(CAST(embedding[ix.d + 1] AS DOUBLE) * 1000000 + 0.5)
                   AS BIGINT) AS xq
       FROM embeddings CROSS JOIN (SELECT unnest(range({dim})) AS d) ix)""",
-        f"""init AS (
+        f"""{p}init AS (
       SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
                           AS INTEGER) AS code
       FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id
             LIMIT {k}))""",
-        "c0 AS (SELECT i.code, e.sub, e.dd, e.xq"
-        " FROM ex e JOIN init i USING (vec_id))",
+        f"{p}c0 AS (SELECT i.code, e.sub, e.dd, e.xq"
+        f" FROM {p}ex e JOIN {p}init i USING (vec_id))",
     ]
     for t in range(1, iters + 2):
-        prev = f"c{t - 1}"
+        prev = f"{p}c{t - 1}"
         ctes += [
-            f"""d{t} AS (
+            f"""{p}d{t} AS (
       SELECT e.vec_id, e.sub, c.code,
              CAST(sum((e.xq - c.xq) * (e.xq - c.xq)) AS BIGINT) AS dist2
-      FROM ex e JOIN {prev} c ON c.sub = e.sub AND c.dd = e.dd
+      FROM {p}ex e JOIN {prev} c ON c.sub = e.sub AND c.dd = e.dd
       GROUP BY e.vec_id, e.sub, c.code)""",
-            f"""a{t} AS (
+            f"""{p}a{t} AS (
       SELECT vec_id, sub, code, dist2 FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, sub
                                      ORDER BY dist2, code) AS rk
-        FROM d{t}) WHERE rk = 1)""",
+        FROM {p}d{t}) WHERE rk = 1)""",
         ]
         if t <= iters:
             ctes += [
-                f"""s{t} AS (
+                f"""{p}s{t} AS (
       SELECT a.sub, a.code, e.dd,
              CAST(floor(CAST(sum(e.xq) AS DOUBLE) / count(*)) AS BIGINT)
                AS xq
-      FROM a{t} a JOIN ex e ON e.vec_id = a.vec_id AND e.sub = a.sub
+      FROM {p}a{t} a JOIN {p}ex e ON e.vec_id = a.vec_id AND e.sub = a.sub
       GROUP BY a.sub, a.code, e.dd)""",
-                f"""c{t} AS (
+                f"""{p}c{t} AS (
       SELECT p.sub, p.code, p.dd, COALESCE(s.xq, p.xq) AS xq
-      FROM {prev} p LEFT JOIN s{t} s
+      FROM {prev} p LEFT JOIN {p}s{t} s
         ON s.sub = p.sub AND s.code = p.code AND s.dd = p.dd)""",
             ]
-    last = f"a{iters + 1}"
+    return ctes, f"{p}a{iters + 1}", f"{p}c{iters}"
+
+
+def _pq_oracle(n_sub: int = 8, k: int = 16, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled-CTE twin of :func:`ml_lsh.pq_codes_fixedpoint`: identical
+    quantize / per-subspace assign / floor-mean update rounds (one CTE
+    block per round), codes pivoted per vector at the end.  Same
+    exact-integer argument as the k-means oracle, with (sub, code) as
+    the model key."""
+    ctes, last, _cb = _pq_ctes(n_sub, k, iters, dim)
     codes = ",\n           ".join(
         f"CAST(max(CASE WHEN sub = {s} THEN code END) AS INTEGER) AS c{s}"
         for s in range(n_sub)
@@ -9043,6 +9053,56 @@ def knn_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_sse_stream_spark.operators.ml_lsh import pq_recall_audit
 
     return pq_recall_audit(_t(spark, sf_dir, "embeddings"))
+
+
+def _ivfpq_oracle(n_cells: int = 8, ivf_iters: int = 2, n_sub: int = 8,
+                  k: int = 16, pq_iters: int = 2, dim: int = 64,
+                  qid: int = 0, n_probe: int = 2, k_out: int = 5) -> str:
+    """IVF-PQ twin: the IVF fixed-point Lloyd chain and the PQ chain
+    (prefixed ``p`` — both families use ex/d{t}/a{t} internally) in ONE
+    WITH block; probe cells fall straight out of the IVF chain's own
+    final distance CTE (query row of d{ivf_iters}), ADC tables out of
+    the PQ chain's final codebook, and the candidate set is the
+    semi-join of codes with probed cells."""
+    ivf_ctes, ivf_final = _ivf_fixedpoint_ctes(n_cells, ivf_iters, dim)
+    pq_ctes_l, pq_last, pq_cb = _pq_ctes(n_sub, k, pq_iters, dim, p="p")
+    return (
+        "WITH " + ",\n".join(ivf_ctes + pq_ctes_l)
+        + f""",
+    probe AS (SELECT cell FROM d{ivf_iters} WHERE vec_id = {qid}
+              ORDER BY dist, cell LIMIT {n_probe}),
+    qd AS (SELECT sub, dd, xq FROM pex WHERE vec_id = {qid}),
+    tab AS (
+      SELECT c.sub, c.code,
+             CAST(sum((q.xq - c.xq) * (q.xq - c.xq)) AS BIGINT) AS d2
+      FROM {pq_cb} c JOIN qd q ON q.sub = c.sub AND q.dd = c.dd
+      GROUP BY c.sub, c.code)
+    SELECT a.vec_id, CAST(iv.cell AS INTEGER) AS cell,
+           CAST(sum(t.d2) AS BIGINT) AS adc_fp
+    FROM {pq_last} a
+      JOIN {ivf_final} iv ON iv.vec_id = a.vec_id
+      JOIN probe pr ON pr.cell = iv.cell
+      JOIN tab t ON t.sub = a.sub AND t.code = a.code
+    WHERE a.vec_id <> {qid}
+    GROUP BY a.vec_id, iv.cell
+    ORDER BY adc_fp ASC, a.vec_id LIMIT {k_out}"""
+    )
+
+
+@_register("knn_ivfpq_topk", _ivfpq_oracle())
+def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite top-k (operators/ml_lsh.py:ivfpq_topk) — the
+    production ANN index shape (FAISS ``IVF8,PQ8`` minus residual
+    encoding, deviation documented on the operator): the fixed-point IVF
+    coarse quantizer prunes the corpus to the query's 2 nearest cells,
+    then PQ-ADC scores only those cells' 8-byte codes — at 100 TB the
+    cell is the partition column, so the probe prunes the SCAN and ADC
+    reads 8 bytes/vector of what's left.  Pure composition of the two
+    oracled quantizers; probe selection, tables, candidate set, and the
+    (adc_fp, id) cut are all value-verified in one composed SQL twin."""
+    from reddit_sse_stream_spark.operators.ml_lsh import ivfpq_topk
+
+    return ivfpq_topk(_t(spark, sf_dir, "embeddings"))
 
 
 # =========================================================================== #

@@ -146,3 +146,37 @@ def test_pq_recall_audit_bounds_and_degenerate_perfection(spark, sf_dir):
         tiny, n_queries=3, k_out=3, n_sub=4, k=16, iters=2
     ).collect()
     assert all(r["recall_at_k"] == 1.0 for r in perfect)
+
+
+def test_ivfpq_topk_subset_and_pruning_semantics(spark, sf_dir):
+    """IVF-PQ must return candidates ONLY from the probed cells, ranked
+    by the SAME ADC score the unpruned PQ path computes: with n_probe =
+    n_cells (no pruning) the result must equal pq_adc_topk's ids
+    exactly, and with n_probe < n_cells every returned id must belong to
+    a probed cell (the partition-pruning contract)."""
+    from reddit_sse_stream_spark.operators.ml_lsh import (
+        ivf_fixedpoint_cells,
+        ivfpq_topk,
+        pq_adc_topk,
+    )
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+
+    full = ivfpq_topk(emb, query_id=0, k_out=5, n_probe=8, n_cells=8)
+    unpruned = pq_adc_topk(emb, qv, k_out=5, exclude_id=0)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in unpruned.collect()
+    ]
+
+    pruned = ivfpq_topk(emb, query_id=0, k_out=5, n_probe=2, n_cells=8)
+    cells = {
+        r["vec_id"]: r["cell"] for r in ivf_fixedpoint_cells(emb).collect()
+    }
+    rows = pruned.collect()
+    assert 0 < len(rows) <= 5
+    probed = {r["cell"] for r in rows}
+    assert len(probed) <= 2
+    for r in rows:
+        assert cells[r["vec_id"]] == r["cell"]

@@ -348,33 +348,47 @@ def pq_codes_fixedpoint(
         cents[r["sub"]][rank[r["_id"]]] = list(r["sq"])
 
     def assign(frame: DataFrame) -> DataFrame:
-        def dist_fold(c: list[int]) -> "F.Column":
-            c_lit = F.array(*[F.lit(int(v)) for v in c])
-            return F.aggregate(
-                F.zip_with(F.col("sq"), c_lit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, e: acc + e,
-            )
-
-        # per-sub codebook via chained when(sub == s, <struct of k dists>)
-        struct_for = [
-            F.struct(
-                *[dist_fold(cents[s][j]).alias(f"d_{j}") for j in range(k)]
-            )
-            for s in range(n_sub)
-        ]
-        sel = struct_for[0]
-        for s in range(1, n_sub):
-            sel = F.when(F.col("sub") == s, struct_for[s]).otherwise(sel)
-        withd = frame.select(
-            "_id", "sub", "sq", F.explode(F.array(sel)).alias("b")
+        # The full codebook as ONE nested-array literal (n_sub x k x d_sub
+        # longs) indexed by the row's subspace, with the k distance folds
+        # expressed as a transform over it — the same exact-integer
+        # arithmetic as an unrolled when(sub == s, <k folds>) chain but a
+        # plan ~100x smaller (the chain duplicated every fold through 16
+        # LEAST/when branches; compiling it dominated wall at every SF —
+        # a flat ~12 s/query before this rewrite).  array_min over
+        # struct(dist2, code) keeps the lowest-code tiebreak.
+        cb_lit = F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(int(v)) for v in cents[s][j]])
+                        for j in range(k)
+                    ]
+                )
+                for s in range(n_sub)
+            ]
         )
-        best = F.least(*[F.col(f"b.d_{j}") for j in range(k)])
-        cl = F.when(F.col("b.d_0") == best, 0)
-        for j in range(1, k):
-            cl = cl.when(F.col(f"b.d_{j}") == best, j)
-        return withd.select(
-            "_id", "sub", "sq", cl.alias("code"), best.alias("dist2_fp")
+        cbs = F.element_at(cb_lit, F.col("sub") + 1)
+        best = F.array_min(
+            F.transform(
+                cbs,
+                lambda c, j: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("sq"), c, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, e: acc + e,
+                    ).alias("dist2"),
+                    j.cast("int").alias("code"),
+                ),
+            )
+        )
+        return frame.select(
+            "_id",
+            "sub",
+            "sq",
+            best["code"].alias("code"),
+            best["dist2"].alias("dist2_fp"),
         )
 
     for _ in range(iters):

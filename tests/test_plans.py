@@ -509,3 +509,31 @@ def test_semdedup_pairs_join_on_cell_key(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_semdedup_cells")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_recall_audit_shares_one_qid_exchange(spark, sf_dir):
+    """The audit's two rank cuts (ADC order, exact order) partition by the
+    same qid key, so the physical plan must pay ONE qid exchange feeding
+    both Window operators (the second re-sorts in place), keep the
+    partial+final count-agg on top without a third shuffle, and stay
+    entirely JVM-side — the one-scan-two-cuts shape the docstring claims."""
+    import re
+
+    plan = _plan(spark, sf_dir, "knn_pq_recall_audit")
+    assert plan.count("Window") == 2
+    # exactly 2 hash exchanges total: the codes pivot (_id) + the qid cut;
+    # a third would mean the second window or the agg re-shuffled
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert len(re.findall(r"Exchange hashpartitioning\(qid", plan)) == 1
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_pq_assignment_is_literal_hof_not_when_chain(spark, sf_dir):
+    """Pin the r07 plan-shrink rewrite: the per-row code assignment must be
+    array_min(transform(element_at(<codebook literal>, sub), ...)) — ONE
+    fold family over a nested-array literal — not the unrolled
+    when(sub == s, ...) chain that duplicated every distance fold through
+    16 LEAST branches and cost a flat ~12 s/query in plan compilation."""
+    plan = _plan(spark, sf_dir, "embed_pq_codes")
+    assert "array_min(transform(element_at(" in plan
+    assert "least(" not in plan.lower()

@@ -803,3 +803,67 @@ def weighted_sample_priority(
         .orderBy(F.desc("priority_fp"), F.col(id_col))
         .limit(k)
     )
+
+
+def batch_lineage(
+    df: DataFrame,
+    step_lo: int = 16,
+    step_hi: int = 48,
+    n_shards: int = 16,
+    batch_size: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-batch lineage forensics: answer "the loss spiked at step
+    t — exactly which documents were in that batch?"  Because
+    :func:`shard_assignments` makes the shuffle a deterministic function
+    of the data (shard = hash mod n, pos = salted-hash order), the batch
+    schedule of an n_shards-reader loader with per-shard batch size B is
+    pure arithmetic: batch_id = (pos - 1) // B, and global step
+    t = batch_id * n_shards + shard (readers round-robin).  Inverting it
+    needs no training-run logs — recompute the shuffle, filter the step
+    window, and read the membership off.
+
+    Returns one row per step in [step_lo, step_hi): the consuming shard
+    and batch, member count, character mass, and the exact sorted member
+    id list (the artifact a spike investigation diffs against quality /
+    dedup flags).  A trailing partial batch reports its true (smaller)
+    n_docs.
+
+    Scale shape: shard_assignments' one exchange (the write partitioning
+    at 100 TB) + a map-side step filter BEFORE the per-step aggregate —
+    the aggregate only ever sees (step_hi - step_lo) * B rows, so
+    lineage for a handful of suspect steps is a pruned scan, not a
+    corpus-wide job."""
+    sa = shard_assignments(df, n_shards=n_shards)
+    step = (
+        F.floor((F.col("pos") - 1) / batch_size) * n_shards + F.col("shard")
+    ).cast("long")
+    member = sa.select(
+        F.col(id_col),
+        "shard",
+        step.alias("step"),
+    ).where((F.col("step") >= step_lo) & (F.col("step") < step_hi))
+    withlen = member.join(df.select(id_col, "n_chars"), id_col)
+    return (
+        withlen.groupBy("step")
+        .agg(
+            F.max("shard").cast("int").alias("shard"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(id_col))),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
+        )
+        .select(
+            "step",
+            "shard",
+            (F.col("step") / n_shards).cast("int").alias("batch_id"),
+            "n_docs",
+            "chars_sum",
+            "doc_ids",
+        )
+    )

@@ -4596,6 +4596,49 @@ def corpus_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_batch_lineage",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 16 AS shard,
+             CAST(concat('0x', substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) / 1152921504606846976.0 AS order_u
+      FROM documents),
+    p AS (
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY order_u, doc_id)
+                  AS INTEGER) AS pos
+      FROM h),
+    m AS (
+      SELECT p.doc_id, p.shard,
+             CAST(((p.pos - 1) // 4) * 16 + p.shard AS BIGINT) AS step,
+             d.n_chars
+      FROM p JOIN documents d USING (doc_id)
+      WHERE ((p.pos - 1) // 4) * 16 + p.shard >= 16
+        AND ((p.pos - 1) // 4) * 16 + p.shard < 48)
+    SELECT step,
+           CAST(max(shard) AS INTEGER) AS shard,
+           CAST(step // 16 AS INTEGER) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+    FROM m GROUP BY step
+    """,
+)
+def corpus_batch_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch lineage forensics (operators/corpus.py:batch_lineage):
+    "the loss spiked at step t — which documents were in that batch?"
+    answered by pure arithmetic on the deterministic shard/pos shuffle
+    (batch_id = (pos-1)//B, step = batch_id*n_shards + shard), no
+    training-run logs needed — per step in [16, 48): consuming shard,
+    batch, member count, char mass, and the exact sorted member-id list.
+    Map-side step filter BEFORE the per-step aggregate, so lineage for a
+    few suspect steps prunes to (window x B) rows."""
+    return corpus.batch_lineage(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "embed_quantize_int8",
     """
     WITH v AS (

@@ -1729,3 +1729,40 @@ def test_minhash_twin_containment_on_borderline_jaccard_corpus(spark):
     }
     assert twin, "borderline corpus must produce twin pairs"
     assert twin <= fast, f"fast path missed twin pairs: {sorted(twin - fast)[:5]}"
+
+
+def test_batch_lineage_inverts_the_loader_schedule(spark, sf_dir):
+    """batch_lineage must be the exact inverse of the loader schedule over
+    shard_assignments: every (shard, pos) row whose arithmetic step falls
+    in the window appears in exactly one step's membership, each step's
+    docs all come from its own shard's batch, n_docs <= batch_size, and
+    the whole thing is partitioning-invariant (it is pure arithmetic on a
+    deterministic shuffle)."""
+    from reddit_sse_stream_spark.operators import corpus
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lin = corpus.batch_lineage(docs, step_lo=16, step_hi=48).collect()
+    sa = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in corpus.shard_assignments(docs, n_shards=16).collect()
+    }
+    seen = set()
+    for r in lin:
+        assert 16 <= r["step"] < 48
+        assert r["step"] == r["batch_id"] * 16 + r["shard"]
+        ids = [int(d) for d in r["doc_ids"].split(",")]
+        assert r["n_docs"] == len(ids) <= 4
+        assert ids == sorted(ids)
+        for d in ids:
+            shard, pos = sa[d]
+            assert shard == r["shard"] and (pos - 1) // 4 == r["batch_id"]
+            assert d not in seen
+            seen.add(d)
+    expected = {
+        d for d, (shard, pos) in sa.items()
+        if 16 <= ((pos - 1) // 4) * 16 + shard < 48
+    }
+    assert seen == expected
+    again = corpus.batch_lineage(docs.repartition(7), step_lo=16, step_hi=48)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, lin))

@@ -67,6 +67,12 @@ HEADLINE = (
     "embed_hard_negatives",
     "text_chunk_dedup_rewrite",
     "corpus_dsir_weights",
+    # late-round-7 additions: the full compressed-ANN query path (IVF
+    # probe + PQ-ADC over 8-byte codes, both quantizers trained in-query
+    # after the codebook-literal plan-shrink rewrite) and the
+    # batch-lineage forensic window
+    "knn_ivfpq_topk",
+    "corpus_batch_lineage",
 )
 
 

@@ -834,6 +834,11 @@ def batch_lineage(
     the aggregate only ever sees (step_hi - step_lo) * B rows, so
     lineage for a handful of suspect steps is a pruned scan, not a
     corpus-wide job."""
+    if batch_size <= 0 or n_shards <= 0:
+        raise ValueError(
+            f"batch_size and n_shards must be positive, got "
+            f"batch_size={batch_size}, n_shards={n_shards}"
+        )
     sa = shard_assignments(df, n_shards=n_shards)
     step = (
         F.floor((F.col("pos") - 1) / batch_size) * n_shards + F.col("shard")

@@ -312,6 +312,13 @@ def pq_codes_fixedpoint(
         emb.select(F.col(vec_col).cast("array<double>").alias("x"))
         .first()["x"]
     )
+    if dim_total % n_sub != 0:
+        # a silent floor here would DROP the tail dims from every code —
+        # fail loudly instead (FAISS imposes the same divisibility)
+        raise ValueError(
+            f"PQ requires dim % n_sub == 0, got dim={dim_total}, "
+            f"n_sub={n_sub}"
+        )
     d_sub = dim_total // n_sub
     x = F.col(vec_col).cast("array<double>")
     xq = F.transform(x, lambda v: F.floor(v * 1_000_000 + 0.5).cast("long"))
@@ -469,6 +476,10 @@ def pq_adc_topk(
         int(math.floor(v * 1_000_000 + 0.5))
         for v in list(query_vec)
     ]
+    if len(qq) != n_sub * d_sub:
+        raise ValueError(
+            f"query_vec has {len(qq)} dims, index expects {n_sub * d_sub}"
+        )
     tables = [
         [
             sum(
@@ -649,11 +660,14 @@ def ivfpq_topk(
         emb, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=ivf_iters
     )
     cents = cells._ivf_centroids  # type: ignore[attr-defined]
-    u_q = list(
+    q_row = (
         _unit_fixedpoint(emb, vec_col, id_col)
         .where(F.col("_id") == query_id)
-        .first()["u"]
+        .first()
     )
+    if q_row is None:
+        raise ValueError(f"query_id {query_id} not present in {id_col}")
+    u_q = list(q_row["u"])
 
     def d_fp(c: list[float]) -> int:
         return sum(

@@ -180,3 +180,30 @@ def test_ivfpq_topk_subset_and_pruning_semantics(spark, sf_dir):
     assert len(probed) <= 2
     for r in rows:
         assert cells[r["vec_id"]] == r["cell"]
+
+
+def test_ann_guardrails_fail_loudly(spark, sf_dir):
+    """Misconfiguration must raise with a clear message, not silently
+    truncate codes / crash deep in a plan: non-divisible PQ dims, a
+    missing IVF-PQ query id, a wrong-length ADC query vector, and a
+    nonpositive lineage batch size."""
+    import pytest as _pytest
+
+    from reddit_sse_stream_spark.operators import corpus
+    from reddit_sse_stream_spark.operators.ml_lsh import (
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_codes_fixedpoint,
+    )
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="dim % n_sub"):
+        pq_codes_fixedpoint(emb, n_sub=7)
+    with _pytest.raises(ValueError, match="not present"):
+        ivfpq_topk(emb, query_id=-1)
+    with _pytest.raises(ValueError, match="dims"):
+        pq_adc_topk(emb, [0.0] * 63)
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError, match="positive"):
+        corpus.batch_lineage(docs, batch_size=0)

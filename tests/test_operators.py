@@ -1766,3 +1766,36 @@ def test_batch_lineage_inverts_the_loader_schedule(spark, sf_dir):
     assert seen == expected
     again = corpus.batch_lineage(docs.repartition(7), step_lo=16, step_hi=48)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, lin))
+
+
+def test_batch_lineage_fuzz_random_schedules(spark, sf_dir):
+    """Randomized (n_shards, batch_size, window) configurations must all
+    invert to exactly the membership a pure-Python replay of the loader
+    schedule predicts from shard_assignments — the schedule arithmetic has
+    no privileged default."""
+    import random
+
+    from reddit_sse_stream_spark.operators import corpus
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    rng = random.Random(707)
+    for _ in range(4):
+        n_shards = rng.choice([4, 8, 16])
+        bs = rng.choice([2, 3, 5])
+        lo = rng.randrange(0, 2 * n_shards)
+        hi = lo + rng.randrange(1, 3 * n_shards)
+        sa = corpus.shard_assignments(docs, n_shards=n_shards).collect()
+        want: dict[int, list[int]] = {}
+        for r in sa:
+            step = ((r["pos"] - 1) // bs) * n_shards + r["shard"]
+            if lo <= step < hi:
+                want.setdefault(step, []).append(r["doc_id"])
+        got = corpus.batch_lineage(
+            docs, step_lo=lo, step_hi=hi, n_shards=n_shards, batch_size=bs
+        ).collect()
+        assert {r["step"] for r in got} == set(want)
+        for r in got:
+            assert [int(d) for d in r["doc_ids"].split(",")] == sorted(
+                want[r["step"]]
+            )

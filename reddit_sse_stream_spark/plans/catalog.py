@@ -4596,6 +4596,59 @@ def corpus_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quota_admission_per_author",
+    f"""
+    WITH {FEED_CTE},
+    r AS (
+      SELECT author, created_utc // 3600 AS hour, id,
+             row_number() OVER (PARTITION BY author, created_utc // 3600
+                                ORDER BY created_utc, id) AS rn
+      FROM feed)
+    SELECT author, CAST(hour AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_seen,
+           CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted,
+           string_agg(CASE WHEN rn <= 3 THEN CAST(id AS VARCHAR) END, ','
+                      ORDER BY id) AS admitted_ids
+    FROM r GROUP BY author, hour
+    """,
+)
+def quota_admission_per_author(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key quota admission (rate limiting): at most 3 events per
+    author per hour pass the gate, earliest by (created_utc, id) — the
+    abuse/flood-control pass a feed engine puts in front of its sink,
+    generalizing the reference's single global poll-rate knob (CPS=5,
+    sse.py:110,243-250) to a PER-KEY quota.  Per (author, hour): events
+    seen, events admitted, and the exact admitted ids.  Streaming twin
+    with keyed managed state: streaming/stateful.py:
+    streaming_quota_admission (batch/stream parity pinned in
+    tests/test_streaming.py).
+
+    Scale shape: ONE (author, hour)-keyed exchange serves both the
+    row_number cut and the summary aggregate; state in the streaming
+    twin is a single long per active (author, hour) — quota enforcement
+    at 100 TB is a map-side filter after a key-partitioned shuffle, not
+    a global coordination point."""
+    fd = feed_df(spark, sf_dir)
+    hour = F.floor(F.col("created_utc") / 3600).cast("long")
+    w = Window.partitionBy("author", "hour").orderBy("created_utc", "id")
+    r = fd.select("author", hour.alias("hour"), "created_utc", "id").select(
+        "author", "hour", "id", (F.row_number().over(w) <= 3).alias("adm")
+    )
+    return r.groupBy("author", "hour").agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.sum(F.col("adm").cast("long")).cast("long").alias("n_admitted"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.when(F.col("adm"), F.col("id")))),
+                lambda d: d.cast("string"),
+            ),
+            ",",
+        ).alias("admitted_ids"),
+    )
+
+
+@_register(
     "corpus_batch_lineage",
     """
     WITH h AS (

@@ -280,3 +280,67 @@ def streaming_dedup_first(docs_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+QUOTA_OUTPUT_SCHEMA = "author string, hour long, id long"
+QUOTA_STATE_SCHEMA = "n_admitted long"
+QUOTA_CAP = 3
+
+
+def _admit_quota(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-(author, hour) quota gate: admit events in (created_utc, id)
+    order until the key's lifetime admission count reaches QUOTA_CAP;
+    everything after is throttled.  State is ONE long per active key.
+    Coincides with the batch twin's global (created_utc, id) cut whenever
+    arrival order across micro-batches is consistent with that order
+    (the replay contract the parity test pins); under out-of-order
+    arrival the gate is admit-first — the honest streaming semantics."""
+    n = int(state.get[0]) if state.exists else 0
+    rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+    out_author: list[str] = []
+    out_hour: list[int] = []
+    out_id: list[int] = []
+    if len(rows):
+        rows = rows.sort_values(["created_utc", "id"])
+        take = max(0, QUOTA_CAP - n)
+        admitted = rows.head(take)
+        n += len(admitted)
+        out_author = [key[0]] * len(admitted)
+        out_hour = [int(key[1])] * len(admitted)
+        out_id = [int(x) for x in admitted["id"]]
+    state.update((n,))
+    yield pd.DataFrame(
+        {"author": out_author, "hour": out_hour, "id": out_id}
+    ).astype({"author": str, "hour": "int64", "id": "int64"})
+
+
+def streaming_quota_admission(feed_stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch quota gate
+    (plans/catalog.py:quota_admission_per_author): keyed managed state
+    holds each (author, hour)'s lifetime admission count and passes at
+    most QUOTA_CAP events per key — the reference's poll-rate knob
+    (CPS=5, sse.py:110) generalized from one global connection pace to a
+    fault-tolerant per-key quota that survives restarts.
+
+    Scale shape: one shuffle per micro-batch on the (author, hour) key;
+    state is a single long per ACTIVE key (hours age out — a production
+    deployment adds event-time timeoutConf eviction exactly like the
+    sessionization entry), so memory is O(authors x active hours), never
+    stream-length."""
+    from pyspark.sql import functions as F
+
+    keyed = feed_stream.select(
+        "author",
+        F.floor(F.col("created_utc") / 3600).cast("long").alias("hour"),
+        "id",
+        "created_utc",
+    )
+    return keyed.groupBy("author", "hour").applyInPandasWithState(
+        _admit_quota,
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

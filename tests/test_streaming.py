@@ -1045,3 +1045,51 @@ def test_broadcaster_same_spec_clients_share_render():
     bc.foreach_batch(FakeDF(ROWS), 1)
     assert late.frames == s1.frames[len(s1.frames) // 2 :]  # second batch only
     assert s1.tcs == 2 * late.tcs and s1.frames == s2.frames
+
+
+def test_streaming_quota_admission_matches_batch_gate(spark, sf_dir, tmp_path):
+    """Batch/stream parity for the per-(author, hour) quota gate: replaying
+    the feed in created_utc-ordered micro-batches through
+    streaming_quota_admission must admit EXACTLY the ids the batch twin's
+    row_number cut admits, and never more than QUOTA_CAP per key."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+    from reddit_sse_stream_spark.sources.feed import feed_df
+    from reddit_sse_stream_spark.streaming.stateful import (
+        QUOTA_CAP,
+        streaming_quota_admission,
+    )
+
+    fd = feed_df(spark, sf_dir).select("author", "created_utc", "id")
+    # created_utc-ordered batches: arrival order across micro-batches is
+    # consistent with the batch twin's (created_utc, id) admission order
+    cuts = fd.approxQuantile("created_utc", [0.33, 0.66], 0.0)
+    t1, t2 = int(cuts[0]), int(cuts[1])
+    src = tmp_path / "feed_stream"
+    fd.filter(F.col("created_utc") < t1).coalesce(1).write.mode("append").parquet(str(src))
+    fd.filter((F.col("created_utc") >= t1) & (F.col("created_utc") < t2)).coalesce(1).write.mode("append").parquet(str(src))
+    fd.filter(F.col("created_utc") >= t2).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(fd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_quota_admission(stream)
+        .writeStream.format("memory")
+        .queryName("quota_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT author, hour, id FROM quota_stream").collect()
+    per_key: dict[tuple, list[int]] = {}
+    for r in got:
+        per_key.setdefault((r["author"], r["hour"]), []).append(r["id"])
+    assert all(len(v) <= QUOTA_CAP for v in per_key.values())
+    batch = {
+        (r["author"], r["hour"]): r["admitted_ids"]
+        for r in QUERIES["quota_admission_per_author"].spark(spark, sf_dir).collect()
+    }
+    got_ids = {k: ",".join(str(i) for i in sorted(v)) for k, v in per_key.items()}
+    assert got_ids == {k: v for k, v in batch.items() if v}

@@ -1066,3 +1066,90 @@ def bpe_token_counts(
             ).alias("chars_per_token"),
         )
     )
+
+
+#: the Gopher rule's stopword list (Rae et al. 2021, Table A1 quality
+#: filtering: "contains at least 2 of ...")
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule gate (Rae et al. 2021) — the named
+    keep/drop bundle of the MassiveText pipeline, complementing this
+    module's generic :func:`quality_score` features and the repetition
+    rules of :func:`repetition_runs`: word count in [min_words,
+    max_words], mean word length in [min_mwl, max_mwl], symbol-to-word
+    ratio ('#' chars + '...' occurrences) <= max_symbol_ratio, >= 80% of
+    words containing an alphabetic character, and at least ``min_stop``
+    distinct stopwords from the paper's 8-word list present.
+
+    Per doc: every rule's measured value plus the composite ``keep``
+    flag (INTEGER for oracle parity) — the values, not just the verdict,
+    because threshold tuning is the actual curation workflow.
+
+    Exactness: ratios floor-quantize at 1e-4 and the keep comparisons
+    run on the quantized values, so both engines cut identically at the
+    boundary.  NULL text drops (same contract as repetition_runs).
+
+    Scale shape: ONE map-only projection — the word array sits behind
+    the explode-of-1-array barrier so each fold touches it without
+    re-inlining the split (see :func:`word_ngrams`), symbol counts come
+    off the raw string, and there is no shuffle anywhere."""
+    lt = F.lower(F.col(text_col))
+    ws = F.filter(F.split(lt, r"\s+"), lambda w: F.length(w) > 0)
+    tok = df.where(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.explode(F.array(F.struct(ws.alias("ws"), lt.alias("lt")))).alias("s"),
+    ).select(id_col, F.col("s.ws").alias("ws"), F.col("s.lt").alias("lt"))
+
+    n_words = F.size("ws").cast("long")
+    denom = F.greatest(n_words, F.lit(1))
+    chars = F.aggregate(
+        F.col("ws"),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w),
+    )
+    alpha_words = F.size(
+        F.filter(F.col("ws"), lambda w: w.rlike("[a-z]"))
+    ).cast("long")
+    n_stop = sum(
+        (
+            F.array_contains(F.col("ws"), s).cast("long")
+            for s in GOPHER_STOPWORDS
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    hash_cnt = F.length("lt") - F.length(F.replace(F.col("lt"), F.lit("#"), F.lit("")))
+    ell_cnt = (
+        F.length("lt") - F.length(F.replace(F.col("lt"), F.lit("..."), F.lit("")))
+    ) / 3
+    mwl = _trunc4(chars / denom)
+    alpha_frac = _trunc4(alpha_words / denom)
+    sym_ratio = _trunc4((hash_cnt + ell_cnt) / denom)
+    keep = (
+        n_words.between(min_words, max_words)
+        & mwl.between(min_mwl, max_mwl)
+        & (sym_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stop)
+    )
+    return tok.select(
+        id_col,
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha_frac.alias("frac_alpha_words"),
+        n_stop.alias("n_stop_hits"),
+        sym_ratio.alias("symbol_ratio"),
+        keep.cast("int").alias("keep"),
+    )

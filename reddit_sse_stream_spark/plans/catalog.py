@@ -4596,6 +4596,66 @@ def corpus_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_gopher_gate",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws,
+             lower(text) AS lt
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             greatest(len(ws), 1) AS denom,
+             COALESCE(list_aggregate(list_transform(ws, x -> len(x)), 'sum'),
+                      0) AS chars,
+             len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+               AS alpha_words,
+             CAST(list_contains(ws, 'the') AS BIGINT)
+               + CAST(list_contains(ws, 'be') AS BIGINT)
+               + CAST(list_contains(ws, 'to') AS BIGINT)
+               + CAST(list_contains(ws, 'of') AS BIGINT)
+               + CAST(list_contains(ws, 'and') AS BIGINT)
+               + CAST(list_contains(ws, 'that') AS BIGINT)
+               + CAST(list_contains(ws, 'have') AS BIGINT)
+               + CAST(list_contains(ws, 'with') AS BIGINT) AS n_stop,
+             (len(lt) - len(replace(lt, '#', '')))
+               + (len(lt) - len(replace(lt, '...', ''))) / 3 AS symbols
+      FROM w),
+    q AS (
+      SELECT doc_id, n_words, n_stop,
+             floor(chars * 1.0 / denom * 10000) / 10000.0 AS mean_word_len,
+             floor(alpha_words * 1.0 / denom * 10000) / 10000.0
+               AS frac_alpha_words,
+             floor(symbols * 1.0 / denom * 10000) / 10000.0 AS symbol_ratio
+      FROM m)
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+           CAST(n_stop AS BIGINT) AS n_stop_hits, symbol_ratio,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_ratio <= 0.1
+                AND frac_alpha_words >= 0.8
+                AND n_stop >= 1 AS INTEGER) AS keep
+    FROM q
+    """,
+)
+def text_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named Gopher quality-rule bundle (operators/text.py:gopher_gate,
+    Rae et al. 2021): word-count bounds, mean-word-length band,
+    symbol-to-word ratio, alphabetic-word fraction, and the 8-stopword
+    presence rule, each reported as its measured value plus the composite
+    keep flag — the literature's exact gate alongside this engine's
+    generic quality_score features.  ONE map-only projection, zero
+    shuffles; ratios floor-quantized at 1e-4 so both engines cut
+    identically at the threshold boundary.  The catalog entry runs
+    min_stop=1 (the fixture's ~60-word vocabulary contains exactly one of
+    the paper's 8 stopwords, so the paper's >= 2 would make the flag
+    vacuously false); the operator default keeps the paper's 2."""
+    return text.gopher_gate(_t(spark, sf_dir, "documents"), min_stop=1)
+
+
+@_register(
     "quota_admission_per_author",
     f"""
     WITH {FEED_CTE},

@@ -239,3 +239,48 @@ def test_dsir_weights_fuzz_matches_python_reference(spark):
         for r in corpusops.dsir_weights(df).collect()
     }
     assert got == _ref_dsir(rows)
+
+
+def _ref_gopher(text: str):
+    lt = text.lower()
+    ws = [w for w in __import__("re").split(r"\s+", lt) if w]
+    n = len(ws)
+    denom = max(n, 1)
+    chars = sum(len(w) for w in ws)
+    alpha = sum(1 for w in ws if any("a" <= c <= "z" for c in w))
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_stop = sum(1 for s in stops if s in ws)
+    symbols = lt.count("#") + lt.count("...")
+    t4 = lambda x: math.floor(x * 10000) / 10000  # noqa: E731
+    mwl = t4(chars / denom)
+    fa = t4(alpha / denom)
+    sr = t4(symbols / denom)
+    keep = int(
+        50 <= n <= 100_000 and 3.0 <= mwl <= 10.0 and sr <= 0.1
+        and fa >= 0.8 and n_stop >= 2
+    )
+    return n, mwl, fa, n_stop, sr, keep
+
+
+def test_gopher_gate_fuzz_matches_python_reference(spark):
+    """gopher_gate on adversarial synthetic docs — '#'-heavy spam, '...'
+    runs, stopword-rich prose, numeric-only tokens, empty and 1-token
+    strings — must reproduce the pure-Python rule evaluation exactly,
+    including the keep cut at every threshold boundary."""
+    rng = random.Random(4099)
+    vocab = ["the", "of", "and", "km2", "#tag", "x...", "word", "a", "12", "###"]
+    rows: list[tuple[int, str | None]] = [(0, None), (1, ""), (2, "###")]
+    for i in range(3, 60):
+        n = rng.choice([1, 3, 49, 50, 51, 120])
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.gopher_gate(df).collect()}
+    for i, text in rows:
+        if text is None:
+            assert i not in got
+            continue
+        n, mwl, fa, n_stop, sr, keep = _ref_gopher(text)
+        r = got[i]
+        assert (r.n_words, r.n_stop_hits, r.keep) == (n, n_stop, keep), (i, text[:40])
+        for a, b in ((r.mean_word_len, mwl), (r.frac_alpha_words, fa), (r.symbol_ratio, sr)):
+            assert abs(a - b) < 1e-12

@@ -537,3 +537,24 @@ def test_pq_assignment_is_literal_hof_not_when_chain(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embed_pq_codes")
     assert "array_min(transform(element_at(" in plan
     assert "least(" not in plan.lower()
+
+
+def test_quota_gate_single_keyed_exchange(spark, sf_dir):
+    """The quota gate's row_number cut and its summary aggregate share the
+    (author, hour) partitioning, so the plan must pay exactly ONE hash
+    exchange — a second would mean the aggregate re-shuffled what the
+    window already partitioned."""
+    import re
+
+    plan = _plan(spark, sf_dir, "quota_admission_per_author")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert plan.count("Window") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_gopher_gate_is_map_only(spark, sf_dir):
+    """Every Gopher rule is a per-row fold, so the gate must compile to a
+    zero-exchange, zero-Python projection over the parquet scan."""
+    plan = _plan(spark, sf_dir, "text_gopher_gate")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -1093,3 +1093,63 @@ def test_streaming_quota_admission_matches_batch_gate(spark, sf_dir, tmp_path):
     }
     got_ids = {k: ",".join(str(i) for i in sorted(v)) for k, v in per_key.items()}
     assert got_ids == {k: v for k, v in batch.items() if v}
+
+
+def test_streaming_quota_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Quota state is fault-tolerant: a key that fills its quota before a
+    STOP must stay throttled after a checkpointed RESTART sees more of its
+    events — the property that makes the gate a real admission control and
+    not a per-process counter (the reference's CPS pacing dies with the
+    connection, sse.py:110)."""
+    from reddit_sse_stream_spark.sources.feed import feed_df
+    from reddit_sse_stream_spark.streaming.stateful import (
+        QUOTA_CAP,
+        streaming_quota_admission,
+    )
+
+    fd = feed_df(spark, sf_dir).select("author", "created_utc", "id")
+    cut = int(fd.approxQuantile("created_utc", [0.5], 0.0)[0])
+    src = tmp_path / "feed_src"
+    ck = tmp_path / "ck"
+    out = tmp_path / "admitted"
+    fd.filter(F.col("created_utc") < cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(fd.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        # parquet sink, not memory: the memory sink refuses checkpoint
+        # RECOVERY, and recovery is exactly what this test proves
+        q = (
+            streaming_quota_admission(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # first half, then the query STOPS (availableNow drains)
+    n_first = spark.read.parquet(str(out)).count()
+    assert n_first > 0
+    fd.filter(F.col("created_utc") >= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()  # restart from the same checkpoint over the second half
+
+    rows = spark.read.parquet(str(out)).collect()
+    per_key: dict[tuple, set] = {}
+    for r in rows:
+        per_key.setdefault((r["author"], r["hour"]), set()).add(r["id"])
+    # the cap binds ACROSS the restart: no key ever exceeds it, no id twice
+    assert all(len(v) <= QUOTA_CAP for v in per_key.values())
+    assert sum(len(v) for v in per_key.values()) == len(rows)
+    # and keys spanning the cut admitted pre-restart events first: the
+    # second run could only top keys up, never re-admit or exceed
+    assert len(rows) > n_first

@@ -73,6 +73,8 @@ HEADLINE = (
     # batch-lineage forensic window
     "knn_ivfpq_topk",
     "corpus_batch_lineage",
+    "quota_admission_per_author",
+    "text_gopher_gate",
 )
 
 

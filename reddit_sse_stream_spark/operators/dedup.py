@@ -1176,3 +1176,77 @@ def pagerank_fixedpoint(
         F.col("r").alias("rank_fp"),
         (F.col("r") / F.lit(1e12)).cast("double").alias("rank"),
     )
+
+
+def bloom_fp_audit(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 256,
+    md5_buckets: bool = False,
+) -> DataFrame:
+    """Measured honesty for :func:`bloom_prefilter_new_docs` — the dedup
+    family's counterpart of the LSH/PQ recall audits: classify every
+    batch row against BOTH the bucket filter and exact digest membership
+    and report, in one row, the quantities the filter's contract claims:
+
+    - ``n_false_negatives`` — definitely-new rows whose digest IS in the
+      corpus; the no-false-negative invariant says this is ALWAYS 0
+      (a known digest must land in an occupied bucket);
+    - ``n_false_positives`` — occupied-bucket rows whose digest is NOT
+      in the corpus: the wasted exact-join probes the filter's whole
+      value proposition is minimizing;
+    - ``fp_rate`` — false positives over true negatives (the standard
+      Bloom measure), floor-quantized at 1e-4.
+
+    ``md5_buckets=True`` swaps xxhash64 for the 60-bit md5 bucket so an
+    ANSI twin recomputes every classification value-for-value (same
+    convention as the minhash md5 twins); the xxhash64 default is the
+    production fast path.
+
+    Scale shape: bucket set and digest membership are the same two
+    frames the prefilter itself builds (bucket set ≤ n_buckets rows,
+    broadcast; digest membership a digest-keyed left join), then ONE
+    global aggregate over six boolean folds — the audit costs one scan
+    more than the operator it audits."""
+    dg = F.md5(F.col(text_col))
+    if md5_buckets:
+        bucket = F.pmod(md5_hash60(dg), F.lit(n_buckets))
+    else:
+        bucket = F.pmod(F.xxhash64(dg), F.lit(n_buckets))
+    occ = corpus.select(bucket.alias("_b")).distinct().withColumn(
+        "_occ", F.lit(True)
+    )
+    known = corpus.select(dg.alias("_dg")).distinct().withColumn(
+        "_known", F.lit(True)
+    )
+    t = (
+        batch.select(dg.alias("_dg"), bucket.alias("_b"))
+        .join(F.broadcast(occ), "_b", "left_outer")
+        .join(known, "_dg", "left_outer")
+        .select(
+            F.coalesce("_occ", F.lit(False)).alias("occ"),
+            F.coalesce("_known", F.lit(False)).alias("known"),
+        )
+    )
+    cnt = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+    agg = t.agg(
+        F.count("*").cast("long").alias("n_batch"),
+        cnt(~F.col("occ")).alias("n_definitely_new"),
+        cnt(F.col("occ") & ~F.col("known")).alias("n_false_positives"),
+        cnt(F.col("occ") & F.col("known")).alias("n_known"),
+        cnt(~F.col("occ") & F.col("known")).alias("n_false_negatives"),
+        cnt(~F.col("known")).alias("n_new"),
+    )
+    return agg.select(
+        "n_batch",
+        "n_definitely_new",
+        "n_false_positives",
+        "n_known",
+        "n_false_negatives",
+        F.floor(
+            F.col("n_false_positives")
+            / F.greatest(F.col("n_new"), F.lit(1))
+            * 10000
+        ).cast("long").alias("fp_rate_x1e4"),
+    )

@@ -4596,6 +4596,59 @@ def corpus_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_bloom_fp_audit",
+    """
+    WITH c AS (
+      SELECT DISTINCT md5(text) AS dg,
+             CAST(concat('0x', substr(md5(md5(text)), 1, 15)) AS BIGINT)
+               % 256 AS b
+      FROM documents WHERE doc_id % 2 = 0),
+    occ AS (SELECT DISTINCT b FROM c),
+    kn AS (SELECT DISTINCT dg FROM c),
+    bt AS (
+      SELECT md5(text) AS dg,
+             CAST(concat('0x', substr(md5(md5(text)), 1, 15)) AS BIGINT)
+               % 256 AS b
+      FROM documents WHERE doc_id % 2 = 1),
+    t AS (
+      SELECT EXISTS (SELECT 1 FROM occ WHERE occ.b = bt.b) AS occ,
+             EXISTS (SELECT 1 FROM kn WHERE kn.dg = bt.dg) AS known
+      FROM bt)
+    SELECT CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(CASE WHEN NOT occ THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_definitely_new,
+           CAST(sum(CASE WHEN occ AND NOT known THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positives,
+           CAST(sum(CASE WHEN occ AND known THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_known,
+           CAST(sum(CASE WHEN NOT occ AND known THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_negatives,
+           CAST(floor(sum(CASE WHEN occ AND NOT known THEN 1 ELSE 0 END)
+                 * 1.0 / greatest(sum(CASE WHEN NOT known THEN 1 ELSE 0 END),
+                                  1) * 10000) AS BIGINT) AS fp_rate_x1e4
+    FROM t
+    """,
+)
+def dedup_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """False-positive audit of the Bloom prefilter
+    (operators/dedup.py:bloom_fp_audit) — the dedup family's measured
+    self-audit alongside dedup_lsh_recall_audit and knn_pq_recall_audit:
+    one row classifying the odd-id batch against the even-id corpus
+    through a deliberately small 256-bucket filter, reporting the
+    no-false-negative invariant (always 0 — a known digest cannot land
+    in an unoccupied bucket) and the measured FP rate the production
+    sizing trades against memory.  The md5 bucket twin makes every
+    classification value-verifiable in SQL; the operator's xxhash64
+    default is the fast path (same twin convention as minhash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.bloom_fp_audit(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        md5_buckets=True,
+    )
+
+
+@_register(
     "text_gopher_gate",
     r"""
     WITH w AS (

@@ -1799,3 +1799,31 @@ def test_batch_lineage_fuzz_random_schedules(spark, sf_dir):
             assert [int(d) for d in r["doc_ids"].split(",")] == sorted(
                 want[r["step"]]
             )
+
+
+def test_bloom_fp_audit_invariants_both_hash_paths(spark, sf_dir):
+    """The audit's accounting must be internally consistent on BOTH bucket
+    hashes (xxhash64 fast path, md5 twin): no false negatives ever,
+    partitions add up, exact-membership counts identical across hash
+    choices (membership is digest-based, not bucket-based), and a 1-bucket
+    filter degenerates to everything-maybe-known."""
+    from reddit_sse_stream_spark.operators import dedup
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    rows = {}
+    for md5b in (False, True):
+        r = dedup.bloom_fp_audit(batch, corpus, md5_buckets=md5b).collect()[0]
+        assert r["n_false_negatives"] == 0
+        assert (
+            r["n_definitely_new"] + r["n_false_positives"] + r["n_known"]
+            == r["n_batch"]
+        )
+        rows[md5b] = r
+    assert rows[False]["n_known"] == rows[True]["n_known"]
+    assert rows[False]["n_batch"] == rows[True]["n_batch"]
+    one = dedup.bloom_fp_audit(batch, corpus, n_buckets=1).collect()[0]
+    assert one["n_definitely_new"] == 0
+    assert one["n_false_negatives"] == 0

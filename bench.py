@@ -403,34 +403,105 @@ def main() -> None:
     regressions = cmp["regressions"]
     calib_factor = cmp["calibration_factor"]
     disagree = cmp["machine_factor_disagrees"]
-    # The bulky per-query min/max spread goes on its OWN line: the external
-    # driver keeps only the tail of stdout, and r05's enlarged spread dict
-    # pushed the medians off the front (VERDICT r05 next #5).  The summary
-    # is the compact FINAL line, self-contained without the spread.
-    print(json.dumps({"metric": "headline_query_spread", "spread": spread}))
-    print(
+    for line in summary_lines(
+        times=times,
+        spread=spread,
+        total=total,
+        n_runs=n_runs,
+        sf=sf,
+        n_events=n_events,
+        pipeline_sec=pipeline_sec,
+        prev_round=prev_round,
+        vs_prev=vs_prev,
+        machine_factor=machine_factor,
+        regressions=regressions,
+        calib=calib,
+        calib_factor=calib_factor,
+        disagree=disagree,
+        e2e=e2e,
+    ):
+        print(line)
+
+
+#: Hard budget for the FINAL stdout line. The external driver keeps only the
+#: last ~2 KiB of stdout and parses the final line as the round's bench
+#: record; BENCH_r07 came back "parsed": null because the per-query vs_prev
+#: dict rode on the same line as the (grown) queries dict and pushed the
+#: line head out of the tail window. Bulky dicts now go on their OWN
+#: preceding lines and this guard keeps the final line parseable even if a
+#: future round doubles the headline list.
+FINAL_LINE_BUDGET = 1800
+
+
+def summary_lines(
+    *,
+    times: dict[str, float],
+    spread: dict[str, list[float]],
+    total: float,
+    n_runs: int,
+    sf: float,
+    n_events: int,
+    pipeline_sec: float,
+    prev_round: int,
+    vs_prev: dict[str, float],
+    machine_factor: float,
+    regressions: list,
+    calib: dict[str, float],
+    calib_factor: float,
+    disagree: bool,
+    e2e: dict,
+) -> list[str]:
+    """Render the bench stdout: bulky context lines first, compact
+    self-contained summary as the FINAL line (the only one the driver is
+    guaranteed to capture whole).
+
+    If even the lean final line would blow FINAL_LINE_BUDGET, the queries
+    dict is split: the slowest entries stay on the final line (they are the
+    regression-relevant ones) and the full dict is repeated on a preceding
+    ``headline_queries_full`` line, with ``queries_truncated`` flagging the
+    cut so a reader knows to look one line up.
+    """
+    lines = [
+        json.dumps({"metric": "headline_query_spread", "spread": spread}),
         json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "runs_per_query": n_runs,
-                "sf": sf,
-                "feed_events": n_events,
-                "pipeline_events_per_sec": round(n_events / pipeline_sec, 1),
-                "vs_prev_round": prev_round,
-                "vs_prev": vs_prev,
-                "machine_factor_vs_prev": machine_factor,
-                "regressions_vs_prev": regressions,
-                **calib,
-                "calibration_factor": calib_factor,
-                "machine_factor_disagrees": disagree,
-                **e2e,
-            },
+            {"metric": "bench_context", "vs_prev": vs_prev, **calib},
             separators=(",", ":"),
+        ),
+    ]
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "runs_per_query": n_runs,
+        "sf": sf,
+        "feed_events": n_events,
+        "pipeline_events_per_sec": round(n_events / pipeline_sec, 1),
+        "vs_prev_round": prev_round,
+        "machine_factor_vs_prev": machine_factor,
+        "regressions_vs_prev": regressions,
+        "calibration_factor": calib_factor,
+        "machine_factor_disagrees": disagree,
+        **e2e,
+    }
+    final = json.dumps(summary, separators=(",", ":"))
+    if len(final) > FINAL_LINE_BUDGET:
+        lines.append(
+            json.dumps(
+                {"metric": "headline_queries_full", "queries": times},
+                separators=(",", ":"),
+            )
         )
-    )
+        keep = dict(
+            sorted(times.items(), key=lambda kv: kv[1], reverse=True)
+        )
+        while len(final) > FINAL_LINE_BUDGET and len(keep) > 1:
+            keep.pop(next(reversed(keep)))
+            summary["queries"] = keep
+            summary["queries_truncated"] = len(times) - len(keep)
+            final = json.dumps(summary, separators=(",", ":"))
+    lines.append(final)
+    return lines
 
 
 if __name__ == "__main__":

@@ -7,6 +7,7 @@ exercised without a SparkSession."""
 from __future__ import annotations
 
 import importlib.util
+import json
 import os
 
 _spec = importlib.util.spec_from_file_location(
@@ -123,3 +124,68 @@ def test_disagree_requires_both_families_outside_band():
     calib = {"calib_jvm_sec": 0.2, "calib_py_sec": 0.4}
     out = bench.compare_to_prev(TIMES, 0.1, prev, calib)
     assert out["machine_factor_disagrees"] is True
+
+
+def _render(times):
+    return bench.summary_lines(
+        times=times,
+        spread={k: [v, v] for k, v in times.items()},
+        total=round(sum(times.values()), 3),
+        n_runs=3,
+        sf=0.1,
+        n_events=100000,
+        pipeline_sec=0.758,
+        prev_round=7,
+        vs_prev={k: 1.23 for k in times},
+        machine_factor=1.25,
+        regressions=[],
+        calib={"calib_jvm_sec": 0.146, "calib_py_sec": 0.152},
+        calib_factor=0.828,
+        disagree=False,
+        e2e={
+            "streaming_e2e_clients": 8,
+            "streaming_e2e_events_delivered": 476912,
+            "streaming_e2e_wall_sec": 38.034,
+            "streaming_e2e_events_per_sec": 12539.0,
+            "streaming_e2e_events_per_sec_per_client": 1567.4,
+            "streaming_e2e_client_min_max": [59614, 59614],
+        },
+    )
+
+
+def test_final_line_fits_driver_tail_window_for_current_headline():
+    """BENCH_r07 regression: the driver keeps only the last ~2 KiB of
+    stdout and parses the FINAL line; r07's line (queries + vs_prev on one
+    line) overflowed and came back "parsed": null.  Pin: with the CURRENT
+    headline list the final line must fit the budget with margin, be valid
+    self-contained JSON, and carry every per-query median."""
+    times = {name: 1.234 for name in bench.HEADLINE}
+    lines = _render(times)
+    final = lines[-1]
+    assert len(final) <= bench.FINAL_LINE_BUDGET
+    parsed = json.loads(final)
+    assert parsed["metric"] == "headline_queries_total"
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert "queries_truncated" not in parsed
+    # the bulky dicts moved to their own preceding lines
+    assert "vs_prev" not in parsed
+    ctx = json.loads(lines[1])
+    assert set(ctx["vs_prev"]) == set(bench.HEADLINE)
+
+
+def test_final_line_truncates_slowest_first_when_over_budget():
+    """If a future round doubles the headline list the final line must
+    still parse: slowest queries stay on the final line (the
+    regression-relevant ones), the full dict moves one line up."""
+    times = {f"query_with_a_rather_long_name_{i:03d}": float(i) for i in range(120)}
+    lines = _render(times)
+    final = lines[-1]
+    assert len(final) <= bench.FINAL_LINE_BUDGET
+    parsed = json.loads(final)
+    assert parsed["queries_truncated"] == 120 - len(parsed["queries"])
+    kept = parsed["queries"]
+    cut_max = max(v for k, v in times.items() if k not in kept)
+    assert min(kept.values()) >= cut_max  # slowest kept
+    full = json.loads(lines[2])
+    assert full["metric"] == "headline_queries_full"
+    assert full["queries"] == times

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 from collections.abc import Sequence
+from typing import NamedTuple
 
 from pyspark.ml.feature import BucketedRandomProjectionLSH, CountVectorizer, MinHashLSH, RegexTokenizer, NGram
 from pyspark.ml.linalg import Vectors
@@ -20,6 +21,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _SEED = 42
+
+
+class IvfModel(NamedTuple):
+    """Trained IVF coarse quantizer: the cell-assignment frame plus the
+    driver-held centroid table the probe path ranks against.  A typed
+    result (not a DataFrame attribute) so an intervening select/cache
+    can't silently drop the centroids (ADVICE r07)."""
+
+    assignments: DataFrame  # (id_col, cell)
+    centroids: list[tuple[int, list[float]]]  # [(cell, unit-vector)]
+
+
+class PqModel(NamedTuple):
+    """Trained product quantizer: the per-vector code frame plus the
+    driver-held codebook the ADC query path builds its lookup tables
+    from.  ``codebook[sub][j]`` is centroid ``j`` of subspace ``sub`` in
+    the 1e6 fixed-point integer domain."""
+
+    codes: DataFrame  # (id_col, c0..c{n_sub-1}, recon_fp)
+    codebook: list[list[list[int]]]
+
+    @property
+    def n_sub(self) -> int:
+        return len(self.codebook)
+
+    @property
+    def k(self) -> int:
+        return len(self.codebook[0])
+
+    @property
+    def d_sub(self) -> int:
+        return len(self.codebook[0][0])
 
 
 def _doc_shingle_vectors(docs: DataFrame, k: int = 3, vocab_size: int = 1 << 18) -> DataFrame:
@@ -184,14 +217,14 @@ def _unit_fixedpoint(
     )
 
 
-def ivf_fixedpoint_cells(
+def ivf_train(
     emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_cells: int = 8,
     iters: int = 2,
     dim: int = 64,
-) -> DataFrame:
+) -> IvfModel:
     """Deterministic IVF coarse quantizer: Lloyd's k-means on the unit
     sphere with EVERY accumulation in exact int64 fixed point, so the cell
     assignments — the IVF index a 100 TB corpus materializes as its
@@ -268,20 +301,30 @@ def ivf_fixedpoint_cells(
     out = base.select(
         F.col("_id").alias(id_col), assign_col(cents).alias("cell")
     )
-    # final centroids ride along for the IVF-PQ probe path (attribute,
-    # not schema — same convention as pq_codes_fixedpoint's codebook)
-    out._ivf_centroids = cents  # type: ignore[attr-defined]
-    return out
+    return IvfModel(assignments=out, centroids=cents)
 
 
-def pq_codes_fixedpoint(
+def ivf_fixedpoint_cells(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Single-frame surface of :func:`ivf_train` — just the
+    (id, cell) assignments, for consumers that don't probe."""
+    return ivf_train(emb, vec_col, id_col, n_cells, iters, dim).assignments
+
+
+def pq_train(
     emb: DataFrame,
     n_sub: int = 8,
     k: int = 16,
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
+) -> PqModel:
     """Product quantization [Jégou et al. 2011 — the FAISS IVF-PQ
     building block]: split every vector into ``n_sub`` subvectors, learn
     a ``k``-centroid codebook PER SUBSPACE with Lloyd rounds, and encode
@@ -308,10 +351,10 @@ def pq_codes_fixedpoint(
     aggregate."""
     import math
 
-    dim_total = len(
-        emb.select(F.col(vec_col).cast("array<double>").alias("x"))
-        .first()["x"]
-    )
+    probe = emb.select(F.col(vec_col).cast("array<double>").alias("x")).first()
+    if probe is None:
+        raise ValueError("PQ training needs at least one vector")
+    dim_total = len(probe["x"])
     if dim_total % n_sub != 0:
         # a silent floor here would DROP the tail dims from every code —
         # fail loudly instead (FAISS imposes the same divisibility)
@@ -347,9 +390,16 @@ def pq_codes_fixedpoint(
         .orderBy("_id", "sub")
         .collect()
     )
+    by_id = sorted({r["_id"] for r in seeds})
+    if not by_id:
+        raise ValueError("PQ training needs at least one vector")
+    # clamp to the seeds actually present: with < k distinct vectors the
+    # codebook is simply smaller (same convention as the shorter cents
+    # list in corpus.kmeans_fixedpoint) — unseeded None slots would
+    # otherwise blow up the literal build far from the cause (ADVICE r07)
+    k = min(k, len(by_id))
     # cents[sub][j] = centroid j of subspace sub
     cents: list[list[list[int]]] = [[None] * k for _ in range(n_sub)]
-    by_id = sorted({r["_id"] for r in seeds})
     rank = {vid: j for j, vid in enumerate(by_id)}
     for r in seeds:
         cents[r["sub"]][rank[r["_id"]]] = list(r["sq"])
@@ -431,10 +481,20 @@ def pq_codes_fixedpoint(
         ],
         F.sum("dist2_fp").cast("long").alias("recon_fp"),
     ).select(F.col("_id").alias(id_col), *[f"c{s}" for s in range(n_sub)], "recon_fp")
-    # trained codebook rides along for the ADC query path; plain consumers
-    # ignore it (attribute, not schema)
-    codes._pq_codebook = cents  # type: ignore[attr-defined]
-    return codes
+    return PqModel(codes=codes, codebook=cents)
+
+
+def pq_codes_fixedpoint(
+    emb: DataFrame,
+    n_sub: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Single-frame surface of :func:`pq_train` — just the code frame,
+    for consumers that don't run ADC queries."""
+    return pq_train(emb, n_sub, k, iters, vec_col, id_col).codes
 
 
 def pq_adc_topk(
@@ -463,15 +523,16 @@ def pq_adc_topk(
     bit-reproducible; the oracle rebuilds codebooks, codes, AND tables
     in SQL.  ADC is exact w.r.t. the QUANTIZED database vector — the
     standard PQ approximation (recon_fp bounds the per-vector gap)."""
-    codes = pq_codes_fixedpoint(
+    model = pq_train(
         emb, n_sub=n_sub, k=k, iters=iters, vec_col=vec_col, id_col=id_col
     )
-    cents = codes._pq_codebook  # type: ignore[attr-defined]
+    cents, codes = model.codebook, model.codes
+    k = model.k  # may be clamped below the requested k on tiny inputs
     if exclude_id is not None:
         # the query row trains/encodes like everything else but must not
         # appear in its own result list — filter BEFORE the top-k cut
         codes = codes.where(F.col(id_col) != exclude_id)
-    d_sub = len(cents[0][0])
+    d_sub = model.d_sub
     qq = [
         int(math.floor(v * 1_000_000 + 0.5))
         for v in list(query_vec)
@@ -537,11 +598,11 @@ def pq_recall_audit(
     which is the point: the audit runs on a SAMPLE of queries
     (n_queries), amortizing one full-scan ground truth over the
     index's lifetime."""
-    codes = pq_codes_fixedpoint(
+    model = pq_train(
         emb, n_sub=n_sub, k=k, iters=iters, vec_col=vec_col, id_col=id_col
     )
-    cents = codes._pq_codebook  # type: ignore[attr-defined]
-    d_sub = len(cents[0][0])
+    cents, codes = model.codebook, model.codes
+    k, d_sub = model.k, model.d_sub
 
     x = F.col(vec_col).cast("array<double>")
     xq = F.transform(x, lambda v: F.floor(v * 1_000_000 + 0.5).cast("long"))
@@ -656,10 +717,10 @@ def ivfpq_topk(
     every scalar step a single IEEE op on the collected unit query
     vector), ADC is the 1e6 integer domain of PQ training, and the final
     cut orders by (adc_fp, id) — fully SQL-verifiable end to end."""
-    cells = ivf_fixedpoint_cells(
+    ivf = ivf_train(
         emb, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=ivf_iters
     )
-    cents = cells._ivf_centroids  # type: ignore[attr-defined]
+    cells, cents = ivf.assignments, ivf.centroids
     q_row = (
         _unit_fixedpoint(emb, vec_col, id_col)
         .where(F.col("_id") == query_id)
@@ -679,11 +740,11 @@ def ivfpq_topk(
         cell for _, cell in sorted((d_fp(c), cell) for cell, c in cents)[:n_probe]
     ]
 
-    codes = pq_codes_fixedpoint(
+    pq = pq_train(
         emb, n_sub=n_sub, k=k, iters=pq_iters, vec_col=vec_col, id_col=id_col
     )
-    cb = codes._pq_codebook  # type: ignore[attr-defined]
-    d_sub = len(cb[0][0])
+    codes, cb = pq.codes, pq.codebook
+    k, d_sub = pq.k, pq.d_sub
     qv = (
         emb.where(F.col(id_col) == query_id)
         .select(F.col(vec_col).cast("array<double>").alias("x"))

@@ -861,13 +861,20 @@ def chunk_dedup_rewrite(
     is out of scope, same as :func:`chunk_dup_stats`); a document whose
     every full chunk is owned elsewhere comes back with empty
     ``text_dedup`` and n_kept = 0 — the downstream gate's drop signal.
+    EVERY input document appears in the output: one shorter than
+    ``chunk_words`` (no full chunk at all) comes back with n_chunks = 0,
+    n_kept = 0, text_dedup = '' — a rewrite must not silently lose docs
+    (ADVICE r07; previously such docs vanished via the empty posexplode).
 
     Scale shape: chunking is pure codegen (split -> sequence -> slice ->
-    posexplode); ownership is ONE window (min (doc_id, pos) struct per
-    chunk digest) over one digest-keyed exchange; re-assembly is a
-    doc-keyed sort_array(collect_list(struct(pos, chunk))) — the struct
-    sort pins order deterministically, and per-doc state is the doc's
-    own chunks, never corpus-sized."""
+    posexplode_outer — the _outer keeps chunkless docs as one null row);
+    ownership is ONE window (min (doc_id, pos) struct per chunk digest)
+    over one digest-keyed exchange, with the null-chunk rows salted to a
+    PER-DOC partition key so a 100 TB corpus's short docs don't pile
+    into one hot null partition; re-assembly is a doc-keyed
+    sort_array(collect_list(struct(pos, chunk))) — the struct sort pins
+    order deterministically, and per-doc state is the doc's own chunks,
+    never corpus-sized."""
     from pyspark.sql import Window
 
     words = F.split(F.col(text_col), r"\s+")
@@ -881,18 +888,29 @@ def chunk_dedup_rewrite(
             .otherwise(F.array().cast("array<int>"))
             .alias("_is"),
         )
-        .select(id_col, "_w", F.posexplode("_is").alias("pos", "_i"))
+        .select(id_col, "_w", F.posexplode_outer("_is").alias("pos", "_i"))
         .select(
             id_col,
             "pos",
-            F.array_join(
-                F.slice(F.col("_w"), F.col("_i") * chunk_words + 1, chunk_words),
-                " ",
+            F.when(
+                F.col("pos").isNotNull(),
+                F.array_join(
+                    F.slice(
+                        F.col("_w"), F.col("_i") * chunk_words + 1, chunk_words
+                    ),
+                    " ",
+                ),
             ).alias("chunk"),
         )
     )
+    # null chunks (chunkless docs) get a per-doc key — md5 output is hex,
+    # so the \x00-prefixed salt cannot collide with a real digest
+    part_key = F.coalesce(
+        F.md5("chunk"),
+        F.concat(F.lit("\x00doc:"), F.col(id_col).cast("string")),
+    )
     owner = F.min(F.struct(F.col(id_col), F.col("pos"))).over(
-        Window.partitionBy(F.md5("chunk"))
+        Window.partitionBy(part_key)
     )
     kept = ch.withColumn(
         "is_owner",
@@ -901,8 +919,10 @@ def chunk_dedup_rewrite(
     return (
         kept.groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_chunks"),
-            F.sum(F.col("is_owner").cast("long")).cast("long").alias("n_kept"),
+            F.count("pos").cast("long").alias("n_chunks"),
+            F.coalesce(F.sum(F.col("is_owner").cast("long")), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
             F.array_join(
                 F.transform(
                     F.sort_array(

@@ -8929,14 +8929,21 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY md5(chunk)
                                 ORDER BY doc_id, pos) = 1 AS is_owner
       FROM ch
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN is_owner THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             COALESCE(string_agg(CASE WHEN is_owner THEN chunk END, ' '
+                                 ORDER BY pos), '') AS text_dedup
+      FROM own GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_chunks,
-           CAST(sum(CASE WHEN is_owner THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_kept,
-           COALESCE(string_agg(CASE WHEN is_owner THEN chunk END, ' '
-                               ORDER BY pos), '') AS text_dedup
-    FROM own GROUP BY doc_id
+    SELECT n.doc_id,
+           COALESCE(agg.n_chunks, 0) AS n_chunks,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           COALESCE(agg.text_dedup, '') AS text_dedup
+    FROM n LEFT JOIN agg USING (doc_id)
     """,
 )
 def text_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:

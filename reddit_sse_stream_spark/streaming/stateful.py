@@ -298,7 +298,11 @@ def _admit_quota(
     (the replay contract the parity test pins); under out-of-order
     arrival the gate is admit-first — the honest streaming semantics."""
     n = int(state.get[0]) if state.exists else 0
-    rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+    # materialize BEFORE the truthiness check: pdfs is an iterator (always
+    # truthy), so guarding on it directly would let pd.concat([]) raise on
+    # an empty group — which occurs once timeout-based eviction is enabled
+    chunks = list(pdfs)
+    rows = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
     out_author: list[str] = []
     out_hour: list[int] = []
     out_id: list[int] = []

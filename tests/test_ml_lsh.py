@@ -207,3 +207,37 @@ def test_ann_guardrails_fail_loudly(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with _pytest.raises(ValueError, match="positive"):
         corpus.batch_lineage(docs, batch_size=0)
+
+
+def test_pq_codebook_clamps_to_available_vectors(spark):
+    """ADVICE r07: < k distinct vectors used to leave None slots in the
+    seeded codebook and blow up the literal build with an opaque
+    TypeError.  Pin: the codebook clamps to the seed count, every code
+    stays in range, the query paths honor the clamped k, and an empty
+    input raises a clear ValueError."""
+    from pyspark.sql import Row
+
+    from reddit_sse_stream_spark.operators.ml_lsh import (
+        pq_adc_topk,
+        pq_train,
+    )
+
+    data = [
+        Row(vec_id=i, embedding=[float((3 * i + d) % 5) for d in range(16)])
+        for i in range(6)  # 6 vectors << k=16
+    ]
+    tiny = spark.createDataFrame(data)
+    model = pq_train(tiny, n_sub=4, k=16, iters=1)
+    assert model.k == 6 and model.n_sub == 4 and model.d_sub == 4
+    rows = model.codes.collect()
+    assert len(rows) == 6
+    for r in rows:
+        for s in range(4):
+            assert 0 <= r[f"c{s}"] < 6
+    top = pq_adc_topk(
+        tiny, data[0]["embedding"], k_out=3, n_sub=4, k=16, exclude_id=0
+    ).collect()
+    assert len(top) == 3 and all(r["vec_id"] != 0 for r in top)
+    empty = tiny.where(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="at least one vector"):
+        pq_train(empty, n_sub=4, k=16)

@@ -1641,15 +1641,19 @@ def test_chunk_dedup_rewrite_keeps_first_occurrence(spark):
             (1, c16a + " " + c16b),     # owns a-chunk and b-chunk
             (2, c16b + " " + c16c),     # b is a repeat -> only c survives
             (3, c16a),                  # fully boilerplate -> empty rewrite
-            (4, "short tail only"),     # no full chunk -> not in output
+            (4, "short tail only"),     # no full chunk -> n_chunks=0 row
         ],
         "doc_id long, text string",
     )
     out = {r.doc_id: r for r in textops.chunk_dedup_rewrite(docs).collect()}
-    assert set(out) == {1, 2, 3}
+    assert set(out) == {1, 2, 3, 4}
     assert out[1].n_kept == 2 and out[1].text_dedup == c16a + " " + c16b
     assert out[2].n_kept == 1 and out[2].text_dedup == c16c
     assert out[3].n_kept == 0 and out[3].text_dedup == ""
+    # ADVICE r07: a doc shorter than chunk_words must NOT vanish from the
+    # rewritten corpus — it comes back explicitly chunkless
+    assert out[4].n_chunks == 0 and out[4].n_kept == 0
+    assert out[4].text_dedup == ""
 
 
 def test_hard_negatives_exclude_same_label_and_pick_max(spark):

@@ -165,7 +165,8 @@ def _ref_chunk_rewrite(rows: list[tuple[int, str]], k: int = 16):
             if ch not in owners or (i, p) < owners[ch]:
                 owners[ch] = (i, p)
     out = {}
-    for i, cs in chunks.items():
+    for i, _ in rows:  # EVERY doc appears; chunkless ones as (0, 0, '')
+        cs = chunks.get(i, [])
         kept = [(p, c) for p, c in cs if owners[c] == (i, p)]
         out[i] = (
             len(cs),

@@ -9361,14 +9361,20 @@ _PRIOR_GREEN_ROUND = {
     "aggx_cube_events": 6,
     "aggx_distinct_users": 6,
     "aggx_grouping_sets": 6,
-    "aggx_regression_exact": 5,
+    "aggx_hll_sketch_union": 7,
+    "aggx_regression_exact": 7,
     "aggx_rollup_grouping_id": 3,
     "aggx_rollup_orders": 6,
     "aggx_stats_per_type": 6,
     "anomaly_zscore_hourly": 4,
     "bpe_pair_merge_counts": 5,
+    "bpe_tokenize_counts": 7,
+    "bpe_train_merges": 7,
+    "corpus_batch_lineage": 7,
     "corpus_cap_per_source": 5,
+    "corpus_curriculum_order": 7,
     "corpus_diverse_sample": 5,
+    "corpus_dsir_weights": 7,
     "corpus_filter_gate": 5,
     "corpus_mix_schedule": 5,
     "corpus_quality_quantile_gate": 5,
@@ -9380,12 +9386,13 @@ _PRIOR_GREEN_ROUND = {
     "decontam_drop_contaminated": 4,
     "decontam_multi_suite_report": 5,
     "decontam_ngram_overlap": 4,
+    "dedup_bloom_fp_audit": 7,
     "dedup_cc_clusters": 3,
     "dedup_cluster_best_quality": 4,
     "dedup_containment_grams": 5,
     "dedup_cross_source_matrix": 5,
     "dedup_embedding_cosine": 6,
-    "dedup_embedding_cosine_lsh": 3,
+    "dedup_embedding_cosine_lsh": 7,
     "dedup_exact_groups": 6,
     "dedup_exact_keep_first": 6,
     "dedup_incremental_bloom": 4,
@@ -9394,19 +9401,25 @@ _PRIOR_GREEN_ROUND = {
     "dedup_lsh_recall_audit": 6,
     "dedup_method_agreement": 5,
     "dedup_minhash_md5": 4,
+    "dedup_minhash_twin_containment": 7,
     "dedup_ngram_jaccard": 3,
+    "dedup_semdedup_cells": 7,
+    "dedup_simhash_exact_dup_invariant": 7,
     "dedup_simhash_hamming_pairs": 4,
     "dedup_simhash_md5": 4,
     "dedup_substring_containment": 5,
     "dedup_tfidf_cosine": 5,
     "dedup_threshold_curve": 5,
     "dq_expectation_report": 4,
+    "dq_length_drift_ks": 7,
     "embed_drift_by_lang": 6,
-    "embed_kmeans_fixedpoint": 6,
+    "embed_hard_negatives": 7,
+    "embed_kmeans_fixedpoint": 7,
     "embed_l2_norm": 6,
     "embed_matryoshka_retention": 6,
     "embed_norm_stats_by_lang": 4,
     "embed_pca_power_iteration": 5,
+    "embed_pq_codes": 7,
     "embed_quantize_int8": 6,
     "embed_random_projection": 5,
     "embed_standardize": 6,
@@ -9418,17 +9431,18 @@ _PRIOR_GREEN_ROUND = {
     "f6_f7_flag_filters": 4,
     "f8_null_elimination": 4,
     "f_combined_full": 4,
+    "feat_target_encode_loo": 7,
     "fn_array_ops": 6,
     "fn_bitwise_ops": 3,
-    "fn_datetime_buckets": 3,
+    "fn_datetime_buckets": 7,
     "fn_fuzzy_match_levenshtein": 3,
     "fn_histogram_bins": 3,
     "fn_histogram_equidepth": 5,
     "fn_map_ops": 6,
     "fn_math_scalars": 6,
-    "fn_null_ops": 2,
+    "fn_null_ops": 7,
     "fn_percentiles": 6,
-    "fn_regexp_ops": 2,
+    "fn_regexp_ops": 7,
     "fn_sequence_range": 4,
     "fn_string_ops": 6,
     "funnel_attribution_last_touch": 5,
@@ -9440,7 +9454,7 @@ _PRIOR_GREEN_ROUND = {
     "join_asof_last_click": 6,
     "join_broadcast_star_counts": 6,
     "join_cross_region_nation": 3,
-    "join_full_outer_click_purchase": 3,
+    "join_full_outer_click_purchase": 7,
     "join_lateral_topk_per_nation": 4,
     "join_range_clicks_before_purchase": 6,
     "join_right_outer_orders": 3,
@@ -9449,21 +9463,27 @@ _PRIOR_GREEN_ROUND = {
     "knn_batch_topk": 5,
     "knn_bruteforce_cosine": 6,
     "knn_ivf_fixedpoint_cells": 5,
-    "knn_lsh_bucketed": 3,
+    "knn_ivf_metric_consistency": 7,
+    "knn_ivfpq_topk": 7,
+    "knn_lsh_bucketed": 7,
+    "knn_pq_adc_topk": 7,
+    "knn_pq_recall_audit": 7,
     "layout_zorder_keys": 5,
     "limit_topk_events_by_value": 6,
-    "llm_corpus_prep_pipeline": 2,
+    "llm_corpus_prep_pipeline": 7,
     "llm_dataset_card": 6,
     "m1_m2_interleave_sort": 4,
+    "media_features": 7,
     "media_features_meta": 4,
-    "media_frame_sample": 3,
+    "media_frame_sample": 7,
     "p2_json_key_subset": 4,
     "pack_length_buckets": 5,
     "pack_sequences_by_source": 3,
     "path_top_event_trigrams": 4,
     "pivot_event_counts": 6,
-    "posexplode_words": 3,
+    "posexplode_words": 7,
     "q1_domain_blocks_comments": 4,
+    "quota_admission_per_author": 7,
     "recursive_cte_ancestors": 4,
     "reference_pipeline_example": 6,
     "retention_hourly_cohorts": 4,
@@ -9473,34 +9493,40 @@ _PRIOR_GREEN_ROUND = {
     "s8_keepalive_counters": 4,
     "sample_stratified_deterministic": 3,
     "sample_temperature_by_lang": 4,
+    "sample_weighted_priority": 7,
     "scd2_as_of_lookup": 5,
     "scd2_point_in_time_join": 6,
     "scd2_user_state_history": 5,
-    "search_bm25_topk": 5,
-    "search_hybrid_rrf": 5,
-    "session_window_agg": 3,
-    "sessionize_events": 3,
-    "setop_except_all_values": 3,
+    "search_bm25_topk": 7,
+    "search_hybrid_rrf": 7,
+    "session_window_agg": 7,
+    "sessionize_events": 7,
+    "setop_except_all_values": 7,
     "setop_except_users": 6,
-    "setop_intersect_all_values": 3,
+    "setop_intersect_all_values": 7,
     "setop_intersect_users": 6,
     "stream_lateness_watermark_profile": 5,
-    "subq_correlated_exists": 3,
-    "subq_in_big_spenders": 3,
-    "subq_scalar_above_avg": 3,
+    "subq_correlated_exists": 7,
+    "subq_in_big_spenders": 7,
+    "subq_scalar_above_avg": 7,
     "text_bigram_lm_bits": 5,
     "text_char_entropy": 5,
+    "text_chunk_dedup_rewrite": 7,
     "text_chunk_dup_rate": 5,
     "text_chunk_windows": 3,
     "text_clean_normalize": 5,
+    "text_encoding_quality": 7,
     "text_fingerprint": 6,
+    "text_gopher_gate": 7,
     "text_lang_predict": 3,
     "text_lang_scores": 6,
+    "text_novelty_first_owner": 7,
     "text_pii_redact": 5,
+    "text_pmi_top_pairs": 7,
     "text_quality_score": 6,
     "text_rarity_score": 3,
     "text_repetition_bigrams": 4,
-    "text_repetition_runs": 6,
+    "text_repetition_runs": 7,
     "text_stopword_scrub": 4,
     "text_token_count": 6,
     "text_vocab_df": 3,
@@ -9531,9 +9557,9 @@ _PRIOR_GREEN_ROUND = {
     "ts_ohlc_hourly": 5,
     "udaf_geomean_orders": 6,
     "udf_grouped_map_zscore": 5,
-    "udf_pandas_scalar_charge": 3,
+    "udf_pandas_scalar_charge": 7,
     "udtf_word_explode": 6,
-    "unpivot_customer_balances": 3,
+    "unpivot_customer_balances": 7,
     "variant_json_extract_agg": 4,
     "vocab_coverage_topk": 5,
     "window_activity_streaks": 6,
@@ -9545,7 +9571,7 @@ _PRIOR_GREEN_ROUND = {
     "window_sliding_counts": 3,
     "window_sliding_distinct_users": 5,
     "window_topk_orders_per_customer": 6,
-    "x1_try_cast_validation": 3,
+    "x1_try_cast_validation": 7,
     "x4_json_extract": 4,
 }
 
@@ -9559,11 +9585,10 @@ _PRIOR_GREEN_ROUND = {
 # defining identifiers against the commit that recorded its last proof);
 # entries are pruned when a newer CORRECTNESS artifact re-proves them.
 _CHANGED_SINCE_PROOF = {
-    "aggx_regression_exact",     # r06: decimal(38,0) addends; proof r05
-    "search_bm25_topk",          # r06 gain re-scale + r07 NULL-doc stats
-    "search_hybrid_rrf",         # inherits bm25_topk's r06/r07 changes
-    "text_repetition_runs",      # r07: <2-token guard (ADVICE r06 high)
-    "embed_kmeans_fixedpoint",   # r07: dim derived from data
+    # r08: chunkless (<16-word) docs now emitted as (0, 0, '') rows via
+    # posexplode_outer + left-join oracle (ADVICE r07) — row COUNT and
+    # semantics changed; the r07 proof validated the dropping version
+    "text_chunk_dedup_rewrite",
 }
 
 

@@ -1250,3 +1250,113 @@ def bloom_fp_audit(
             * 10000
         ).cast("long").alias("fp_rate_x1e4"),
     )
+
+
+def source_minhash_matrix(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    k: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Source-level similarity matrix from per-source MinHash UNIONS,
+    audited against exact set Jaccard — "how much does crawl A overlap
+    crawl B" answered at sketch cost.  The min of a permuted hash over
+    the UNION of a source's doc shingle sets equals the elementwise min
+    of its docs' signatures (MinHash's mergeability), so a source's
+    entire sketch is ``num_hashes`` longs no matter how many petabytes
+    it holds, and the estimated Jaccard between two sources is the
+    fraction of agreeing signature slots.  Every pair also carries the
+    EXACT distinct-shingle Jaccard — the measured-error discipline of
+    :func:`lsh_recall_audit` (each approximation ships its own audit).
+
+    Same md5/permutation family as :func:`minhash_md5_near_dups`
+    (md5_hash60 -> mod 2^31-1, ``_coeffs`` (a, b) pairs), so a SQL twin
+    reproduces every value.
+
+    Scale shape: ONE distinct on (source, shingle-hash) is the only
+    corpus-sized exchange; signatures are a (n_sources x num_hashes)
+    aggregate with map-side combine (min is algebraic); the pair frame
+    is a broadcast cross of n_sources rows; the exact intersection
+    self-joins the distinct frame on the hash key with <= n_sources rows
+    per key, so per-key fanout is bounded by n_sources^2, not corpus
+    size.  At 100 TB drop the exact columns (or sample them) and the
+    whole matrix costs one scan + one tiny agg."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - k),
+            lambda i: F.pmod(
+                md5_hash60(F.concat_ws(" ", F.slice("words", i + 1, k))),
+                F.lit(_MERSENNE_P),
+            ),
+        )
+    )
+    tok = docs.select(
+        F.col(group_col).alias("src"), F.explode(F.array(words)).alias("words")
+    ).filter(F.size("words") >= k)
+    src_sh = (
+        tok.select("src", F.explode(sh_arr).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds signatures, sizes, intersections
+    )
+    coeffs = _coeffs(num_hashes)
+    sig = src_sh.groupBy("src").agg(
+        *[
+            F.min(
+                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+        F.count("*").alias("n"),
+    )
+    a_side = sig.select(
+        F.col("src").alias("source_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(num_hashes)],
+        F.col("n").alias("na"),
+    )
+    b_side = sig.select(
+        F.col("src").alias("source_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(num_hashes)],
+        F.col("n").alias("nb"),
+    )
+    matches = None
+    for i in range(num_hashes):
+        hit = (F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+        matches = hit if matches is None else matches + hit
+    pairs = (
+        a_side.crossJoin(F.broadcast(b_side))
+        .where(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "na",
+            "nb",
+            (F.floor(matches * 10000.0 / num_hashes) / 10000.0).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    inter = (
+        src_sh.alias("l")
+        .join(src_sh.alias("r"), "h")
+        .where(F.col("l.src") < F.col("r.src"))
+        .groupBy(
+            F.col("l.src").alias("source_a"), F.col("r.src").alias("source_b")
+        )
+        .agg(F.count("*").alias("ni"))
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    return (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "est_jaccard",
+            (
+                F.floor(ni * 10000.0 / (F.col("na") + F.col("nb") - ni))
+                / 10000.0
+            ).alias("exact_jaccard"),
+            (F.col("na") + F.col("nb") - ni).cast("long").alias("n_union"),
+        )
+    )

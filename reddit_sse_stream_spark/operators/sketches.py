@@ -1,0 +1,106 @@
+"""Frequency-sketch operators with built-in honesty audits.
+
+The reference engine keeps no frequency state at all (its counters are
+per-connection running totals, ``/root/reference/sse.py:125-131``); these
+are the 100 TB-scale counterparts: sublinear sketches whose whole state
+fits in one executor page, each emitted SIDE BY SIDE with the exact
+answer at test scale so the approximation error is measured, never
+assumed — the same discipline as ``dedup.lsh_recall_audit`` and
+``dedup.bloom_fp_audit``.
+
+Hash family: the cross-engine ``md5_hash60`` (first 15 hex digits of md5
+as a BIGINT), so every cell index is reproducible in ANSI SQL and the
+DuckDB oracles verify sketch CONTENTS value-for-value, not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reddit_sse_stream_spark.operators.dedup import md5_hash60
+
+
+def countmin_heavy_hitters(
+    events: DataFrame,
+    d: int = 4,
+    w: int = 64,
+    top: int = 10,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the event
+    key column, audited against exact counts for the exact top-``top``
+    keys.  Output per tracked key: (user_id, exact_cnt, cms_est,
+    overcount) with the sketch's one-sided guarantee cms_est >= exact_cnt
+    always, and overcount <= N*e/w with probability 1-e^-d per key.
+
+    Why it matters at 100 TB: the exact heavy-hitter aggregate
+    (``agg_heavy_hitters_exact``) shuffles one key per distinct user; the
+    sketch shuffles d*w cells TOTAL after map-side combine —
+    per-partition state is a fixed d x w int grid, the exchange is
+    constant-size regardless of cardinality, and sketches from disjoint
+    partitions/days merge by cell-wise addition (the property that makes
+    it a streaming/aggregation-service primitive).  The exact side here
+    exists to MEASURE the overcount at test scale.
+
+    Determinism: cell index for row j is md5_hash60('j:' || key) mod w —
+    no seeds, no RNG; the same grid on any engine.
+    """
+    if d <= 0 or w <= 0 or top <= 0:
+        raise ValueError("countmin_heavy_hitters needs d, w, top all positive")
+    key = F.col(key_col).cast("string")
+
+    def cell_for(j: int, key_expr) -> F.Column:
+        return F.pmod(
+            md5_hash60(F.concat(F.lit(f"{j}:"), key_expr)), F.lit(w)
+        )
+
+    cells = (
+        events.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            cell_for(j, key).alias("cell"),
+                        )
+                        for j in range(d)
+                    ]
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.j").alias("j"), F.col("p.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = events.groupBy(key.alias("key")).agg(
+        F.count("*").alias("exact_cnt")
+    )
+    top_keys = exact.orderBy(F.desc("exact_cnt"), "key").limit(top)
+    probes = top_keys.select(
+        "key",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cell_for(j, F.col("key")).alias("cell"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select("key", "exact_cnt", F.col("p.j").alias("j"), F.col("p.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            F.col("key").alias(key_col),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )

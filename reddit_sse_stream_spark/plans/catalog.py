@@ -9321,6 +9321,113 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def _source_minhash_matrix_oracle_sql(num_hashes: int = 16, k: int = 5) -> str:
+    """DuckDB twin of dedup.source_minhash_matrix: same shingle/permutation
+    family as _minhash_md5_oracle_sql, aggregated per SOURCE (union
+    mergeability), pairwise slot-agreement estimate + exact set Jaccard."""
+    coeffs = dedup._coeffs(num_hashes)
+    p = (1 << 31) - 1
+    sig_cols = ", ".join(
+        f"min((h * {a} + {b}) % {p}) AS s{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH w AS (
+      SELECT source, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    idx AS (
+      SELECT source, words,
+             unnest(generate_series(1, len(words) - {k - 1})) AS i
+      FROM w WHERE len(words) >= {k}
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             CAST(concat('0x', substr(md5(array_to_string(words[i:i+{k - 1}], ' ')), 1, 15))
+                  AS BIGINT) % {p} AS h
+      FROM idx
+    ),
+    sig AS (SELECT source, {sig_cols}, count(*) AS n FROM sh GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.n AS na, b.n AS nb,
+             floor(({match_sum}) * 10000.0 / {num_hashes}) / 10000.0
+               AS est_jaccard
+      FROM sig a JOIN sig b ON a.source < b.source
+    ),
+    inter AS (
+      SELECT l.source AS source_a, r.source AS source_b, count(*) AS ni
+      FROM sh l JOIN sh r ON l.h = r.h AND l.source < r.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.est_jaccard,
+           floor(COALESCE(i.ni, 0) * 10000.0
+                 / (p.na + p.nb - COALESCE(i.ni, 0))) / 10000.0
+             AS exact_jaccard,
+           CAST(p.na + p.nb - COALESCE(i.ni, 0) AS BIGINT) AS n_union
+    FROM pairs p LEFT JOIN inter i USING (source_a, source_b)
+    """
+
+
+@_register("dedup_source_minhash_matrix", _source_minhash_matrix_oracle_sql())
+def dedup_source_minhash_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair similarity matrix from per-source MinHash unions
+    (operators/dedup.py:source_minhash_matrix): sketch-cost "how much
+    does crawl A overlap crawl B", each pair audited against the exact
+    distinct-shingle Jaccard.  MinHash mergeability makes the per-source
+    state num_hashes longs regardless of source size — at 100 TB the
+    matrix is one scan + a (n_sources x num_hashes) agg; the exact
+    column is the test-scale audit."""
+    return dedup.source_minhash_matrix(_t(spark, sf_dir, "documents"))
+
+
+_CMS_ORACLE = """
+    WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+    cells AS (
+      SELECT j,
+             CAST(concat('0x', substr(md5(concat(j, ':', key)), 1, 15))
+                  AS BIGINT) % 64 AS cell,
+             count(*) AS cnt
+      FROM e, unnest(generate_series(0, 3)) AS t(j)
+      GROUP BY 1, 2
+    ),
+    exact AS (SELECT key, count(*) AS exact_cnt FROM e GROUP BY key),
+    topk AS (SELECT key, exact_cnt FROM exact
+             ORDER BY exact_cnt DESC, key LIMIT 10),
+    probes AS (
+      SELECT t.key, t.exact_cnt, j,
+             CAST(concat('0x', substr(md5(concat(j, ':', t.key)), 1, 15))
+                  AS BIGINT) % 64 AS cell
+      FROM topk t, unnest(generate_series(0, 3)) AS s(j)
+    )
+    SELECT p.key AS user_id,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(min(c.cnt) AS BIGINT) AS cms_est,
+           CAST(min(c.cnt) - p.exact_cnt AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON c.j = p.j AND c.cell = p.cell
+    GROUP BY p.key, p.exact_cnt
+    """
+
+
+@_register("agg_countmin_heavy_hitters", _CMS_ORACLE)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates audited against exact counts
+    for the exact top-10 keys (operators/sketches.py:
+    countmin_heavy_hitters).  The sketch's exchange is d*w = 256 cells
+    total after map-side combine — constant-size regardless of key
+    cardinality, cell-wise addable across partitions/days — vs the
+    per-distinct-key shuffle of agg_heavy_hitters_exact; the exact side
+    here measures the one-sided overcount (cms_est >= exact always).
+    Deterministic md5-derived cells, value-verified in SQL."""
+    from reddit_sse_stream_spark.operators.sketches import (
+        countmin_heavy_hitters,
+    )
+
+    return countmin_heavy_hitters(_t(spark, sf_dir, "events"))
+
+
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #

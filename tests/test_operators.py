@@ -1831,3 +1831,58 @@ def test_bloom_fp_audit_invariants_both_hash_paths(spark, sf_dir):
     one = dedup.bloom_fp_audit(batch, corpus, n_buckets=1).collect()[0]
     assert one["n_definitely_new"] == 0
     assert one["n_false_negatives"] == 0
+
+
+def test_source_minhash_matrix_exact_and_mergeability(spark):
+    """Exact Jaccard column must be the true distinct-shingle Jaccard;
+    identical sources must estimate 1.0 exactly (all signature slots
+    agree); disjoint sources must estimate 0.0.  16 distinct 5-shingles
+    per text keep the arithmetic hand-checkable."""
+    from reddit_sse_stream_spark.operators import dedup as dedupops
+
+    t1 = " ".join(f"w{i}" for i in range(20))       # shingles w0..w15
+    t2 = " ".join(f"w{i}" for i in range(8, 28))    # shingles w8..w23
+    t3 = " ".join(f"x{i}" for i in range(20))       # disjoint
+    docs = spark.createDataFrame(
+        [(1, t1, "sa"), (2, t2, "sb"), (3, t3, "sc"), (4, t1, "sd")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in dedupops.source_minhash_matrix(docs).collect()
+    }
+    assert len(out) == 6  # all pairs of 4 sources
+    ab = out[("sa", "sb")]
+    # |inter| = 8 (w8..w15 starts), |union| = 24
+    assert ab.n_union == 24
+    assert abs(ab.exact_jaccard - (10000 * 8 // 24) / 10000.0) < 1e-9
+    ad = out[("sa", "sd")]  # identical content -> identical sketch
+    assert ad.est_jaccard == 1.0 and ad.exact_jaccard == 1.0
+    ac = out[("sa", "sc")]
+    assert ac.exact_jaccard == 0.0 and ac.est_jaccard == 0.0
+    for r in out.values():
+        assert 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_countmin_estimates_are_one_sided_and_exact_without_collisions(spark):
+    """CMS guarantee: cms_est >= exact_cnt for every tracked key.  With
+    3 keys in a 4x64 grid a cross-key collision in ALL FOUR rows is
+    (essentially) impossible, so the estimates must be EXACT here; the
+    validation guard must raise on nonpositive params."""
+    import pytest as _pytest
+
+    from reddit_sse_stream_spark.operators.sketches import (
+        countmin_heavy_hitters,
+    )
+
+    rows = [(i, 100 + (i % 3)) for i in range(300)]
+    events = spark.createDataFrame(rows, "event_id long, user_id long")
+    out = {r.user_id: r for r in countmin_heavy_hitters(events).collect()}
+    assert set(out) == {"100", "101", "102"}
+    for uid, r in out.items():
+        assert r.cms_est >= r.exact_cnt
+        assert r.overcount == r.cms_est - r.exact_cnt
+        assert r.cms_est == r.exact_cnt  # no 4-row full collision at n=3
+    assert out["100"].exact_cnt == 100
+    with _pytest.raises(ValueError, match="positive"):
+        countmin_heavy_hitters(events, d=0)

@@ -384,12 +384,10 @@ def pq_train(
         .select("_id", F.col("p.sub").alias("sub"), F.col("p.sq").alias("sq"))
         .localCheckpoint(eager=False)
     )
-    seeds = (
-        base.where(F.col("_id").isin([r["_id"] for r in
-            emb.select(F.col(id_col).alias("_id")).orderBy("_id").limit(k).collect()]))
-        .orderBy("_id", "sub")
-        .collect()
-    )
+    # every vector explodes to exactly n_sub rows, so the first k*n_sub
+    # rows in (_id, sub) order ARE the k smallest-id vectors' subrows —
+    # one job instead of a separate id-collect + isin filter
+    seeds = base.orderBy("_id", "sub").limit(k * n_sub).collect()
     by_id = sorted({r["_id"] for r in seeds})
     if not by_id:
         raise ValueError("PQ training needs at least one vector")
@@ -721,14 +719,21 @@ def ivfpq_topk(
         emb, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=ivf_iters
     )
     cells, cents = ivf.assignments, ivf.centroids
-    q_row = (
-        _unit_fixedpoint(emb, vec_col, id_col)
-        .where(F.col("_id") == query_id)
+    q_raw = (
+        emb.where(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>").alias("x"))
         .first()
     )
-    if q_row is None:
+    if q_raw is None:
         raise ValueError(f"query_id {query_id} not present in {id_col}")
-    u_q = list(q_row["u"])
+    qv = list(q_raw["x"])
+    # driver-side replica of _unit_fixedpoint on the one query row — each
+    # step the same single IEEE double op Spark performs (floor-quantized
+    # squared-coordinate sum, sqrt, 1e-12 floor), so u_q is bit-identical
+    # to the frame version while costing zero extra Spark jobs
+    norm_fp = sum(int(math.floor(v * v * 1e12 + 0.5)) for v in qv)
+    nrm = max(math.sqrt(norm_fp / 1e12), 1e-12)
+    u_q = [v / nrm for v in qv]
 
     def d_fp(c: list[float]) -> int:
         return sum(
@@ -745,11 +750,6 @@ def ivfpq_topk(
     )
     codes, cb = pq.codes, pq.codebook
     k, d_sub = pq.k, pq.d_sub
-    qv = (
-        emb.where(F.col(id_col) == query_id)
-        .select(F.col(vec_col).cast("array<double>").alias("x"))
-        .first()["x"]
-    )
     qq = [int(math.floor(v * 1_000_000 + 0.5)) for v in qv]
     adc = None
     for s in range(n_sub):

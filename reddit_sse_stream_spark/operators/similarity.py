@@ -333,16 +333,21 @@ def semdedup_cell_pairs(
 
     Composition of two existing verified primitives: the deterministic
     fixed-point IVF quantizer (:func:`ml_lsh.ivf_fixedpoint_cells` —
-    fully oracled) assigns cells; the within-cell self-join reuses the
-    vectorized Arrow cosine kernel (:func:`score_pairs_arrow`, floor at
-    1e-4).  Output is (id_a < id_b, cos_sim) for every within-cell pair
-    above the threshold — the drop policy (keep min id per group) is the
-    caller's, as in :func:`dedup.near_dup_pairs`.
+    fully oracled) assigns cells; within each cell ONE applyInPandas
+    GEMM kernel computes the full |c| x |c| cosine block from vectors
+    shipped ONCE (floor at 1e-4, same convention as
+    :func:`score_pairs_arrow`).  Output is (id_a < id_b, cos_sim) for
+    every within-cell pair above the threshold — the drop policy (keep
+    min id per group) is the caller's, as in :func:`dedup.near_dup_pairs`.
 
-    Scale shape: the self-join key is the cell id, so pairs co-locate on
-    one exchange of (cell, id, vec) rows; per-cell fan-out is |c|^2,
-    bounded by sizing k to the corpus (the paper runs 50k cells over
-    LAION — cells stay ~2k vectors at any corpus size, the same
+    Scale shape: one exchange of (cell, id, vec) rows co-locates each
+    cell; the kernel's Arrow transfer is |c| VECTORS, not |c|^2 pair
+    rows — the r08 rewrite of the former pair self-join, which shipped
+    every pair's (va, vb) through Arrow (~1.6 GB at sf0.1, 600x the
+    vector payload) and dominated the query.  Per-cell compute is still
+    |c|^2 but as blocked BLAS matmuls with O(block x |c|) live memory;
+    |c| is bounded by sizing k to the corpus (the paper runs 50k cells
+    over LAION — cells stay ~2k vectors at any corpus size, the same
     size-capping discipline as the banding hot-bucket guard).  At the
     fixture scale n_cells=8 keeps the unrolled-CTE oracle tractable."""
     from reddit_sse_stream_spark.operators.ml_lsh import ivf_fixedpoint_cells
@@ -353,17 +358,53 @@ def semdedup_cell_pairs(
     v = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    side = cells.join(v, id_col)
-    a = side.select(
-        F.col("cell"), F.col(id_col).alias("id_a"), F.col("v").alias("va")
+    side = cells.join(v, id_col).select("cell", F.col(id_col).alias("_id"), "v")
+
+    def cell_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        B = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(B, axis=1)
+        col_idx = np.arange(n)
+        outs = []
+        # bound live memory to ~block x n doubles regardless of cell size
+        block = max(1, 2_000_000 // n)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            C = (B[s:e] @ B.T) / (norms[s:e, None] * norms[None, :])
+            C = np.floor(C * 10000) / 10000
+            gi = np.arange(s, e)
+            mask = (C > threshold) & (col_idx[None, :] > gi[:, None])
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[gi[ii]],
+                            "id_b": ids[jj],
+                            "cos_sim": C[ii, jj],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return side.groupBy("cell").applyInPandas(
+        cell_kernel, "id_a long, id_b long, cos_sim double"
     )
-    b = side.select(
-        F.col("cell"), F.col(id_col).alias("id_b"), F.col("v").alias("vb")
-    )
-    pairs = a.join(b, ["cell"]).where(F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b", "va", "vb"
-    )
-    return score_pairs_arrow(pairs, threshold)
 
 
 def hard_negative_mining(

@@ -74,6 +74,11 @@ HEADLINE = (
     "knn_ivfpq_topk",
     "corpus_batch_lineage",
     "quota_admission_per_author",
+    # round-8 additions: the mergeable-sketch family — source-level
+    # MinHash overlap matrix (est + exact audit) and the Count-Min
+    # heavy-hitter audit (d*w-cell constant exchange)
+    "dedup_source_minhash_matrix",
+    "agg_countmin_heavy_hitters",
     "text_gopher_gate",
 )
 

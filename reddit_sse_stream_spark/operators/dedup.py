@@ -1360,3 +1360,89 @@ def source_minhash_matrix(
             (F.col("na") + F.col("nb") - ni).cast("long").alias("n_union"),
         )
     )
+
+
+def source_minhash_merge_invariant(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    k: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mergeability PROOF for the source-level MinHash sketch: split the
+    corpus into two halves (doc_id parity — any disjoint cover works),
+    sketch each half independently, merge by elementwise min, and compare
+    slot-for-slot against the sketch of the full corpus.  Output is ONE
+    row (n_sources, n_slots, n_mismatch) with n_mismatch = 0 — the
+    invariant that makes :func:`source_minhash_matrix` incrementally
+    maintainable at 100 TB: each day/partition sketches alone (map-side,
+    no coordination) and the corpus sketch is a fold of tiny states, the
+    same audit discipline as :func:`bloom_fp_audit` (every structural
+    claim this engine relies on ships a row that would go red if it
+    broke).
+
+    Scale shape: three sketch aggregates over the same distinct
+    (source, h) frame (checkpointed once), each (n_sources x num_hashes)
+    with map-side combine; the comparison is a broadcast-sized join of
+    sketch rows."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - k),
+            lambda i: F.pmod(
+                md5_hash60(F.concat_ws(" ", F.slice("words", i + 1, k))),
+                F.lit(_MERSENNE_P),
+            ),
+        )
+    )
+    tok = docs.select(
+        F.col(group_col).alias("src"),
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.array(words)).alias("words"),
+    ).filter(F.size("words") >= k)
+    src_sh = (
+        tok.select("src", "half", F.explode(sh_arr).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    coeffs = _coeffs(num_hashes)
+
+    def sig(frame: DataFrame) -> DataFrame:
+        return frame.groupBy("src").agg(
+            *[
+                F.min(
+                    F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+                ).alias(f"s{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        )
+
+    full = sig(src_sh)
+    h0 = sig(src_sh.where(F.col("half") == 0))
+    h1 = sig(src_sh.where(F.col("half") == 1))
+    merged = (
+        h0.alias("a")
+        .join(h1.alias("b"), "src", "full_outer")
+        .select(
+            "src",
+            *[
+                F.least(
+                    F.coalesce(F.col(f"a.s{i}"), F.lit(_MERSENNE_P)),
+                    F.coalesce(F.col(f"b.s{i}"), F.lit(_MERSENNE_P)),
+                ).alias(f"m{i}")
+                for i in range(num_hashes)
+            ],
+        )
+    )
+    mismatch = None
+    for i in range(num_hashes):
+        bad = (F.col(f"m{i}") != F.col(f"s{i}")).cast("long")
+        mismatch = bad if mismatch is None else mismatch + bad
+    return (
+        full.join(merged, "src")
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.lit(num_hashes).cast("long").alias("n_slots"),
+            F.sum(mismatch).cast("long").alias("n_mismatch"),
+        )
+    )

@@ -21,6 +21,27 @@ from pyspark.sql import functions as F
 from reddit_sse_stream_spark.operators.dedup import md5_hash60
 
 
+def cell_for(j: int, key_expr, w: int) -> F.Column:
+    """Row ``j``'s Count-Min cell for a key: md5_hash60('j:' || key) mod
+    w — the ONE definition shared by the batch sketch, the probe path,
+    and the streaming twin, so their grids are the same grid."""
+    return F.pmod(md5_hash60(F.concat(F.lit(f"{j}:"), key_expr)), F.lit(w))
+
+
+def cms_cell_rows(key_expr, d: int, w: int) -> F.Column:
+    """explode() column yielding the d (j, cell) structs for one key."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"), cell_for(j, key_expr, w).alias("cell")
+                )
+                for j in range(d)
+            ]
+        )
+    )
+
+
 def countmin_heavy_hitters(
     events: DataFrame,
     d: int = 4,
@@ -49,26 +70,8 @@ def countmin_heavy_hitters(
     if d <= 0 or w <= 0 or top <= 0:
         raise ValueError("countmin_heavy_hitters needs d, w, top all positive")
     key = F.col(key_col).cast("string")
-
-    def cell_for(j: int, key_expr) -> F.Column:
-        return F.pmod(
-            md5_hash60(F.concat(F.lit(f"{j}:"), key_expr)), F.lit(w)
-        )
-
     cells = (
-        events.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            cell_for(j, key).alias("cell"),
-                        )
-                        for j in range(d)
-                    ]
-                )
-            ).alias("p")
-        )
+        events.select(cms_cell_rows(key, d, w).alias("p"))
         .groupBy(F.col("p.j").alias("j"), F.col("p.cell").alias("cell"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -79,17 +82,7 @@ def countmin_heavy_hitters(
     probes = top_keys.select(
         "key",
         "exact_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        cell_for(j, F.col("key")).alias("cell"),
-                    )
-                    for j in range(d)
-                ]
-            )
-        ).alias("p"),
+        cms_cell_rows(F.col("key"), d, w).alias("p"),
     ).select("key", "exact_cnt", F.col("p.j").alias("j"), F.col("p.cell").alias("cell"))
     return (
         probes.join(F.broadcast(cells), ["j", "cell"])

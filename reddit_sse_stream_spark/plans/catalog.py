@@ -9383,6 +9383,66 @@ def dedup_source_minhash_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.source_minhash_matrix(_t(spark, sf_dir, "documents"))
 
 
+def _sketch_merge_invariant_oracle_sql(num_hashes: int = 16, k: int = 5) -> str:
+    """DuckDB twin of dedup.source_minhash_merge_invariant: half-sketches
+    merged by elementwise least vs the full-corpus sketch, one audit row."""
+    coeffs = dedup._coeffs(num_hashes)
+    p = (1 << 31) - 1
+    sig_cols = ", ".join(
+        f"min((h * {a} + {b}) % {p}) AS s{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    merged_cols = ", ".join(
+        f"least(COALESCE(a.s{i}, {p}), COALESCE(b.s{i}, {p})) AS m{i}"
+        for i in range(num_hashes)
+    )
+    mism = " + ".join(
+        f"CASE WHEN m.m{i} <> f.s{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH w AS (
+      SELECT source, doc_id % 2 AS half,
+             regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    idx AS (
+      SELECT source, half, words,
+             unnest(generate_series(1, len(words) - {k - 1})) AS i
+      FROM w WHERE len(words) >= {k}
+    ),
+    sh AS (
+      SELECT DISTINCT source, half,
+             CAST(concat('0x', substr(md5(array_to_string(words[i:i+{k - 1}], ' ')), 1, 15))
+                  AS BIGINT) % {p} AS h
+      FROM idx
+    ),
+    fs AS (SELECT source, {sig_cols} FROM sh GROUP BY source),
+    h0 AS (SELECT source, {sig_cols} FROM sh WHERE half = 0 GROUP BY source),
+    h1 AS (SELECT source, {sig_cols} FROM sh WHERE half = 1 GROUP BY source),
+    merged AS (
+      SELECT COALESCE(a.source, b.source) AS source, {merged_cols}
+      FROM h0 a FULL JOIN h1 b ON a.source = b.source
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           CAST({num_hashes} AS BIGINT) AS n_slots,
+           CAST(COALESCE(sum({mism}), 0) AS BIGINT) AS n_mismatch
+    FROM fs f JOIN merged m ON f.source = m.source
+    """
+
+
+@_register(
+    "dedup_sketch_merge_invariant", _sketch_merge_invariant_oracle_sql()
+)
+def dedup_sketch_merge_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof row for the source MinHash sketch
+    (operators/dedup.py:source_minhash_merge_invariant): half-corpus
+    sketches merged by elementwise min must equal the full-corpus sketch
+    slot-for-slot (n_mismatch = 0) — the invariant that lets 100 TB
+    sketch per-partition with no coordination and fold tiny states.
+    Same audit discipline as dedup_bloom_fp_audit."""
+    return dedup.source_minhash_merge_invariant(_t(spark, sf_dir, "documents"))
+
+
 _CMS_ORACLE = """
     WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
     cells AS (

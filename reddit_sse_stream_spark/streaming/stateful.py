@@ -348,3 +348,55 @@ def streaming_quota_admission(feed_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CMS_OUTPUT_SCHEMA = "j integer, cell long, cnt long"
+CMS_STATE_SCHEMA = "cnt long"
+
+
+def _cms_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-(j, cell) running counter: state is ONE long; each micro-batch
+    adds its row count and emits the key's new total (counts are
+    monotone, so the LATEST emission per key is the sketch cell)."""
+    n = int(state.get[0]) if state.exists else 0
+    chunks = list(pdfs)  # materialize BEFORE any emptiness check
+    n += sum(len(c) for c in chunks)
+    state.update((n,))
+    yield pd.DataFrame(
+        {"j": [int(key[0])], "cell": [int(key[1])], "cnt": [n]}
+    ).astype({"j": "int32", "cell": "int64", "cnt": "int64"})
+
+
+def streaming_countmin(
+    events_stream: DataFrame, d: int = 4, w: int = 64, key_col: str = "user_id"
+) -> DataFrame:
+    """Streaming twin of the batch Count-Min sketch
+    (operators/sketches.py:countmin_heavy_hitters): each event explodes
+    into its d (j, cell) rows — the SAME md5 grid via the shared
+    ``cell_for`` — and keyed managed state holds one running long per
+    cell.  After replaying any prefix of the stream, the latest emission
+    per key IS the batch sketch of that prefix (parity-pinned), and the
+    restart story is the checkpointed-state one every stateful entry
+    shares.
+
+    This is the sketch's operational win made literal: the state key
+    space is d*w cells — CONSTANT, independent of key cardinality — so a
+    stream with a billion distinct users still carries 256 longs of
+    state, vs the per-distinct-key state a streaming exact counter needs.
+    """
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.operators.sketches import cms_cell_rows
+
+    rows = events_stream.select(
+        cms_cell_rows(F.col(key_col).cast("string"), d, w).alias("p")
+    ).select(F.col("p.j").alias("j"), F.col("p.cell").alias("cell"))
+    return rows.groupBy("j", "cell").applyInPandasWithState(
+        _cms_update,
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

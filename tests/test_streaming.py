@@ -1153,3 +1153,51 @@ def test_streaming_quota_state_survives_checkpoint_restart(spark, sf_dir, tmp_pa
     # and keys spanning the cut admitted pre-restart events first: the
     # second run could only top keys up, never re-admit or exceed
     assert len(rows) > n_first
+
+
+def test_streaming_countmin_matches_batch_grid(spark, sf_dir, tmp_path):
+    """Batch/stream parity for the Count-Min sketch: replaying the events
+    table in micro-batches through streaming_countmin must leave, as the
+    LATEST emission per (j, cell), exactly the batch grid's counts — and
+    the state key space must be bounded by d*w regardless of how many
+    distinct users the stream carried."""
+    from reddit_sse_stream_spark.operators.sketches import cms_cell_rows
+    from reddit_sse_stream_spark.sources.tables import load_table
+    from reddit_sse_stream_spark.streaming.stateful import streaming_countmin
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    src = tmp_path / "cms_stream"
+    third = ev.count() // 3 + 1
+    for b in range(3):
+        ev.filter(
+            (F.col("event_id") >= b * third) & (F.col("event_id") < (b + 1) * third)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_countmin(stream)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT j, cell, cnt FROM cms_stream").collect():
+        k = (r["j"], r["cell"])
+        got[k] = max(got[k], r["cnt"]) if k in got else r["cnt"]  # monotone
+    batch = {
+        (r["j"], r["cell"]): r["cnt"]
+        for r in ev.select(
+            cms_cell_rows(F.col("user_id").cast("string"), 4, 64).alias("p")
+        )
+        .groupBy(F.col("p.j").alias("j"), F.col("p.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == batch
+    assert len(got) <= 4 * 64

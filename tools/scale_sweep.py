@@ -87,6 +87,11 @@ SWEEP = (
     "embed_pq_codes",
     "knn_ivfpq_topk",
     "corpus_batch_lineage",
+    # r08 additions: the mergeable-sketch family — both should be flat
+    # (constant-size exchanges after map-side combine; a data-shaped
+    # growth here means the combine stopped happening)
+    "dedup_source_minhash_matrix",
+    "agg_countmin_heavy_hitters",
 )
 
 

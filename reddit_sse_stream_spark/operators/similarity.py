@@ -428,12 +428,18 @@ def hard_negative_mining(
     rule is reproducible in the oracle, which verifies THIS
     approximation exactly rather than hand-waving it.
 
-    Scale shape: bucket assignment is map-only; the within-bucket ordered
-    self-join shuffles once on the bucket key (per-bucket fan-out m^2,
-    bounded by plane count exactly like the kNN entries); scoring runs in
-    the vectorized Arrow kernel; the per-anchor top-1 is row_number()=1 —
-    WindowGroupLimit keeps it partial below the exchange.  Labels rejoin
-    from the (id, label) projection, broadcast-sized."""
+    Scale shape: bucket assignment is map-only; one exchange on the
+    bucket key co-locates each bucket, and ONE applyInPandas GEMM kernel
+    per bucket computes every cross-label cosine and the per-anchor
+    top-1 from vectors shipped ONCE — the r08 rewrite of the former
+    pair self-join, which pushed every candidate pair's (va, vb)
+    through Arrow (the same |bucket|^2-wide-row flaw fixed in
+    :func:`semdedup_cell_pairs`).  Per-bucket compute stays m^2 but as
+    blocked BLAS matmuls with O(block x m) live memory; tie-break
+    (cos desc, id_b asc) and the floor-1e-4 quantization are unchanged,
+    so the output is byte-identical to the join path."""
+    label_dt = dict(zip(emb.schema.names, emb.schema))[label_col].dataType.simpleString()
+    id_dt = dict(zip(emb.schema.names, emb.schema))[id_col].dataType.simpleString()
     b = random_hyperplane_buckets(
         emb, n_planes=n_planes, id_col=id_col, vec_col=vec_col
     )
@@ -442,59 +448,65 @@ def hard_negative_mining(
             F.col(id_col), F.col(label_col), F.col(vec_col).cast("array<double>").alias("v")
         )
         .join(b, id_col)
-    )
-    a = side.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id_a"),
-        F.col(label_col).alias("label_a"),
-        F.col("v").alias("va"),
-    )
-    c = side.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id_b"),
-        F.col(label_col).alias("label_b"),
-        F.col("v").alias("vb"),
-    )
-    # score each UNORDERED pair once (id_a < id_b) — cosine is symmetric,
-    # so the mirrored orientation is a column swap after the kernel, not
-    # a second Arrow pass: the kernel is the dominant cost (wide (va,vb)
-    # rows through Python) and this halves it
-    pairs = a.join(c, ["bucket"]).where(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.col("label_a") != F.col("label_b"))
-    )
-    # localCheckpoint: BOTH union branches consume the kernel output, and
-    # union gives no subtree reuse (only exchanges are deduped) — without
-    # the materialization the kernel would run twice and the halving is
-    # lost.  The checkpointed frame is the narrow (id, id, cos) triple,
-    # not vectors.
-    half = score_pairs_arrow(
-        pairs.select("id_a", "id_b", "va", "vb"), threshold=-2.0
-    ).localCheckpoint(eager=False)
-    scored = half.unionByName(
-        half.select(
-            F.col("id_b").alias("id_a"),
-            F.col("id_a").alias("id_b"),
-            "cos_sim",
+        .select(
+            "bucket",
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("_label"),
+            "v",
         )
     )
-    labels = emb.select(F.col(id_col), F.col(label_col))
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("id_a").orderBy(
-        F.desc("cos_sim"), F.col("id_b").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .drop("rk")
-        .join(
-            F.broadcast(labels.select(F.col(id_col).alias("id_a"), F.col(label_col).alias("label_a"))),
-            "id_a",
+    def bucket_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pdf["_id"].iloc[:0],
+                "label_a": pdf["_label"].iloc[:0],
+                "id_b": pdf["_id"].iloc[:0],
+                "label_b": pdf["_label"].iloc[:0],
+                "cos_sim": pd.Series(dtype="float64"),
+            }
         )
-        .join(
-            F.broadcast(labels.select(F.col(id_col).alias("id_b"), F.col(label_col).alias("label_b"))),
-            "id_b",
+        n = len(pdf)
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["_id"].to_numpy())
+        ids = pdf["_id"].to_numpy()[order]
+        labels = pdf["_label"].to_numpy()[order]
+        B = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(B, axis=1)
+        out_i, out_j, out_c = [], [], []
+        block = max(1, 2_000_000 // n)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            C = (B[s:e] @ B.T) / (norms[s:e, None] * norms[None, :])
+            C = np.floor(C * 10000) / 10000
+            # disallow self, same-label, and NaN (zero-norm) candidates
+            bad = (labels[None, :] == labels[s:e, None]) | ~np.isfinite(C)
+            C = np.where(bad, -np.inf, C)
+            best = np.argmax(C, axis=1)  # first max -> smallest id_b tie-break
+            ok = np.isfinite(C[np.arange(e - s), best])
+            out_i.append(np.arange(s, e)[ok])
+            out_j.append(best[ok])
+            out_c.append(C[np.arange(e - s), best][ok])
+        ii = np.concatenate(out_i)
+        if not len(ii):
+            return empty
+        jj = np.concatenate(out_j)
+        return pd.DataFrame(
+            {
+                "id_a": ids[ii],
+                "label_a": labels[ii],
+                "id_b": ids[jj],
+                "label_b": labels[jj],
+                "cos_sim": np.concatenate(out_c),
+            }
         )
-        .select("id_a", "label_a", "id_b", "label_b", "cos_sim")
+
+    return side.groupBy("bucket").applyInPandas(
+        bucket_kernel,
+        f"id_a {id_dt}, label_a {label_dt}, id_b {id_dt}, "
+        f"label_b {label_dt}, cos_sim double",
     )

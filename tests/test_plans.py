@@ -558,3 +558,45 @@ def test_gopher_gate_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_gopher_gate")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_semdedup_kernel_ships_vectors_once(spark, sf_dir):
+    """Pin the r08 rewrite: SemDeDup scoring must be ONE grouped-map
+    kernel fed by the cell exchange (FlatMapGroupsInPandas), with no pair
+    self-join re-shuffling |c|^2 wide rows — exactly one exchange carries
+    vectors after the quantizer's map-only assignment."""
+    plan = _plan(spark, sf_dir, "dedup_semdedup_cells")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" not in plan  # the pair-row kernel is gone
+    assert "SortMergeJoin" not in plan.split("FlatMapGroupsInPandas")[0]
+
+
+def test_hard_negatives_kernel_ships_vectors_once(spark, sf_dir):
+    """Same pin for hard-negative mining: bucket exchange -> grouped-map
+    GEMM kernel; no pair self-join above it, no Window (top-1 happens in
+    the kernel), no mirrored union re-scoring."""
+    plan = _plan(spark, sf_dir, "embed_hard_negatives")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" not in plan
+    assert "Window" not in plan
+    assert "Union" not in plan
+
+
+def test_countmin_grid_is_constant_size_exchange(spark, sf_dir):
+    """The CMS grid aggregate must partial-aggregate below its exchange
+    (map-side combine leaves <= d*w rows per task) and the probe join
+    must broadcast — never shuffle the grid against ten probe keys."""
+    plan = _plan(spark, sf_dir, "agg_countmin_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # map-side combine on the cell grid
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_source_minhash_pairs_are_broadcast(spark, sf_dir):
+    """The n_sources x n_sources pair frame must come from a broadcast
+    cross of the tiny signature frame, not a shuffled self-join; the only
+    hash exchanges are the (source, h) distinct and the source-keyed
+    aggregates it feeds."""
+    plan = _plan(spark, sf_dir, "dedup_source_minhash_matrix")
+    assert "BroadcastNestedLoopJoin" in plan  # the deliberate tiny cross
+    assert "BatchEvalPython" not in plan

@@ -1173,3 +1173,62 @@ def gopher_gate(
         sym_ratio.alias("symbol_ratio"),
         keep.cast("int").alias("keep"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-SPAN extents [Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the suffix-array
+    substring dedup, re-expressed relationally]: a word position is
+    duplicated when its k-gram occurs at more than one (doc, pos) in the
+    corpus (within-doc repeats count, as in the paper); maximal runs of
+    consecutive duplicated positions per doc are merged into spans.
+    Output: (doc_id, span_start, span_end, n_grams) — span_end is the
+    last word index covered (last start + k - 1) — the surgical
+    alternative to whole-doc dropping: downstream cuts just these byte
+    ranges.  Docs shorter than k words have no k-gram and are absent by
+    contract (this is a REPORT of spans, not a rewrite —
+    :func:`chunk_dedup_rewrite` is the rewriting sibling).
+
+    Scale shape: TWO exchanges total.  Duplication marking is a count
+    window over the gram-hash key — one exchange, no gram-pair join, so
+    a boilerplate gram shared by a million docs costs its row count,
+    never a quadratic fanout (the hot-gram problem that forces caps on
+    the pair-join family doesn't exist here).  The islands fold
+    (pos - row_number per doc) pays the second exchange on doc_id, and
+    Catalyst reuses that clustering for the final (doc, island) agg.
+    md5-derived gram hashes keep every value SQL-reproducible."""
+    from pyspark.sql import Window
+
+    from reddit_sse_stream_spark.operators.dedup import md5_hash60
+
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    gram_h = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - k),
+        lambda i: md5_hash60(F.concat_ws(" ", F.slice("ws", i + 1, k))),
+    )
+    grams = (
+        df.select(id_col, F.explode(F.array(words)).alias("ws"))
+        .filter(F.size("ws") >= k)
+        .select(id_col, F.posexplode(gram_h).alias("pos", "h"))
+    )
+    shared = grams.withColumn(
+        "occ", F.count("*").over(Window.partitionBy("h"))
+    ).where(F.col("occ") > 1)
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("pos")
+    )
+    return (
+        shared.select(id_col, "pos", (F.col("pos") - rn).alias("grp"))
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .drop("grp")
+    )

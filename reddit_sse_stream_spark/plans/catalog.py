@@ -9321,6 +9321,56 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def _duplicate_spans_oracle_sql(k: int = 8) -> str:
+    """DuckDB twin of text.duplicate_spans: gram-hash occurrence window,
+    islands-and-gaps span merge."""
+    return f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - {k - 1})) AS i
+      FROM w WHERE len(words) >= {k}
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             CAST(concat('0x', substr(md5(array_to_string(words[i:i+{k - 1}], ' ')), 1, 15))
+                  AS BIGINT) AS h
+      FROM idx
+    ),
+    s AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS occ FROM g)
+      WHERE occ > 1
+    ),
+    r AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM s
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {k - 1} AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM r GROUP BY doc_id, grp
+    """
+
+
+@_register("text_duplicate_spans", _duplicate_spans_oracle_sql())
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span extents (operators/text.py:duplicate_spans)
+    — the Lee-et-al substring-dedup primitive relationally: positions
+    whose 8-gram recurs anywhere in the corpus, merged into maximal
+    per-doc spans via islands-and-gaps.  The surgical alternative to
+    whole-doc dropping.  TWO exchanges total: a count window on the
+    gram-hash key (no pair join — a million-doc boilerplate gram costs
+    its row count, not a quadratic fanout) and the per-doc islands fold,
+    whose doc_id clustering the final agg reuses."""
+    return text.duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
 def _source_minhash_matrix_oracle_sql(num_hashes: int = 16, k: int = 5) -> str:
     """DuckDB twin of dedup.source_minhash_matrix: same shingle/permutation
     family as _minhash_md5_oracle_sql, aggregated per SOURCE (union

@@ -1886,3 +1886,35 @@ def test_countmin_estimates_are_one_sided_and_exact_without_collisions(spark):
     assert out["100"].exact_cnt == 100
     with _pytest.raises(ValueError, match="positive"):
         countmin_heavy_hitters(events, d=0)
+
+
+def test_duplicate_spans_islands_and_extents(spark):
+    """Hand-checkable span math: two docs share an 8-word block at
+    different offsets; the run of shared 8-gram starts must merge into
+    ONE maximal span per doc with inclusive word extents, a doc with no
+    shared gram is absent, and within-doc repeats count as duplication."""
+    from reddit_sse_stream_spark.operators import text as textops
+
+    block = " ".join(f"b{i}" for i in range(10))  # 10 words -> 3 8-gram starts
+    d1 = block + " u1 u2 u3 u4 u5 u6 u7 u8"       # block at pos 0..9
+    d2 = "x1 x2 " + block                          # block at pos 2..11
+    d3 = "z1 z2 z3 z4 z5 z6 z7 z8 z9"              # unique -> absent
+    d4 = "r1 r2 r3 r4 r5 r6 r7 r8 " * 2            # self-repeat
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4.strip())],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in textops.duplicate_spans(docs).collect():
+        out.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.n_grams)
+        )
+    assert 3 not in out
+    # d1: shared 8-gram starts at 0,1,2 -> one span [0, 2+7] with 3 grams
+    assert out[1] == [(0, 9, 3)]
+    # d2: same starts shifted by 2 -> [2, 11]
+    assert out[2] == [(2, 11, 3)]
+    # d4: 'r1..r8 r1..r8' (16 words): start 0 and start 8 give the same
+    # 8-gram -> duplicated; starts 1..7 are unique rotations -> two
+    # single-gram islands
+    assert sorted(out[4]) == [(0, 7, 1), (8, 15, 1)]

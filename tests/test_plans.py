@@ -600,3 +600,17 @@ def test_source_minhash_pairs_are_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_source_minhash_matrix")
     assert "BroadcastNestedLoopJoin" in plan  # the deliberate tiny cross
     assert "BatchEvalPython" not in plan
+
+
+def test_duplicate_spans_two_exchanges_no_pair_join(spark, sf_dir):
+    """Span marking must be a count WINDOW on the gram hash (no gram
+    self-join -> no hot-gram quadratic) and the islands agg must reuse
+    the doc_id window's clustering: exactly two hash exchanges, two
+    Windows, zero joins, zero Python."""
+    import re
+
+    plan = _plan(spark, sf_dir, "text_duplicate_spans")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert plan.count("Window") == 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "InPandas" not in plan

@@ -92,6 +92,9 @@ SWEEP = (
     # growth here means the combine stopped happening)
     "dedup_source_minhash_matrix",
     "agg_countmin_heavy_hitters",
+    # window-marked substring dedup: must scale with gram rows (window),
+    # never pair-quadratically
+    "text_duplicate_spans",
 )
 
 

@@ -246,33 +246,123 @@ def near_dup_pairs_lsh(
 
     Matches the minhash-LSH banding shape in ``operators/dedup.py`` — same
     join geometry, cosine instead of Jaccard.
+
+    r08 vectors-once rewrite: candidates are never materialized as pair
+    ROWS.  Each (tbl, bucket) membership row carries its vector once into
+    a per-cell applyInPandas GEMM kernel that scores the whole cell block
+    and emits only (id_a < id_b, cos_sim > threshold) hits; a final
+    distinct collapses the <= n_tables copies of a multi-colliding pair
+    (identical floored values, so the triple dedups exactly).  The former
+    shape exploded ~|bucket|^2/2 bare-long pairs per bucket, DISTINCTed
+    them (at sf0.1: 663k pairs from 2000 vectors), then re-joined both
+    vectors onto every pair and shipped the wide rows through Arrow —
+    three corpus-shaped shuffles that all disappear here.
+
+    Hot-bucket guard (same discipline as dedup.bucket_pair_explode, same
+    cap): a bucket over ``cap`` members hash-splits into s = ceil(m/cap)
+    blocks and each triangular cell (ci <= cj) scores its block pair on
+    its own task — per-task work ~cap^2 FLOPs, per-task input <= 2*cap
+    vectors, and a member is replicated s times (vs m-1 times in the
+    pair-row shape).  Full recall: a pair meets in exactly the cell
+    (min(blk_a, blk_b), max(blk_a, blk_b)).
     """
-    # Single-pass candidate generation.  A bucket self-join would run the
-    # Arrow bucketing kernel once PER JOIN SIDE: the two sides differ by an
-    # alias projection, Catalyst/AQE does not fire ReuseExchange for the
-    # mapInPandas subplan (verified on the executed post-AQE plan: zero
-    # ReusedExchange, two bucketing MapInPandas nodes), and at 100 TB a
-    # second kernel run is a full extra scan of the corpus embeddings.
-    # Caching the frame fixes the double scan but pins executor storage
-    # until someone unpersists — a leak across bench/scale sweeps that run
-    # many queries on one session.  Instead, bucket_pair_explode groups each
-    # (tbl, bucket)'s ids into size-capped triangular cells (window count,
-    # so the kernel subplan still has exactly ONE consumer) and explodes
-    # within-cell pairs: one kernel pass, bucket-key shuffles only, no
-    # persistence, and a degenerate hot bucket fans out over ~(m/cap)^2/2
-    # tasks of ~cap^2 work instead of serializing m^2 on one straggler.
+    from pyspark.sql import Window
+
+    cap = dedup._BUCKET_PAIR_CAP
     buckets = hyperplane_buckets_arrow(emb, n_planes, n_tables, id_col, vec_col, dim)
-    cand = dedup.bucket_pair_explode(
-        buckets, ["tbl", "bucket"], id_col, "id_a", "id_b"
-    ).distinct()
-    a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    v = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    b = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    mem = buckets.join(v, buckets[id_col] == v["_id"]).select(
+        "tbl", "bucket", "_id", "v"
     )
-    pairs = cand.join(a, "id_a").join(b, "id_b")
-    return score_pairs_arrow(pairs, threshold)
+    s = F.ceil(
+        F.count("*").over(Window.partitionBy("tbl", "bucket")) / cap
+    ).cast("int")
+    blk = F.pmod(F.xxhash64("_id"), s).cast("int")
+    cells = (
+        mem.select("tbl", "bucket", "_id", "v", blk.alias("blk"), s.alias("s"))
+        .select(
+            "tbl",
+            "bucket",
+            "_id",
+            "v",
+            "blk",
+            F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("k"),
+        )
+        .select(
+            "tbl",
+            "bucket",
+            "_id",
+            "v",
+            "blk",
+            F.least("blk", "k").alias("ci"),
+            F.greatest("blk", "k").alias("cj"),
+        )
+    )
+
+    def cell_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        ci, cj = int(pdf["ci"].iat[0]), int(pdf["cj"].iat[0])
+        if ci == cj:
+            sub = pdf[pdf["blk"] == ci]
+            n = len(sub)
+            if n < 2:
+                return empty
+            ids = sub["_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            B = np.array(sub["v"].tolist(), dtype=np.float64)[order]
+            norms = np.linalg.norm(B, axis=1)
+            C = (B @ B.T) / (norms[:, None] * norms[None, :])
+            C = np.floor(C * 10000) / 10000
+            col = np.arange(n)
+            mask = (C > threshold) & (col[None, :] > col[:, None])
+            ii, jj = np.nonzero(mask)
+            if not len(ii):
+                return empty
+            return pd.DataFrame(
+                {"id_a": ids[ii], "id_b": ids[jj], "cos_sim": C[ii, jj]}
+            )
+        left = pdf[pdf["blk"] == ci]
+        right = pdf[pdf["blk"] == cj]
+        if not len(left) or not len(right):
+            return empty
+        ida = left["_id"].to_numpy()
+        idb = right["_id"].to_numpy()
+        A = np.array(left["v"].tolist(), dtype=np.float64)
+        Bm = np.array(right["v"].tolist(), dtype=np.float64)
+        C = (A @ Bm.T) / (
+            np.linalg.norm(A, axis=1)[:, None]
+            * np.linalg.norm(Bm, axis=1)[None, :]
+        )
+        C = np.floor(C * 10000) / 10000
+        ii, jj = np.nonzero(C > threshold)
+        if not len(ii):
+            return empty
+        pa, pb = ida[ii], idb[jj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(pa, pb),
+                "id_b": np.maximum(pa, pb),
+                "cos_sim": C[ii, jj],
+            }
+        )
+
+    return (
+        cells.groupBy("tbl", "bucket", "ci", "cj")
+        .applyInPandas(cell_kernel, "id_a long, id_b long, cos_sim double")
+        .distinct()
+    )
 
 
 def score_pairs_arrow(pairs: DataFrame, threshold: float) -> DataFrame:

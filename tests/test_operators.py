@@ -219,17 +219,12 @@ def test_cosine_near_dup_lsh_invariants(spark, sf_dir):
 
 def test_cosine_near_dup_lsh_single_bucketing_pass_no_storage_leak(spark, sf_dir):
     """Regression (VERDICT r03): the bucket self-join ran the Arrow
-    bucketing kernel once per join side (no ReuseExchange for mapInPandas
-    subplans), and the earlier cache fix leaked executor storage.  The
-    grouped-explode candidate generator must show exactly ONE bucketing
-    MapInPandas in the executed plan (plus one for the scoring kernel) and
-    leave nothing persisted after the action.
-
-    The input filter is deliberately distinct from every cached frame in
-    this module: if a cached entry substitutes into ONE branch subtree the
-    two consumers stop being plan-identical and exchange reuse doesn't
-    fire (the second kernel run then reads the cache, not the parquet —
-    see bucket_pair_explode's docstring)."""
+    bucketing kernel once per join side, and the earlier cache fix leaked
+    executor storage.  The r08 vectors-once shape must show exactly ONE
+    bucketing MapInPandas and ONE grouped-map GEMM kernel
+    (FlatMapGroupsInPandas) in the executed plan — pair rows never
+    materialize, so there is no scoring MapInPandas and no pair re-join —
+    and leave nothing persisted after the action."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 96)
     before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
     df = similarity.near_dup_pairs_lsh(emb, threshold=0.2, n_planes=6, n_tables=4)
@@ -238,7 +233,8 @@ def test_cosine_near_dup_lsh_single_bucketing_pass_no_storage_leak(spark, sf_dir
     # AQE's toString repeats the tree under "== Initial Plan ==" — count
     # kernels in the executed (final) section only.
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("MapInPandas") == 2, plan
+    assert final.count("MapInPandas") == 1, plan
+    assert final.count("FlatMapGroupsInPandas") == 1, plan
     after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
     assert after <= before, f"persistent RDDs leaked: {after - before}"
 

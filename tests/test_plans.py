@@ -287,17 +287,17 @@ def _final_plan_after_collect(spark, sf_dir, name: str) -> str:
 
 
 def test_cosine_lsh_single_kernel_materialization(spark, sf_dir):
-    """Pin the r04 fix for the r03 double-kernel regression (VERDICT r04):
-    the executed cosine-LSH plan must contain EXACTLY 2 MapInPandas nodes —
-    one grouped-explode bucketing pass feeding both candidate sides and one
-    exact-cosine verify over candidates.  A third node means the per-side
-    kernel re-run (cost +56% in r03) is back."""
+    """Pin the r08 vectors-once shape (successor of the r04 double-kernel
+    pin): the executed cosine-LSH plan must contain EXACTLY 1 bucketing
+    MapInPandas and EXACTLY 1 grouped-map GEMM kernel — candidate pairs
+    never materialize as rows, so there is no pair distinct, no
+    vector re-join onto pairs, and no scoring MapInPandas.  A second
+    MapInPandas means the per-side bucketing re-run (r03, +56%) is back;
+    a Window+explode above the GEMM kernel is expected (the hot-bucket
+    cell split)."""
     plan = _final_plan_after_collect(spark, sf_dir, "dedup_embedding_cosine_lsh")
-    assert plan.count("MapInPandas") == 2
-    # the small/big pair branches share ONE bucket-key exchange; if this
-    # reuse stops firing the kernel runs per branch and the count above
-    # becomes 3 — assert the reuse directly too so the failure names it
-    assert "ReusedExchange" in plan
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

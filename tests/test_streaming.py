@@ -1201,3 +1201,60 @@ def test_streaming_countmin_matches_batch_grid(spark, sf_dir, tmp_path):
     }
     assert got == batch
     assert len(got) <= 4 * 64
+
+
+def test_streaming_countmin_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """CMS cell state is fault-tolerant: totals accumulated before a STOP
+    must continue (not restart from zero) after a checkpointed RESTART
+    over the rest of the stream — if state were lost, the max emission
+    per cell would be the second half's partial count, below the full
+    batch grid.  foreachBatch parquet capture because the update-mode
+    stateful operator cannot drive a plain append file sink."""
+    from reddit_sse_stream_spark.operators.sketches import cms_cell_rows
+    from reddit_sse_stream_spark.sources.tables import load_table
+    from reddit_sse_stream_spark.streaming.stateful import streaming_countmin
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    cut = ev.count() // 2
+    src = tmp_path / "cms_src"
+    ck = tmp_path / "cms_ck"
+    out = tmp_path / "cms_out"
+    ev.filter(F.col("event_id") < cut).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_countmin(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", str(ck))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    assert spark.read.parquet(str(out)).count() > 0
+    ev.filter(F.col("event_id") >= cut).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+
+    got = {}
+    for r in spark.read.parquet(str(out)).collect():
+        k = (r["j"], r["cell"])
+        got[k] = max(got.get(k, 0), r["cnt"])  # totals are monotone
+    full = {
+        (r["j"], r["cell"]): r["cnt"]
+        for r in ev.select(
+            cms_cell_rows(F.col("user_id").cast("string"), 4, 64).alias("p")
+        )
+        .groupBy(F.col("p.j").alias("j"), F.col("p.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == full

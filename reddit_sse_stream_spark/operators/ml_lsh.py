@@ -351,37 +351,33 @@ def pq_train(
     aggregate."""
     import math
 
-    probe = emb.select(F.col(vec_col).cast("array<double>").alias("x")).first()
-    if probe is None:
-        raise ValueError("PQ training needs at least one vector")
-    dim_total = len(probe["x"])
-    if dim_total % n_sub != 0:
-        # a silent floor here would DROP the tail dims from every code —
-        # fail loudly instead (FAISS imposes the same divisibility)
-        raise ValueError(
-            f"PQ requires dim % n_sub == 0, got dim={dim_total}, "
-            f"n_sub={n_sub}"
-        )
-    d_sub = dim_total // n_sub
     x = F.col(vec_col).cast("array<double>")
     xq = F.transform(x, lambda v: F.floor(v * 1_000_000 + 0.5).cast("long"))
+    # subvector extents are EXPRESSIONS over size(xq), not Python ints, so
+    # no probe job runs just to learn the dimension (was a flat ~1s per
+    # training); the divisibility guard moves to the seeds collect below,
+    # which reads the dimension off the rows it fetches anyway
+    d_sub_c = (F.size("xq") / n_sub).cast("int")
     base = (
         emb.select(F.col(id_col).alias("_id"), xq.alias("xq"))
         .select(
             "_id",
+            F.size("xq").alias("nd"),
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(s).alias("sub"),
-                            F.slice("xq", s * d_sub + 1, d_sub).alias("sq"),
+                            F.slice(
+                                "xq", F.lit(s) * d_sub_c + 1, d_sub_c
+                            ).alias("sq"),
                         )
                         for s in range(n_sub)
                     ]
                 )
             ).alias("p"),
         )
-        .select("_id", F.col("p.sub").alias("sub"), F.col("p.sq").alias("sq"))
+        .select("_id", "nd", F.col("p.sub").alias("sub"), F.col("p.sq").alias("sq"))
         .localCheckpoint(eager=False)
     )
     # every vector explodes to exactly n_sub rows, so the first k*n_sub
@@ -391,6 +387,15 @@ def pq_train(
     by_id = sorted({r["_id"] for r in seeds})
     if not by_id:
         raise ValueError("PQ training needs at least one vector")
+    dim_total = int(seeds[0]["nd"])
+    if dim_total % n_sub != 0:
+        # a silent floor would DROP the tail dims from every code — fail
+        # loudly instead (FAISS imposes the same divisibility)
+        raise ValueError(
+            f"PQ requires dim % n_sub == 0, got dim={dim_total}, "
+            f"n_sub={n_sub}"
+        )
+    d_sub = dim_total // n_sub
     # clamp to the seeds actually present: with < k distinct vectors the
     # codebook is simply smaller (same convention as the shorter cents
     # list in corpus.kmeans_fixedpoint) — unseeded None slots would

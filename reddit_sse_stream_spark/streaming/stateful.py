@@ -400,3 +400,92 @@ def streaming_countmin(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SRCMH_OUTPUT_SCHEMA = "src string, i integer, sig long"
+SRCMH_STATE_SCHEMA = "sig long"
+
+
+def _srcmh_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-(source, seed) running minimum: state is ONE long, updated by
+    min against each micro-batch's permuted shingle hashes — MinHash's
+    mergeability (min is associative/commutative/idempotent) makes the
+    incremental fold exact, not approximate-over-approximate."""
+    from reddit_sse_stream_spark.operators.dedup import _MERSENNE_P
+
+    cur = int(state.get[0]) if state.exists else _MERSENNE_P
+    chunks = list(pdfs)  # materialize BEFORE any emptiness handling
+    for c in chunks:
+        if len(c):
+            cur = min(cur, int(c["hv"].min()))
+    state.update((cur,))
+    yield pd.DataFrame(
+        {"src": [key[0]], "i": [int(key[1])], "sig": [cur]}
+    ).astype({"src": str, "i": "int32", "sig": "int64"})
+
+
+def streaming_source_minhash(
+    docs_stream: DataFrame,
+    num_hashes: int = 16,
+    k: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of the per-source MinHash union sketch
+    (operators/dedup.py:source_minhash_matrix's signature stage): each
+    arriving document's shingle hashes fold into (source, seed) running
+    minima held as keyed state — the sketch builds INCREMENTALLY as the
+    crawl streams in, no recomputation, because min over the union is
+    min of mins (the invariant dedup_sketch_merge_invariant proves on
+    the batch side).  State: n_sources x num_hashes longs, independent
+    of corpus size; the latest emission per key IS the batch signature
+    of everything seen so far (parity-pinned).  Same md5/permutation
+    family, so streaming and batch sketches are interchangeable."""
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.operators.dedup import (
+        _MERSENNE_P,
+        _coeffs,
+        md5_hash60,
+    )
+
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - k),
+            lambda i: F.pmod(
+                md5_hash60(F.concat_ws(" ", F.slice("words", i + 1, k))),
+                F.lit(_MERSENNE_P),
+            ),
+        )
+    )
+    coeffs = _coeffs(num_hashes)
+    tok = docs_stream.select(
+        F.col(group_col).alias("src"), F.explode(F.array(words)).alias("words")
+    ).filter(F.size("words") >= k)
+    rows = (
+        tok.select("src", F.explode(sh_arr).alias("h"))
+        .select(
+            "src",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.col("h") * F.lit(a) + F.lit(b),
+                            F.lit(_MERSENNE_P),
+                        )
+                        for a, b in coeffs
+                    ]
+                )
+            ).alias("i", "hv"),
+        )
+    )
+    return rows.groupBy("src", "i").applyInPandasWithState(
+        _srcmh_update,
+        outputStructType=SRCMH_OUTPUT_SCHEMA,
+        stateStructType=SRCMH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

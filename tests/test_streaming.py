@@ -1258,3 +1258,63 @@ def test_streaming_countmin_state_survives_checkpoint_restart(spark, sf_dir, tmp
         .collect()
     }
     assert got == full
+
+
+def test_streaming_source_minhash_matches_independent_replica(spark, sf_dir, tmp_path):
+    """Batch/stream parity for the incremental source sketch, checked
+    against an ENGINE-INDEPENDENT Python replica of the md5/permutation
+    family: after replaying the documents table in micro-batches, the
+    latest emission per (source, seed) must equal the replica's min over
+    the full corpus — state continued across batches (min of mins), and
+    the hash family is identical on a third implementation."""
+    import hashlib
+
+    from reddit_sse_stream_spark.operators.dedup import _MERSENNE_P, _coeffs
+    from reddit_sse_stream_spark.sources.tables import load_table
+    from reddit_sse_stream_spark.streaming.stateful import (
+        streaming_source_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = tmp_path / "docs_stream"
+    third = docs.count() // 3 + 1
+    for b in range(3):
+        docs.filter(
+            (F.col("doc_id") >= b * third) & (F.col("doc_id") < (b + 1) * third)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_source_minhash(stream)
+        .writeStream.format("memory")
+        .queryName("srcmh_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT src, i, sig FROM srcmh_stream").collect():
+        k = (r["src"], r["i"])
+        got[k] = min(got[k], r["sig"]) if k in got else r["sig"]  # monotone dec
+
+    coeffs = _coeffs(16)
+    expected: dict = {}
+    for row in docs.collect():
+        ws = row["text"].lower().split()
+        if len(ws) < 5:
+            continue
+        for p in range(len(ws) - 4):
+            gram = " ".join(ws[p : p + 5])
+            h = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16) % _MERSENNE_P
+            for i, (a, b) in enumerate(coeffs):
+                hv = (h * a + b) % _MERSENNE_P
+                k = (row["source"], i)
+                if k not in expected or hv < expected[k]:
+                    expected[k] = hv
+    assert got == expected

@@ -9806,6 +9806,19 @@ _CHANGED_SINCE_PROOF = {
     # posexplode_outer + left-join oracle (ADVICE r07) — row COUNT and
     # semantics changed; the r07 proof validated the dropping version
     "text_chunk_dedup_rewrite",
+    # r08 REWRITES, not semantic changes: outputs verified byte-identical
+    # to the old paths at sf0.1 and oracle-green at sf0.001/0.01/0.1
+    # locally, but the executing code differs from what the last external
+    # proof ran (vectors-once GEMM kernels; probe-free + concurrent +
+    # clamped PQ/IVF training) — request external re-proof this round
+    "dedup_semdedup_cells",
+    "embed_hard_negatives",
+    "dedup_embedding_cosine_lsh",
+    "knn_ivfpq_topk",
+    "knn_pq_adc_topk",
+    "knn_pq_recall_audit",
+    "embed_pq_codes",
+    "knn_ivf_fixedpoint_cells",
 }
 
 

@@ -285,3 +285,64 @@ def test_gopher_gate_fuzz_matches_python_reference(spark):
         assert (r.n_words, r.n_stop_hits, r.keep) == (n, n_stop, keep), (i, text[:40])
         for a, b in ((r.mean_word_len, mwl), (r.frac_alpha_words, fa), (r.symbol_ratio, sr)):
             assert abs(a - b) < 1e-12
+
+
+def _ref_duplicate_spans(rows: list[tuple[int, str]], k: int = 8):
+    from collections import Counter
+
+    occ: Counter = Counter()
+    grams: dict[int, list[str]] = {}
+    for i, text in rows:
+        ws = text.lower().split()
+        g = (
+            [" ".join(ws[p : p + k]) for p in range(len(ws) - k + 1)]
+            if len(ws) >= k
+            else []
+        )
+        grams[i] = g
+        for s in g:
+            occ[s] += 1
+    out: dict[int, list[tuple[int, int, int]]] = {}
+    for i, g in grams.items():
+        dup = [p for p, s in enumerate(g) if occ[s] > 1]
+        spans: list[list[int]] = []
+        for p in dup:
+            if spans and p == spans[-1][1] + 1:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        if spans:
+            out[i] = [(a, b + k - 1, b - a + 1) for a, b in spans]
+    return out
+
+
+def test_duplicate_spans_fuzz_matches_python_reference(spark):
+    """Randomized corpus (tiny vocab -> dense duplication, splices at
+    arbitrary offsets, within-doc repeats, sub-k docs): the islands-and-
+    gaps span merge must match a position-level Python reference built on
+    plain string equality (md5-60bit gram collisions are negligible at
+    this scale)."""
+    rng = random.Random(777)
+    vocab = [f"v{i}" for i in range(6)]
+    shared = " ".join(rng.choice(vocab) for _ in range(12))
+    rows = []
+    for i in range(30):
+        n = rng.randrange(0, 30)
+        words = [rng.choice(vocab) for _ in range(n)]
+        text = " ".join(words)
+        r = rng.random()
+        if r < 0.3:
+            text = shared + (" " + text if text else "")
+        elif r < 0.5 and text:
+            text = text + " " + shared
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list] = {}
+    from reddit_sse_stream_spark.operators import text as textops
+
+    for r in textops.duplicate_spans(df).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.n_grams)
+        )
+    got = {i: sorted(v) for i, v in got.items()}
+    assert got == {i: sorted(v) for i, v in _ref_duplicate_spans(rows).items()}

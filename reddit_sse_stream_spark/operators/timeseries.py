@@ -66,3 +66,53 @@ def gap_fill_ffill(
     return joined.select(
         key_col, "h", F.last("v", ignorenulls=True).over(w).alias("v_ffill")
     )
+
+
+def rolling_features(
+    events: DataFrame,
+    short_s: int = 3600,
+    long_s: int = 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Rolling-window feature backfill — the trailing-window aggregates a
+    training pipeline materializes per event for behavioral-ML features:
+    event count and fixed-point value sum over the trailing ``short_s``
+    seconds, count over the trailing ``long_s`` seconds, and the gap to
+    the key's previous event.  Every frame is a time-RANGE frame over
+    floored epoch seconds (ties are peers, included in full on both
+    engines) and the lag uses the (sec, id) total order, so the whole
+    matrix is value-deterministic and SQL-twinnable.
+
+    Scale shape: ONE exchange on the key serves all four window frames —
+    the range frames and the lag differ only in sort/frame, which re-sort
+    in place on the same clustering (plan-pinned: exactly one
+    hashpartitioning Exchange).  Value sums accumulate in the int64
+    1e6 fixed-point domain (the `_dsum` convention), so results are
+    partition- and order-invariant."""
+    sec = F.col(ts_col).cast("long")
+    vfp = F.floor(F.col(val_col) * 1_000_000 + 0.5).cast("long")
+    base = events.select(
+        id_col, key_col, sec.alias("sec"), vfp.alias("vfp")
+    )
+    w_short = (
+        Window.partitionBy(key_col)
+        .orderBy("sec")
+        .rangeBetween(-(short_s - 1), 0)
+    )
+    w_long = (
+        Window.partitionBy(key_col)
+        .orderBy("sec")
+        .rangeBetween(-(long_s - 1), 0)
+    )
+    w_lag = Window.partitionBy(key_col).orderBy("sec", id_col)
+    return base.select(
+        id_col,
+        key_col,
+        F.count("*").over(w_short).cast("long").alias("n_short"),
+        F.sum("vfp").over(w_short).cast("long").alias("v_short_fp"),
+        F.count("*").over(w_long).cast("long").alias("n_long"),
+        (F.col("sec") - F.lag("sec").over(w_lag)).cast("long").alias("gap_s"),
+    )

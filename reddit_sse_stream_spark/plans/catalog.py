@@ -9321,6 +9321,40 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+_ROLLING_FEATURES_ORACLE = """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vfp
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w1 AS BIGINT) AS n_short,
+           CAST(sum(vfp) OVER w1 AS BIGINT) AS v_short_fp,
+           CAST(count(*) OVER w24 AS BIGINT) AS n_long,
+           CAST(sec - lag(sec) OVER wl AS BIGINT) AS gap_s
+    FROM e
+    WINDOW
+      w1 AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW),
+      w24 AS (PARTITION BY user_id ORDER BY sec
+              RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW),
+      wl AS (PARTITION BY user_id ORDER BY sec, event_id)
+    """
+
+
+@_register("ts_rolling_features", _ROLLING_FEATURES_ORACLE)
+def ts_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event rolling feature matrix
+    (operators/timeseries.py:rolling_features): trailing-1h count +
+    fixed-point value sum, trailing-24h count, and gap-to-previous-event
+    — the behavioral-feature backfill a training pipeline materializes.
+    Four window frames over ONE user_id exchange (range frames and the
+    lag re-sort in place on the same clustering, plan-pinned); ties on
+    the floored epoch second are frame peers on both engines, and the
+    (sec, id) lag order is total — fully value-deterministic."""
+    return timeseries.rolling_features(_t(spark, sf_dir, "events"))
+
+
 def _duplicate_spans_oracle_sql(k: int = 8) -> str:
     """DuckDB twin of text.duplicate_spans: gram-hash occurrence window,
     islands-and-gaps span merge."""

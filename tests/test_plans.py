@@ -614,3 +614,14 @@ def test_duplicate_spans_two_exchanges_no_pair_join(spark, sf_dir):
     assert plan.count("Window") == 2
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "InPandas" not in plan
+
+
+def test_rolling_features_one_exchange_four_frames(spark, sf_dir):
+    """All four window frames (two RANGE, the lag, and their sorts) must
+    share ONE user_id exchange — re-sorts in place, no re-shuffle — and
+    stay entirely JVM-side."""
+    import re
+
+    plan = _plan(spark, sf_dir, "ts_rolling_features")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BatchEvalPython" not in plan and "InPandas" not in plan

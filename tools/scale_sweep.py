@@ -95,6 +95,8 @@ SWEEP = (
     # window-marked substring dedup: must scale with gram rows (window),
     # never pair-quadratically
     "text_duplicate_spans",
+    # four-frame window matrix: must stay one-exchange flat
+    "ts_rolling_features",
 )
 
 

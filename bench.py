@@ -79,6 +79,7 @@ HEADLINE = (
     # heavy-hitter audit (d*w-cell constant exchange)
     "dedup_source_minhash_matrix",
     "agg_countmin_heavy_hitters",
+    "ts_rolling_features",
     "text_gopher_gate",
 )
 

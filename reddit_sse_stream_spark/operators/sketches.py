@@ -97,3 +97,61 @@ def countmin_heavy_hitters(
             .alias("overcount"),
         )
     )
+
+
+def countmin_merge_invariant(
+    events: DataFrame,
+    d: int = 4,
+    w: int = 64,
+    key_col: str = "user_id",
+    split_col: str = "event_id",
+) -> DataFrame:
+    """Mergeability PROOF for the Count-Min grid: sketch two disjoint
+    halves of the stream (split on ``split_col`` parity), merge by
+    CELL-WISE ADDITION, and compare against the sketch of the whole —
+    ONE row (n_cells, n_mismatch) with n_mismatch = 0.  The CMS
+    counterpart of :func:`dedup.source_minhash_merge_invariant` (min for
+    MinHash, + for CMS — every sketch this engine ships proves its own
+    fold), and the property behind per-day/per-partition sketching with
+    no coordination.
+
+    Scale shape: three constant-size grid aggregates (d*w cells each,
+    map-side combined) over one scan; the comparison is a full-outer
+    join of 256-row frames."""
+    half = F.pmod(F.col(split_col), F.lit(2))
+    key = F.col(key_col).cast("string")
+    cells = (
+        events.select(half.alias("half"), cms_cell_rows(key, d, w).alias("p"))
+        .select("half", F.col("p.j").alias("j"), F.col("p.cell").alias("cell"))
+        .localCheckpoint(eager=False)  # feeds full + both half grids
+    )
+
+    def grid(frame: DataFrame) -> DataFrame:
+        return frame.groupBy("j", "cell").agg(F.count("*").alias("cnt"))
+
+    full = grid(cells)
+    h0 = grid(cells.where(F.col("half") == 0)).withColumnRenamed("cnt", "c0")
+    h1 = grid(cells.where(F.col("half") == 1)).withColumnRenamed("cnt", "c1")
+    merged = (
+        h0.join(h1, ["j", "cell"], "full_outer")
+        .select(
+            "j",
+            "cell",
+            (F.coalesce("c0", F.lit(0)) + F.coalesce("c1", F.lit(0))).alias(
+                "cm"
+            ),
+        )
+    )
+    return (
+        full.join(merged, ["j", "cell"], "full_outer")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum(
+                (
+                    F.coalesce("cnt", F.lit(-1)) != F.coalesce("cm", F.lit(-2))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_mismatch"),
+        )
+    )

@@ -9321,6 +9321,45 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+_CMS_MERGE_ORACLE = """
+    WITH e AS (SELECT event_id % 2 AS half, CAST(user_id AS VARCHAR) AS key
+               FROM events),
+    c AS (
+      SELECT half, j,
+             CAST(concat('0x', substr(md5(concat(j, ':', key)), 1, 15))
+                  AS BIGINT) % 64 AS cell
+      FROM e, unnest(generate_series(0, 3)) AS t(j)
+    ),
+    fs AS (SELECT j, cell, count(*) AS cnt FROM c GROUP BY 1, 2),
+    h0 AS (SELECT j, cell, count(*) AS c0 FROM c WHERE half = 0 GROUP BY 1, 2),
+    h1 AS (SELECT j, cell, count(*) AS c1 FROM c WHERE half = 1 GROUP BY 1, 2),
+    m AS (
+      SELECT COALESCE(h0.j, h1.j) AS j, COALESCE(h0.cell, h1.cell) AS cell,
+             COALESCE(c0, 0) + COALESCE(c1, 0) AS cm
+      FROM h0 FULL JOIN h1 ON h0.j = h1.j AND h0.cell = h1.cell
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(COALESCE(sum(CASE WHEN COALESCE(cnt, -1) <> COALESCE(cm, -2)
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_mismatch
+    FROM fs FULL JOIN m USING (j, cell)
+    """
+
+
+@_register("agg_countmin_merge_invariant", _CMS_MERGE_ORACLE)
+def agg_countmin_merge_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof row for the Count-Min grid
+    (operators/sketches.py:countmin_merge_invariant): half-stream grids
+    merged by cell-wise addition must equal the full-stream grid
+    (n_mismatch = 0) — min for MinHash, + for CMS; every sketch proves
+    its own fold.  Three constant-size grid aggregates over one scan."""
+    from reddit_sse_stream_spark.operators.sketches import (
+        countmin_merge_invariant,
+    )
+
+    return countmin_merge_invariant(_t(spark, sf_dir, "events"))
+
+
 _ROLLING_FEATURES_ORACLE = """
     WITH e AS (
       SELECT event_id, user_id,

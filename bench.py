@@ -84,11 +84,58 @@ HEADLINE = (
 )
 
 
+def recover_from_tail(tail: str) -> dict:
+    """Best-effort recovery of a bench summary from a driver artifact whose
+    ``parsed`` is null (the driver keeps only the last ~2 KiB of stdout; a
+    final line longer than that window arrives HEAD-TRUNCATED and fails
+    json.loads).  This is what broke the vs_prev chain in r07→r08: BENCH_r07
+    had ``parsed: null``, so r08 silently compared against r06 and every
+    r07-added headline row escaped regression audit (VERDICT r08 next #1).
+
+    The fragment still contains the queries dict up to its closing
+    ``},"runs_per_query"`` delimiter plus the scalar summary fields, so:
+
+    - queries: every ``"name":float`` pair in the region before
+      ``"runs_per_query"`` (starting after ``"queries":{`` when the window
+      caught it), dropping a head-truncated first pair (no leading quote);
+    - scalars (sf, calib_jvm_sec, calib_py_sec): regexed from the whole
+      fragment — they ride near the end of the line, inside any window.
+
+    Returns {} when the fragment carries no queries region at all."""
+    last = tail.rstrip().rsplit("\n", 1)[-1]
+    end = last.find('"runs_per_query"')
+    if end < 0:
+        return {}
+    region = last[:end]
+    qstart = region.rfind('"queries":{')
+    if qstart >= 0:
+        region = region[qstart + len('"queries":{') :]
+    elif not region.startswith('"'):
+        # head-truncated mid-pair: drop the partial first entry
+        cut = region.find(',"')
+        region = region[cut + 1 :] if cut >= 0 else ""
+    queries = {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"([A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)', region)
+    }
+    if not queries:
+        return {}
+    out: dict = {"queries": queries, "recovered_from_tail": True}
+    for field in ("sf", "calib_jvm_sec", "calib_py_sec"):
+        m = re.search(rf'"{field}":([0-9]+(?:\.[0-9]+)?)', last[end:])
+        if m:
+            out[field] = float(m.group(1))
+    return out
+
+
 def _prev_bench() -> tuple[int, dict]:
     """Latest committed BENCH_r{N}.json as (round, parsed summary dict), or
     (0, {}) — so each round's output carries per-query vs_prev ratios and a
     >1.5x regression is visible in the round summary without a manual diff
-    of artifacts (VERDICT r04 next #6)."""
+    of artifacts (VERDICT r04 next #6).  When the latest artifact's
+    ``parsed`` is null, its summary is recovered from the raw ``tail``
+    field (:func:`recover_from_tail`) so one malformed round can never
+    break the N vs N-1 comparison chain again (VERDICT r08 next #1)."""
     here = os.path.dirname(os.path.abspath(__file__))
     best: tuple[int, dict] = (0, {})
     for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -103,6 +150,8 @@ def _prev_bench() -> tuple[int, dict]:
             # the external driver wraps the bench JSON line under "parsed"
             if isinstance(data.get("parsed"), dict):
                 data = data["parsed"]
+            elif isinstance(data.get("tail"), str):
+                data = recover_from_tail(data["tail"])
             queries = data.get("queries", {})
         except (OSError, ValueError):
             continue
@@ -506,6 +555,17 @@ def summary_lines(
             summary["queries"] = keep
             summary["queries_truncated"] = len(times) - len(keep)
             final = json.dumps(summary, separators=(",", ":"))
+        if len(final) > FINAL_LINE_BUDGET:
+            # last resort (ADVICE r08): even one query entry plus the fixed
+            # fields blew the budget — drop the dict entirely rather than
+            # ship an unparseable line; the full dict is one line up.
+            summary["queries"] = {}
+            summary["queries_truncated"] = len(times)
+            final = json.dumps(summary, separators=(",", ":"))
+    assert len(final) <= FINAL_LINE_BUDGET, (
+        "bench final line over budget even with queries dropped: "
+        f"{len(final)}B — fixed summary fields grew past FINAL_LINE_BUDGET"
+    )
     lines.append(final)
     return lines
 

@@ -9642,18 +9642,20 @@ _PRIOR_GREEN_ROUND = {
     "a1_running_totals": 4,
     "a2_bytes_total": 4,
     "a3_max_cursor": 4,
+    "agg_countmin_heavy_hitters": 8,
+    "agg_countmin_merge_invariant": 8,
     "agg_heavy_hitters_exact": 4,
-    "agg_skew_salted_two_phase": 3,
-    "agg_sorted_user_list": 3,
+    "agg_skew_salted_two_phase": 8,
+    "agg_sorted_user_list": 8,
     "aggx_approx_distinct": 4,
     "aggx_approx_quantiles": 4,
-    "aggx_corr_covar": 3,
+    "aggx_corr_covar": 8,
     "aggx_cube_events": 6,
     "aggx_distinct_users": 6,
     "aggx_grouping_sets": 6,
     "aggx_hll_sketch_union": 7,
     "aggx_regression_exact": 7,
-    "aggx_rollup_grouping_id": 3,
+    "aggx_rollup_grouping_id": 8,
     "aggx_rollup_orders": 6,
     "aggx_stats_per_type": 6,
     "anomaly_zscore_hourly": 4,
@@ -9677,12 +9679,12 @@ _PRIOR_GREEN_ROUND = {
     "decontam_multi_suite_report": 5,
     "decontam_ngram_overlap": 4,
     "dedup_bloom_fp_audit": 7,
-    "dedup_cc_clusters": 3,
+    "dedup_cc_clusters": 8,
     "dedup_cluster_best_quality": 4,
     "dedup_containment_grams": 5,
     "dedup_cross_source_matrix": 5,
     "dedup_embedding_cosine": 6,
-    "dedup_embedding_cosine_lsh": 7,
+    "dedup_embedding_cosine_lsh": 8,
     "dedup_exact_groups": 6,
     "dedup_exact_keep_first": 6,
     "dedup_incremental_bloom": 4,
@@ -9692,28 +9694,30 @@ _PRIOR_GREEN_ROUND = {
     "dedup_method_agreement": 5,
     "dedup_minhash_md5": 4,
     "dedup_minhash_twin_containment": 7,
-    "dedup_ngram_jaccard": 3,
-    "dedup_semdedup_cells": 7,
+    "dedup_ngram_jaccard": 8,
+    "dedup_semdedup_cells": 8,
     "dedup_simhash_exact_dup_invariant": 7,
     "dedup_simhash_hamming_pairs": 4,
     "dedup_simhash_md5": 4,
+    "dedup_sketch_merge_invariant": 8,
+    "dedup_source_minhash_matrix": 8,
     "dedup_substring_containment": 5,
     "dedup_tfidf_cosine": 5,
     "dedup_threshold_curve": 5,
     "dq_expectation_report": 4,
     "dq_length_drift_ks": 7,
     "embed_drift_by_lang": 6,
-    "embed_hard_negatives": 7,
+    "embed_hard_negatives": 8,
     "embed_kmeans_fixedpoint": 7,
     "embed_l2_norm": 6,
     "embed_matryoshka_retention": 6,
     "embed_norm_stats_by_lang": 4,
     "embed_pca_power_iteration": 5,
-    "embed_pq_codes": 7,
+    "embed_pq_codes": 8,
     "embed_quantize_int8": 6,
     "embed_random_projection": 5,
     "embed_standardize": 6,
-    "f1_type_dispatch": 4,
+    "f1_type_dispatch": 8,
     "f2_author_whitelist": 4,
     "f3_subreddit_whitelist": 4,
     "f4_domain_whitelist": 4,
@@ -9723,10 +9727,10 @@ _PRIOR_GREEN_ROUND = {
     "f_combined_full": 4,
     "feat_target_encode_loo": 7,
     "fn_array_ops": 6,
-    "fn_bitwise_ops": 3,
+    "fn_bitwise_ops": 8,
     "fn_datetime_buckets": 7,
-    "fn_fuzzy_match_levenshtein": 3,
-    "fn_histogram_bins": 3,
+    "fn_fuzzy_match_levenshtein": 8,
+    "fn_histogram_bins": 8,
     "fn_histogram_equidepth": 5,
     "fn_map_ops": 6,
     "fn_math_scalars": 6,
@@ -9743,21 +9747,21 @@ _PRIOR_GREEN_ROUND = {
     "join_anti_customers_without_orders": 6,
     "join_asof_last_click": 6,
     "join_broadcast_star_counts": 6,
-    "join_cross_region_nation": 3,
+    "join_cross_region_nation": 8,
     "join_full_outer_click_purchase": 7,
     "join_lateral_topk_per_nation": 4,
     "join_range_clicks_before_purchase": 6,
-    "join_right_outer_orders": 3,
+    "join_right_outer_orders": 8,
     "join_semi_customers_with_orders": 6,
-    "join_skew_salted": 3,
+    "join_skew_salted": 8,
     "knn_batch_topk": 5,
     "knn_bruteforce_cosine": 6,
-    "knn_ivf_fixedpoint_cells": 5,
+    "knn_ivf_fixedpoint_cells": 8,
     "knn_ivf_metric_consistency": 7,
-    "knn_ivfpq_topk": 7,
+    "knn_ivfpq_topk": 8,
     "knn_lsh_bucketed": 7,
-    "knn_pq_adc_topk": 7,
-    "knn_pq_recall_audit": 7,
+    "knn_pq_adc_topk": 8,
+    "knn_pq_recall_audit": 8,
     "layout_zorder_keys": 5,
     "limit_topk_events_by_value": 6,
     "llm_corpus_prep_pipeline": 7,
@@ -9768,7 +9772,7 @@ _PRIOR_GREEN_ROUND = {
     "media_frame_sample": 7,
     "p2_json_key_subset": 4,
     "pack_length_buckets": 5,
-    "pack_sequences_by_source": 3,
+    "pack_sequences_by_source": 8,
     "path_top_event_trigrams": 4,
     "pivot_event_counts": 6,
     "posexplode_words": 7,
@@ -9777,11 +9781,11 @@ _PRIOR_GREEN_ROUND = {
     "recursive_cte_ancestors": 4,
     "reference_pipeline_example": 6,
     "retention_hourly_cohorts": 4,
-    "s1_range_scan": 4,
-    "s3_backfill_clamp": 4,
-    "s4_start_id_resume": 4,
+    "s1_range_scan": 8,
+    "s3_backfill_clamp": 8,
+    "s4_start_id_resume": 8,
     "s8_keepalive_counters": 4,
-    "sample_stratified_deterministic": 3,
+    "sample_stratified_deterministic": 8,
     "sample_temperature_by_lang": 4,
     "sample_weighted_priority": 7,
     "scd2_as_of_lookup": 5,
@@ -9801,50 +9805,52 @@ _PRIOR_GREEN_ROUND = {
     "subq_scalar_above_avg": 7,
     "text_bigram_lm_bits": 5,
     "text_char_entropy": 5,
-    "text_chunk_dedup_rewrite": 7,
+    "text_chunk_dedup_rewrite": 8,
     "text_chunk_dup_rate": 5,
-    "text_chunk_windows": 3,
+    "text_chunk_windows": 8,
     "text_clean_normalize": 5,
+    "text_duplicate_spans": 8,
     "text_encoding_quality": 7,
     "text_fingerprint": 6,
     "text_gopher_gate": 7,
-    "text_lang_predict": 3,
+    "text_lang_predict": 8,
     "text_lang_scores": 6,
     "text_novelty_first_owner": 7,
     "text_pii_redact": 5,
     "text_pmi_top_pairs": 7,
     "text_quality_score": 6,
-    "text_rarity_score": 3,
+    "text_rarity_score": 8,
     "text_repetition_bigrams": 4,
     "text_repetition_runs": 7,
     "text_stopword_scrub": 4,
     "text_token_count": 6,
-    "text_vocab_df": 3,
+    "text_vocab_df": 8,
     "text_winnow_fingerprints": 5,
-    "tpch_q10_returned_customers": 3,
+    "tpch_q10_returned_customers": 8,
     "tpch_q11_important_parts": 5,
-    "tpch_q12_priority_lines": 3,
+    "tpch_q12_priority_lines": 8,
     "tpch_q13_customer_distribution": 6,
-    "tpch_q14_promo_revenue": 3,
+    "tpch_q14_promo_revenue": 8,
     "tpch_q15_top_supplier": 6,
     "tpch_q16_supplier_counts": 5,
-    "tpch_q17_small_quantity_revenue": 3,
-    "tpch_q18_large_orders": 3,
-    "tpch_q19_disjunctive_revenue": 3,
+    "tpch_q17_small_quantity_revenue": 8,
+    "tpch_q18_large_orders": 8,
+    "tpch_q19_disjunctive_revenue": 8,
     "tpch_q1_pricing_summary": 4,
     "tpch_q20_dominant_supplier": 5,
-    "tpch_q21_waiting_supplier": 3,
+    "tpch_q21_waiting_supplier": 8,
     "tpch_q22_idle_customers": 6,
     "tpch_q2_min_cost_supplier": 5,
     "tpch_q3_shipping_priority": 4,
     "tpch_q4_order_priority": 6,
     "tpch_q5_region_revenue": 4,
     "tpch_q6_forecast_revenue": 4,
-    "tpch_q7_volume_shipping": 3,
-    "tpch_q8_market_share": 3,
+    "tpch_q7_volume_shipping": 8,
+    "tpch_q8_market_share": 8,
     "tpch_q9_profit_by_nation_year": 4,
     "ts_gapfill_ffill": 6,
     "ts_ohlc_hourly": 5,
+    "ts_rolling_features": 8,
     "udaf_geomean_orders": 6,
     "udf_grouped_map_zscore": 5,
     "udf_pandas_scalar_charge": 7,
@@ -9853,12 +9859,12 @@ _PRIOR_GREEN_ROUND = {
     "variant_json_extract_agg": 4,
     "vocab_coverage_topk": 5,
     "window_activity_streaks": 6,
-    "window_first_last_nth": 3,
+    "window_first_last_nth": 8,
     "window_lag_delta": 6,
-    "window_range_time_frame": 3,
-    "window_rank_family": 3,
+    "window_range_time_frame": 8,
+    "window_rank_family": 8,
     "window_running_sum_per_user": 6,
-    "window_sliding_counts": 3,
+    "window_sliding_counts": 8,
     "window_sliding_distinct_users": 5,
     "window_topk_orders_per_customer": 6,
     "x1_try_cast_validation": 7,
@@ -9875,23 +9881,23 @@ _PRIOR_GREEN_ROUND = {
 # defining identifiers against the commit that recorded its last proof);
 # entries are pruned when a newer CORRECTNESS artifact re-proves them.
 _CHANGED_SINCE_PROOF = {
-    # r08: chunkless (<16-word) docs now emitted as (0, 0, '') rows via
-    # posexplode_outer + left-join oracle (ADVICE r07) — row COUNT and
-    # semantics changed; the r07 proof validated the dropping version
-    "text_chunk_dedup_rewrite",
-    # r08 REWRITES, not semantic changes: outputs verified byte-identical
-    # to the old paths at sf0.1 and oracle-green at sf0.001/0.01/0.1
-    # locally, but the executing code differs from what the last external
-    # proof ran (vectors-once GEMM kernels; probe-free + concurrent +
-    # clamped PQ/IVF training) — request external re-proof this round
-    "dedup_semdedup_cells",
-    "embed_hard_negatives",
-    "dedup_embedding_cosine_lsh",
+    # (r08's nine rewrite entries were all re-proven green in the r08
+    # window — CORRECTNESS_r08.json — and are pruned; the map above now
+    # folds r08 in.)  r09 code changes that postdate their last proof:
+    # r09 REWRITE, not a semantic change: the IVF-PQ training path now
+    # trains both quantizers from ONE localCheckpointed quantized frame
+    # instead of re-scanning parquet per Lloyd round (VERDICT r08 next
+    # #3) — bit-exactness pinned in tests, but the executing code differs
+    # from what the r08 proof ran
     "knn_ivfpq_topk",
+    "embed_pq_codes",
     "knn_pq_adc_topk",
     "knn_pq_recall_audit",
-    "embed_pq_codes",
     "knn_ivf_fixedpoint_cells",
+    # r09 SEMANTIC change: media_features now really decodes WAV payloads
+    # (stdlib wave/struct) instead of the deterministic fake for that
+    # format (VERDICT r08 next #5) — oracle updated in lockstep
+    "media_features",
 }
 
 

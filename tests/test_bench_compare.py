@@ -189,3 +189,64 @@ def test_final_line_truncates_slowest_first_when_over_budget():
     full = json.loads(lines[2])
     assert full["metric"] == "headline_queries_full"
     assert full["queries"] == times
+
+def test_recover_from_tail_on_the_real_r07_artifact():
+    """The r07 artifact is the actual failure that broke the vs_prev chain
+    (parsed: null -> r08 compared against r06, VERDICT r08 next #1): the
+    recovery path must reconstruct its queries dict from the raw tail so
+    the chain can never skip a round again.  Pinned on the committed
+    artifact itself."""
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_r07.json")
+    data = json.load(open(path))
+    assert data["parsed"] is None  # the failure this guards against
+    rec = bench.recover_from_tail(data["tail"])
+    assert rec["recovered_from_tail"] is True
+    assert rec["sf"] == 0.1
+    q = rec["queries"]
+    # spot-pin values visible in the fragment — including the r07-added
+    # rows whose regression audit the broken chain skipped
+    assert q["text_gopher_gate"] == 0.616
+    assert q["knn_ivfpq_topk"] == 8.318
+    assert q["embed_hard_negatives"] == 2.748
+    assert q["dedup_minhash_lsh"] == 1.797
+    # the head-truncated partial pair ("...ep_first":0.263) must be DROPPED,
+    # not misattributed to a mangled key
+    assert all(k.isidentifier() for k in q)
+    assert "ep_first" not in q
+    # nothing from the vs_prev / e2e region after the queries dict leaks in
+    assert "streaming_e2e_clients" not in q
+    assert "machine_factor_vs_prev" not in q
+
+
+def test_recover_from_tail_with_full_queries_dict_in_window():
+    tail = (
+        'noise line\n'
+        '{"metric":"headline_queries_total","value":1.0,"unit":"sec",'
+        '"queries":{"q1":0.5,"q2":1.25},"runs_per_query":3,"sf":0.01,'
+        '"calib_jvm_sec":0.1,"calib_py_sec":0.2}'
+    )
+    rec = bench.recover_from_tail(tail)
+    assert rec["queries"] == {"q1": 0.5, "q2": 1.25}
+    assert rec["sf"] == 0.01
+    assert rec["calib_jvm_sec"] == 0.1
+
+
+def test_recover_from_tail_without_queries_region_returns_empty():
+    assert bench.recover_from_tail('{"metric":"x","value":1}') == {}
+    assert bench.recover_from_tail("") == {}
+
+
+def test_final_line_drops_queries_entirely_as_last_resort():
+    """ADVICE r08: the truncation loop used to stop at one kept entry, so a
+    single enormous query name (or grown fixed fields) could still ship an
+    over-budget, unparseable final line.  Now the dict is dropped entirely
+    and the full dict one line up is the reader's fallback."""
+    times = {"q" * 1800: 2.0, "short": 1.0}  # slowest entry alone over budget
+    lines = _render(times)
+    final = lines[-1]
+    assert len(final) <= bench.FINAL_LINE_BUDGET
+    parsed = json.loads(final)
+    assert parsed["queries"] == {}
+    assert parsed["queries_truncated"] == 2
+    full = json.loads(lines[2])
+    assert full["queries"] == times

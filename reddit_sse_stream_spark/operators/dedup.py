@@ -1316,15 +1316,16 @@ def source_minhash_matrix(
         .distinct()
         .localCheckpoint(eager=False)  # feeds signatures, sizes, intersections
     )
-    # the audit side (sizes + intersections) runs on the sampled frame;
+    # the audit side (sizes + intersections) runs on the sampled subset;
     # the sketch side always sees every hash (its state is constant-size
     # regardless, so sampling it would only add error for no saving)
     audit_sh = src_sh
+    sample_pred = None
     if exact_sample_frac is not None and exact_sample_frac < 1.0:
-        audit_sh = src_sh.where(
-            F.pmod(F.col("h"), F.lit(10000))
-            < F.lit(int(exact_sample_frac * 10000))
+        sample_pred = F.pmod(F.col("h"), F.lit(10000)) < F.lit(
+            int(exact_sample_frac * 10000)
         )
+        audit_sh = src_sh.where(sample_pred)
     coeffs = _coeffs(num_hashes)
     min_slots = [
         F.min(
@@ -1332,21 +1333,15 @@ def source_minhash_matrix(
         ).alias(f"s{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    if audit_sh is src_sh:
-        # full audit: per-source size rides the sketch agg (one exchange)
-        sig = src_sh.groupBy("src").agg(*min_slots, F.count("*").alias("n"))
-    else:
-        # sampled audit: sizes count SAMPLED hashes (the Jaccard estimate
-        # needs numerator and denominator from the same subset); a source
-        # whose every hash fell outside the sample keeps its sketch and
-        # gets n=0 via the left join
-        sizes = audit_sh.groupBy("src").agg(F.count("*").alias("n"))
-        sig = (
-            src_sh.groupBy("src")
-            .agg(*min_slots)
-            .join(sizes, "src", "left")
-            .na.fill({"n": 0})
-        )
+    # per-source sizes count the AUDIT subset (the Jaccard estimate needs
+    # numerator and denominator from the same hash range) but ride the
+    # sketch aggregate as a conditional count — one exchange, no extra job
+    n_col = (
+        F.count("*")
+        if sample_pred is None
+        else F.sum(sample_pred.cast("long"))
+    )
+    sig = src_sh.groupBy("src").agg(*min_slots, n_col.alias("n"))
     a_side = sig.select(
         F.col("src").alias("source_a"),
         *[F.col(f"s{i}").alias(f"a{i}") for i in range(num_hashes)],

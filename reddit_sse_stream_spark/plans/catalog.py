@@ -9472,11 +9472,9 @@ def _source_minhash_matrix_oracle_sql(
     else:
         audit = "sha"
         sig = (
-            f"SELECT g.source, {sig_cols.replace('min((h', 'min((g.h')}, "
-            "COALESCE(z.n, 0) AS n "
-            "FROM sh g LEFT JOIN (SELECT source, count(*) AS n FROM sha "
-            "GROUP BY source) z ON g.source = z.source "
-            f"GROUP BY g.source, z.n"
+            f"SELECT source, {sig_cols}, "
+            f"count(*) FILTER (WHERE h % 10000 < {sample_mod_lt}) AS n "
+            "FROM sh GROUP BY source"
         )
         exact = (
             "CASE WHEN p.na + p.nb - COALESCE(i.ni, 0) > 0 THEN"

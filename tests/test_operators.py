@@ -271,6 +271,66 @@ def test_media_features_shapes(spark, sf_dir):
         assert abs(sum(r["feat"]) - 1.0) < 1e-3  # normalized histogram
 
 
+def test_wav_roundtrip_real_container_and_features(spark, sf_dir):
+    """The r09 real-audio path: _encode_wav must produce a genuine RIFF/WAVE
+    PCM16 container (parseable by any WAV reader), the Spark kernel must
+    decode it back to the exact generative samples, and the feature math
+    (peak/sumsq/zero_cross/checksum) must match a direct fold of the
+    formula.  A corrupted payload byte must CHANGE the decoded checksum —
+    the property that makes the oracle a decode proof, not a tautology."""
+    import struct
+    import wave as wavemod
+    from io import BytesIO
+
+    from reddit_sse_stream_spark.operators.multimodal import (
+        _decode_wav_features,
+        _encode_wav,
+        _wav_n_samples,
+        _wav_sample,
+    )
+
+    mid = 37  # 37 % 3 == 1 -> audio kind
+    payload = _encode_wav(mid)
+    # container-level facts: header magic + standard 44-byte PCM header
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    n = _wav_n_samples(mid)
+    assert len(payload) == 44 + 2 * n
+    # an independent reader decodes the same frames
+    with wavemod.open(BytesIO(payload), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, 8000)
+        frames = struct.unpack(f"<{n}h", w.readframes(n))
+    expect = [_wav_sample(mid, i) for i in range(n)]
+    assert list(frames) == expect
+    ns, peak, sumsq, zc, checksum = _decode_wav_features(payload)
+    assert ns == n
+    assert peak == max(abs(s) for s in expect)
+    assert sumsq == sum(s * s for s in expect)
+    assert zc == sum(
+        1 for a, b in zip(expect, expect[1:]) if (a >= 0) != (b >= 0)
+    )
+    assert checksum == sum(s & 0xFFFF for s in expect) % (1 << 31)
+    # flip one frame byte -> checksum must move (decode proof, not tautology)
+    corrupted = bytearray(payload)
+    corrupted[50] ^= 0xFF
+    assert _decode_wav_features(bytes(corrupted))[4] != checksum
+    # end-to-end through the Arrow kernel: audio rows real, others fake+NULL
+    docs = load_table(spark, sf_dir, "documents").limit(9)
+    media = multimodal.synthesize_media(docs, real_wav_audio=True)
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(media, decode_wav=True).collect()
+    }
+    for mid2, r in out.items():
+        if r["kind"] == "audio":
+            exp = [_wav_sample(mid2, i) for i in range(_wav_n_samples(mid2))]
+            assert r["n_samples"] == len(exp)
+            assert r["n_bytes"] == 44 + 2 * len(exp)
+            assert r["sumsq"] == sum(s * s for s in exp)
+            assert r["checksum"] == sum(s & 0xFFFF for s in exp) % (1 << 31)
+        else:
+            assert r["n_samples"] is None and r["peak"] is None
+
+
 def test_frame_sample_every_nth(spark, sf_dir):
     media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents").limit(30))
     rows = multimodal.frame_sample(media, every_n=4).collect()

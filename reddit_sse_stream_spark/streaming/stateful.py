@@ -489,3 +489,89 @@ def streaming_source_minhash(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DUPSPAN_OUTPUT_SCHEMA = "doc_id long, pos long"
+DUPSPAN_STATE_SCHEMA = "n_seen long"
+
+
+def _dupspan_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-gram-hash census: state is ONE long (occurrences ever seen).
+    Rows are processed in (doc_id, pos) order; every occurrence AFTER the
+    key's first-ever is emitted as a duplicated position.  The first
+    occurrence is never retro-emitted — the honest append-mode semantics
+    (see streaming_duplicate_positions' contract note)."""
+    n = int(state.get[0]) if state.exists else 0
+    chunks = list(pdfs)  # materialize BEFORE any emptiness handling
+    out_doc: list[int] = []
+    out_pos: list[int] = []
+    if chunks:
+        rows = pd.concat(chunks, ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["doc_id", "pos"])
+            for doc, pos in zip(rows["doc_id"], rows["pos"]):
+                if n > 0:
+                    out_doc.append(int(doc))
+                    out_pos.append(int(pos))
+                n += 1
+    state.update((n,))
+    yield pd.DataFrame({"doc_id": out_doc, "pos": out_pos}).astype(
+        {"doc_id": "int64", "pos": "int64"}
+    )
+
+
+def streaming_duplicate_positions(
+    docs_stream: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of the duplicated-span marker
+    (operators/text.py:duplicate_spans; VERDICT r08 next #6): arriving
+    docs are checked against the ACCUMULATED gram census held as keyed
+    state — one long per distinct k-gram hash ever seen, the same
+    census-cardinality state shape as streaming_dedup_first's digest
+    gate — and every occurrence after a gram's first-ever is emitted as
+    a duplicated (doc_id, pos) row.  Fold islands into maximal spans
+    with operators/text.py:spans_from_positions (per-doc, batch-side —
+    a doc arrives whole in its micro-batch, so the merge needs no
+    cross-batch state; run it in foreachBatch or on the sink table).
+
+    CONTRACT vs the batch op: append-mode streaming cannot retro-mark a
+    gram's FIRST occurrence once a later duplicate arrives, so this
+    emits exactly the NON-FIRST occurrences in (doc_id, pos) arrival
+    order — i.e. the batch marker with "occ > 1" replaced by
+    "row_number over (doc_id, pos) > 1" per gram.  The parity test pins
+    streamed output == that batch definition == an engine-independent
+    Python census replay, exact (not approximate) under the ordered
+    replay contract.
+
+    Scale shape: the explode is map-only; ONE shuffle per micro-batch on
+    the gram hash; state is one long per distinct gram (RocksDB-backed
+    at scale, TTL-evictable when the dedup window is finite — same
+    bound as the batch op's census exchange, held incrementally)."""
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.operators.dedup import md5_hash60
+
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    gram_h = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - k),
+        lambda i: md5_hash60(F.concat_ws(" ", F.slice("ws", i + 1, k))),
+    )
+    grams = (
+        docs_stream.select(
+            F.col(id_col).alias("doc_id"), F.explode(F.array(words)).alias("ws")
+        )
+        .filter(F.size("ws") >= k)
+        .select("doc_id", F.posexplode(gram_h).alias("pos", "h"))
+    )
+    return grams.groupBy("h").applyInPandasWithState(
+        _dupspan_update,
+        outputStructType=DUPSPAN_OUTPUT_SCHEMA,
+        stateStructType=DUPSPAN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1318,3 +1318,123 @@ def test_streaming_source_minhash_matches_independent_replica(spark, sf_dir, tmp
                 if k not in expected or hv < expected[k]:
                     expected[k] = hv
     assert got == expected
+
+
+def test_streaming_duplicate_positions_parity_with_census_replay(
+    spark, sf_dir, tmp_path
+):
+    """Batch/stream parity for the streaming span marker (VERDICT r08 next
+    #6), against TWO references: (1) an engine-independent Python census
+    replay (iterate docs in doc_id order, a position is emitted iff its
+    gram hash was seen strictly earlier), and (2) the equivalent batch
+    definition (row_number over (doc_id, pos) per gram > 1).  The folded
+    spans must also match spans_from_positions on the replica's
+    positions — the full streaming story: marker (stateful, incremental)
+    + span fold (per-doc, batch-side)."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from reddit_sse_stream_spark.operators.text import spans_from_positions
+    from reddit_sse_stream_spark.sources.tables import load_table
+    from reddit_sse_stream_spark.streaming.stateful import (
+        streaming_duplicate_positions,
+    )
+
+    k = 8
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    src = tmp_path / "docs_dupspan_stream"
+    third = 200 // 3 + 1
+    for b in range(3):
+        docs.filter(
+            (F.col("doc_id") >= b * third) & (F.col("doc_id") < (b + 1) * third)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_duplicate_positions(stream, k=k)
+        .writeStream.format("memory")
+        .queryName("dupspan_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["doc_id"], r["pos"])
+        for r in spark.sql("SELECT doc_id, pos FROM dupspan_stream").collect()
+    }
+
+    # reference 1: engine-independent census replay
+    seen: set[int] = set()
+    expected: set[tuple[int, int]] = set()
+    for row in sorted(docs.collect(), key=lambda r: r["doc_id"]):
+        ws = row["text"].lower().split()
+        if len(ws) < k:
+            continue
+        for pos in range(len(ws) - k + 1):
+            h = int(
+                hashlib.md5(
+                    " ".join(ws[pos : pos + k]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            if h in seen:
+                expected.add((row["doc_id"], pos))
+            seen.add(h)
+    assert streamed == expected
+    assert expected, "fixture must contain duplicated grams"
+
+    # reference 2: the batch non-first-occurrence definition
+    from reddit_sse_stream_spark.operators.dedup import md5_hash60
+
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    gram_h = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - k),
+        lambda i: md5_hash60(F.concat_ws(" ", F.slice("ws", i + 1, k))),
+    )
+    grams = (
+        docs.select("doc_id", F.explode(F.array(words)).alias("ws"))
+        .filter(F.size("ws") >= k)
+        .select("doc_id", F.posexplode(gram_h).alias("pos", "h"))
+    )
+    occ = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos"))
+    batch_def = {
+        (r["doc_id"], r["pos"])
+        for r in grams.withColumn("occ", occ).where(F.col("occ") > 1).collect()
+    }
+    assert streamed == batch_def
+
+    # span fold parity on the streamed positions
+    pos_df = spark.createDataFrame(
+        sorted(streamed), "doc_id long, pos long"
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in spans_from_positions(pos_df, k=k).collect()
+    }
+    # replica fold: merge consecutive positions per doc
+    by_doc: dict[int, list[int]] = {}
+    for d, p in sorted(expected):
+        by_doc.setdefault(d, []).append(p)
+    span_ref = set()
+    for d, ps in by_doc.items():
+        start = prev = ps[0]
+        n = 1
+        for p in ps[1:]:
+            if p == prev + 1:
+                prev = p
+                n += 1
+            else:
+                span_ref.add((d, start, prev + k - 1, n))
+                start = prev = p
+                n = 1
+        span_ref.add((d, start, prev + k - 1, n))
+    assert spans == span_ref

@@ -323,16 +323,30 @@ def near_dup_pairs_lsh(
             ids = ids[order]
             B = np.array(sub["v"].tolist(), dtype=np.float64)[order]
             norms = np.linalg.norm(B, axis=1)
-            C = (B @ B.T) / (norms[:, None] * norms[None, :])
-            C = np.floor(C * 10000) / 10000
             col = np.arange(n)
-            mask = (C > threshold) & (col[None, :] > col[:, None])
-            ii, jj = np.nonzero(mask)
-            if not len(ii):
-                return empty
-            return pd.DataFrame(
-                {"id_a": ids[ii], "id_b": ids[jj], "cos_sim": C[ii, jj]}
-            )
+            outs = []
+            # blocked GEMM (ADVICE r08): live memory ~block x n doubles,
+            # never the full cap^2 (~134 MB) cell matrix — same bound as
+            # semdedup_cell_pairs / hard_negative_mining
+            block = max(1, 2_000_000 // n)
+            for s0 in range(0, n, block):
+                e0 = min(s0 + block, n)
+                C = (B[s0:e0] @ B.T) / (norms[s0:e0, None] * norms[None, :])
+                C = np.floor(C * 10000) / 10000
+                gi = np.arange(s0, e0)
+                mask = (C > threshold) & (col[None, :] > gi[:, None])
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[gi[ii]],
+                                "id_b": ids[jj],
+                                "cos_sim": C[ii, jj],
+                            }
+                        )
+                    )
+            return pd.concat(outs, ignore_index=True) if outs else empty
         left = pdf[pdf["blk"] == ci]
         right = pdf[pdf["blk"] == cj]
         if not len(left) or not len(right):
@@ -341,22 +355,30 @@ def near_dup_pairs_lsh(
         idb = right["_id"].to_numpy()
         A = np.array(left["v"].tolist(), dtype=np.float64)
         Bm = np.array(right["v"].tolist(), dtype=np.float64)
-        C = (A @ Bm.T) / (
-            np.linalg.norm(A, axis=1)[:, None]
-            * np.linalg.norm(Bm, axis=1)[None, :]
-        )
-        C = np.floor(C * 10000) / 10000
-        ii, jj = np.nonzero(C > threshold)
-        if not len(ii):
-            return empty
-        pa, pb = ida[ii], idb[jj]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(pa, pb),
-                "id_b": np.maximum(pa, pb),
-                "cos_sim": C[ii, jj],
-            }
-        )
+        norms_a = np.linalg.norm(A, axis=1)
+        norms_b = np.linalg.norm(Bm, axis=1)
+        m = len(idb)
+        outs = []
+        block = max(1, 2_000_000 // m)
+        for s0 in range(0, len(ida), block):
+            e0 = min(s0 + block, len(ida))
+            C = (A[s0:e0] @ Bm.T) / (
+                norms_a[s0:e0, None] * norms_b[None, :]
+            )
+            C = np.floor(C * 10000) / 10000
+            ii, jj = np.nonzero(C > threshold)
+            if len(ii):
+                pa, pb = ida[s0 + ii], idb[jj]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(pa, pb),
+                            "id_b": np.maximum(pa, pb),
+                            "cos_sim": C[ii, jj],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     return (
         cells.groupBy("tbl", "bucket", "ci", "cj")
@@ -527,7 +549,11 @@ def hard_negative_mining(
     :func:`semdedup_cell_pairs`).  Per-bucket compute stays m^2 but as
     blocked BLAS matmuls with O(block x m) live memory; tie-break
     (cos desc, id_b asc) and the floor-1e-4 quantization are unchanged,
-    so the output is byte-identical to the join path."""
+    so the output is value-identical under the oracle (ADVICE r08: BLAS
+    dgemm may reassociate the reduction vs the old per-pair dot, so a
+    true cosine sitting within float error of an exact 1e-4 multiple
+    could in principle floor differently — never observed at test SFs,
+    and the oracle re-proof covers exactly this)."""
     label_dt = dict(zip(emb.schema.names, emb.schema))[label_col].dataType.simpleString()
     id_dt = dict(zip(emb.schema.names, emb.schema))[id_col].dataType.simpleString()
     b = random_hyperplane_buckets(

@@ -9997,6 +9997,11 @@ _CHANGED_SINCE_PROOF = {
     # (stdlib wave/struct) instead of the deterministic fake for that
     # format (VERDICT r08 next #5) — oracle updated in lockstep
     "media_features",
+    # r09 REWRITE (ADVICE r08): the LSH cell kernel's GEMMs are now
+    # blocked (live memory ~block x n, not cap^2) — value-identical
+    # under the oracle, but the executing kernel differs from the r08
+    # proof's
+    "dedup_embedding_cosine_lsh",
 }
 
 

@@ -29,11 +29,12 @@ MEDIA_SCHEMA = "media_id long, kind string, payload binary, width int, height in
 
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, checksum long, feat array<float>"
 
-#: extended surface when WAV decode is on: audio rows carry real
-#: sample-level features, other kinds carry NULLs there
-WAV_FEATURE_SCHEMA = (
+#: extended surface when real decode is on: audio rows carry sample-level
+#: features, image rows pixel-level ones; other kinds carry NULLs there
+DECODED_FEATURE_SCHEMA = (
     FEATURE_SCHEMA
     + ", n_samples long, peak long, sumsq long, zero_cross long"
+    + ", img_w long, img_h long, sum_rgb long, pix_peak long"
 )
 
 WAV_SAMPLE_RATE = 8000
@@ -86,12 +87,87 @@ def _decode_wav_features(payload: bytes) -> tuple[int, int, int, int, int]:
     return n, peak, sumsq, zero_cross, checksum
 
 
-def synthesize_media(docs: DataFrame, real_wav_audio: bool = False) -> DataFrame:
+def _bmp_dims(media_id: int) -> tuple[int, int]:
+    """Deterministic per-id image dimensions (SQL-reproducible)."""
+    return 8 + media_id % 9, 8 + media_id % 7
+
+
+def _bmp_pix(media_id: int, i: int) -> int:
+    """Deterministic channel byte for linear index i = (y*W + x)*3 + c in
+    TOP-DOWN row order with RGB channel order — NON-recursive so a SQL
+    oracle recomputes any byte directly from (media_id, i)."""
+    return (media_id * 40503 + i * 2654435761) % 256
+
+
+def _encode_bmp(media_id: int) -> bytes:
+    """A genuine uncompressed 24-bit BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up BGR pixel rows with 4-byte row padding)
+    written with stdlib ``struct`` — any BMP reader decodes it.  The
+    bottom-up storage and BGR byte order are the container's real quirks:
+    a decoder that ignores either flips the position-weighted checksum."""
+    w, h = _bmp_dims(media_id)
+    row_pad = (4 - (w * 3) % 4) % 4
+    rows = []
+    for y_top in range(h - 1, -1, -1):  # BMP stores rows bottom-up
+        row = bytearray()
+        for x in range(w):
+            base = (y_top * w + x) * 3
+            r = _bmp_pix(media_id, base)
+            g = _bmp_pix(media_id, base + 1)
+            b = _bmp_pix(media_id, base + 2)
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * row_pad
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + info + data
+
+
+def _decode_bmp_features(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL DECODE: parse the BMP headers and pixel array (bottom-up rows,
+    BGR channels, row padding) back into logical top-down RGB and fold
+    pixel-level features.  Returns (img_w, img_h, sum_rgb, pix_peak,
+    checksum); checksum position-weights every channel byte by its
+    logical index, so a row-order or channel-order mistake — not just a
+    value flip — goes red against the SQL oracle."""
+    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hsz, w, h, _planes, bpp, comp, _imgsz = struct.unpack_from(
+        "<IiiHHII", payload, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise ValueError("expected uncompressed 24-bit BMP")
+    stride = (w * 3 + 3) // 4 * 4
+    sum_rgb = 0
+    peak = 0
+    checksum = 0
+    for r in range(h):
+        y_top = h - 1 - r
+        row_off = offset + r * stride
+        for x in range(w):
+            o = row_off + x * 3
+            bgr = payload[o : o + 3]
+            base = (y_top * w + x) * 3
+            for c, v in ((0, bgr[2]), (1, bgr[1]), (2, bgr[0])):  # back to RGB
+                sum_rgb += v
+                if v > peak:
+                    peak = v
+                checksum += (base + c + 1) * v
+    return w, h, sum_rgb, peak, checksum % (1 << 31)
+
+
+def synthesize_media(docs: DataFrame, real_media: bool = False) -> DataFrame:
     """Derive a deterministic media table from documents: payload = utf-8
-    bytes of the text (stand-in for real image/video bytes).  With
-    ``real_wav_audio`` the audio rows instead carry a genuine WAV
-    container (:func:`_encode_wav`) built in the same Arrow-batched
-    ``mapInPandas`` shape real media ingestion would use."""
+    bytes of the text (stand-in for real video bytes).  With
+    ``real_media`` the audio rows instead carry a genuine WAV container
+    (:func:`_encode_wav`) and the image rows a genuine 24-bit BMP
+    (:func:`_encode_bmp`), built in the same Arrow-batched
+    ``mapInPandas`` shape real media ingestion would use; only video — a
+    format family with no uncompressed stdlib container — stays a fake."""
     base = docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
@@ -100,17 +176,18 @@ def synthesize_media(docs: DataFrame, real_wav_audio: bool = False) -> DataFrame
         F.lit(64).alias("height"),
         (F.col("doc_id") % 16 + 1).cast("int").alias("n_frames"),
     )
-    if not real_wav_audio:
+    if not real_media:
         return base
+
+    encoders = {"audio": _encode_wav, "image": _encode_bmp}
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            mask = pdf["kind"] == "audio"
-            if mask.any():
-                pdf = pdf.copy()
-                pdf.loc[mask, "payload"] = pdf.loc[mask, "media_id"].map(
-                    lambda m: _encode_wav(int(m))
-                )
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encoders[k](int(m)) if k in encoders else p
+                for k, m, p in zip(pdf["kind"], pdf["media_id"], pdf["payload"])
+            ]
             yield pdf
 
     return base.mapInPandas(encode, MEDIA_SCHEMA)
@@ -130,7 +207,7 @@ def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def extract_features(
-    media: DataFrame, dim: int = 8, decode_wav: bool = False
+    media: DataFrame, dim: int = 8, decode_real: bool = False
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
@@ -138,13 +215,16 @@ def extract_features(
     correct shape for decode-heavy multimodal work (amortizes Python
     dispatch; scales with executors; no shuffle).
 
-    With ``decode_wav`` the audio rows (whose payloads must then be real
-    WAV containers, see :func:`synthesize_media`) are REALLY decoded —
-    :func:`_decode_wav_features` parses the RIFF header and PCM frames —
-    and the row's ``checksum`` becomes the decoded-sample checksum while
-    four sample-level feature columns (n_samples/peak/sumsq/zero_cross)
-    are emitted (NULL for other kinds, whose decode stays the documented
-    fake pending codec libraries)."""
+    With ``decode_real`` the audio and image rows (whose payloads must
+    then be real WAV / BMP containers, see :func:`synthesize_media`) are
+    REALLY decoded — :func:`_decode_wav_features` parses RIFF header +
+    PCM frames, :func:`_decode_bmp_features` parses the BMP headers +
+    bottom-up BGR pixel array — and the row's ``checksum`` becomes the
+    decoded-content checksum, while sample-level
+    (n_samples/peak/sumsq/zero_cross) and pixel-level
+    (img_w/img_h/sum_rgb/pix_peak) feature columns are emitted (NULL for
+    the other kinds; video decode stays the documented fake pending
+    codec libraries)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -159,29 +239,40 @@ def extract_features(
                     "feat": pdf["payload"].map(lambda p: _fake_decode_features(p, dim)),
                 }
             )
-            if decode_wav:
-                decoded = [
+            if decode_real:
+                wav = [
                     _decode_wav_features(p) if k == "audio" and p is not None else None
+                    for k, p in zip(pdf["kind"], pdf["payload"])
+                ]
+                bmp = [
+                    _decode_bmp_features(p) if k == "image" and p is not None else None
                     for k, p in zip(pdf["kind"], pdf["payload"])
                 ]
                 for j, col in enumerate(
                     ("n_samples", "peak", "sumsq", "zero_cross")
                 ):
                     out[col] = pd.array(
-                        [None if d is None else d[j] for d in decoded],
+                        [None if d is None else d[j] for d in wav],
                         dtype="Int64",
                     )
-                # decode proof: audio checksum = decoded-sample checksum
+                for j, col in enumerate(
+                    ("img_w", "img_h", "sum_rgb", "pix_peak")
+                ):
+                    out[col] = pd.array(
+                        [None if d is None else d[j] for d in bmp],
+                        dtype="Int64",
+                    )
+                # decode proof: audio/image checksum = decoded-content one
                 out["checksum"] = pd.Series(
                     [
-                        c if d is None else d[4]
-                        for c, d in zip(out["checksum"], decoded)
+                        w[4] if w is not None else (b[4] if b is not None else c)
+                        for c, w, b in zip(out["checksum"], wav, bmp)
                     ],
                     dtype="int64",
                 )
             yield out
 
-    schema = WAV_FEATURE_SCHEMA if decode_wav else FEATURE_SCHEMA
+    schema = DECODED_FEATURE_SCHEMA if decode_real else FEATURE_SCHEMA
     return media.mapInPandas(batches, schema)
 
 

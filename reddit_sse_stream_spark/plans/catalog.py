@@ -1339,7 +1339,7 @@ _MEDIA_FEATURES_ORACLE = """
     """
 
 
-_MEDIA_WAV_ORACLE = """
+_MEDIA_DECODE_ORACLE = """
     WITH base AS (
       SELECT doc_id,
              (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
@@ -1367,46 +1367,72 @@ _MEDIA_WAV_ORACLE = """
              sum(CASE WHEN s < 0 THEN s + 65536 ELSE s END)
                % 2147483648 AS checksum
       FROM smp2 GROUP BY doc_id
+    ),
+    img AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+            FROM base WHERE kind = 'image'),
+    pix AS (
+      SELECT doc_id, w, h, i,
+             (doc_id * 40503 + i * 2654435761) % 256 AS v
+      FROM img, unnest(generate_series(0, w * h * 3 - 1)) AS u(i)
+    ),
+    pf AS (
+      SELECT doc_id, max(w) AS w, max(h) AS h,
+             sum(v) AS sum_rgb, max(v) AS pix_peak,
+             sum((i + 1) * v) % 2147483648 AS checksum,
+             54 + max(h) * (((max(w) * 3 + 3) // 4) * 4) AS n_bytes
+      FROM pix GROUP BY doc_id
     )
     SELECT b.doc_id AS media_id, b.kind,
            CAST(CASE WHEN b.kind = 'audio' THEN 44 + 2 * sf.n_samples
+                     WHEN b.kind = 'image' THEN pf.n_bytes
                      ELSE length(b.text) END AS BIGINT) AS n_bytes,
            CAST(CASE WHEN b.kind = 'audio' THEN sf.checksum
+                     WHEN b.kind = 'image' THEN pf.checksum
                      ELSE COALESCE(list_sum(list_transform(
                             string_split(b.text, ''), c -> ord(c))), 0)
                           % 2147483648 END AS BIGINT) AS checksum,
            CAST(sf.n_samples AS BIGINT) AS n_samples,
            CAST(sf.peak AS BIGINT) AS peak,
            CAST(sf.sumsq AS BIGINT) AS sumsq,
-           CAST(sf.zero_cross AS BIGINT) AS zero_cross
-    FROM base b LEFT JOIN sf ON b.doc_id = sf.doc_id
+           CAST(sf.zero_cross AS BIGINT) AS zero_cross,
+           CAST(pf.w AS BIGINT) AS img_w,
+           CAST(pf.h AS BIGINT) AS img_h,
+           CAST(pf.sum_rgb AS BIGINT) AS sum_rgb,
+           CAST(pf.pix_peak AS BIGINT) AS pix_peak
+    FROM base b
+    LEFT JOIN sf ON b.doc_id = sf.doc_id
+    LEFT JOIN pf ON b.doc_id = pf.doc_id
     """
 
 
-@_register("media_features", _MEDIA_WAV_ORACLE)
+@_register("media_features", _MEDIA_DECODE_ORACLE)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction with a REAL audio decode (VERDICT r08
-    next #5): audio rows carry genuine RIFF/WAVE PCM16 containers (stdlib
-    ``wave``; no codec library needed for an uncompressed format) and the
-    Arrow mapInPandas kernel PARSES them — header fields + frame bytes —
-    into sample-level features (n_samples / peak / energy / zero
-    crossings) plus a decoded-sample checksum.  The SQL oracle recomputes
-    every value from the generative waveform formula, so a single flipped
-    byte anywhere in the encode -> Arrow transfer -> header parse ->
-    frame unpack chain goes red: the decode is proven by round-trip, not
-    assumed.  Image/video kinds keep the documented fake (their formats
-    need codec libraries) with NULL sample columns — the plumbing twin
+    """Multimodal feature extraction with REAL audio and image decodes
+    (VERDICT r08 next #5, extended): audio rows carry genuine RIFF/WAVE
+    PCM16 containers (stdlib ``wave``), image rows genuine uncompressed
+    24-bit BMPs (stdlib ``struct``) — no codec library needed for
+    uncompressed formats — and the Arrow mapInPandas kernel PARSES both:
+    WAV header + frames into sample-level features (n_samples / peak /
+    energy / zero crossings), BMP headers + bottom-up BGR pixel array
+    into pixel-level ones (dims / sum / peak), each with a decoded-content
+    checksum (position-weighted for BMP, so row-order or channel-order
+    mistakes — the container's real quirks — go red, not just value
+    flips).  The SQL oracle recomputes every value from the generative
+    formulas, so the decodes are proven by round-trip, not assumed.
+    Only video keeps the documented fake (no uncompressed stdlib
+    container exists) with NULL feature columns — the plumbing twin
     ``media_features_meta`` still pins the fake path's byte surface.
     The float feature vector stays out of the projection (Python round is
     banker's; SQL round is not) and is pinned instead by
     tests/test_operators.py::test_media_features_payload_byte_deterministic."""
     media = multimodal.synthesize_media(
-        _t(spark, sf_dir, "documents"), real_wav_audio=True
+        _t(spark, sf_dir, "documents"), real_media=True
     )
-    feats = multimodal.extract_features(media, decode_wav=True)
+    feats = multimodal.extract_features(media, decode_real=True)
     return feats.select(
         "media_id", "kind", "n_bytes", "checksum",
         "n_samples", "peak", "sumsq", "zero_cross",
+        "img_w", "img_h", "sum_rgb", "pix_peak",
     )
 
 

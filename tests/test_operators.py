@@ -313,12 +313,12 @@ def test_wav_roundtrip_real_container_and_features(spark, sf_dir):
     corrupted = bytearray(payload)
     corrupted[50] ^= 0xFF
     assert _decode_wav_features(bytes(corrupted))[4] != checksum
-    # end-to-end through the Arrow kernel: audio rows real, others fake+NULL
+    # end-to-end through the Arrow kernel: audio/image rows real, video fake
     docs = load_table(spark, sf_dir, "documents").limit(9)
-    media = multimodal.synthesize_media(docs, real_wav_audio=True)
+    media = multimodal.synthesize_media(docs, real_media=True)
     out = {
         r["media_id"]: r
-        for r in multimodal.extract_features(media, decode_wav=True).collect()
+        for r in multimodal.extract_features(media, decode_real=True).collect()
     }
     for mid2, r in out.items():
         if r["kind"] == "audio":
@@ -327,8 +327,60 @@ def test_wav_roundtrip_real_container_and_features(spark, sf_dir):
             assert r["n_bytes"] == 44 + 2 * len(exp)
             assert r["sumsq"] == sum(s * s for s in exp)
             assert r["checksum"] == sum(s & 0xFFFF for s in exp) % (1 << 31)
+            assert r["img_w"] is None
         else:
             assert r["n_samples"] is None and r["peak"] is None
+        if r["kind"] == "video":
+            assert r["img_w"] is None
+
+
+def test_bmp_roundtrip_real_container_and_features(spark, sf_dir):
+    """The image sibling of the WAV round-trip: _encode_bmp must produce a
+    genuine 24-bit BMP (headers + bottom-up BGR rows + padding), the
+    decoder must reconstruct logical top-down RGB exactly, and the
+    position-weighted checksum must catch BOTH a value flip and an
+    order-handling mistake (a top-down misread of real bottom-up data)."""
+    from reddit_sse_stream_spark.operators.multimodal import (
+        _bmp_dims,
+        _bmp_pix,
+        _decode_bmp_features,
+        _encode_bmp,
+    )
+
+    mid = 36  # 36 % 3 == 0 -> image kind
+    payload = _encode_bmp(mid)
+    w, h = _bmp_dims(mid)
+    stride = (w * 3 + 3) // 4 * 4
+    assert payload[:2] == b"BM"
+    assert len(payload) == 54 + h * stride
+    vals = [_bmp_pix(mid, i) for i in range(w * h * 3)]
+    iw, ih, sum_rgb, peak, checksum = _decode_bmp_features(payload)
+    assert (iw, ih) == (w, h)
+    assert sum_rgb == sum(vals)
+    assert peak == max(vals)
+    assert checksum == sum((i + 1) * v for i, v in enumerate(vals)) % (1 << 31)
+    # value flip detection
+    corrupted = bytearray(payload)
+    corrupted[60] = (corrupted[60] + 1) % 256
+    assert _decode_bmp_features(bytes(corrupted))[4] != checksum
+    # order-mistake detection: rebuild the file with rows stored TOP-DOWN
+    # (the classic BMP decoder bug) — same bytes, wrong order -> red
+    data = payload[54:]
+    rows = [data[r * stride : (r + 1) * stride] for r in range(h)]
+    flipped = payload[:54] + b"".join(reversed(rows))
+    if h > 1:
+        assert _decode_bmp_features(flipped)[4] != checksum
+    # end-to-end: the catalog row's image features match the formula
+    docs = load_table(spark, sf_dir, "documents").limit(9)
+    media = multimodal.synthesize_media(docs, real_media=True)
+    for r in multimodal.extract_features(media, decode_real=True).collect():
+        if r["kind"] == "image":
+            w2, h2 = _bmp_dims(r["media_id"])
+            vals2 = [_bmp_pix(r["media_id"], i) for i in range(w2 * h2 * 3)]
+            assert (r["img_w"], r["img_h"]) == (w2, h2)
+            assert r["sum_rgb"] == sum(vals2)
+            assert r["pix_peak"] == max(vals2)
+            assert r["n_bytes"] == 54 + h2 * ((w2 * 3 + 3) // 4 * 4)
 
 
 def test_frame_sample_every_nth(spark, sf_dir):

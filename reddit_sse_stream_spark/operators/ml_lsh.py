@@ -829,3 +829,146 @@ def ivfpq_topk(
         .orderBy(F.col("adc_fp").asc(), F.col(id_col))
         .limit(k_out)
     )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k_out: int = 5,
+    n_probe: int = 2,
+    n_cells: int = 8,
+    ivf_iters: int = 2,
+    n_sub: int = 8,
+    k: int = 16,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """RESIDUAL-encoding IVF-PQ top-k — the full FAISS ``IVFx,PQy`` recipe
+    [Jégou et al. 2011 §III]: PQ codes quantize the residual u - c(cell)
+    to the vector's coarse centroid, not the raw vector, which is what
+    makes one small codebook serve a corpus whose cells sit far apart
+    (each cell's residual cloud is centered at the origin, so codebook
+    capacity is spent on LOCAL structure).  :func:`ivfpq_topk` is the
+    cheaper residual-free deviation (codes are cell-independent, one ADC
+    table per query); this variant pays one ADC table PER PROBED CELL
+    (tables from the query's per-cell residual) and a sequential
+    dependency (residuals need the trained coarse quantizer before PQ
+    training starts — the two trainings cannot overlap like the
+    composite's).
+
+    Exactness: residual = zip_with(u, centroid, a - b) on the SAME unit
+    fixed-point frame the IVF chain assigns from, quantized by pq_train's
+    1e6 floor — every scalar step a single IEEE op, replicated
+    driver-side for the query and unrolled in the SQL twin, so codes,
+    tables, and the (adc_fp, id) cut are all bit-verifiable.
+
+    Scale shape: identical to the composite (cell = partition column,
+    probe = partition pruning, ADC over 8-byte codes of probed cells)
+    plus one map-only residual projection between the two trainings."""
+    shared = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).localCheckpoint(eager=True)
+    ivf = ivf_train(
+        shared, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=ivf_iters
+    )
+    cells, cents = ivf.assignments, ivf.centroids
+    # residuals on the SAME unit frame ivf assigned from; centroid lookup
+    # is a map literal keyed by cell id (cells can drop out of Lloyd
+    # rounds, so ids may be non-contiguous — element_at on a dense array
+    # would misalign)
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(int(cell)) for cell, _ in cents]),
+        F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for _, c in cents]
+        ),
+    )
+    u = _unit_fixedpoint(shared, vec_col, id_col)
+    resid = (
+        u.join(
+            cells.select(F.col(id_col).alias("_id"), "cell"), "_id"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.zip_with(
+                "u", F.element_at(cmap, F.col("cell")), lambda a, b: a - b
+            ).alias("resid"),
+        )
+        .localCheckpoint(eager=False)  # feeds every PQ Lloyd round
+    )
+    pq = pq_train(
+        resid, n_sub=n_sub, k=k, iters=pq_iters, vec_col="resid", id_col=id_col
+    )
+    codes, cb = pq.codes, pq.codebook
+    k, d_sub = pq.k, pq.d_sub
+
+    q_raw = (
+        shared.where(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("x"))
+        .first()
+    )
+    if q_raw is None:
+        raise ValueError(f"query_id {query_id} not present in {id_col}")
+    qv = list(q_raw["x"])
+    norm_fp = sum(int(math.floor(v * v * 1e12 + 0.5)) for v in qv)
+    nrm = max(math.sqrt(norm_fp / 1e12), 1e-12)
+    u_q = [v / nrm for v in qv]
+
+    def d_fp(c: list[float]) -> int:
+        return sum(
+            int(math.floor((u_q[d] - c[d]) * (u_q[d] - c[d]) * 1e12 + 0.5))
+            for d in range(len(c))
+        )
+
+    by_cell = dict(cents)
+    probe_cells = [
+        cell for _, cell in sorted((d_fp(c), cell) for cell, c in cents)[:n_probe]
+    ]
+    # per-probed-cell ADC tables from the query's per-cell residual —
+    # the residual recipe's extra cost vs the composite's single table
+    tabs: dict[int, list[list[int]]] = {}
+    for cell in probe_cells:
+        c = by_cell[cell]
+        qq = [
+            int(math.floor((u_q[d] - c[d]) * 1_000_000 + 0.5))
+            for d in range(len(c))
+        ]
+        tabs[cell] = [
+            [
+                sum(
+                    (qq[s * d_sub + d] - cb[s][j][d]) ** 2
+                    for d in range(d_sub)
+                )
+                for j in range(k)
+            ]
+            for s in range(n_sub)
+        ]
+    adc = None
+    for s in range(n_sub):
+        m = F.map_from_arrays(
+            F.array(*[F.lit(int(c)) for c in probe_cells]),
+            F.array(
+                *[
+                    F.array(*[F.lit(int(v)) for v in tabs[c][s]])
+                    for c in probe_cells
+                ]
+            ),
+        )
+        term = F.element_at(
+            F.element_at(m, F.col("cell")), F.col(f"c{s}") + 1
+        )
+        adc = term if adc is None else adc + term
+
+    cand = codes.join(cells, on=id_col).where(
+        F.col("cell").isin([int(c) for c in probe_cells])
+        & (F.col(id_col) != query_id)
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            adc.cast("long").alias("adc_fp"),
+        )
+        .orderBy(F.col("adc_fp").asc(), F.col(id_col))
+        .limit(k_out)
+    )

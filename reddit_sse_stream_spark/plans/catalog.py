@@ -9149,15 +9149,24 @@ def bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_ctes(
-    n_sub: int = 8, k: int = 16, iters: int = 2, dim: int = 64, p: str = ""
+    n_sub: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    p: str = "",
+    ex_cte: str | None = None,
 ) -> tuple[list[str], str, str]:
     """CTE list + (final-assignment, final-codebook) CTE names for the PQ
     oracle chain; ``p`` prefixes every CTE name so the chain can be
     composed with the IVF chain (which owns the bare ex/d/a names) in
-    one WITH block."""
+    one WITH block.  ``ex_cte`` overrides the source CTE body (must
+    produce (vec_id, sub, dd, xq)) — the residual IVF-PQ twin feeds the
+    chain 1e6-quantized residuals instead of raw coordinates."""
     d_sub = dim // n_sub
     ctes = [
-        f"""{p}ex AS (
+        f"{p}ex AS ({ex_cte})"
+        if ex_cte is not None
+        else f"""{p}ex AS (
       SELECT vec_id,
              CAST(ix.d // {d_sub} AS INTEGER) AS sub,
              CAST(ix.d % {d_sub} AS INTEGER) AS dd,
@@ -9397,6 +9406,76 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_sse_stream_spark.operators.ml_lsh import ivfpq_topk
 
     return ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _ivfpq_residual_oracle(n_cells: int = 8, ivf_iters: int = 2, n_sub: int = 8,
+                           k: int = 16, pq_iters: int = 2, dim: int = 64,
+                           qid: int = 0, n_probe: int = 2, k_out: int = 5) -> str:
+    """Residual IVF-PQ twin: the IVF chain's unit frame (ex), final
+    assignment (a{ivf_iters}) and final centroids (cen{ivf_iters}) feed a
+    RESIDUAL source CTE into the PQ chain (pex override: xq =
+    floor((u - c) * 1e6 + 0.5)), and the query side builds one ADC table
+    PER PROBED CELL from the query's per-cell residual — the two extra
+    moving parts the residual recipe adds over _ivfpq_oracle, both
+    re-derived here value-for-value."""
+    d_sub = dim // n_sub
+    ivf_ctes, ivf_final = _ivf_fixedpoint_ctes(n_cells, ivf_iters, dim)
+    resid_ex = f"""
+      SELECT e.vec_id,
+             CAST(e.d // {d_sub} AS INTEGER) AS sub,
+             CAST(e.d % {d_sub} AS INTEGER) AS dd,
+             CAST(floor((e.u - c.c) * 1000000 + 0.5) AS BIGINT) AS xq
+      FROM ex e
+        JOIN {ivf_final} a USING (vec_id)
+        JOIN cen{ivf_iters} c ON c.cell = a.cell AND c.d = e.d"""
+    pq_ctes_l, pq_last, pq_cb = _pq_ctes(
+        n_sub, k, pq_iters, dim, p="p", ex_cte=resid_ex
+    )
+    return (
+        "WITH " + ",\n".join(ivf_ctes + pq_ctes_l)
+        + f""",
+    probe AS (SELECT cell FROM d{ivf_iters} WHERE vec_id = {qid}
+              ORDER BY dist, cell LIMIT {n_probe}),
+    qd AS (
+      SELECT pr.cell,
+             CAST(e.d // {d_sub} AS INTEGER) AS sub,
+             CAST(e.d % {d_sub} AS INTEGER) AS dd,
+             CAST(floor((e.u - c.c) * 1000000 + 0.5) AS BIGINT) AS xq
+      FROM ex e
+        CROSS JOIN probe pr
+        JOIN cen{ivf_iters} c ON c.cell = pr.cell AND c.d = e.d
+      WHERE e.vec_id = {qid}),
+    tab AS (
+      SELECT q.cell, c.sub, c.code,
+             CAST(sum((q.xq - c.xq) * (q.xq - c.xq)) AS BIGINT) AS d2
+      FROM {pq_cb} c JOIN qd q ON q.sub = c.sub AND q.dd = c.dd
+      GROUP BY q.cell, c.sub, c.code)
+    SELECT a.vec_id, CAST(iv.cell AS INTEGER) AS cell,
+           CAST(sum(t.d2) AS BIGINT) AS adc_fp
+    FROM {pq_last} a
+      JOIN {ivf_final} iv ON iv.vec_id = a.vec_id
+      JOIN tab t ON t.cell = iv.cell AND t.sub = a.sub AND t.code = a.code
+    WHERE a.vec_id <> {qid}
+    GROUP BY a.vec_id, iv.cell
+    ORDER BY adc_fp ASC, a.vec_id LIMIT {k_out}"""
+    )
+
+
+@_register("knn_ivfpq_residual_topk", _ivfpq_residual_oracle())
+def knn_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoding IVF-PQ top-k
+    (operators/ml_lsh.py:ivfpq_residual_topk) — the full FAISS
+    ``IVF8,PQ8`` recipe, closing knn_ivfpq_topk's documented deviation:
+    PQ quantizes each vector's residual to its coarse centroid (codebook
+    capacity spent on local structure) and the query pays one ADC table
+    per probed cell, built from its per-cell residual.  Coarse
+    assignment, residual projection, residual codebook training, per-cell
+    tables, and the (adc_fp, id) cut are all re-derived in one composed
+    SQL twin — the residual chain reuses the IVF oracle's unit frame and
+    centroids as the PQ chain's source."""
+    from reddit_sse_stream_spark.operators.ml_lsh import ivfpq_residual_topk
+
+    return ivfpq_residual_topk(_t(spark, sf_dir, "embeddings"))
 
 
 _CMS_MERGE_ORACLE = """

@@ -85,6 +85,10 @@ HEADLINE = (
     "agg_countmin_heavy_hitters",
     "ts_rolling_features",
     "text_gopher_gate",
+    # round-9 addition: the residual-encoding IVF-PQ (one coarse training
+    # feeding a residual-trained PQ — sequential by construction, so it
+    # prices the full FAISS recipe against the cheaper composite above)
+    "knn_ivfpq_residual_topk",
 )
 
 

@@ -96,6 +96,9 @@ SWEEP = (
     # input is 1/8 of the full row's
     "dedup_source_minhash_sampled",
     "agg_countmin_heavy_hitters",
+    # r09: residual IVF-PQ — like the composite, fixed training-round
+    # cost should dominate (flat-ish curve)
+    "knn_ivfpq_residual_topk",
     # window-marked substring dedup: must scale with gram rows (window),
     # never pair-quadratically
     "text_duplicate_spans",

@@ -85,10 +85,13 @@ HEADLINE = (
     "agg_countmin_heavy_hitters",
     "ts_rolling_features",
     "text_gopher_gate",
-    # round-9 addition: the residual-encoding IVF-PQ (one coarse training
+    # round-9 additions: the residual-encoding IVF-PQ (one coarse training
     # feeding a residual-trained PQ — sequential by construction, so it
     # prices the full FAISS recipe against the cheaper composite above)
+    # and the prefix-doubling suffix-array ranks (O(log L) iterative
+    # rounds — the heaviest text shape in the catalog)
     "knn_ivfpq_residual_topk",
+    "text_suffix_ranks",
 )
 
 

@@ -1258,3 +1258,94 @@ def spans_from_positions(
         )
         .drop("grp")
     )
+
+
+def suffix_ranks(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide word-level suffix-array ranks by PREFIX DOUBLING
+    [Manber & Myers 1990; the index behind Lee et al. 2022's suffix-array
+    substring dedup]: every (doc, pos) suffix — the word sequence
+    words[pos:] — gets its global lexicographic dense rank, computed in
+    O(log L) rounds of pure relational ops instead of any string sort:
+    round k orders by (rank of first 2^k words, rank of the next 2^k),
+    so no comparison ever touches more than two ints.  Equal suffixes
+    (duplicated tails — the substring-dedup signal) share a rank.
+
+    Exactness: the initial round ranks single words (binary UTF8 order,
+    identical in DuckDB's default collation); a missing second half
+    ranks as 0 < every real rank, which is exactly "shorter
+    prefix-suffix sorts first" — so the final ranks equal DuckDB's
+    direct ``ORDER BY words[pos:]`` list sort, value-for-value.
+
+    Scale shape: the doubling is SEEDED at h=8 — one dense_rank over the
+    first-8-words array slice (arrays are orderable, element-wise,
+    shorter-prefix-first) replaces the h=1/2/4 rounds outright; then the
+    "rank 2^k ahead" lookup is a ``lead(r, h)`` WINDOW
+    on the doc key — one exchange per round, no shift self-join;
+    re-ranking happens on the DISTINCT (r, r2) frame (bounded by suffix
+    count, usually far smaller) which is checkpointed, counted for the
+    fixed-point test, and broadcast back.  The loop exits as soon as a
+    round refines nothing (distinct pair count == prior rank count) —
+    unbreakable ties (true duplicate tails) stop refining long before
+    the max-length bound.  The dense_rank window over the distinct frame
+    is single-partition at test scale; at 100 TB swap in the
+    range-partitioned two-phase rank (repartitionByRange + local rank +
+    per-partition offsets — equal keys land in one partition, so offsets
+    compose exactly).  Each round localCheckpoints eagerly: an iterative
+    algorithm's lineage would otherwise double per round."""
+    from pyspark.sql import Window
+
+    base_h = 8
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    # seed the doubling at h=8 directly: arrays are orderable in Spark
+    # (element-wise, shorter-prefix-first — the same order DuckDB gives
+    # lists), so ONE dense_rank over the first-8-words slice replaces the
+    # first three doubling rounds (h = 1, 2, 4) outright
+    pref = docs.select(
+        id_col, words.alias("ws")
+    ).select(
+        id_col, F.col("ws"), F.posexplode("ws").alias("pos", "_w")
+    ).select(
+        id_col,
+        "pos",
+        F.slice("ws", F.col("pos") + 1, base_h).alias("p8"),
+    )
+    seed_w = Window.orderBy("p8")
+    cur = pref.select(
+        id_col, "pos", F.dense_rank().over(seed_w).alias("r")
+    ).localCheckpoint(eager=True)
+    tok = docs.select(id_col, F.posexplode(words).alias("pos", "w"))
+    maxlen = tok.groupBy(id_col).count().agg(F.max("count")).first()[0] or 0
+    n_ranks = -1  # unknown until the first round's distinct
+    doc_w = Window.partitionBy(id_col).orderBy("pos")
+    h = base_h
+    while h < maxlen:
+        pair = cur.select(
+            id_col,
+            "pos",
+            "r",
+            F.coalesce(F.lead("r", h).over(doc_w), F.lit(0)).alias("r2"),
+        )
+        pair_w = Window.orderBy("r", "r2")
+        rmap = (
+            pair.select("r", "r2")
+            .distinct()
+            .select("r", "r2", F.dense_rank().over(pair_w).alias("nr"))
+            .localCheckpoint(eager=True)
+        )
+        n_pairs = rmap.count()
+        if n_pairs == n_ranks:
+            break  # fixed point: this round would relabel, not refine
+        n_ranks = n_pairs
+        cur = (
+            pair.join(F.broadcast(rmap), ["r", "r2"])
+            .select(id_col, "pos", F.col("nr").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        h *= 2
+    return cur.select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.col("r").cast("long").alias("suffix_rank"),
+    )

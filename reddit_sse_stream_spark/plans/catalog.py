@@ -9408,6 +9408,39 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+_SUFFIX_RANKS_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, i - 1 AS pos, words[i:] AS suf
+      FROM w, unnest(generate_series(1, len(words))) AS u(i)
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS suffix_rank
+    FROM s
+    """
+
+
+@_register("text_suffix_ranks", _SUFFIX_RANKS_ORACLE)
+def text_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide suffix-array ranks by prefix doubling
+    (operators/text.py:suffix_ranks — Manber & Myers 1990, the index
+    behind Lee-et-al substring dedup): every word-level suffix's global
+    lexicographic dense rank, built in O(log L) relational rounds where
+    no comparison ever touches more than two ints — while the DuckDB twin
+    sorts the actual suffix LISTS directly (ORDER BY words[pos:]), so the
+    doubling recurrence is verified value-for-value against the
+    definitionally-correct order on every row.  Equal ranks mark
+    duplicated tails, the raw material of suffix-array dedup;
+    text_duplicate_spans is the windowed-gram approximation of the same
+    signal."""
+    from reddit_sse_stream_spark.operators.text import suffix_ranks
+
+    return suffix_ranks(_t(spark, sf_dir, "documents"))
+
+
 def _ivfpq_residual_oracle(n_cells: int = 8, ivf_iters: int = 2, n_sub: int = 8,
                            k: int = 16, pq_iters: int = 2, dim: int = 64,
                            qid: int = 0, n_probe: int = 2, k_out: int = 5) -> str:

@@ -2077,3 +2077,38 @@ def test_duplicate_spans_islands_and_extents(spark):
     # 8-gram -> duplicated; starts 1..7 are unique rotations -> two
     # single-gram islands
     assert sorted(out[4]) == [(0, 7, 1), (8, 15, 1)]
+
+
+def test_suffix_ranks_prefix_doubling_hand_example(spark):
+    """Hand-checkable suffix-array ranks: duplicated tails share a rank,
+    a shorter prefix-suffix ranks below its extensions, and ranks are
+    dense over the distinct-suffix domain.  One doc longer than the h=8
+    seed forces at least one doubling round, so the recurrence (not just
+    the seed rank) is exercised."""
+    from reddit_sse_stream_spark.operators.text import suffix_ranks
+
+    long1 = " ".join(f"w{i % 7}" for i in range(20))  # > 8 words, repeats
+    docs = spark.createDataFrame(
+        [(1, "b a c"), (2, "a c"), (3, "b a c"), (4, "a"), (5, long1)],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.pos): r.suffix_rank for r in suffix_ranks(docs).collect()}
+    assert len(out) == 3 + 2 + 3 + 1 + 20
+    # duplicated tails share ranks
+    assert out[(1, 0)] == out[(3, 0)]          # "b a c"
+    assert out[(1, 1)] == out[(2, 0)] == out[(3, 1)]  # "a c"
+    assert out[(1, 2)] == out[(2, 1)] == out[(3, 2)]  # "c"
+    # shorter prefix-suffix sorts first: "a" < "a c"
+    assert out[(4, 0)] < out[(1, 1)]
+    # dense over distinct suffixes
+    ranks = sorted(set(out.values()))
+    assert ranks == list(range(1, len(ranks) + 1))
+    # python reference: rank by sorted distinct word-tuple suffixes
+    texts = {1: "b a c", 2: "a c", 3: "b a c", 4: "a", 5: long1}
+    sufs = {
+        (d, p): tuple(t.lower().split()[p:])
+        for d, t in texts.items()
+        for p in range(len(t.split()))
+    }
+    order = {s: i + 1 for i, s in enumerate(sorted(set(sufs.values())))}
+    assert out == {k: order[v] for k, v in sufs.items()}

@@ -99,6 +99,9 @@ SWEEP = (
     # r09: residual IVF-PQ — like the composite, fixed training-round
     # cost should dominate (flat-ish curve)
     "knn_ivfpq_residual_topk",
+    # r09: suffix-array ranks — rounds are log(max doc length), which is
+    # CONSTANT in corpus size; per-round work is linear
+    "text_suffix_ranks",
     # window-marked substring dedup: must scale with gram rows (window),
     # never pair-quadratically
     "text_duplicate_spans",

@@ -1349,3 +1349,84 @@ def suffix_ranks(
         F.col("pos").cast("long").alias("pos"),
         F.col("r").cast("long").alias("suffix_rank"),
     )
+
+
+def longest_repeat(
+    docs: DataFrame,
+    top: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT longest repeated word-span in the corpus — the suffix array
+    put to its classic use [Manber & Myers 1990; the primitive under Lee
+    et al. 2022's dedup]: the longest repeat is always the LCP of two
+    suffixes ADJACENT in suffix-array order (any non-adjacent pair's
+    common prefix is also shared by everything ranked between them), so
+    one pass over rank-adjacent pairs finds it — no pair join, no gram
+    approximation (:func:`duplicate_spans` is the windowed-gram
+    approximation of this signal).  Output: the ``top`` longest repeats
+    as (doc_a, pos_a, doc_b, pos_b, lcp_words), ordered (lcp desc, ids) —
+    deterministic under ties.
+
+    LCP of two word arrays is an O(L) fold (running still-equal flag),
+    never a quadratic; the DuckDB twin counts the prefix lengths at which
+    the slices agree (prefix equality is monotone, so the count IS the
+    LCP) — quadratic per pair but definitionally correct, the same
+    verify-with-a-simpler-truth discipline as the suffix-rank oracle.
+
+    Scale shape: :func:`suffix_ranks` (its costs documented there) + one
+    global order by (rank, doc, pos) for adjacency — single-partition at
+    test scale, range-partitioned at 100 TB (adjacent pairs stay adjacent
+    within range partitions; only the P-1 boundary pairs need a second
+    look) — + a doc-keyed join shipping each adjacent pair's two word
+    arrays once, + TakeOrdered top-k."""
+    from pyspark.sql import Window
+
+    ranks = suffix_ranks(docs, text_col, id_col)
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    wd = docs.select(F.col(id_col).alias("_d"), words.alias("ws"))
+    order_w = Window.orderBy("suffix_rank", id_col, "pos")
+    adj = ranks.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        F.lead(id_col, 1).over(order_w).alias("doc_b"),
+        F.lead("pos", 1).over(order_w).alias("pos_b"),
+    ).where(F.col("doc_b").isNotNull())
+    pair = (
+        adj.join(wd.select(F.col("_d").alias("doc_a"), F.col("ws").alias("wa")), "doc_a")
+        .join(wd.select(F.col("_d").alias("doc_b"), F.col("ws").alias("wb")), "doc_b")
+        .select(
+            "doc_a",
+            "pos_a",
+            "doc_b",
+            "pos_b",
+            F.slice("wa", F.col("pos_a") + 1, F.size("wa")).alias("sa"),
+            F.slice("wb", F.col("pos_b") + 1, F.size("wb")).alias("sb"),
+        )
+    )
+    # LCP fold: count leading equal elements with a running still-equal flag
+    lcp = F.aggregate(
+        F.zip_with("sa", "sb", lambda a, b: a.eqNullSafe(b)),
+        F.struct(
+            F.lit(0).cast("long").alias("n"), F.lit(True).alias("ok")
+        ),
+        lambda acc, e: F.struct(
+            (acc["n"] + F.when(acc["ok"] & e, 1).otherwise(0)).alias("n"),
+            (acc["ok"] & e).alias("ok"),
+        ),
+        lambda acc: acc["n"],
+    )
+    return (
+        pair.select(
+            "doc_a",
+            F.col("pos_a").cast("long").alias("pos_a"),
+            "doc_b",
+            F.col("pos_b").cast("long").alias("pos_b"),
+            lcp.alias("lcp_words"),
+        )
+        .where(F.col("lcp_words") > 0)
+        .orderBy(
+            F.desc("lcp_words"), "doc_a", "pos_a", "doc_b", "pos_b"
+        )
+        .limit(top)
+    )

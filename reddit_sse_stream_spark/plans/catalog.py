@@ -9441,6 +9441,56 @@ def text_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_ranks(_t(spark, sf_dir, "documents"))
 
 
+_LONGEST_REPEAT_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, i - 1 AS pos, words[i:] AS suf
+      FROM w, unnest(generate_series(1, len(words))) AS u(i)
+    ),
+    o AS (
+      SELECT doc_id, pos, suf,
+             lead(doc_id) OVER (ORDER BY suf, doc_id, pos) AS doc_b,
+             lead(pos)    OVER (ORDER BY suf, doc_id, pos) AS pos_b,
+             lead(suf)    OVER (ORDER BY suf, doc_id, pos) AS suf_b
+      FROM s
+    ),
+    p AS (
+      SELECT doc_id AS doc_a, pos AS pos_a, doc_b, pos_b,
+             coalesce(
+               nullif(list_position(
+                 list_transform(list_zip(suf, suf_b),
+                                t -> t[1] IS DISTINCT FROM t[2]),
+                 true), 0) - 1,
+               least(len(suf), len(suf_b))) AS lcp_words
+      FROM o WHERE doc_b IS NOT NULL
+    )
+    SELECT doc_a, CAST(pos_a AS BIGINT) AS pos_a,
+           doc_b, CAST(pos_b AS BIGINT) AS pos_b,
+           CAST(lcp_words AS BIGINT) AS lcp_words
+    FROM p WHERE lcp_words > 0
+    ORDER BY lcp_words DESC, doc_a, pos_a, doc_b, pos_b LIMIT 5
+    """
+
+
+@_register("text_longest_repeat", _LONGEST_REPEAT_ORACLE)
+def text_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact longest repeated word-spans in the corpus
+    (operators/text.py:longest_repeat): the suffix array put to its
+    classic use — the longest repeat is always the LCP of two
+    rank-ADJACENT suffixes, so one pass over the suffix order finds it
+    exactly, no pair join and no gram approximation.  Spark computes LCP
+    as an O(L) still-equal fold; the DuckDB twin takes the first-mismatch
+    position of the zipped suffix lists over lead() pairs of the
+    directly-sorted suffixes — two independent formulations,
+    value-matched."""
+    from reddit_sse_stream_spark.operators.text import longest_repeat
+
+    return longest_repeat(_t(spark, sf_dir, "documents"))
+
+
 def _ivfpq_residual_oracle(n_cells: int = 8, ivf_iters: int = 2, n_sub: int = 8,
                            k: int = 16, pq_iters: int = 2, dim: int = 64,
                            qid: int = 0, n_probe: int = 2, k_out: int = 5) -> str:

@@ -2112,3 +2112,29 @@ def test_suffix_ranks_prefix_doubling_hand_example(spark):
     }
     order = {s: i + 1 for i, s in enumerate(sorted(set(sufs.values())))}
     assert out == {k: order[v] for k, v in sufs.items()}
+
+
+def test_longest_repeat_is_adjacent_pair_lcp(spark):
+    """The classic suffix-array reduction, pinned by hand: a 4-word block
+    shared between two docs at different offsets must surface as the top
+    repeat with the right (doc, pos) witnesses, its sub-suffixes follow
+    with decreasing LCP, and a doc sharing nothing contributes no row."""
+    from reddit_sse_stream_spark.operators.text import longest_repeat
+
+    docs = spark.createDataFrame(
+        [(1, "x y z q r s"), (2, "a b x y z q w"), (3, "k l m")],
+        "doc_id long, text string",
+    )
+    rows = longest_repeat(docs, top=10).collect()
+    assert rows[0].lcp_words == 4  # "x y z q"
+    assert (rows[0].doc_a, rows[0].pos_a, rows[0].doc_b, rows[0].pos_b) == (1, 0, 2, 2)
+    lcps = [r.lcp_words for r in rows]
+    assert lcps == sorted(lcps, reverse=True)
+    assert all(r.lcp_words > 0 for r in rows)
+    assert not any(3 in (r.doc_a, r.doc_b) for r in rows)
+    # identical docs: the repeat is the full doc
+    dup = spark.createDataFrame(
+        [(1, "p q r"), (2, "p q r")], "doc_id long, text string"
+    )
+    top = longest_repeat(dup, top=1).collect()[0]
+    assert top.lcp_words == 3 and {top.doc_a, top.doc_b} == {1, 2}

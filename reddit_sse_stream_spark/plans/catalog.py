@@ -10171,16 +10171,19 @@ _CHANGED_SINCE_PROOF = {
     # (r08's nine rewrite entries were all re-proven green in the r08
     # window — CORRECTNESS_r08.json — and are pruned; the map above now
     # folds r08 in.)  r09 code changes that postdate their last proof:
-    # r09 REWRITE, not a semantic change: the IVF-PQ training path now
-    # trains both quantizers from ONE localCheckpointed quantized frame
-    # instead of re-scanning parquet per Lloyd round (VERDICT r08 next
-    # #3) — bit-exactness pinned in tests, but the executing code differs
-    # from what the r08 proof ran
+    # r09 REWRITE, not a semantic change: ivfpq_topk now feeds both
+    # quantizer trainings from ONE localCheckpointed vector frame instead
+    # of re-scanning parquet (VERDICT r08 next #3) — bit-exactness pinned
+    # in tests, but the executing code differs from what the r08 proof
+    # ran.  The other pq_train callers changed only by the seed-level
+    # uniform-dim GUARD (ADVICE r08; pure pre-check, no value path
+    # touched) — still listed, since the r08 policy re-proves rewrites;
+    # ivf_fixedpoint_cells executes NO changed code and is not listed
+    # (a too-large tier 0 starves the stale tier, and 46 rows sit at r04)
     "knn_ivfpq_topk",
     "embed_pq_codes",
     "knn_pq_adc_topk",
     "knn_pq_recall_audit",
-    "knn_ivf_fixedpoint_cells",
     # r09 SEMANTIC change: media_features now really decodes WAV payloads
     # (stdlib wave/struct) instead of the deterministic fake for that
     # format (VERDICT r08 next #5) — oracle updated in lockstep

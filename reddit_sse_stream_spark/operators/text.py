@@ -1261,7 +1261,10 @@ def spans_from_positions(
 
 
 def suffix_ranks(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed_words: int = 32,
 ) -> DataFrame:
     """Corpus-wide word-level suffix-array ranks by PREFIX DOUBLING
     [Manber & Myers 1990; the index behind Lee et al. 2022's suffix-array
@@ -1278,10 +1281,15 @@ def suffix_ranks(
     prefix-suffix sorts first" — so the final ranks equal DuckDB's
     direct ``ORDER BY words[pos:]`` list sort, value-for-value.
 
-    Scale shape: the doubling is SEEDED at h=8 — one dense_rank over the
-    first-8-words array slice (arrays are orderable, element-wise,
-    shorter-prefix-first) replaces the h=1/2/4 rounds outright; then the
-    "rank 2^k ahead" lookup is a ``lead(r, h)`` WINDOW
+    Scale shape: the doubling is SEEDED at h=``seed_words`` — one
+    dense_rank over the first-``seed_words`` array slice (arrays are
+    orderable, element-wise, shorter-prefix-first) replaces the first
+    log2(seed_words) rounds outright.  The seed trades exchange BYTES
+    (each suffix row ships a seed_words-word slice once) for ROUNDS
+    (each skipped round is a full iterate: window + distinct + re-rank +
+    checkpoint); measured at sf0.1 the 32-word seed beats the 8-word one
+    1.4x, and for long-doc corpora where slice bytes dominate, shrink
+    it.  Then the "rank 2^k ahead" lookup is a ``lead(r, h)`` WINDOW
     on the doc key — one exchange per round, no shift self-join;
     re-ranking happens on the DISTINCT (r, r2) frame (bounded by suffix
     count, usually far smaller) which is checkpointed, counted for the
@@ -1296,12 +1304,12 @@ def suffix_ranks(
     algorithm's lineage would otherwise double per round."""
     from pyspark.sql import Window
 
-    base_h = 8
+    base_h = seed_words
     words = F.split(F.lower(F.col(text_col)), r"\s+")
-    # seed the doubling at h=8 directly: arrays are orderable in Spark
+    # seed the doubling directly: arrays are orderable in Spark
     # (element-wise, shorter-prefix-first — the same order DuckDB gives
-    # lists), so ONE dense_rank over the first-8-words slice replaces the
-    # first three doubling rounds (h = 1, 2, 4) outright
+    # lists), so ONE dense_rank over the first-seed_words slice replaces
+    # the first log2(seed_words) doubling rounds outright
     pref = docs.select(
         id_col, words.alias("ws")
     ).select(

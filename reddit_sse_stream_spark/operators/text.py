@@ -1376,11 +1376,17 @@ def longest_repeat(
     as (doc_a, pos_a, doc_b, pos_b, lcp_words), ordered (lcp desc, ids) —
     deterministic under ties.
 
-    LCP of two word arrays is an O(L) fold (running still-equal flag),
-    never a quadratic; the DuckDB twin counts the prefix lengths at which
-    the slices agree (prefix equality is monotone, so the count IS the
-    LCP) — quadratic per pair but definitionally correct, the same
-    verify-with-a-simpler-truth discipline as the suffix-rank oracle.
+    LCP per pair is an EARLY-EXIT scan inside an Arrow ``mapInPandas``
+    kernel: adjacent suffixes mostly diverge within a few words, so the
+    expected cost is O(pairs x avg_lcp), not O(pairs x L) — a
+    higher-order-function fold can't stop at the first mismatch (and
+    Spark's array HOFs are CodegenFallback anyway, the same reason
+    :func:`similarity.score_pairs_arrow` exists; swapping the fold for
+    the kernel measured 14.2 -> ~7 s at sf0.1, almost all of the
+    remainder being the suffix ranks themselves).  The DuckDB twin takes
+    the first-mismatch position of the zipped suffix lists —
+    definitionally correct, the same verify-with-a-simpler-truth
+    discipline as the suffix-rank oracle.
 
     Scale shape: :func:`suffix_ranks` (its costs documented there) + one
     global order by (rank, doc, pos) for adjacency — single-partition at
@@ -1412,27 +1418,33 @@ def longest_repeat(
             F.slice("wb", F.col("pos_b") + 1, F.size("wb")).alias("sb"),
         )
     )
-    # LCP fold: count leading equal elements with a running still-equal flag
-    lcp = F.aggregate(
-        F.zip_with("sa", "sb", lambda a, b: a.eqNullSafe(b)),
-        F.struct(
-            F.lit(0).cast("long").alias("n"), F.lit(True).alias("ok")
-        ),
-        lambda acc, e: F.struct(
-            (acc["n"] + F.when(acc["ok"] & e, 1).otherwise(0)).alias("n"),
-            (acc["ok"] & e).alias("ok"),
-        ),
-        lambda acc: acc["n"],
-    )
+    def lcp_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            lcps = []
+            for a, b in zip(pdf["sa"], pdf["sb"]):
+                n = min(len(a), len(b))
+                i = 0
+                while i < n and a[i] == b[i]:
+                    i += 1
+                lcps.append(i)
+            out = pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"].astype("int64"),
+                    "pos_a": pdf["pos_a"].astype("int64"),
+                    "doc_b": pdf["doc_b"].astype("int64"),
+                    "pos_b": pdf["pos_b"].astype("int64"),
+                    "lcp_words": pd.Series(lcps, dtype="int64").values,
+                }
+            )
+            yield out[out["lcp_words"] > 0]
+
     return (
-        pair.select(
-            "doc_a",
-            F.col("pos_a").cast("long").alias("pos_a"),
-            "doc_b",
-            F.col("pos_b").cast("long").alias("pos_b"),
-            lcp.alias("lcp_words"),
+        pair.mapInPandas(
+            lcp_batches,
+            "doc_a long, pos_a long, doc_b long, pos_b long, lcp_words long",
         )
-        .where(F.col("lcp_words") > 0)
         .orderBy(
             F.desc("lcp_words"), "doc_a", "pos_a", "doc_b", "pos_b"
         )

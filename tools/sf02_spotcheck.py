@@ -35,6 +35,10 @@ ROWS = (
     "dedup_containment_grams",
     "text_char_entropy",
     "dedup_substring_containment",
+    # r09 heavy text additions: one extra scale point on first exposure
+    "text_suffix_ranks",
+    "text_longest_repeat",
+    "text_duplicate_spans",
 )
 
 SF01 = "/root/testdata/sf0.1"

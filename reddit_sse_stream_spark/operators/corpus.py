@@ -872,3 +872,50 @@ def batch_lineage(
             "doc_ids",
         )
     )
+
+
+def global_dense_rank(
+    df: DataFrame, *cols: str, out_col: str = "rank", n_parts: int = 32
+) -> DataFrame:
+    """EXACT global dense rank without a single-partition window — the
+    two-phase shape several operators document as their 100 TB swap
+    (suffix_ranks' seed/re-rank, quality quantile gates): range-partition
+    on the key so equal keys land in ONE partition (rank boundaries never
+    split), dense-rank locally per partition, then add per-partition
+    offsets (cumulative distinct-key counts — a P-sized driver fold, the
+    parameter-server step).
+
+    Correctness does not depend on the range boundaries the sampler
+    picks: ANY split that keeps equal keys together yields the same
+    ranks, which is exactly what repartitionByRange guarantees.  Two
+    exchanges total (range + the window's hash on the partition id) and
+    one P-row collect — vs the one-task sort bottleneck of
+    ``Window.orderBy(cols)`` with no partitioning.
+
+    The audit row ``corpus_two_phase_rank_twin`` pins this equal to the
+    single-partition window's ranks value-for-value."""
+    from pyspark.sql import Window
+
+    part = df.repartitionByRange(n_parts, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "_lr", F.dense_rank().over(Window.partitionBy("_pid").orderBy(*cols))
+    ).localCheckpoint(eager=True)  # pin _pid: lazy recompute could resample
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in local.groupBy("_pid")
+        .agg(F.max("_lr").alias("n"))
+        .collect()
+    }
+    offset = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offset[pid] = acc
+        acc += sizes[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offset.items()) for x in kv]
+    )
+    return local.withColumn(
+        out_col, (F.col("_lr") + F.element_at(off_map, F.col("_pid"))).cast("long")
+    ).drop("_pid", "_lr")

@@ -9441,6 +9441,30 @@ def text_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_ranks(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "corpus_two_phase_rank_twin",
+    """
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(dense_rank() OVER (ORDER BY n_chars) AS BIGINT) AS rank
+    FROM documents
+    """,
+)
+def corpus_two_phase_rank_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-phase global dense rank (operators/corpus.py:
+    global_dense_rank) — range-partition so equal keys never split,
+    local dense_rank, per-partition offsets — value-matched against the
+    definitional single-task dense_rank in DuckDB.  This is the 100 TB
+    swap several operators document for their single-partition ranking
+    windows (suffix_ranks' seed/re-rank, quantile gates), proven as a
+    real code path rather than a docstring promise: correctness is
+    independent of where the range sampler draws its boundaries, and
+    this row goes red if that ever stops being true."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return corpus.global_dense_rank(docs, "n_chars").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "rank"
+    )
+
+
 _LONGEST_REPEAT_ORACLE = r"""
     WITH w AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words

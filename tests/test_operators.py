@@ -2138,3 +2138,33 @@ def test_longest_repeat_is_adjacent_pair_lcp(spark):
     )
     top = longest_repeat(dup, top=1).collect()[0]
     assert top.lcp_words == 3 and {top.doc_a, top.doc_b} == {1, 2}
+
+
+def test_global_dense_rank_matches_single_partition_window(spark):
+    """The two-phase rank must equal the definitional single-partition
+    dense_rank on a multi-column key with heavy ties, regardless of where
+    the range sampler draws boundaries; ranks are dense 1..n_distinct."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from reddit_sse_stream_spark.operators.corpus import global_dense_rank
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 83).alias("a"), (F.col("id") % 7).alias("b"), "id"
+    )
+    two = {
+        (r.id, r.rank)
+        for r in global_dense_rank(df, "a", "b", n_parts=16)
+        .select("id", "rank")
+        .collect()
+    }
+    one = {
+        (r.id, r.rank)
+        for r in df.select(
+            "id",
+            F.dense_rank().over(Window.orderBy("a", "b")).cast("long").alias("rank"),
+        ).collect()
+    }
+    assert two == one
+    ranks = sorted({r for _, r in two})
+    assert ranks == list(range(1, len(ranks) + 1))

@@ -1265,6 +1265,7 @@ def suffix_ranks(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed_words: int = 32,
+    two_phase_rank: bool = False,
 ) -> DataFrame:
     """Corpus-wide word-level suffix-array ranks by PREFIX DOUBLING
     [Manber & Myers 1990; the index behind Lee et al. 2022's suffix-array
@@ -1296,13 +1297,24 @@ def suffix_ranks(
     fixed-point test, and broadcast back.  The loop exits as soon as a
     round refines nothing (distinct pair count == prior rank count) —
     unbreakable ties (true duplicate tails) stop refining long before
-    the max-length bound.  The dense_rank window over the distinct frame
-    is single-partition at test scale; at 100 TB swap in the
-    range-partitioned two-phase rank (repartitionByRange + local rank +
-    per-partition offsets — equal keys land in one partition, so offsets
-    compose exactly).  Each round localCheckpoints eagerly: an iterative
-    algorithm's lineage would otherwise double per round."""
+    the max-length bound.  The dense_rank windows (seed + per-round
+    re-rank) are single-partition at test scale; ``two_phase_rank=True``
+    IS the 100 TB configuration as a real code path — every ranking goes
+    through :func:`corpus.global_dense_rank` (range-partitioned local
+    rank + per-partition offsets; equal keys land in one partition, so
+    offsets compose exactly), value-equality pinned in tests and the
+    ``corpus_two_phase_rank_twin`` audit row.  Each round
+    localCheckpoints eagerly: an iterative algorithm's lineage would
+    otherwise double per round."""
     from pyspark.sql import Window
+
+    from reddit_sse_stream_spark.operators.corpus import global_dense_rank
+
+    def rank_by(frame: DataFrame, cols: list[str], out: str) -> DataFrame:
+        if two_phase_rank:
+            return global_dense_rank(frame, *cols, out_col=out)
+        w = Window.orderBy(*cols)
+        return frame.withColumn(out, F.dense_rank().over(w).cast("long"))
 
     base_h = seed_words
     words = F.split(F.lower(F.col(text_col)), r"\s+")
@@ -1319,9 +1331,8 @@ def suffix_ranks(
         "pos",
         F.slice("ws", F.col("pos") + 1, base_h).alias("p8"),
     )
-    seed_w = Window.orderBy("p8")
-    cur = pref.select(
-        id_col, "pos", F.dense_rank().over(seed_w).alias("r")
+    cur = rank_by(pref, ["p8"], "r").select(
+        id_col, "pos", "r"
     ).localCheckpoint(eager=True)
     tok = docs.select(id_col, F.posexplode(words).alias("pos", "w"))
     maxlen = tok.groupBy(id_col).count().agg(F.max("count")).first()[0] or 0
@@ -1335,13 +1346,9 @@ def suffix_ranks(
             "r",
             F.coalesce(F.lead("r", h).over(doc_w), F.lit(0)).alias("r2"),
         )
-        pair_w = Window.orderBy("r", "r2")
-        rmap = (
-            pair.select("r", "r2")
-            .distinct()
-            .select("r", "r2", F.dense_rank().over(pair_w).alias("nr"))
-            .localCheckpoint(eager=True)
-        )
+        rmap = rank_by(
+            pair.select("r", "r2").distinct(), ["r", "r2"], "nr"
+        ).localCheckpoint(eager=True)
         n_pairs = rmap.count()
         if n_pairs == n_ranks:
             break  # fixed point: this round would relabel, not refine

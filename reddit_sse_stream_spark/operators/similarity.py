@@ -626,3 +626,73 @@ def hard_negative_mining(
         f"id_a {id_dt}, label_a {label_dt}, id_b {id_dt}, "
         f"label_b {label_dt}, cos_sim double",
     )
+
+
+def decontam_embedding_cosine(
+    emb: DataFrame,
+    eval_pred,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic sibling of
+    the n-gram overlap decontam family: flag every corpus vector whose
+    cosine to ANY eval-set vector clears ``threshold`` (paraphrased eval
+    leakage that token n-grams miss).  Output: (vec_id, eval_id, cos_sim)
+    for flagged corpus rows, eval_id = the lowest-id eval vector
+    achieving the max floored cosine (deterministic under ties).
+
+    Scale shape: the eval set is SMALL by nature (benchmarks are
+    thousands of rows), so it broadcasts — collected once, L2-normalized
+    into an (m x d) numpy matrix that ships to every task inside the
+    Arrow kernel closure — and the corpus side is ONE zero-shuffle
+    mapInPandas scan: each batch scores against the whole eval matrix as
+    a single GEMM (the vectors-once discipline of
+    :func:`semdedup_cell_pairs`).  No join, no pair frame, no corpus
+    exchange: at 100 TB this is a pure map pass, embarrassingly parallel.
+    Same floor-1e-4 quantization as every cosine entry, so the brute
+    oracle reproduces values exactly."""
+    import numpy as np
+
+    eval_rows = (
+        emb.where(eval_pred)
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    if not eval_rows:
+        raise ValueError("eval predicate selected no rows")
+    eval_ids = np.array([r[id_col] for r in eval_rows], dtype=np.int64)
+    order = np.argsort(eval_ids)
+    eval_ids = eval_ids[order]
+    E = np.array([list(r["v"]) for r in eval_rows], dtype=np.float64)[order]
+    E = E / np.maximum(np.linalg.norm(E, axis=1)[:, None], 1e-12)
+
+    corpus = emb.where(~eval_pred).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["v"].tolist(), dtype=np.float64)
+            A = A / np.maximum(np.linalg.norm(A, axis=1)[:, None], 1e-12)
+            C = np.floor((A @ E.T) * 10000) / 10000
+            best = C.max(axis=1)
+            # lowest eval id among the argmax columns (ids are sorted, so
+            # the FIRST column hitting the max is the lowest id)
+            first = (C == best[:, None]).argmax(axis=1)
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["_id"].astype("int64"),
+                    "eval_id": eval_ids[first],
+                    "cos_sim": best,
+                }
+            )
+            yield out[out["cos_sim"] > threshold]
+
+    return corpus.mapInPandas(
+        kernel, "vec_id long, eval_id long, cos_sim double"
+    )

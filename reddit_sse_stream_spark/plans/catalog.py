@@ -9442,6 +9442,41 @@ def text_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "decontam_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id AS eval_id, v FROM v WHERE vec_id % 20 = 0),
+    c AS (SELECT vec_id, v FROM v WHERE vec_id % 20 <> 0),
+    s AS (
+      SELECT c.vec_id, e.eval_id,
+             floor(list_cosine_similarity(c.v, e.v) * 10000) / 10000 AS cs
+      FROM c CROSS JOIN e
+    ),
+    m AS (SELECT vec_id, max(cs) AS cos_sim FROM s GROUP BY vec_id)
+    SELECT s.vec_id, CAST(min(s.eval_id) AS BIGINT) AS eval_id, m.cos_sim
+    FROM s JOIN m ON s.vec_id = m.vec_id AND s.cs = m.cos_sim
+    WHERE m.cos_sim > 0.4
+    GROUP BY s.vec_id, m.cos_sim
+    """,
+)
+def decontam_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (operators/similarity.py:decontam_embedding_cosine): flag corpus
+    vectors whose max cosine to any eval-set vector (vec_id % 20 = 0
+    plays the benchmark) clears 0.4 — the paraphrased-leakage class the
+    n-gram decontam family can't see.  The eval side BROADCASTS (eval
+    sets are small by nature) as a normalized numpy matrix inside one
+    zero-shuffle Arrow scan of the corpus: per batch, a single GEMM
+    scores against every eval vector — at 100 TB a pure map pass, no
+    join, no pair frame.  The DuckDB twin is the definitional cross
+    product + per-corpus-row max with a lowest-eval-id tiebreak."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.decontam_embedding_cosine(
+        emb, F.col("vec_id") % 20 == 0, threshold=0.4
+    )
+
+
+@_register(
     "corpus_two_phase_rank_twin",
     """
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,

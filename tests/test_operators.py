@@ -2187,3 +2187,34 @@ def test_suffix_ranks_two_phase_rank_configuration(spark, sf_dir):
         for r in suffix_ranks(docs, two_phase_rank=True).collect()
     }
     assert a == b and a
+
+
+def test_decontam_embedding_cosine_broadcast_eval(spark, sf_dir):
+    """The broadcast-eval GEMM decontam: a corpus vector equal to an eval
+    vector must flag with cos_sim 1.0 and the LOWEST achieving eval id;
+    an orthogonal one must not flag; an empty eval predicate raises."""
+    import pytest as _pytest
+
+    from reddit_sse_stream_spark.operators.similarity import (
+        decontam_embedding_cosine,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # eval (id % 20 == 0)
+        (20, [1.0, 0.0, 0.0, 0.0]),  # eval, duplicate direction of 0
+        (1, [2.0, 0.0, 0.0, 0.0]),   # corpus: same direction -> flag, eval_id 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # corpus: orthogonal -> no flag
+        (3, [1.0, 1.0, 0.0, 0.0]),   # corpus: cos ~= 0.7071 -> flag
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in decontam_embedding_cosine(
+            emb, F.col("vec_id") % 20 == 0, threshold=0.4
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1].cos_sim == 1.0 and out[1].eval_id == 0  # lowest of {0, 20}
+    assert abs(out[3].cos_sim - 0.7071) < 1e-9
+    with _pytest.raises(ValueError, match="no rows"):
+        decontam_embedding_cosine(emb, F.col("vec_id") < 0)

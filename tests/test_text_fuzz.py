@@ -346,3 +346,55 @@ def test_duplicate_spans_fuzz_matches_python_reference(spark):
         )
     got = {i: sorted(v) for i, v in got.items()}
     assert got == {i: sorted(v) for i, v in _ref_duplicate_spans(rows).items()}
+
+
+def test_suffix_ranks_fuzz_vs_python_sorted_suffixes(spark):
+    """Prefix doubling vs the definitional rank (sort all suffix tuples,
+    dense-rank) on a degenerate-heavy random corpus: NULL docs (dropped),
+    empty strings (one empty-word suffix), single tokens, stutter runs
+    (maximal unbreakable ties), duplicate docs (tails tied forever — the
+    fixed-point exit's hard case), and docs longer than the seed slice
+    (forcing doubling rounds).  Both seed widths and the two-phase rank
+    configuration must agree with the reference exactly."""
+    rng = random.Random(1234)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    docs: list[tuple[int, str | None]] = []
+    for i in range(50):
+        kind = rng.randrange(7)
+        if kind == 0:
+            docs.append((i, None))
+        elif kind == 1:
+            docs.append((i, ""))
+        elif kind == 2:
+            docs.append((i, rng.choice(vocab)))
+        elif kind == 3:
+            w = rng.choice(vocab)
+            docs.append((i, " ".join([w] * rng.randrange(2, 9))))
+        elif kind == 4 and docs:  # duplicate an earlier doc's text
+            docs.append((i, docs[rng.randrange(len(docs))][1]))
+        else:  # long doc: forces rounds past any seed
+            docs.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 40))))
+            )
+    # python reference: dense rank of sorted distinct suffix tuples
+    sufs: dict[tuple[int, int], tuple[str, ...]] = {}
+    for d, t in docs:
+        if t is None:
+            continue
+        ws = t.lower().split(" ")
+        for p in range(len(ws)):
+            sufs[(d, p)] = tuple(ws[p:])
+    order = {s: i + 1 for i, s in enumerate(sorted(set(sufs.values())))}
+    expected = {k: order[v] for k, v in sufs.items()}
+
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    for kwargs in (
+        {"seed_words": 4},
+        {"seed_words": 64},
+        {"seed_words": 8, "two_phase_rank": True},
+    ):
+        got = {
+            (r.doc_id, r.pos): r.suffix_rank
+            for r in textops.suffix_ranks(frame, **kwargs).collect()
+        }
+        assert got == expected, f"mismatch under {kwargs}"

@@ -1438,3 +1438,57 @@ def test_streaming_duplicate_positions_parity_with_census_replay(
                 n = 1
         span_ref.add((d, start, prev + k - 1, n))
     assert spans == span_ref
+
+
+def test_streaming_decontam_matches_batch(spark, sf_dir, tmp_path):
+    """The embedding-decontam admission gate as a stream: replay the
+    corpus side in 3 micro-batches through the stateless GEMM scan and
+    the union of emissions must equal the batch operator's output on the
+    same frame — map-only parity, no state to drift."""
+    from reddit_sse_stream_spark.operators.similarity import (
+        decontam_embedding_cosine,
+        decontam_embedding_cosine_stream,
+    )
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    batch = {
+        (r.vec_id, r.eval_id, r.cos_sim)
+        for r in decontam_embedding_cosine(
+            emb, F.col("vec_id") % 20 == 0, threshold=0.2
+        ).collect()
+    }
+    assert batch, "fixture must flag something at the loose threshold"
+
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    src = tmp_path / "emb_stream"
+    n = corpus.count()
+    third = n // 3 + 1
+    ordered = corpus.orderBy("vec_id").collect()
+    for b in range(3):
+        spark.createDataFrame(
+            ordered[b * third : (b + 1) * third], corpus.schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        decontam_embedding_cosine_stream(
+            stream, emb.filter(F.col("vec_id") % 20 == 0), threshold=0.2
+        )
+        .writeStream.format("memory")
+        .queryName("decontam_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.vec_id, r.eval_id, r.cos_sim)
+        for r in spark.sql(
+            "SELECT vec_id, eval_id, cos_sim FROM decontam_stream"
+        ).collect()
+    }
+    assert streamed == batch

@@ -1492,3 +1492,79 @@ def test_streaming_decontam_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_dupspan_census_survives_checkpoint_restart(
+    spark, sf_dir, tmp_path
+):
+    """The gram census is fault-tolerant: a gram first seen BEFORE a stop
+    must still mark later occurrences as duplicates after a checkpointed
+    restart — otherwise the marker silently re-admits every boilerplate
+    gram at each failover.  Replay doc_id halves around a restart and pin
+    the union of emissions against the census-replay reference."""
+    import hashlib
+
+    from reddit_sse_stream_spark.sources.tables import load_table
+    from reddit_sse_stream_spark.streaming.stateful import (
+        streaming_duplicate_positions,
+    )
+
+    k = 8
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    src = tmp_path / "docs_src"
+    ck = tmp_path / "ck"
+    out = tmp_path / "dup_pos"
+    docs.filter(F.col("doc_id") < 60).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_duplicate_positions(stream, k=k)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    docs.filter(F.col("doc_id") >= 60).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    run_once()
+
+    streamed = {
+        (r["doc_id"], r["pos"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    seen: set[int] = set()
+    expected: set[tuple[int, int]] = set()
+    for row in sorted(docs.collect(), key=lambda r: r["doc_id"]):
+        ws = row["text"].lower().split()
+        if len(ws) < k:
+            continue
+        for pos in range(len(ws) - k + 1):
+            h = int(
+                hashlib.md5(
+                    " ".join(ws[pos : pos + k]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            if h in seen:
+                expected.add((row["doc_id"], pos))
+            seen.add(h)
+    assert streamed == expected
+    # the restart boundary is load-bearing only if some dup pair SPANS it
+    assert any(d >= 60 for d, _ in expected) and any(d < 60 for d, _ in expected)

@@ -919,3 +919,55 @@ def global_dense_rank(
     return local.withColumn(
         out_col, (F.col("_lr") + F.element_at(off_map, F.col("_pid"))).cast("long")
     ).drop("_pid", "_lr")
+
+
+def global_ntile(
+    df: DataFrame, n: int, *cols: str, out_col: str = "bin", n_parts: int = 32
+) -> DataFrame:
+    """EXACT global ntile without a single-partition window — the sibling
+    of :func:`global_dense_rank` for the equi-depth rows
+    (fn_histogram_equidepth, pack_length_buckets, funnel quartiles) whose
+    docstrings price the one-task sort as "the honest cost of exact
+    bins": range-partition on the ordering key, row_number locally, add
+    per-partition COUNT offsets (P-sized driver fold), then apply the
+    standard ntile split arithmetic — with T rows and T = base*n + rem,
+    the first ``rem`` buckets hold base+1 rows — to the reconstructed
+    global position.  The ordering columns must be a total order (ties
+    make position-based ntile nondeterministic — identical caveat to the
+    window form; every catalog user orders by (value, id)).
+
+    Audited by ``agg_two_phase_ntile_twin`` against DuckDB's ntile and
+    pinned equal to Spark's own window ntile in tests."""
+    from pyspark.sql import Window
+
+    part = df.repartitionByRange(n_parts, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    ).localCheckpoint(eager=True)  # pin _pid: lazy recompute could resample
+    sizes = {
+        r["_pid"]: r["c"]
+        for r in local.groupBy("_pid").agg(F.max("_lrn").alias("c")).collect()
+    }
+    offset = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offset[pid] = acc
+        acc += sizes[pid]
+    total = acc
+    base, rem = divmod(total, n)
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offset.items()) for x in kv]
+    )
+    rn = F.col("_lrn") + F.element_at(off_map, F.col("_pid"))
+    head = rem * (base + 1)  # rows living in the base+1-sized buckets
+    if base == 0:
+        bucket = rn  # T < n: ntile degenerates to one row per bucket
+    else:
+        bucket = F.when(
+            rn <= F.lit(head), F.floor((rn - 1) / F.lit(base + 1))
+        ).otherwise(
+            F.lit(rem) + F.floor((rn - F.lit(head) - 1) / F.lit(base))
+        ) + F.lit(1)
+    return local.withColumn(out_col, bucket.cast("long")).drop("_pid", "_lrn")

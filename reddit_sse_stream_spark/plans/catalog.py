@@ -9477,6 +9477,40 @@ def decontam_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "agg_two_phase_ntile_twin",
+    """
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM b GROUP BY bin
+    """,
+)
+def agg_two_phase_ntile_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-phase global ntile (operators/corpus.py:global_ntile) —
+    range-partition, local row_number, per-partition count offsets, the
+    standard base/remainder bucket split on the reconstructed global
+    position — value-matched against DuckDB's definitional window ntile
+    on the orders table.  This is the executable form of the swap the
+    equi-depth rows (fn_histogram_equidepth, pack_length_buckets, funnel
+    quartiles) document in place of their one-task exact-sort windows;
+    tests additionally pin it equal to Spark's own ntile on degenerate
+    sizes (T < n, T % n = 0)."""
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    b = corpus.global_ntile(orders, 8, "o_totalprice", "o_orderkey")
+    return b.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@_register(
     "corpus_two_phase_rank_twin",
     """
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,

@@ -2218,3 +2218,33 @@ def test_decontam_embedding_cosine_broadcast_eval(spark, sf_dir):
     assert abs(out[3].cos_sim - 0.7071) < 1e-9
     with _pytest.raises(ValueError, match="no rows"):
         decontam_embedding_cosine(emb, F.col("vec_id") < 0)
+
+
+def test_global_ntile_matches_window_ntile_on_degenerate_sizes(spark):
+    """Two-phase ntile == Spark's window ntile on the degenerate shapes
+    the split arithmetic must get right: T < n (one row per bucket),
+    T % n == 0 (uniform buckets), and a remainder case where the first
+    rem buckets carry one extra row."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from reddit_sse_stream_spark.operators.corpus import global_ntile
+
+    for total, n in ((5, 8), (16, 4), (10007, 8)):
+        df = spark.range(0, total).select(
+            (F.col("id") * 7919 % 10007).alias("k"), "id"
+        )
+        two = {
+            (r.id, r.bin)
+            for r in global_ntile(df, n, "k", "id", n_parts=8)
+            .select("id", "bin")
+            .collect()
+        }
+        one = {
+            (r.id, r.bin)
+            for r in df.select(
+                "id",
+                F.ntile(n).over(Window.orderBy("k", "id")).cast("long").alias("bin"),
+            ).collect()
+        }
+        assert two == one, (total, n)

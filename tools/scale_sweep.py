@@ -102,6 +102,11 @@ SWEEP = (
     # r09: suffix-array ranks — rounds are log(max doc length), which is
     # CONSTANT in corpus size; per-round work is linear
     "text_suffix_ranks",
+    # r09 late additions: adjacent-pair LCP (early-exit Arrow kernel over
+    # the suffix order) and the broadcast-eval GEMM decontam (pure map
+    # pass — must stay near-flat)
+    "text_longest_repeat",
+    "decontam_embedding_cosine",
     # window-marked substring dedup: must scale with gram rows (window),
     # never pair-quadratically
     "text_duplicate_spans",

@@ -1457,3 +1457,60 @@ def longest_repeat(
         )
         .limit(top)
     )
+
+
+def mattr_lexical_diversity(
+    df: DataFrame,
+    window: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Moving-Average Type-Token Ratio [Covington & McFall 2010] — the
+    length-robust lexical-diversity gate (plain TTR collapses as docs
+    grow, so a fixed threshold over it silently length-filters; MATTR
+    averages the TTR of every ``window``-word sliding window instead).
+    Low MATTR = template/boilerplate/stutter text — a corpus-quality
+    signal the Gopher gate's top-gram rules approximate from one angle.
+
+    Exact integer arithmetic end to end: per-window distinct counts are
+    ints, the mean is floor(sum * 1e4 / (n_windows * window)) / 1e4 —
+    bit-identical in any engine.  Docs shorter than the window fall back
+    to plain TTR (distinct/len, same quantization), flagged by
+    n_windows = 0.
+
+    Scale shape: ONE map-only projection, zero shuffles — the sliding
+    windows are array slices inside a per-row transform (O(L·w) codegen
+    work per doc, no explode, no exchange), the same shape as the other
+    map-only text gates."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+    )
+    tok = df.where(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.explode(F.array(F.struct(words.alias("ws")))).alias("s"),
+    ).select(id_col, F.col("s.ws").alias("ws"))
+    n = F.size("ws")
+    n_windows = F.greatest(n - window + 1, F.lit(0))
+    counts = F.transform(
+        F.sequence(F.lit(0), n - window),
+        lambda i: F.size(F.array_distinct(F.slice("ws", i + 1, window))),
+    )
+    sum_distinct = F.aggregate(
+        counts, F.lit(0).cast("long"), lambda acc, c: acc + c
+    )
+    mattr = F.when(
+        n_windows > 0,
+        F.floor(sum_distinct * 10000.0 / (n_windows * window)) / 10000.0,
+    ).otherwise(
+        # short-doc fallback: plain TTR over the whole doc
+        F.floor(
+            F.size(F.array_distinct("ws")) * 10000.0 / F.greatest(n, F.lit(1))
+        )
+        / 10000.0
+    )
+    return tok.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        n_windows.cast("long").alias("n_windows"),
+        mattr.alias("mattr"),
+    )

@@ -9477,6 +9477,45 @@ def decontam_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_mattr_diversity",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+      SELECT doc_id, len(ws) AS n,
+             greatest(len(ws) - 25 + 1, 0) AS n_windows,
+             CASE WHEN len(ws) >= 25 THEN
+               list_sum(list_transform(generate_series(0, len(ws) - 25),
+                        i -> len(list_distinct(ws[i + 1:i + 25]))))
+             ELSE NULL END AS sum_distinct,
+             len(list_distinct(ws)) AS n_types
+      FROM w
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CASE WHEN n_windows > 0
+                THEN floor(sum_distinct * 10000.0 / (n_windows * 25)) / 10000.0
+                ELSE floor(n_types * 10000.0 / greatest(n, 1)) / 10000.0
+           END AS mattr
+    FROM m
+    """,
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR lexical diversity (operators/text.py:mattr_lexical_diversity
+    — Covington & McFall 2010): the length-robust type-token ratio, a
+    boilerplate/template gate plain TTR can't be (TTR decays with doc
+    length, so thresholding it length-filters).  Exact integer windowed
+    distinct counts, floor-1e-4 mean; one map-only projection, zero
+    shuffles.  DuckDB recomputes every window's distinct count via a
+    correlated generate_series — definitionally the same sum."""
+    return text.mattr_lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "agg_two_phase_ntile_twin",
     """
     WITH b AS (

@@ -2248,3 +2248,27 @@ def test_global_ntile_matches_window_ntile_on_degenerate_sizes(spark):
             ).collect()
         }
         assert two == one, (total, n)
+
+
+def test_mattr_hand_example_and_short_doc_fallback(spark):
+    """Hand-checkable MATTR: for window=3 over 'a b a c b' the windowed
+    distinct counts are 2,3,3 -> 8/9 floored at 1e-4; a doc shorter than
+    the window falls back to plain TTR with n_windows=0; an all-same-word
+    stutter scores the minimum 1/window; NULL docs are dropped."""
+    from reddit_sse_stream_spark.operators.text import mattr_lexical_diversity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c b"), (2, "a b"), (3, " ".join(["w"] * 30)), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in mattr_lexical_diversity(docs, window=3).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    import math
+
+    assert out[1].n_windows == 3
+    assert out[1].mattr == math.floor(8 / 9 * 10000) / 10000
+    assert out[2].n_windows == 0 and out[2].mattr == 1.0  # TTR fallback
+    assert out[3].mattr == math.floor(1 / 3 * 10000) / 10000  # stutter floor

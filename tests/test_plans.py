@@ -625,3 +625,22 @@ def test_rolling_features_one_exchange_four_frames(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_rolling_features")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "BatchEvalPython" not in plan and "InPandas" not in plan
+
+
+def test_r09_map_only_rows_have_zero_exchanges(spark, sf_dir):
+    """The r09 zero-shuffle claims, pinned on the executed plans: the
+    broadcast-eval GEMM decontam and the MATTR gate are pure map passes —
+    any Exchange appearing here means the scale story silently broke."""
+    for name in ("decontam_embedding_cosine", "text_mattr_diversity"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange") == 0, f"{name} gained a shuffle:\n{plan}"
+
+
+def test_sampled_matrix_audit_filter_reaches_below_the_self_join(spark, sf_dir):
+    """dedup_source_minhash_sampled's whole point is that the h-range
+    sample shrinks the audit self-join's INPUT: the plan must apply the
+    pmod sample predicate on both join branches (filter-then-join), and
+    the pair frame must still broadcast."""
+    plan = _plan(spark, sf_dir, "dedup_source_minhash_sampled")
+    assert plan.count("pmod") >= 2  # sample predicate on both audit sides
+    assert "BroadcastExchange" in plan  # sketch pair frame stays broadcast

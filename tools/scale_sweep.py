@@ -107,6 +107,8 @@ SWEEP = (
     # pass — must stay near-flat)
     "text_longest_repeat",
     "decontam_embedding_cosine",
+    # map-only zero-shuffle gate (plan-pinned) — must stay flat
+    "text_mattr_diversity",
     # window-marked substring dedup: must scale with gram rows (window),
     # never pair-quadratically
     "text_duplicate_spans",

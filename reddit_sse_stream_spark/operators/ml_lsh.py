@@ -27,10 +27,14 @@ class IvfModel(NamedTuple):
     """Trained IVF coarse quantizer: the cell-assignment frame plus the
     driver-held centroid table the probe path ranks against.  A typed
     result (not a DataFrame attribute) so an intervening select/cache
-    can't silently drop the centroids (ADVICE r07)."""
+    can't silently drop the centroids (ADVICE r07).  ``unit`` is the
+    checkpointed (_id, u) unit-vector frame training already
+    materialized — the residual IVF-PQ path reuses it instead of
+    recomputing the normalization pass."""
 
     assignments: DataFrame  # (id_col, cell)
     centroids: list[tuple[int, list[float]]]  # [(cell, unit-vector)]
+    unit: DataFrame | None = None  # (_id, u), localCheckpoint-backed
 
 
 class PqModel(NamedTuple):
@@ -301,7 +305,7 @@ def ivf_train(
     out = base.select(
         F.col("_id").alias(id_col), assign_col(cents).alias("cell")
     )
-    return IvfModel(assignments=out, centroids=cents)
+    return IvfModel(assignments=out, centroids=cents, unit=base)
 
 
 def ivf_fixedpoint_cells(
@@ -883,7 +887,11 @@ def ivfpq_residual_topk(
             *[F.array(*[F.lit(float(v)) for v in c]) for _, c in cents]
         ),
     )
-    u = _unit_fixedpoint(shared, vec_col, id_col)
+    # training already materialized the checkpointed unit frame — reuse
+    # it rather than re-running the normalization pass over the corpus
+    u = ivf.unit if ivf.unit is not None else _unit_fixedpoint(
+        shared, vec_col, id_col
+    )
     resid = (
         u.join(
             cells.select(F.col(id_col).alias("_id"), "cell"), "_id"

@@ -116,3 +116,57 @@ def rolling_features(
         F.count("*").over(w_long).cast("long").alias("n_long"),
         (F.col("sec") - F.lag("sec").over(w_lag)).cast("long").alias("gap_s"),
     )
+
+
+def ewma_features(
+    events: DataFrame,
+    depth: int = 16,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Exponentially-decayed value feature per event — the decay sibling
+    of :func:`rolling_features`' flat trailing windows (recent behavior
+    should outweigh old in behavioral-ML features; a flat 24h window
+    can't express that).  The classic recursive EWMA is order-SEQUENTIAL
+    and float-accumulating — unverifiable and unpartitionable — so this
+    is the bounded exact form: weight 2^(depth-1-i) on the i-th most
+    recent of the key's last ``depth`` events (alpha = 1/2, truncated),
+    every term an int64 in the 1e6 fixed-point value domain, plus the
+    realized weight sum so partial histories normalize honestly
+    (ewma_x1e4 = floor(weighted_sum * 1e4 / weight_sum)).  A lag row
+    whose value is NULL is excluded from both sums — "no signal", not
+    "signal zero" — identically in both engines.
+
+    Scale shape: ONE exchange on the key serves all ``depth`` lag
+    columns (same window spec, same sort — the rolling_features
+    discipline); everything after is a map-side integer fold.  State is
+    zero: unlike the recursive form, any partition of the corpus
+    computes its rows independently."""
+    sec = F.col(ts_col).cast("long")
+    vfp = F.floor(F.col(val_col) * 1_000_000 + 0.5).cast("long")
+    base = events.select(
+        id_col, key_col, sec.alias("sec"), vfp.alias("vfp")
+    )
+    w = Window.partitionBy(key_col).orderBy("sec", id_col)
+    wsum = None
+    acc = None
+    for i in range(depth):
+        weight = 1 << (depth - 1 - i)
+        lag_v = F.col("vfp") if i == 0 else F.lag("vfp", i).over(w)
+        term = F.when(lag_v.isNotNull(), lag_v * F.lit(weight)).otherwise(
+            F.lit(0)
+        )
+        wterm = F.when(lag_v.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+        acc = term if acc is None else acc + term
+        wsum = wterm if wsum is None else wsum + wterm
+    return base.select(
+        id_col,
+        key_col,
+        acc.cast("long").alias("ewma_num_fp"),
+        wsum.cast("long").alias("weight_sum"),
+        F.when(
+            wsum > 0, F.floor(acc * 10000.0 / wsum)
+        ).otherwise(F.lit(0)).cast("long").alias("ewma_x1e4"),
+    )

@@ -9732,6 +9732,59 @@ def agg_countmin_merge_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_merge_invariant(_t(spark, sf_dir, "events"))
 
 
+def _ewma_oracle(depth: int = 16) -> str:
+    """DuckDB twin of timeseries.ewma_features: the same ``depth`` lag
+    terms with power-of-two weights, generated explicitly."""
+    terms = " + ".join(
+        f"CASE WHEN lag(vfp, {i}) OVER w IS NOT NULL THEN "
+        f"lag(vfp, {i}) OVER w * {1 << (depth - 1 - i)} ELSE 0 END"
+        if i
+        else f"CASE WHEN vfp IS NOT NULL THEN vfp * {1 << (depth - 1)} ELSE 0 END"
+        for i in range(depth)
+    )
+    wterms = " + ".join(
+        f"CASE WHEN lag(vfp, {i}) OVER w IS NOT NULL THEN "
+        f"{1 << (depth - 1 - i)} ELSE 0 END"
+        if i
+        else f"CASE WHEN vfp IS NOT NULL THEN {1 << (depth - 1)} ELSE 0 END"
+        for i in range(depth)
+    )
+    return f"""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vfp
+      FROM events),
+    s AS (
+      SELECT event_id, user_id,
+             {terms} AS num,
+             {wterms} AS wsum
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+    SELECT event_id, user_id,
+           CAST(num AS BIGINT) AS ewma_num_fp,
+           CAST(wsum AS BIGINT) AS weight_sum,
+           CAST(CASE WHEN wsum > 0 THEN floor(num * 10000.0 / wsum)
+                     ELSE 0 END AS BIGINT) AS ewma_x1e4
+    FROM s
+    """
+
+
+@_register("ts_ewma_features", _ewma_oracle())
+def ts_ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed value feature per event
+    (operators/timeseries.py:ewma_features): the decay sibling of
+    ts_rolling_features — weight 2^(15-i) on the i-th most recent of the
+    key's last 16 events, exact int64 fixed point, with the realized
+    weight sum so partial histories normalize honestly.  The recursive
+    EWMA is order-sequential and float-accumulating; this bounded exact
+    form is stateless, partition-invariant, and fully SQL-twinnable —
+    ONE key exchange serves all 16 lag columns."""
+    from reddit_sse_stream_spark.operators.timeseries import ewma_features
+
+    return ewma_features(_t(spark, sf_dir, "events"))
+
+
 _ROLLING_FEATURES_ORACLE = """
     WITH e AS (
       SELECT event_id, user_id,

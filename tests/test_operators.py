@@ -2272,3 +2272,37 @@ def test_mattr_hand_example_and_short_doc_fallback(spark):
     assert out[1].mattr == math.floor(8 / 9 * 10000) / 10000
     assert out[2].n_windows == 0 and out[2].mattr == 1.0  # TTR fallback
     assert out[3].mattr == math.floor(1 / 3 * 10000) / 10000  # stutter floor
+
+
+def test_ewma_features_hand_example(spark):
+    """Hand-checkable bounded EWMA (depth=4 -> weights 8,4,2,1): a key
+    with 3 events gets partial weight sums (8+4+2, newest first); a NULL
+    value is excluded from both sums; a single-event key normalizes to
+    its own value."""
+    from reddit_sse_stream_spark.operators.timeseries import ewma_features
+
+    rows = [
+        (1, 1, 100, 2.0),
+        (2, 1, 200, None),   # excluded from both sums
+        (3, 1, 300, 4.0),
+        (4, 2, 100, 5.0),
+    ]
+    import datetime
+
+    events = spark.createDataFrame(
+        [(i, k, datetime.datetime.fromtimestamp(s, datetime.timezone.utc), v)
+         for i, k, s, v in rows],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {r.event_id: r for r in ewma_features(events, depth=4).collect()}
+    # event 3 (newest for user 1): weights 8 (itself), 4 (event 2, NULL ->
+    # skipped), 2 (event 1)
+    assert out[3].weight_sum == 8 + 2
+    assert out[3].ewma_num_fp == 8 * 4_000_000 + 2 * 2_000_000
+    assert out[3].ewma_x1e4 == (8 * 4_000_000 + 2 * 2_000_000) * 10000 // 10
+    # event 2 itself has NULL value: own weight skipped, history counted
+    assert out[2].weight_sum == 4  # only event 1 at lag 1
+    assert out[2].ewma_num_fp == 4 * 2_000_000
+    # single-event key: ewma == own value
+    assert out[4].weight_sum == 8
+    assert out[4].ewma_x1e4 == 5_000_000 * 10000 // 1  # num*1e4/8 = v*1e4

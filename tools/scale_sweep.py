@@ -109,6 +109,8 @@ SWEEP = (
     "decontam_embedding_cosine",
     # map-only zero-shuffle gate (plan-pinned) — must stay flat
     "text_mattr_diversity",
+    # one-exchange lag stack — must scale with the key exchange only
+    "ts_ewma_features",
     # window-marked substring dedup: must scale with gram rows (window),
     # never pair-quadratically
     "text_duplicate_spans",

@@ -139,6 +139,16 @@ def ewma_features(
     whose value is NULL is excluded from both sums — "no signal", not
     "signal zero" — identically in both engines.
 
+    The quotient is computed in PURE int64 arithmetic (ADVICE r09
+    medium: the previous ``acc * 10000.0 / wsum`` double path loses
+    exactness once the product passes 2^53, i.e. |value| > ~14):
+    ``num*1e4 - pmod(num*1e4, wsum)`` is exactly divisible by wsum, so
+    integer division yields the true floor regardless of the engine's
+    div rounding mode — no float ever touches the value.  Domain bound:
+    |value| <= ~1.4e4 keeps num*1e4 (<= |v|*1e6*(2^depth-1)*1e4) inside
+    int64; beyond that Spark's ANSI overflow check raises rather than
+    silently wrapping.
+
     Scale shape: ONE exchange on the key serves all ``depth`` lag
     columns (same window spec, same sort — the rolling_features
     discipline); everything after is a map-side integer fold.  State is
@@ -161,12 +171,22 @@ def ewma_features(
         wterm = F.when(lag_v.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
         acc = term if acc is None else acc + term
         wsum = wterm if wsum is None else wsum + wterm
-    return base.select(
+    mid = base.select(
         id_col,
         key_col,
         acc.cast("long").alias("ewma_num_fp"),
         wsum.cast("long").alias("weight_sum"),
+    )
+    return mid.select(
+        id_col,
+        key_col,
+        "ewma_num_fp",
+        "weight_sum",
         F.when(
-            wsum > 0, F.floor(acc * 10000.0 / wsum)
+            F.col("weight_sum") > 0,
+            F.expr(
+                "(ewma_num_fp * 10000 - pmod(ewma_num_fp * 10000,"
+                " weight_sum)) div weight_sum"
+            ),
         ).otherwise(F.lit(0)).cast("long").alias("ewma_x1e4"),
     )

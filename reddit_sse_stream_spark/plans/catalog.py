@@ -9764,8 +9764,10 @@ def _ewma_oracle(depth: int = 16) -> str:
     SELECT event_id, user_id,
            CAST(num AS BIGINT) AS ewma_num_fp,
            CAST(wsum AS BIGINT) AS weight_sum,
-           CAST(CASE WHEN wsum > 0 THEN floor(num * 10000.0 / wsum)
-                     ELSE 0 END AS BIGINT) AS ewma_x1e4
+           CAST(CASE WHEN wsum > 0 THEN
+                  (num * 10000 - ((num * 10000 % wsum) + wsum) % wsum)
+                    // wsum
+                ELSE 0 END AS BIGINT) AS ewma_x1e4
     FROM s
     """
 

@@ -2306,3 +2306,56 @@ def test_ewma_features_hand_example(spark):
     # single-event key: ewma == own value
     assert out[4].weight_sum == 8
     assert out[4].ewma_x1e4 == 5_000_000 * 10000 // 1  # num*1e4/8 = v*1e4
+
+
+def test_ewma_features_exact_int64_quotient(spark):
+    """ADVICE r09 medium: ewma_x1e4 must be the TRUE big-int
+    floor(num*1e4 / wsum), never the double-rounded neighbor.  Probe (a):
+    16 events with values ~9881 (inside the documented ~1.4e4 domain
+    bound) whose num*1e4 ~ 6.5e18 exceeds double precision — the old
+    ``acc * 10000.0 / wsum`` path provably returns exact+1 here (the test
+    asserts that divergence in Python first, so the probe can never rot
+    into a vacuous pass).  Probe (b): negative values with a non-exact
+    divisor pin floor-toward-negative-infinity (a plain ``div`` truncates
+    toward zero; the pmod pre-subtraction is what makes it a floor)."""
+    import datetime
+    import math
+
+    from reddit_sse_stream_spark.operators.timeseries import ewma_features
+
+    vals = [9880.958946, 9881.290013, 9881.469925, 9881.789785,
+            9881.246507, 9881.347358, 9881.674669, 9881.034503,
+            9881.000351, 9880.879617, 9880.918269, 9881.442402,
+            9881.013481, 9881.53585, 9881.709706, 9881.818051]
+    vfp = [math.floor(v * 1e6 + 0.5) for v in vals]
+    ws = (1 << 16) - 1
+    # newest event is the last; i-th most recent gets weight 2^(15-i)
+    num = sum(vfp[15 - i] * (1 << (15 - i)) for i in range(16))
+    exact = (num * 10**4) // ws
+    assert math.floor(num * 10000.0 / ws) != exact, (
+        "probe values no longer exercise the double-rounding gap"
+    )
+    rows = [
+        (i + 1, 1, datetime.datetime.fromtimestamp(
+            100 + i, datetime.timezone.utc), v)
+        for i, v in enumerate(vals)
+    ]
+    # probe (b): user 2, two events -> wsum 2^15+2^14, negative inexact
+    rows += [
+        (100, 2, datetime.datetime.fromtimestamp(
+            100, datetime.timezone.utc), -1.0000001),
+        (101, 2, datetime.datetime.fromtimestamp(
+            101, datetime.timezone.utc), -2.3),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {r.event_id: r for r in ewma_features(events, depth=16).collect()}
+    assert out[16].ewma_num_fp == num and out[16].weight_sum == ws
+    assert out[16].ewma_x1e4 == exact
+    neg_num = (1 << 15) * math.floor(-2.3 * 1e6 + 0.5) + (
+        1 << 14
+    ) * math.floor(-1.0000001 * 1e6 + 0.5)
+    assert out[101].ewma_x1e4 == (neg_num * 10**4) // (
+        (1 << 15) + (1 << 14)
+    )  # Python // floors toward -inf — the semantics being pinned

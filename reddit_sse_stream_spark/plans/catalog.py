@@ -10113,16 +10113,17 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through eventually.
 
 _PRIOR_GREEN_ROUND = {
-    "a1_running_totals": 4,
-    "a2_bytes_total": 4,
-    "a3_max_cursor": 4,
+    "a1_running_totals": 9,
+    "a2_bytes_total": 9,
+    "a3_max_cursor": 9,
     "agg_countmin_heavy_hitters": 8,
     "agg_countmin_merge_invariant": 8,
-    "agg_heavy_hitters_exact": 4,
+    "agg_heavy_hitters_exact": 9,
     "agg_skew_salted_two_phase": 8,
     "agg_sorted_user_list": 8,
-    "aggx_approx_distinct": 4,
-    "aggx_approx_quantiles": 4,
+    "agg_two_phase_ntile_twin": 9,
+    "aggx_approx_distinct": 9,
+    "aggx_approx_quantiles": 9,
     "aggx_corr_covar": 8,
     "aggx_cube_events": 6,
     "aggx_distinct_users": 6,
@@ -10132,7 +10133,7 @@ _PRIOR_GREEN_ROUND = {
     "aggx_rollup_grouping_id": 8,
     "aggx_rollup_orders": 6,
     "aggx_stats_per_type": 6,
-    "anomaly_zscore_hourly": 4,
+    "anomaly_zscore_hourly": 9,
     "bpe_pair_merge_counts": 5,
     "bpe_tokenize_counts": 7,
     "bpe_train_merges": 7,
@@ -10149,16 +10150,18 @@ _PRIOR_GREEN_ROUND = {
     "corpus_snapshot_merge": 6,
     "corpus_split_leakage_safe": 5,
     "corpus_train_val_split": 5,
+    "corpus_two_phase_rank_twin": 9,
     "decontam_drop_contaminated": 4,
+    "decontam_embedding_cosine": 9,
     "decontam_multi_suite_report": 5,
-    "decontam_ngram_overlap": 4,
+    "decontam_ngram_overlap": 9,
     "dedup_bloom_fp_audit": 7,
     "dedup_cc_clusters": 8,
-    "dedup_cluster_best_quality": 4,
+    "dedup_cluster_best_quality": 9,
     "dedup_containment_grams": 5,
     "dedup_cross_source_matrix": 5,
     "dedup_embedding_cosine": 6,
-    "dedup_embedding_cosine_lsh": 8,
+    "dedup_embedding_cosine_lsh": 9,
     "dedup_exact_groups": 6,
     "dedup_exact_keep_first": 6,
     "dedup_incremental_bloom": 4,
@@ -10175,30 +10178,31 @@ _PRIOR_GREEN_ROUND = {
     "dedup_simhash_md5": 4,
     "dedup_sketch_merge_invariant": 8,
     "dedup_source_minhash_matrix": 8,
+    "dedup_source_minhash_sampled": 9,
     "dedup_substring_containment": 5,
     "dedup_tfidf_cosine": 5,
     "dedup_threshold_curve": 5,
-    "dq_expectation_report": 4,
+    "dq_expectation_report": 9,
     "dq_length_drift_ks": 7,
     "embed_drift_by_lang": 6,
     "embed_hard_negatives": 8,
     "embed_kmeans_fixedpoint": 7,
     "embed_l2_norm": 6,
     "embed_matryoshka_retention": 6,
-    "embed_norm_stats_by_lang": 4,
+    "embed_norm_stats_by_lang": 9,
     "embed_pca_power_iteration": 5,
-    "embed_pq_codes": 8,
+    "embed_pq_codes": 9,
     "embed_quantize_int8": 6,
     "embed_random_projection": 5,
     "embed_standardize": 6,
     "f1_type_dispatch": 8,
-    "f2_author_whitelist": 4,
-    "f3_subreddit_whitelist": 4,
-    "f4_domain_whitelist": 4,
-    "f5_whitelist_combiner": 4,
-    "f6_f7_flag_filters": 4,
-    "f8_null_elimination": 4,
-    "f_combined_full": 4,
+    "f2_author_whitelist": 9,
+    "f3_subreddit_whitelist": 9,
+    "f4_domain_whitelist": 9,
+    "f5_whitelist_combiner": 9,
+    "f6_f7_flag_filters": 9,
+    "f8_null_elimination": 9,
+    "f_combined_full": 9,
     "feat_target_encode_loo": 7,
     "fn_array_ops": 6,
     "fn_bitwise_ops": 8,
@@ -10215,9 +10219,9 @@ _PRIOR_GREEN_ROUND = {
     "fn_string_ops": 6,
     "funnel_attribution_last_touch": 5,
     "funnel_time_to_convert": 5,
-    "funnel_view_click_purchase": 4,
+    "funnel_view_click_purchase": 9,
     "graph_pagerank_transitions": 5,
-    "graph_triangle_count": 4,
+    "graph_triangle_count": 9,
     "join_anti_customers_without_orders": 6,
     "join_asof_last_click": 6,
     "join_broadcast_star_counts": 6,
@@ -10232,35 +10236,36 @@ _PRIOR_GREEN_ROUND = {
     "knn_bruteforce_cosine": 6,
     "knn_ivf_fixedpoint_cells": 8,
     "knn_ivf_metric_consistency": 7,
-    "knn_ivfpq_topk": 8,
+    "knn_ivfpq_residual_topk": 9,
+    "knn_ivfpq_topk": 9,
     "knn_lsh_bucketed": 7,
-    "knn_pq_adc_topk": 8,
-    "knn_pq_recall_audit": 8,
+    "knn_pq_adc_topk": 9,
+    "knn_pq_recall_audit": 9,
     "layout_zorder_keys": 5,
     "limit_topk_events_by_value": 6,
     "llm_corpus_prep_pipeline": 7,
     "llm_dataset_card": 6,
-    "m1_m2_interleave_sort": 4,
-    "media_features": 7,
+    "m1_m2_interleave_sort": 9,
+    "media_features": 9,
     "media_features_meta": 4,
     "media_frame_sample": 7,
-    "p2_json_key_subset": 4,
+    "p2_json_key_subset": 9,
     "pack_length_buckets": 5,
     "pack_sequences_by_source": 8,
-    "path_top_event_trigrams": 4,
+    "path_top_event_trigrams": 9,
     "pivot_event_counts": 6,
     "posexplode_words": 7,
-    "q1_domain_blocks_comments": 4,
+    "q1_domain_blocks_comments": 9,
     "quota_admission_per_author": 7,
     "recursive_cte_ancestors": 4,
     "reference_pipeline_example": 6,
-    "retention_hourly_cohorts": 4,
+    "retention_hourly_cohorts": 9,
     "s1_range_scan": 8,
     "s3_backfill_clamp": 8,
     "s4_start_id_resume": 8,
-    "s8_keepalive_counters": 4,
+    "s8_keepalive_counters": 9,
     "sample_stratified_deterministic": 8,
-    "sample_temperature_by_lang": 4,
+    "sample_temperature_by_lang": 9,
     "sample_weighted_priority": 7,
     "scd2_as_of_lookup": 5,
     "scd2_point_in_time_join": 6,
@@ -10289,14 +10294,17 @@ _PRIOR_GREEN_ROUND = {
     "text_gopher_gate": 7,
     "text_lang_predict": 8,
     "text_lang_scores": 6,
+    "text_longest_repeat": 9,
+    "text_mattr_diversity": 9,
     "text_novelty_first_owner": 7,
     "text_pii_redact": 5,
     "text_pmi_top_pairs": 7,
     "text_quality_score": 6,
     "text_rarity_score": 8,
-    "text_repetition_bigrams": 4,
+    "text_repetition_bigrams": 9,
     "text_repetition_runs": 7,
-    "text_stopword_scrub": 4,
+    "text_stopword_scrub": 9,
+    "text_suffix_ranks": 9,
     "text_token_count": 6,
     "text_vocab_df": 8,
     "text_winnow_fingerprints": 5,
@@ -10310,18 +10318,19 @@ _PRIOR_GREEN_ROUND = {
     "tpch_q17_small_quantity_revenue": 8,
     "tpch_q18_large_orders": 8,
     "tpch_q19_disjunctive_revenue": 8,
-    "tpch_q1_pricing_summary": 4,
+    "tpch_q1_pricing_summary": 9,
     "tpch_q20_dominant_supplier": 5,
     "tpch_q21_waiting_supplier": 8,
     "tpch_q22_idle_customers": 6,
     "tpch_q2_min_cost_supplier": 5,
-    "tpch_q3_shipping_priority": 4,
+    "tpch_q3_shipping_priority": 9,
     "tpch_q4_order_priority": 6,
-    "tpch_q5_region_revenue": 4,
-    "tpch_q6_forecast_revenue": 4,
+    "tpch_q5_region_revenue": 9,
+    "tpch_q6_forecast_revenue": 9,
     "tpch_q7_volume_shipping": 8,
     "tpch_q8_market_share": 8,
-    "tpch_q9_profit_by_nation_year": 4,
+    "tpch_q9_profit_by_nation_year": 9,
+    "ts_ewma_features": 9,
     "ts_gapfill_ffill": 6,
     "ts_ohlc_hourly": 5,
     "ts_rolling_features": 8,
@@ -10342,7 +10351,7 @@ _PRIOR_GREEN_ROUND = {
     "window_sliding_distinct_users": 5,
     "window_topk_orders_per_customer": 6,
     "x1_try_cast_validation": 7,
-    "x4_json_extract": 4,
+    "x4_json_extract": 9,
 }
 
 
@@ -10355,31 +10364,14 @@ _PRIOR_GREEN_ROUND = {
 # defining identifiers against the commit that recorded its last proof);
 # entries are pruned when a newer CORRECTNESS artifact re-proves them.
 _CHANGED_SINCE_PROOF = {
-    # (r08's nine rewrite entries were all re-proven green in the r08
-    # window — CORRECTNESS_r08.json — and are pruned; the map above now
-    # folds r08 in.)  r09 code changes that postdate their last proof:
-    # r09 REWRITE, not a semantic change: ivfpq_topk now feeds both
-    # quantizer trainings from ONE localCheckpointed vector frame instead
-    # of re-scanning parquet (VERDICT r08 next #3) — bit-exactness pinned
-    # in tests, but the executing code differs from what the r08 proof
-    # ran.  The other pq_train callers changed only by the seed-level
-    # uniform-dim GUARD (ADVICE r08; pure pre-check, no value path
-    # touched) — still listed, since the r08 policy re-proves rewrites;
-    # ivf_fixedpoint_cells executes NO changed code and is not listed
-    # (a too-large tier 0 starves the stale tier, and 46 rows sit at r04)
-    "knn_ivfpq_topk",
-    "embed_pq_codes",
-    "knn_pq_adc_topk",
-    "knn_pq_recall_audit",
-    # r09 SEMANTIC change: media_features now really decodes WAV payloads
-    # (stdlib wave/struct) instead of the deterministic fake for that
-    # format (VERDICT r08 next #5) — oracle updated in lockstep
-    "media_features",
-    # r09 REWRITE (ADVICE r08): the LSH cell kernel's GEMMs are now
-    # blocked (live memory ~block x n, not cap^2) — value-identical
-    # under the oracle, but the executing kernel differs from the r08
-    # proof's
-    "dedup_embedding_cosine_lsh",
+    # (r09's six rewrite entries were all re-proven green in the r09
+    # window — CORRECTNESS_r09.json — and are pruned; the map above now
+    # folds r09 in.)  r10 code changes that postdate their last proof:
+    # r10 SEMANTIC change (ADVICE r09 medium): ewma_x1e4 is now the true
+    # big-int floor via pmod+div instead of the double-rounded
+    # acc*10000.0/wsum — oracle updated in lockstep, so the r09 proof
+    # validated the OLD float expression on both sides
+    "ts_ewma_features",
 }
 
 

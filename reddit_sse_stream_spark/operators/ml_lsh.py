@@ -393,11 +393,12 @@ def pq_train(
         raise ValueError("PQ training needs at least one vector")
     # UNIFORM-DIM PRECONDITION (ADVICE r08): the per-row slice extent
     # size(xq)/n_sub means a row whose dimension differs from the
-    # codebook's would silently drop/shorten tail dims.  Full-frame
-    # validation would cost exactly the probe job this rewrite removed,
-    # so the guard checks every row the seeds collect already fetched
-    # (k*n_sub rows) — heterogeneous corpora surface here or in the
-    # reconstruction-error audit, and the contract is documented.
+    # codebook's would silently drop/shorten tail dims.  Two tiers: the
+    # seed rows are checked here (catches the common all-wrong case
+    # before any job), and the FULL frame is checked by min/max(nd)
+    # columns riding the first Lloyd round's exchange below (ADVICE r09:
+    # a rogue dim anywhere in the corpus, not just among the seeds, now
+    # raises) — zero extra jobs either way.
     dims_seen = {int(r["nd"]) for r in seeds}
     if len(dims_seen) > 1:
         raise ValueError(
@@ -461,22 +462,41 @@ def pq_train(
         )
         return frame.select(
             "_id",
+            "nd",
             "sub",
             "sq",
             best["code"].alias("code"),
             best["dist2"].alias("dist2_fp"),
         )
 
-    for _ in range(iters):
-        sums = (
+    for it in range(iters):
+        # FULL-FRAME dim validation rides the first Lloyd exchange
+        # (ADVICE r09): two extra min/max columns on an aggregate that
+        # runs anyway, so a heterogeneous-dim row ANYWHERE in the corpus
+        # — not just among the k*n_sub seed rows — fails loudly instead
+        # of being silently slice-truncated.  (iters=0 skips Lloyd
+        # entirely and keeps only the seed-level check.)
+        aggs = [F.sum("v").alias("s"), F.count("*").alias("n")]
+        if it == 0:
+            aggs += [F.min("nd").alias("lo"), F.max("nd").alias("hi")]
+        rows = (
             assign(base)
-            .select("sub", "code", F.posexplode("sq").alias("d", "v"))
+            .select("sub", "code", "nd", F.posexplode("sq").alias("d", "v"))
             .groupBy("sub", "code", "d")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .agg(*aggs)
+            .collect()
         )
+        if it == 0 and rows:
+            lo = min(r["lo"] for r in rows)
+            hi = max(r["hi"] for r in rows)
+            if lo != dim_total or hi != dim_total:
+                raise ValueError(
+                    "PQ requires uniform vector dims: corpus has dims in "
+                    f"[{lo}, {hi}], codebook trained at {dim_total}"
+                )
         got = {
             (r["sub"], r["code"], r["d"]): (r["s"], r["n"])
-            for r in sums.collect()
+            for r in rows
         }
         cents = [
             [

@@ -661,15 +661,19 @@ def decontam_embedding_cosine(
     )
     if not eval_rows:
         raise ValueError("eval predicate selected no rows")
-    eval_ids = np.array([r[id_col] for r in eval_rows], dtype=np.int64)
+    eval_ids = np.array([r[id_col] for r in eval_rows])
     order = np.argsort(eval_ids)
     eval_ids = eval_ids[order]
     E = np.array([list(r["v"]) for r in eval_rows], dtype=np.float64)[order]
     E = E / np.maximum(np.linalg.norm(E, axis=1)[:, None], 1e-12)
 
     corpus = emb.where(~eval_pred)
+    eval_id_dt = dict(zip(emb.schema.names, emb.schema))[
+        id_col
+    ].dataType.simpleString()
     return _decontam_scan(
-        corpus, eval_ids, E, threshold, id_col=id_col, vec_col=vec_col
+        corpus, eval_ids, E, threshold, id_col=id_col, vec_col=vec_col,
+        eval_id_dt=eval_id_dt,
     )
 
 
@@ -680,6 +684,7 @@ def _decontam_scan(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    eval_id_dt: str = "bigint",
 ) -> DataFrame:
     """The zero-shuffle GEMM scan shared by the batch and STREAMING
     decontam surfaces: ``eval_ids`` (sorted ascending) and the
@@ -688,9 +693,17 @@ def _decontam_scan(
     both — is scored one matmul per batch.  Being stateless and
     map-only, the streaming twin needs no keyed state and its per-row
     output is BY CONSTRUCTION identical to the batch op's on the same
-    rows (parity still pinned in tests)."""
+    rows (parity still pinned in tests).
+
+    Output id columns follow the INPUT schemas (ADVICE r09: the kernel
+    used to hardcode vec_id/eval_id names and long types despite taking
+    id_col): the corpus-side column keeps ``id_col``'s name and type;
+    ``eval_id_dt`` is the eval frame's id type, passed by the callers."""
     import numpy as np
 
+    id_dt = dict(zip(corpus.schema.names, corpus.schema))[
+        id_col
+    ].dataType.simpleString()
     frame = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -710,7 +723,7 @@ def _decontam_scan(
             first = (C == best[:, None]).argmax(axis=1)
             out = pd.DataFrame(
                 {
-                    "vec_id": pdf["_id"].astype("int64"),
+                    id_col: pdf["_id"],
                     "eval_id": eval_ids[first],
                     "cos_sim": best,
                 }
@@ -718,7 +731,7 @@ def _decontam_scan(
             yield out[out["cos_sim"] > threshold]
 
     return frame.mapInPandas(
-        kernel, "vec_id long, eval_id long, cos_sim double"
+        kernel, f"{id_col} {id_dt}, eval_id {eval_id_dt}, cos_sim double"
     )
 
 
@@ -743,11 +756,15 @@ def decontam_embedding_cosine_stream(
     ).collect()
     if not eval_rows:
         raise ValueError("eval frame is empty")
-    eval_ids = np.array([r[id_col] for r in eval_rows], dtype=np.int64)
+    eval_ids = np.array([r[id_col] for r in eval_rows])
     order = np.argsort(eval_ids)
     eval_ids = eval_ids[order]
     E = np.array([list(r["v"]) for r in eval_rows], dtype=np.float64)[order]
     E = E / np.maximum(np.linalg.norm(E, axis=1)[:, None], 1e-12)
+    eval_id_dt = dict(zip(eval_static.schema.names, eval_static.schema))[
+        id_col
+    ].dataType.simpleString()
     return _decontam_scan(
-        corpus_stream, eval_ids, E, threshold, id_col=id_col, vec_col=vec_col
+        corpus_stream, eval_ids, E, threshold, id_col=id_col,
+        vec_col=vec_col, eval_id_dt=eval_id_dt,
     )

@@ -1425,6 +1425,14 @@ def longest_repeat(
             F.slice("wb", F.col("pos_b") + 1, F.size("wb")).alias("sb"),
         )
     )
+    # the id output type follows the INPUT schema (ADVICE r09: the kernel
+    # used to astype('int64') and declare long doc ids, so string/decimal
+    # ids failed or coerced inside the kernel) — same discipline as
+    # hard_negative_mining's simpleString-derived schema
+    id_dt = dict(zip(docs.schema.names, docs.schema))[
+        id_col
+    ].dataType.simpleString()
+
     def lcp_batches(it):
         import pandas as pd
 
@@ -1438,9 +1446,9 @@ def longest_repeat(
                 lcps.append(i)
             out = pd.DataFrame(
                 {
-                    "doc_a": pdf["doc_a"].astype("int64"),
+                    "doc_a": pdf["doc_a"],
                     "pos_a": pdf["pos_a"].astype("int64"),
-                    "doc_b": pdf["doc_b"].astype("int64"),
+                    "doc_b": pdf["doc_b"],
                     "pos_b": pdf["pos_b"].astype("int64"),
                     "lcp_words": pd.Series(lcps, dtype="int64").values,
                 }
@@ -1450,7 +1458,8 @@ def longest_repeat(
     return (
         pair.mapInPandas(
             lcp_batches,
-            "doc_a long, pos_a long, doc_b long, pos_b long, lcp_words long",
+            f"doc_a {id_dt}, pos_a long, doc_b {id_dt}, pos_b long,"
+            " lcp_words long",
         )
         .orderBy(
             F.desc("lcp_words"), "doc_a", "pos_a", "doc_b", "pos_b"
@@ -1491,8 +1500,14 @@ def mattr_lexical_diversity(
     ).select(id_col, F.col("s.ws").alias("ws"))
     n = F.size("ws")
     n_windows = F.greatest(n - window + 1, F.lit(0))
+    # clamp the sequence upper bound (ADVICE r09): for docs shorter than
+    # the window, n - window is negative and sequence() would build a
+    # DESCENDING range whose transform reaches slice(..., 0, ...) — the
+    # CASE WHEN below never selects this branch for short docs, but
+    # correctness must not rest on the engine's branch-evaluation
+    # laziness.  The clamped 1-window result is discarded by the WHEN.
     counts = F.transform(
-        F.sequence(F.lit(0), n - window),
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
         lambda i: F.size(F.array_distinct(F.slice("ws", i + 1, window))),
     )
     sum_distinct = F.aggregate(

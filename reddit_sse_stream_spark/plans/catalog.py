@@ -10372,6 +10372,21 @@ _CHANGED_SINCE_PROOF = {
     # acc*10000.0/wsum — oracle updated in lockstep, so the r09 proof
     # validated the OLD float expression on both sides
     "ts_ewma_features",
+    # r10 plan changes (ADVICE r09 lows) — value-identical by intent, but
+    # the executing plan differs from what the r09 proofs ran:
+    # mattr: clamped sequence bound (short docs no longer rely on CASE
+    # branch laziness); longest_repeat + decontam: kernel output schema
+    # now derived from the input id type
+    "text_mattr_diversity",
+    "text_longest_repeat",
+    "decontam_embedding_cosine",
+    # pq_train's first Lloyd exchange now carries the full-frame min/max
+    # dim-guard columns — every row training a PQ codebook re-proves
+    "embed_pq_codes",
+    "knn_pq_adc_topk",
+    "knn_pq_recall_audit",
+    "knn_ivfpq_topk",
+    "knn_ivfpq_residual_topk",
 }
 
 

@@ -34,6 +34,67 @@ def test_single_query_regression_flagged_relative_to_median():
     assert out["regressions"] == ["q3"]
 
 
+def test_regression_gated_by_min_sample_noise_floor():
+    """VERDICT r09 next #1: contention noise is one-sided (it only ADDS
+    time), so a row whose MEDIAN regressed but whose best run is back at
+    the prior level is scheduling noise, not code — r09 flagged
+    corpus_batch_lineage at 3.32x on exactly that signature.  With
+    cur_min provided, only the row whose min is ALSO >1.5x stays
+    flagged."""
+    prev = {
+        "sf": 0.1,
+        "queries": {"q1": 1.0, "q2": 2.0, "q3": 1.0, "q4": 1.0, "q5": 3.0},
+    }
+    times = {"q1": 1.0, "q2": 2.0, "q3": 4.0, "q4": 4.0, "q5": 3.0}
+    cur_min = {"q1": 0.9, "q2": 1.9, "q3": 1.1, "q4": 3.8, "q5": 2.9}
+    out = bench.compare_to_prev(times, 0.1, prev, calib=None, cur_min=cur_min)
+    assert out["machine_factor"] == 1.0
+    # q3: median 4x but min 1.1x -> noise, ungated q4: min 3.8x -> real
+    assert out["regressions"] == ["q4"]
+
+
+def test_regression_without_cur_min_keeps_median_only_rule():
+    prev = {"sf": 0.1, "queries": {"q1": 1.0, "q2": 2.0, "q3": 1.0}}
+    out = bench.compare_to_prev(TIMES, 0.1, prev, calib=None)
+    assert out["regressions"] == ["q3"]  # backward-compatible path
+
+
+def test_noisy_rows_surface_on_final_line_capped():
+    """Rows whose min-max span crossed 1.5x are named on the final line
+    (capped at 8 + a count marker) so the driver can read a flagged
+    regression against its noise, and the line still fits the budget."""
+    times = {name: 1.0 for name in bench.HEADLINE}
+    lines = bench.summary_lines(
+        times=times,
+        spread={k: [0.5, 1.2] for k in times},  # all 2.4x spans
+        total=round(sum(times.values()), 3),
+        run_counts={k: 7 for k in times},
+        sf=0.1,
+        n_events=100000,
+        pipeline_sec=0.758,
+        prev_round=9,
+        vs_prev={k: 1.0 for k in times},
+        machine_factor=1.0,
+        regressions=[],
+        calib={"calib_jvm_sec": 0.146, "calib_py_sec": 0.152},
+        calib_factor=1.0,
+        disagree=False,
+        e2e={"streaming_e2e_clients": 8},
+    )
+    final = lines[-1]
+    assert len(final) <= bench.FINAL_LINE_BUDGET
+    parsed = json.loads(final)
+    flagged = parsed["spread_over_1p5x"]
+    assert len(flagged) == 9 and flagged[-1] == f"+{len(times) - 8}"
+    assert parsed["runs_per_query"] == {
+        "base": bench.BASE_RUNS,
+        "max": bench.MAX_RUNS,
+        "at_max": len(times),
+    }
+    # per-row run counts ride the spread line
+    assert json.loads(lines[0])["runs"] == {k: 7 for k in times}
+
+
 def test_different_sf_prior_clears_vs_prev_and_disagree():
     """ADVICE r06 low: an sf-mismatched prior must not leave
     machine_factor_disagrees computable — machine_factor would be the 1.0
@@ -131,7 +192,7 @@ def _render(times):
         times=times,
         spread={k: [v, v] for k, v in times.items()},
         total=round(sum(times.values()), 3),
-        n_runs=3,
+        run_counts={k: 3 for k in times},
         sf=0.1,
         n_events=100000,
         pipeline_sec=0.758,

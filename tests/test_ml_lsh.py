@@ -209,6 +209,30 @@ def test_ann_guardrails_fail_loudly(spark, sf_dir):
         corpus.batch_lineage(docs, batch_size=0)
 
 
+def test_pq_full_frame_dim_guard_catches_rogue_row(spark):
+    """ADVICE r09: the seed-level uniform-dim check only sees the k*n_sub
+    smallest-id rows, so a wrong-dimension vector elsewhere in the corpus
+    used to be silently slice-truncated.  The full-frame min/max(nd)
+    check riding the first Lloyd exchange must raise on it — here the
+    rogue 96-dim vector has the LARGEST id, guaranteed past the seeds."""
+    import pytest as _pytest
+
+    from reddit_sse_stream_spark.operators.ml_lsh import pq_train
+
+    rows = [(i, [float(i + d) for d in range(8)]) for i in range(6)]
+    rows.append((999, [1.0] * 12))  # rogue dim, id beyond every seed
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match=r"dims in \[8, 12\]"):
+        pq_train(emb, n_sub=4, k=2, iters=1)
+    # same corpus without the rogue row trains fine
+    clean = spark.createDataFrame(
+        rows[:-1], "vec_id long, embedding array<double>"
+    )
+    assert pq_train(clean, n_sub=4, k=2, iters=1).codes.count() == 6
+
+
 def test_pq_codebook_clamps_to_available_vectors(spark):
     """ADVICE r07: < k distinct vectors used to leave None slots in the
     seeded codebook and blow up the literal build with an opaque

@@ -2250,6 +2250,38 @@ def test_global_ntile_matches_window_ntile_on_degenerate_sizes(spark):
         assert two == one, (total, n)
 
 
+def test_text_and_decontam_ops_accept_string_ids(spark):
+    """ADVICE r09: longest_repeat's kernel hardcoded int64 doc ids and
+    _decontam_scan hardcoded vec_id/eval_id long columns despite both
+    taking id_col — non-integer ids failed (or coerced) inside the
+    kernels.  Output id columns now follow the input schema."""
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.operators.similarity import (
+        decontam_embedding_cosine,
+    )
+    from reddit_sse_stream_spark.operators.text import longest_repeat
+
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog"),
+         ("b", "lorem ipsum the quick brown fox returns today"),
+         ("c", "short")],
+        "doc_id string, text string",
+    )
+    top = longest_repeat(docs, top=1).collect()
+    assert [(r.doc_a, r.doc_b, r.lcp_words) for r in top] == [("a", "b", 4)]
+    assert dict(longest_repeat(docs, top=1).dtypes)["doc_a"] == "string"
+    emb = spark.createDataFrame(
+        [(f"x{i}", [float(i == j) for j in range(4)]) for i in range(5)],
+        "vec_id string, embedding array<double>",
+    )
+    d = decontam_embedding_cosine(emb, F.col("vec_id") == "x0", threshold=-1.0)
+    assert dict(d.dtypes) == {
+        "vec_id": "string", "eval_id": "string", "cos_sim": "double"
+    }
+    assert d.count() == 4 and all(r.eval_id == "x0" for r in d.collect())
+
+
 def test_mattr_hand_example_and_short_doc_fallback(spark):
     """Hand-checkable MATTR: for window=3 over 'a b a c b' the windowed
     distinct counts are 2,3,3 -> 8/9 floored at 1e-4; a doc shorter than

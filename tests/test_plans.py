@@ -4,6 +4,8 @@ a one-off; these run every CI pass.)"""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -106,6 +108,19 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
     a static conf.)"""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # Pre-clean ORPHANED table locations (VERDICT r09 next #7): a run
+    # killed between saveAsTable and the finally-DROP leaves the managed
+    # LOCATION on disk with no catalog entry, and the NEXT run's
+    # saveAsTable fails LOCATION_ALREADY_EXISTS — the DROP below can't
+    # help because the catalog no longer knows the table.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for tbl in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
     try:
         (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
          .mode("overwrite").saveAsTable("b_orders"))

@@ -1379,7 +1379,13 @@ _MEDIA_DECODE_ORACLE = """
       SELECT doc_id, max(w) AS w, max(h) AS h,
              sum(v) AS sum_rgb, max(v) AS pix_peak,
              sum((i + 1) * v) % 2147483648 AS checksum,
-             54 + max(h) * (((max(w) * 3 + 3) // 4) * 4) AS n_bytes
+             -- even ids carry a PNG: n_bytes = inflated scanline size
+             -- h*(1+3w), the SQL-reproducible decode proof for a
+             -- compressed container; odd ids a BMP: container length
+             CASE WHEN doc_id % 2 = 0
+                  THEN max(h) * (1 + 3 * max(w))
+                  ELSE 54 + max(h) * (((max(w) * 3 + 3) // 4) * 4)
+             END AS n_bytes
       FROM pix GROUP BY doc_id
     )
     SELECT b.doc_id AS media_id, b.kind,
@@ -1408,17 +1414,24 @@ _MEDIA_DECODE_ORACLE = """
 @_register("media_features", _MEDIA_DECODE_ORACLE)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction with REAL audio and image decodes
-    (VERDICT r08 next #5, extended): audio rows carry genuine RIFF/WAVE
-    PCM16 containers (stdlib ``wave``), image rows genuine uncompressed
-    24-bit BMPs (stdlib ``struct``) — no codec library needed for
-    uncompressed formats — and the Arrow mapInPandas kernel PARSES both:
-    WAV header + frames into sample-level features (n_samples / peak /
-    energy / zero crossings), BMP headers + bottom-up BGR pixel array
-    into pixel-level ones (dims / sum / peak), each with a decoded-content
-    checksum (position-weighted for BMP, so row-order or channel-order
-    mistakes — the container's real quirks — go red, not just value
-    flips).  The SQL oracle recomputes every value from the generative
-    formulas, so the decodes are proven by round-trip, not assumed.
+    (VERDICT r08 next #5; r09 next #8 added the COMPRESSED format):
+    audio rows carry genuine RIFF/WAVE PCM16 containers (stdlib
+    ``wave``); image rows alternate by id parity between a genuine
+    zlib-deflated PNG (even ids — chunk CRC-32s verified, IDAT inflated,
+    all five row filters reversed; stdlib ``zlib`` + ``struct``) and a
+    genuine uncompressed 24-bit BMP (odd ids).  The Arrow mapInPandas
+    kernel PARSES all three: WAV header + frames into sample-level
+    features (n_samples / peak / energy / zero crossings), the image
+    containers into pixel-level ones (dims / sum / peak), each with a
+    decoded-content checksum (position-weighted over the logical RGB
+    index, so row-order, channel-order, or unfiltering mistakes — the
+    containers' real quirks — go red, not just value flips).  Image
+    n_bytes is the decoder's SQL-reproducible size: container length for
+    BMP, inflated scanline size h*(1+3w) for PNG (a compressed
+    container's length depends on the deflate encoder, but what it must
+    inflate BACK to does not).  The SQL oracle recomputes every value
+    from the generative formulas, so the decodes are proven by
+    round-trip, not assumed.
     Only video keeps the documented fake (no uncompressed stdlib
     container exists) with NULL feature columns — the plumbing twin
     ``media_features_meta`` still pins the fake path's byte surface.
@@ -10387,6 +10400,11 @@ _CHANGED_SINCE_PROOF = {
     "knn_pq_recall_audit",
     "knn_ivfpq_topk",
     "knn_ivfpq_residual_topk",
+    # r10 SEMANTIC change (VERDICT r09 next #8): even-id image rows now
+    # carry a compressed PNG (zlib inflate + 5-filter unfiltering decode)
+    # and image n_bytes switched to the decoder's SQL-reproducible size —
+    # oracle updated in lockstep
+    "media_features",
 }
 
 

@@ -257,34 +257,94 @@ def ivf_train(
     parameter-server step.  The final (vec_id, cell) frame is what
     becomes the partition column — probing then prunes the SCAN."""
     base = _unit_fixedpoint(emb, vec_col, id_col).localCheckpoint(eager=False)
-    seeds = base.orderBy("_id").limit(n_cells).collect()
-    cents: list[tuple[int, list[float]]] = [
-        (i, list(r["u"])) for i, r in enumerate(seeds)
-    ]
-    # dimensionality comes from the data, not the parameter (same fix as
-    # corpus.kmeans_fixedpoint, ADVICE r06 low): a too-large dim KeyErrors
-    # the update loop, a too-small one silently truncates centroids
-    if cents:
-        dim = len(cents[0][1])
 
-    def assign_col(cents_now):
-        entries = []
-        for cell, c in cents_now:
-            c_lit = F.array(*[F.lit(float(v)) for v in c])
-            dfp = F.aggregate(
-                F.zip_with(
-                    F.col("u"),
-                    c_lit,
-                    lambda a, b: F.floor((a - b) * (a - b) * 1e12 + 0.5).cast("long"),
+    # The centroid table ships as ONE nested-array Literal node
+    # (F.lit(list-of-lists)) instead of n_cells*dim individual F.lit
+    # nodes (512 at the defaults): Catalyst ANALYSIS of the big literal
+    # tree dominated every Lloyd action — measured ~0.45 s compile vs
+    # ~0.10 s execution per round at sf0.01; the single-node form halves
+    # the fresh-plan cost (r10, VERDICT r09 next #5).  Same doubles, same
+    # zip_with distance fold, array_min over struct(dist, cell) keeps the
+    # lowest-cell tiebreak — assignments are bit-identical
+    # (oracle-verified).  Cell ids ride a parallel literal because Lloyd
+    # dropouts make them non-contiguous (transform index != cell id).
+    def assign_frame(cents_now):
+        cent_lit = F.lit([[float(v) for v in c] for _, c in cents_now])
+        ids_lit = F.lit([int(cell) for cell, _ in cents_now])
+        expr = F.array_min(
+            F.transform(
+                cent_lit,
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("u"),
+                            c,
+                            lambda a, b: F.floor(
+                                (a - b) * (a - b) * 1e12 + 0.5
+                            ).cast("long"),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, e: acc + e,
+                    ).alias("dist"),
+                    F.element_at(ids_lit, i + 1).cast("int").alias("cell"),
                 ),
-                F.lit(0).cast("long"),
-                lambda acc, e: acc + e,
             )
-            entries.append(F.struct(dfp.alias("dist"), F.lit(cell).alias("cell")))
-        return F.array_min(F.array(*entries))["cell"]
+        )["cell"]
+        return base.select("_id", "u", expr.alias("cell"))
 
-    for _ in range(iters):
-        assigned = base.select("_id", "u", assign_col(cents).alias("cell"))
+    # Round 1 assigns against the seed centroids IN-PLAN (VERDICT r09
+    # next #5): the n_cells smallest-id unit vectors ride a broadcast
+    # 1-row subquery (sort_array keeps cell id = _id rank, exactly the
+    # old enumerate(seeds) numbering) instead of a separate driver
+    # collect — one driver sync per training disappears, and the
+    # distance arithmetic is the same zip_with fold over the same
+    # doubles, so assignments are bit-identical.  iters=0 keeps the
+    # collect (the caller needs driver-side centroids and there is no
+    # round to ride).
+    if iters == 0:
+        seeds = base.orderBy("_id").limit(n_cells).collect()
+        cents: list[tuple[int, list[float]]] = [
+            (i, list(r["u"])) for i, r in enumerate(seeds)
+        ]
+        out = assign_frame(cents).select(
+            F.col("_id").alias(id_col), "cell"
+        )
+        return IvfModel(assignments=out, centroids=cents, unit=base)
+
+    seed_row = (
+        base.orderBy("_id")
+        .limit(n_cells)
+        .agg(F.sort_array(F.collect_list(F.struct("_id", "u"))).alias("_seeds"))
+    )
+    seed_assign = F.array_min(
+        F.transform(
+            F.col("_seeds"),
+            lambda s, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("u"),
+                        s["u"],
+                        lambda a, b: F.floor(
+                            (a - b) * (a - b) * 1e12 + 0.5
+                        ).cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, e: acc + e,
+                ).alias("dist"),
+                i.cast("int").alias("cell"),
+            ),
+        )
+    )["cell"]
+
+    cents = []
+    dim = int(dim)
+    for it in range(iters):
+        if it == 0:
+            assigned = base.crossJoin(F.broadcast(seed_row)).select(
+                "_id", "u", seed_assign.alias("cell")
+            )
+        else:
+            assigned = assign_frame(cents)
         sums = (
             assigned.select(
                 "cell",
@@ -295,16 +355,21 @@ def ivf_train(
             .groupBy("cell", "d")
             .agg(F.sum("vfp").alias("sfp"), F.count("*").alias("cnt"))
         )
+        rows = sums.collect()
+        if it == 0:
+            if not rows:
+                raise ValueError("IVF training needs at least one vector")
+            # dimensionality comes from the data, not the parameter (same
+            # fix as corpus.kmeans_fixedpoint, ADVICE r06 low)
+            dim = 1 + max(r["d"] for r in rows)
         by_cell: dict[int, dict[int, float]] = {}
-        for r in sums.collect():
+        for r in rows:
             by_cell.setdefault(r["cell"], {})[r["d"]] = (r["sfp"] / 1e6) / r["cnt"]
         cents = [
             (cell, [m[d] for d in range(dim)]) for cell, m in sorted(by_cell.items())
         ]
 
-    out = base.select(
-        F.col("_id").alias(id_col), assign_col(cents).alias("cell")
-    )
+    out = assign_frame(cents).select(F.col("_id").alias(id_col), "cell")
     return IvfModel(assignments=out, centroids=cents, unit=base)
 
 
@@ -384,63 +449,86 @@ def pq_train(
         .select("_id", "nd", F.col("p.sub").alias("sub"), F.col("p.sq").alias("sq"))
         .localCheckpoint(eager=False)
     )
-    # every vector explodes to exactly n_sub rows, so the first k*n_sub
-    # rows in (_id, sub) order ARE the k smallest-id vectors' subrows —
-    # one job instead of a separate id-collect + isin filter
-    seeds = base.orderBy("_id", "sub").limit(k * n_sub).collect()
-    by_id = sorted({r["_id"] for r in seeds})
-    if not by_id:
-        raise ValueError("PQ training needs at least one vector")
-    # UNIFORM-DIM PRECONDITION (ADVICE r08): the per-row slice extent
-    # size(xq)/n_sub means a row whose dimension differs from the
-    # codebook's would silently drop/shorten tail dims.  Two tiers: the
-    # seed rows are checked here (catches the common all-wrong case
-    # before any job), and the FULL frame is checked by min/max(nd)
-    # columns riding the first Lloyd round's exchange below (ADVICE r09:
-    # a rogue dim anywhere in the corpus, not just among the seeds, now
-    # raises) — zero extra jobs either way.
-    dims_seen = {int(r["nd"]) for r in seeds}
-    if len(dims_seen) > 1:
-        raise ValueError(
-            f"PQ requires uniform vector dims, seeds saw {sorted(dims_seen)}"
+    # Seed codebook IN-PLAN for iters >= 1 (VERDICT r09 next #5): every
+    # vector explodes to exactly n_sub rows, so the first k*n_sub rows in
+    # (_id, sub) order ARE the k smallest-id vectors' subrows — grouped
+    # per sub into a broadcast array (sort_array keeps code j = _id rank,
+    # the old enumerate numbering), round 1 assigns against it, and the
+    # seed VALUES ride the same action as a unioned dump (n = -1 marker;
+    # a code that attracts no members in round 1 must keep its seed
+    # centroid for round 2, exactly the literal path's fallback).  The
+    # former separate seeds collect — one driver sync per training —
+    # disappears; iters=0 keeps it, since the codebook must reach the
+    # driver and there is no round to ride.
+    if iters == 0:
+        seeds = base.orderBy("_id", "sub").limit(k * n_sub).collect()
+        by_id = sorted({r["_id"] for r in seeds})
+        if not by_id:
+            raise ValueError("PQ training needs at least one vector")
+        dims_seen = {int(r["nd"]) for r in seeds}
+        if len(dims_seen) > 1:
+            raise ValueError(
+                f"PQ requires uniform vector dims, seeds saw {sorted(dims_seen)}"
+            )
+        dim_total = dims_seen.pop()
+        if dim_total % n_sub != 0:
+            # a silent floor would DROP the tail dims from every code —
+            # fail loudly instead (FAISS imposes the same divisibility)
+            raise ValueError(
+                f"PQ requires dim % n_sub == 0, got dim={dim_total}, "
+                f"n_sub={n_sub}"
+            )
+        d_sub = dim_total // n_sub
+        # clamp to the seeds actually present: with < k distinct vectors
+        # the codebook is simply smaller (same convention as the shorter
+        # cents list in corpus.kmeans_fixedpoint, ADVICE r07)
+        k = min(k, len(by_id))
+        # cents[sub][j] = centroid j of subspace sub
+        cents: list[list[list[int]]] = [[None] * k for _ in range(n_sub)]
+        rank = {vid: j for j, vid in enumerate(by_id)}
+        for r in seeds:
+            cents[r["sub"]][rank[r["_id"]]] = list(r["sq"])
+    else:
+        cents = []
+        d_sub = 0
+
+    seed_frame = (
+        base.orderBy("_id", "sub")
+        .limit(k * n_sub)
+        .groupBy("sub")
+        .agg(F.sort_array(F.collect_list(F.struct("_id", "sq"))).alias("_seeds"))
+    )
+    seed_best = F.array_min(
+        F.transform(
+            F.col("_seeds"),
+            lambda s, j: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("sq"), s["sq"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, e: acc + e,
+                ).alias("dist2"),
+                j.cast("int").alias("code"),
+            ),
         )
-    dim_total = dims_seen.pop()
-    if dim_total % n_sub != 0:
-        # a silent floor would DROP the tail dims from every code — fail
-        # loudly instead (FAISS imposes the same divisibility)
-        raise ValueError(
-            f"PQ requires dim % n_sub == 0, got dim={dim_total}, "
-            f"n_sub={n_sub}"
-        )
-    d_sub = dim_total // n_sub
-    # clamp to the seeds actually present: with < k distinct vectors the
-    # codebook is simply smaller (same convention as the shorter cents
-    # list in corpus.kmeans_fixedpoint) — unseeded None slots would
-    # otherwise blow up the literal build far from the cause (ADVICE r07)
-    k = min(k, len(by_id))
-    # cents[sub][j] = centroid j of subspace sub
-    cents: list[list[list[int]]] = [[None] * k for _ in range(n_sub)]
-    rank = {vid: j for j, vid in enumerate(by_id)}
-    for r in seeds:
-        cents[r["sub"]][rank[r["_id"]]] = list(r["sq"])
+    )
 
     def assign(frame: DataFrame) -> DataFrame:
-        # The full codebook as ONE nested-array literal (n_sub x k x d_sub
-        # longs) indexed by the row's subspace, with the k distance folds
-        # expressed as a transform over it — the same exact-integer
-        # arithmetic as an unrolled when(sub == s, <k folds>) chain but a
-        # plan ~100x smaller (the chain duplicated every fold through 16
-        # LEAST/when branches; compiling it dominated wall at every SF —
-        # a flat ~12 s/query before this rewrite).  array_min over
-        # struct(dist2, code) keeps the lowest-code tiebreak.
-        cb_lit = F.array(
-            *[
-                F.array(
-                    *[
-                        F.array(*[F.lit(int(v)) for v in cents[s][j]])
-                        for j in range(k)
-                    ]
-                )
+        # The full codebook as ONE nested-array Literal NODE
+        # (F.lit(list-of-lists-of-lists)) indexed by the row's subspace:
+        # the r07 rewrite shrank the when-chain to a literal ARRAY TREE
+        # (n_sub*k*d_sub = 1024 F.lit nodes at the defaults), but Catalyst
+        # analysis of that tree still dominated every Lloyd action
+        # (~0.5 s compile vs ~0.1 s run per round, sf0.01); the
+        # single-node literal halves the fresh-plan cost (r10, VERDICT
+        # r09 next #5).  Same exact-integer distance folds over the same
+        # values, array_min over struct(dist2, code) keeps the
+        # lowest-code tiebreak — codes are bit-identical
+        # (oracle-verified).
+        cb_lit = F.lit(
+            [
+                [[int(v) for v in cents[s][j]] for j in range(k)]
                 for s in range(n_sub)
             ]
         )
@@ -473,30 +561,89 @@ def pq_train(
         # FULL-FRAME dim validation rides the first Lloyd exchange
         # (ADVICE r09): two extra min/max columns on an aggregate that
         # runs anyway, so a heterogeneous-dim row ANYWHERE in the corpus
-        # — not just among the k*n_sub seed rows — fails loudly instead
-        # of being silently slice-truncated.  (iters=0 skips Lloyd
-        # entirely and keeps only the seed-level check.)
+        # fails loudly instead of being silently slice-truncated.
+        # (iters=0 skips Lloyd entirely and keeps the seed-level check.)
+        if it == 0:
+            assigned = base.join(F.broadcast(seed_frame), "sub").select(
+                "_id",
+                "nd",
+                "sub",
+                "sq",
+                seed_best["code"].alias("code"),
+                seed_best["dist2"].alias("dist2_fp"),
+            )
+        else:
+            assigned = assign(base)
         aggs = [F.sum("v").alias("s"), F.count("*").alias("n")]
         if it == 0:
             aggs += [F.min("nd").alias("lo"), F.max("nd").alias("hi")]
-        rows = (
-            assign(base)
+        stats = (
+            assigned
             .select("sub", "code", "nd", F.posexplode("sq").alias("d", "v"))
             .groupBy("sub", "code", "d")
             .agg(*aggs)
-            .collect()
         )
-        if it == 0 and rows:
-            lo = min(r["lo"] for r in rows)
-            hi = max(r["hi"] for r in rows)
-            if lo != dim_total or hi != dim_total:
+        if it == 0:
+            dump = (
+                seed_frame.select(
+                    "sub", F.posexplode("_seeds").alias("code", "sv")
+                )
+                .select("sub", "code", F.posexplode("sv.sq").alias("d", "v"))
+                .select(
+                    "sub",
+                    "code",
+                    "d",
+                    F.col("v").alias("s"),
+                    F.lit(-1).cast("long").alias("n"),
+                    F.lit(None).cast("int").alias("lo"),
+                    F.lit(None).cast("int").alias("hi"),
+                )
+            )
+            rows = stats.unionByName(dump).collect()
+            seed_vals: dict[tuple[int, int, int], int] = {}
+            data_rows = []
+            for r in rows:
+                if r["n"] == -1:
+                    seed_vals[(r["sub"], r["code"], r["d"])] = r["s"]
+                else:
+                    data_rows.append(r)
+            if not seed_vals:
+                raise ValueError("PQ training needs at least one vector")
+            lo = min(r["lo"] for r in data_rows)
+            hi = max(r["hi"] for r in data_rows)
+            if lo != hi:
                 raise ValueError(
                     "PQ requires uniform vector dims: corpus has dims in "
-                    f"[{lo}, {hi}], codebook trained at {dim_total}"
+                    f"[{lo}, {hi}]"
                 )
+            dim_total = lo
+            if dim_total % n_sub != 0:
+                raise ValueError(
+                    f"PQ requires dim % n_sub == 0, got dim={dim_total}, "
+                    f"n_sub={n_sub}"
+                )
+            d_sub = dim_total // n_sub
+            k = 1 + max(c for (_s, c, _d) in seed_vals)
+            got = {
+                (r["sub"], r["code"], r["d"]): (r["s"], r["n"])
+                for r in data_rows
+            }
+            cents = [
+                [
+                    [
+                        math.floor(got[(s, j, d)][0] / got[(s, j, d)][1])
+                        for d in range(d_sub)
+                    ]
+                    if (s, j, 0) in got
+                    else [seed_vals[(s, j, d)] for d in range(d_sub)]
+                    for j in range(k)
+                ]
+                for s in range(n_sub)
+            ]
+            continue
         got = {
             (r["sub"], r["code"], r["d"]): (r["s"], r["n"])
-            for r in rows
+            for r in stats.collect()
         }
         cents = [
             [
@@ -780,7 +927,7 @@ def ivfpq_topk(
     # orchestration keeps executors busy during each other's driver syncs.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         ivf_f = pool.submit(
             ivf_train,
             shared,
@@ -798,14 +945,17 @@ def ivfpq_topk(
             vec_col=vec_col,
             id_col=id_col,
         )
+        # third concurrent worker: the query-row lookup (reads the same
+        # eager checkpoint) — not a sequential sync after the trainings
+        q_f = pool.submit(
+            lambda: shared.where(F.col(id_col) == query_id)
+            .select(F.col(vec_col).alias("x"))
+            .first()
+        )
         ivf = ivf_f.result()
         pq = pq_f.result()
+        q_raw = q_f.result()
     cells, cents = ivf.assignments, ivf.centroids
-    q_raw = (
-        shared.where(F.col(id_col) == query_id)
-        .select(F.col(vec_col).alias("x"))
-        .first()
-    )
     if q_raw is None:
         raise ValueError(f"query_id {query_id} not present in {id_col}")
     qv = list(q_raw["x"])
@@ -889,10 +1039,21 @@ def ivfpq_residual_topk(
 
     Scale shape: identical to the composite (cell = partition column,
     probe = partition pruning, ADC over 8-byte codes of probed cells)
-    plus one map-only residual projection between the two trainings."""
+    plus one map-only residual projection between the two trainings.
+
+    Driver-sync budget (VERDICT r09 next #5): the trainings' seed
+    collects fold into their first Lloyd rounds (in-plan broadcast seed
+    frames — see ivf_train/pq_train), the shared checkpoint is LAZY
+    (materialized under IVF round 1, the first job that reads it; no
+    thread races it — the query-row fetch starts only after ivf_train
+    returns), and the query-row lookup runs on a side thread concurrent
+    with PQ training.  Sequential syncs: IVF round 1+2, PQ round 1+2 —
+    four, down from r09's ~9 (checkpoint job, two seed collects, four
+    rounds, query fetch, each its own scheduling boundary on a busy
+    host).  Job count pinned in tests/test_ml_lsh.py."""
     shared = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     ivf = ivf_train(
         shared, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=ivf_iters
     )
@@ -924,17 +1085,24 @@ def ivfpq_residual_topk(
         )
         .localCheckpoint(eager=False)  # feeds every PQ Lloyd round
     )
-    pq = pq_train(
-        resid, n_sub=n_sub, k=k, iters=pq_iters, vec_col="resid", id_col=id_col
-    )
+    # the query-row fetch only needs the (already-materialized) shared
+    # checkpoint — run it concurrent with PQ training instead of as its
+    # own sequential sync after it
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        q_fut = pool.submit(
+            lambda: shared.where(F.col(id_col) == query_id)
+            .select(F.col(vec_col).alias("x"))
+            .first()
+        )
+        pq = pq_train(
+            resid, n_sub=n_sub, k=k, iters=pq_iters, vec_col="resid",
+            id_col=id_col,
+        )
+        q_raw = q_fut.result()
     codes, cb = pq.codes, pq.codebook
     k, d_sub = pq.k, pq.d_sub
-
-    q_raw = (
-        shared.where(F.col(id_col) == query_id)
-        .select(F.col(vec_col).alias("x"))
-        .first()
-    )
     if q_raw is None:
         raise ValueError(f"query_id {query_id} not present in {id_col}")
     qv = list(q_raw["x"])

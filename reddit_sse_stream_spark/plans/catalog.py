@@ -10393,13 +10393,21 @@ _CHANGED_SINCE_PROOF = {
     "text_mattr_diversity",
     "text_longest_repeat",
     "decontam_embedding_cosine",
-    # pq_train's first Lloyd exchange now carries the full-frame min/max
-    # dim-guard columns — every row training a PQ codebook re-proves
+    # r10 REWRITE (VERDICT r09 next #5), bit-identical by construction
+    # and oracle-verified locally: both quantizer trainings now assign
+    # round 1 against an in-plan broadcast seed frame (no separate seeds
+    # collect), ship per-round codebooks as single nested-literal nodes
+    # (compile cost, not plan size, dominated each Lloyd action), and
+    # pq_train's first exchange carries the full-frame dim-guard columns
+    # — every row executing ivf_train/pq_train re-proves
     "embed_pq_codes",
     "knn_pq_adc_topk",
     "knn_pq_recall_audit",
     "knn_ivfpq_topk",
     "knn_ivfpq_residual_topk",
+    "knn_ivf_fixedpoint_cells",
+    "corpus_diverse_sample",
+    "dedup_semdedup_cells",
     # r10 SEMANTIC change (VERDICT r09 next #8): even-id image rows now
     # carry a compressed PNG (zlib inflate + 5-filter unfiltering decode)
     # and image n_bytes switched to the decoder's SQL-reproducible size —

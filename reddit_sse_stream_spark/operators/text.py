@@ -1529,3 +1529,86 @@ def mattr_lexical_diversity(
         n_windows.cast("long").alias("n_windows"),
         mattr.alias("mattr"),
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    pcts: tuple[int, ...] = (10, 25, 50, 100),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve [Heaps 1978]: |V(N)| — distinct
+    word types — at growing corpus prefixes, the measurement behind every
+    tokenizer/vocab-size decision (|V(N)| ~ K·N^beta; where the curve
+    flattens tells you what a bigger vocab still buys) and behind
+    crawl-dedup health checks (a growth curve that flattens EARLY means
+    new data is mostly repeats).
+
+    Prefixes are ``id_col`` thresholds at ``pcts`` percent of the max id
+    (data-derived in-plan, so the same query serves every scale factor).
+    Output: one row per checkpoint — (pct, threshold_id, vocab, tokens),
+    tokens = total word occurrences in the prefix, so beta is estimable
+    from adjacent rows.  All-integer arithmetic end to end.
+
+    Scale shape: ONE corpus-wide exchange (word -> min(first-doc) — the
+    classic "first occurrence" reduction, map-side combined since MIN is
+    associative); every checkpoint then reads that word frame ONCE as
+    conditional counts in a single 1-row aggregate (NOT one pass per
+    checkpoint), and the token side is a doc-level map + the same
+    conditional-sum trick.  The max-id threshold rides a broadcast 1-row
+    subquery.  At 100 TB: |words| distinct types is the only shuffled
+    key set, orders smaller than occurrences."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+    )
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array(F.struct(words.alias("ws")))).alias("s"),
+    ).select("_id", F.col("s.ws").alias("ws"))
+    mx = docs.agg(F.max(id_col).cast("long").alias("mx"))
+    thr = {p: F.floor((F.col("mx") * p) / 100).cast("long") for p in pcts}
+    word_first = (
+        tok.select("_id", F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.min("_id").cast("long").alias("fd"))
+    )
+    vg = (
+        word_first.crossJoin(F.broadcast(mx))
+        .agg(
+            *[
+                F.count(F.when(F.col("fd") <= thr[p], 1)).alias(f"v{p}")
+                for p in pcts
+            ],
+            F.max("mx").alias("mx"),
+        )
+    )
+    tk = (
+        tok.select(F.col("_id"), F.size("ws").cast("long").alias("nw"))
+        .crossJoin(F.broadcast(mx))
+        .agg(
+            *[
+                F.sum(F.when(F.col("_id") <= thr[p], F.col("nw")).otherwise(0))
+                .cast("long")
+                .alias(f"t{p}")
+                for p in pcts
+            ]
+        )
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("int").alias("pct"),
+                F.floor((F.col("mx") * p) / 100).cast("long").alias(
+                    "threshold_id"
+                ),
+                F.col(f"v{p}").cast("long").alias("vocab"),
+                F.col(f"t{p}").cast("long").alias("tokens"),
+            )
+            for p in pcts
+        ]
+    )
+    return (
+        vg.crossJoin(F.broadcast(tk))
+        .select(F.explode(rows).alias("r"))
+        .select("r.pct", "r.threshold_id", "r.vocab", "r.tokens")
+    )

@@ -3383,11 +3383,18 @@ def knn_ivf_metric_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_fixedpoint_ctes(
-    n_cells: int = 8, iters: int = 2, dim: int = 64
+    n_cells: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    train_pred: str | None = None,
+    assign_pred: str | None = None,
 ) -> tuple[list[str], str]:
     """CTE list + final-assignment CTE name for the fixed-point Lloyd
-    oracle (shared by ``knn_ivf_fixedpoint_cells`` and the diversity
-    subsample that builds on its cells)."""
+    oracle (shared by ``knn_ivf_fixedpoint_cells``, the diversity
+    subsample that builds on its cells, and — via ``train_pred`` /
+    ``assign_pred`` — the incremental-assign twin, which trains the
+    quantizer on one id subset and assigns a DIFFERENT subset with the
+    final centroids)."""
     ctes = [
         f"ex0 AS (SELECT vec_id, unnest(range(0, {dim})) AS d,"
         " unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)",
@@ -3396,16 +3403,28 @@ def _ivf_fixedpoint_ctes(
         " FROM ex0 GROUP BY vec_id)",
         "ex AS (SELECT e.vec_id, e.d, e.val / n.nrm AS u"
         " FROM ex0 e JOIN nrm n USING (vec_id))",
+    ]
+    src_train = "ex"
+    if train_pred:
+        ctes.append(f"ext AS (SELECT * FROM ex WHERE {train_pred})")
+        src_train = "ext"
+    src_final = "ex"
+    if assign_pred:
+        ctes.append(f"exa AS (SELECT * FROM ex WHERE {assign_pred})")
+        src_final = "exa"
+    seed_where = f" WHERE {train_pred}" if train_pred else ""
+    ctes += [
         "seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1"
-        " AS INTEGER) AS cell FROM (SELECT DISTINCT vec_id FROM ex0"
+        f" AS INTEGER) AS cell FROM (SELECT DISTINCT vec_id FROM ex0{seed_where}"
         f" ORDER BY vec_id LIMIT {n_cells}))",
         "cen0 AS (SELECT s.cell, e.d, e.u AS c FROM seed s JOIN ex e USING (vec_id))",
     ]
     for t in range(iters + 1):
+        src = src_train if t < iters else src_final
         ctes.append(
             f"d{t} AS (SELECT e.vec_id, c.cell,"
             " sum(CAST(floor((e.u - c.c) * (e.u - c.c) * 1e12 + 0.5) AS BIGINT))"
-            f" AS dist FROM ex e JOIN cen{t} c USING (d) GROUP BY e.vec_id, c.cell)"
+            f" AS dist FROM {src} e JOIN cen{t} c USING (d) GROUP BY e.vec_id, c.cell)"
         )
         ctes.append(
             f"a{t} AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,"
@@ -3447,6 +3466,39 @@ def _ivf_diverse_sample_oracle(k: int = 40) -> str:
         "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cell, pos FROM capped"
         f" WHERE pos <= {k}"
     )
+
+
+def _ivf_incremental_oracle(
+    n_cells: int = 8, iters: int = 2, dim: int = 64
+) -> str:
+    """Train the fixed-point quantizer on even vec_ids only, then assign
+    the ODD ids with the final centroids — the unrolled twin of
+    ivf_train(evens) + ivf_assign(model, odds)."""
+    ctes, final = _ivf_fixedpoint_ctes(
+        n_cells, iters, dim,
+        train_pred="vec_id % 2 = 0",
+        assign_pred="vec_id % 2 = 1",
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cell FROM {final}"
+
+
+@_register("knn_ivf_incremental_assign", _ivf_incremental_oracle())
+def knn_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE twin (operators/ml_lsh.py:ivf_assign): the IVF
+    coarse quantizer trains ONCE on the existing corpus snapshot (even
+    vec_ids) and every arriving batch (odd vec_ids) gets its partition
+    column from a map-only assignment against the frozen centroid table
+    — no retraining, no shuffle, no driver state beyond the plan-literal
+    centroids.  This is how the 100 TB index actually lives: training is
+    the bounded driver-synced part, ingest is a stateless projection
+    that composes with readStream unchanged.  The oracle unrolls the
+    SAME Lloyd rounds restricted to the training subset, then assigns
+    the arriving subset with the final centroids — bit-identical cells."""
+    from reddit_sse_stream_spark.operators.ml_lsh import ivf_assign, ivf_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = ivf_train(emb.where(F.col("vec_id") % 2 == 0))
+    return ivf_assign(model, emb.where(F.col("vec_id") % 2 == 1))
 
 
 @_register("knn_ivf_fixedpoint_cells", _ivf_fixedpoint_oracle())
@@ -9526,6 +9578,44 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles.  DuckDB recomputes every window's distinct count via a
     correlated generate_series — definitionally the same sum."""
     return text.mattr_lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_vocab_growth",
+    r"""
+    WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
+    w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         t -> len(t) > 0) AS ws
+      FROM documents),
+    wf AS (
+      SELECT u.w AS w, CAST(min(u.doc_id) AS BIGINT) AS fd
+      FROM (SELECT doc_id, unnest(ws) AS w FROM w) u GROUP BY u.w),
+    ck AS (SELECT unnest([10, 25, 50, 100]) AS pct),
+    thr AS (
+      SELECT pct, CAST(floor(mx * pct / 100.0) AS BIGINT) AS threshold_id
+      FROM ck, mx)
+    SELECT CAST(t.pct AS INT) AS pct,
+           t.threshold_id,
+           CAST((SELECT count(*) FROM wf WHERE fd <= t.threshold_id)
+                AS BIGINT) AS vocab,
+           CAST((SELECT coalesce(sum(len(ws)), 0) FROM w
+                 WHERE doc_id <= t.threshold_id) AS BIGINT) AS tokens
+    FROM thr t
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve (operators/text.py:vocab_growth
+    — Heaps 1978): distinct word types and total tokens at 10/25/50/100%
+    id-prefixes of the corpus, the measurement behind tokenizer vocab
+    sizing (where |V(N)| ~ K*N^beta flattens) and crawl-dedup health (a
+    curve flattening early means arriving data is mostly repeats).
+    All-integer; thresholds data-derived in-plan (broadcast 1-row max).
+    Scale shape: ONE corpus exchange (word -> min first-doc, map-side
+    combined); all checkpoints are conditional counts over that frame in
+    a single 1-row aggregate, never one pass per checkpoint."""
+    return text.vocab_growth(_t(spark, sf_dir, "documents"))
 
 
 @_register(

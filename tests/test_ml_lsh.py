@@ -182,6 +182,35 @@ def test_ivfpq_topk_subset_and_pruning_semantics(spark, sf_dir):
         assert cells[r["vec_id"]] == r["cell"]
 
 
+def test_ivf_assign_matches_training_and_is_map_only(spark, sf_dir):
+    """ivf_assign is the index-maintenance surface: (a) re-assigning the
+    TRAINING vectors against the frozen centroids reproduces their
+    training-time cells exactly (same arithmetic, same tiebreak), and
+    (b) the assignment plan is a pure map pass — zero Exchange operators
+    — because at 100 TB this runs on every ingest batch."""
+    from reddit_sse_stream_spark.operators.ml_lsh import ivf_assign, ivf_train
+
+    emb_df = load_table(spark, sf_dir, "embeddings")
+    train = emb_df.filter(F.col("vec_id") % 2 == 0)
+    model = ivf_train(train)
+    trained = {r["vec_id"]: r["cell"] for r in model.assignments.collect()}
+    re_assigned = {
+        r["vec_id"]: r["cell"] for r in ivf_assign(model, train).collect()
+    }
+    assert re_assigned == trained
+    plan = (
+        ivf_assign(model, emb_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    # arriving batch lands in valid cells only
+    cells = {c for c, _ in model.centroids}
+    newly = ivf_assign(model, emb_df.filter(F.col("vec_id") % 2 == 1))
+    assert {r["cell"] for r in newly.collect()} <= cells
+
+
 def test_residual_ivfpq_job_budget(spark, sf_dir):
     """VERDICT r09 next #5: the residual recipe's wall cost is its
     sequential driver-sync constant, so the Spark-job count is pinned —

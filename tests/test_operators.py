@@ -2367,6 +2367,30 @@ def test_mattr_hand_example_and_short_doc_fallback(spark):
     assert out[3].mattr == math.floor(1 / 3 * 10000) / 10000  # stutter floor
 
 
+def test_vocab_growth_hand_example(spark):
+    """Heaps-curve checkpoints on a 4-doc corpus where first occurrences
+    are placed by hand: vocab counts types whose FIRST doc is inside the
+    prefix, tokens counts occurrences (not types), and the 100% row
+    covers everything."""
+    from reddit_sse_stream_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [
+            (10, "a b a"),          # types a,b first seen at 10
+            (20, "b c"),            # c first seen at 20
+            (30, "c a d"),          # d first seen at 30
+            (40, "e"),              # e first seen at 40
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.pct: r for r in vocab_growth(docs, pcts=(25, 50, 100)).collect()}
+    # max id 40 -> thresholds 10, 20, 40
+    assert out[25].threshold_id == 10
+    assert (out[25].vocab, out[25].tokens) == (2, 3)   # {a,b}; "a b a"
+    assert (out[50].vocab, out[50].tokens) == (3, 5)   # +c; +"b c"
+    assert (out[100].vocab, out[100].tokens) == (5, 9) # all types, all words
+
+
 def test_ewma_features_hand_example(spark):
     """Hand-checkable bounded EWMA (depth=4 -> weights 8,4,2,1): a key
     with 3 events gets partial weight sums (8+4+2, newest first); a NULL

@@ -2,7 +2,7 @@
 typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The container has no image/audio CODEC libraries, but pure Python covers
-four REAL container decoders (each verified value-for-value against a SQL
+five REAL container decoders (each verified value-for-value against a SQL
 oracle recomputing the generative formulas):
 
 - audio: genuine RIFF/WAVE PCM16 via ``wave`` (r09, VERDICT r08 next #5) —
@@ -17,13 +17,18 @@ oracle recomputing the generative formulas):
   DC-prediction + AC run-length entropy decoding with byte unstuffing,
   dequantization, full 2D IDCT.  The generative content is constant per
   8x8 block (DC-only), the subset of a lossy codec whose round-trip is
-  exact, so even THIS decode is value-oracled.
+  exact, so even THIS decode is value-oracled;
+- video: genuine uncompressed AVI via ``struct`` (r10) — RIFF chunk-tree
+  walk (hdrl/avih geometry, strf pixel format, movi frame stream), raw
+  bottom-up-BGR 'DIB ' frames reconstructed per frame.  Uncompressed
+  video needs no codec, so the last marked fake on this surface closes.
 
-Only VIDEO remains a deterministic fake, clearly marked below — no
-stdlib path exists for inter-frame codecs; swapping in ffmpeg later
-changes only `_fake_decode_*` internals.  The Spark-side plumbing
-(schema, batch iteration, partition-parallel UDF shape) is identical for
-fake and real paths.
+Inter-frame CODECS (H.264 etc.) remain out of scope for pure Python —
+swapping in ffmpeg later changes only the decode internals; the
+`_fake_decode_features` byte-histogram path survives solely as the
+plumbing twin (`media_features_meta`, real_media=False).  The Spark-side
+plumbing (schema, batch iteration, partition-parallel UDF shape) is
+identical for fake and real paths.
 """
 
 from __future__ import annotations
@@ -48,6 +53,7 @@ DECODED_FEATURE_SCHEMA = (
     FEATURE_SCHEMA
     + ", n_samples long, peak long, sumsq long, zero_cross long"
     + ", img_w long, img_h long, sum_rgb long, pix_peak long"
+    + ", vid_frames long"
 )
 
 WAV_SAMPLE_RATE = 8000
@@ -601,6 +607,167 @@ def _decode_jpeg_features(payload: bytes) -> tuple[int, int, int, int, int, int]
     return w, h, int(flat.sum()), int(flat.max()), checksum, w * h
 
 
+AVI_FRAME_W = 16
+AVI_FRAME_H = 8
+
+
+def _avi_n_frames(media_id: int) -> int:
+    """Deterministic per-id frame count (SQL-reproducible)."""
+    return 2 + media_id % 5
+
+
+def _avi_pix(media_id: int, j: int) -> int:
+    """Deterministic channel byte for GLOBAL linear index
+    j = frame*(W*H*3) + (y*W + x)*3 + c (top-down RGB within each frame)
+    — NON-recursive so a SQL oracle recomputes any byte from
+    (media_id, j)."""
+    return (media_id * 40503 + j * 2654435761) % 256
+
+
+def _avi_frame_dib(media_id: int, f: int) -> bytes:
+    """One frame as a bottom-up BGR DIB pixel array (the uncompressed
+    'DIB ' stream format AVI carries) — same container quirks as BMP."""
+    w, h = AVI_FRAME_W, AVI_FRAME_H
+    row_pad = (4 - (w * 3) % 4) % 4
+    base_f = f * w * h * 3
+    rows = []
+    for y_top in range(h - 1, -1, -1):  # bottom-up rows on disk
+        row = bytearray()
+        for x in range(w):
+            base = base_f + (y_top * w + x) * 3
+            r = _avi_pix(media_id, base)
+            g = _avi_pix(media_id, base + 1)
+            b = _avi_pix(media_id, base + 2)
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * row_pad
+        rows.append(bytes(row))
+    return b"".join(rows)
+
+
+def _encode_avi(media_id: int) -> bytes:
+    """A genuine uncompressed AVI (r10: the video path's marked fake
+    replaced by a REAL container): RIFF('AVI ') with the full
+    hdrl(avih + strl(strh 'vids'/'DIB ' + strf BITMAPINFOHEADER))
+    header tree, a movi LIST of raw bottom-up-BGR '00db' frame chunks,
+    and an idx1 index — pure stdlib ``struct``.  Uncompressed 'DIB '
+    video needs no codec (the same reason BMP/WAV could be real), so any
+    AVI reader plays these files.  Inter-frame CODECS (H.264 etc.)
+    remain out of scope for a stdlib container."""
+    w, h = AVI_FRAME_W, AVI_FRAME_H
+    n = _avi_n_frames(media_id)
+    stride = (w * 3 + 3) // 4 * 4
+    fsz = stride * h
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + len(data).to_bytes(4, "little") + data + pad
+
+    def lst(tag: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", tag + data)
+
+    avih = struct.pack(
+        "<14I", 40000, 0, 0, 0x10, n, 0, 1, fsz, w, h, 0, 0, 0, 0
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, 25, 0, n, fsz, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsz, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    frames = [chunk(b"00db", _avi_frame_dib(media_id, f)) for f in range(n)]
+    movi = lst(b"movi", b"".join(frames))
+    idx = b"".join(
+        b"00db"
+        + (0x10).to_bytes(4, "little")
+        + (4 + i * (8 + fsz)).to_bytes(4, "little")
+        + fsz.to_bytes(4, "little")
+        for i in range(n)
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _decode_avi_features(
+    payload: bytes,
+) -> tuple[int, int, int, int, int, int, int]:
+    """REAL DECODE: walk the RIFF chunk tree (hdrl/avih for the declared
+    geometry, strf for the pixel format, movi for the frame stream),
+    reconstruct each bottom-up BGR frame to logical top-down RGB, and
+    fold frame-level features.  Returns (img_w, img_h, sum_rgb,
+    pix_peak, checksum, n_bytes, vid_frames); checksum position-weights
+    every channel byte by its GLOBAL (frame, pixel, channel) index, so a
+    frame-order, row-order, or channel-order mistake goes red against
+    the SQL oracle; n_bytes = decoded sample count n*W*H*3."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    pos = 12
+    end = 8 + int.from_bytes(payload[4:8], "little")
+    w = h = n_decl = None
+    bpp = comp = None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal w, h, n_decl, bpp, comp
+        p = lo
+        while p + 8 <= hi:
+            tag = payload[p : p + 4]
+            ln = int.from_bytes(payload[p + 4 : p + 8], "little")
+            data_lo, data_hi = p + 8, p + 8 + ln
+            if tag == b"LIST":
+                walk(data_lo + 4, data_hi)  # skip the list-type fourcc
+            elif tag == b"avih":
+                flds = struct.unpack_from("<14I", payload, data_lo)
+                n_decl, w, h = flds[4], flds[8], flds[9]
+            elif tag == b"strf":
+                _sz, _w, _h, _pl, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", payload, data_lo
+                )
+            elif tag == b"00db":
+                frames.append(payload[data_lo:data_hi])
+            p = data_hi + (ln % 2)  # chunks are word-aligned
+
+    walk(pos, min(end, len(payload)))
+    if w is None or bpp is None:
+        raise ValueError("AVI without avih/strf headers")
+    if bpp != 24 or comp != 0:
+        raise ValueError("expected uncompressed 24-bit DIB video")
+    if len(frames) != n_decl:
+        raise ValueError(
+            f"frame count mismatch: header {n_decl}, stream {len(frames)}"
+        )
+    stride = (w * 3 + 3) // 4 * 4
+    sum_rgb = 0
+    peak = 0
+    checksum = 0
+    for f, dib in enumerate(frames):
+        if len(dib) != stride * h:
+            raise ValueError("bad frame size")
+        base_f = f * w * h * 3
+        for r in range(h):
+            y_top = h - 1 - r
+            row_off = r * stride
+            for x in range(w):
+                o = row_off + x * 3
+                bgr = dib[o : o + 3]
+                base = base_f + (y_top * w + x) * 3
+                for c, v in ((0, bgr[2]), (1, bgr[1]), (2, bgr[0])):
+                    sum_rgb += v
+                    if v > peak:
+                        peak = v
+                    checksum += (base + c + 1) * v
+    return (
+        w, h, sum_rgb, peak, checksum % (1 << 31),
+        len(frames) * w * h * 3, len(frames),
+    )
+
+
 def _decode_image_features(payload: bytes) -> tuple[int, int, int, int, int, int]:
     """Container dispatch on magic bytes — how a real ingest pipeline
     routes mixed image formats.  Returns the unified
@@ -646,6 +813,9 @@ def synthesize_media(docs: DataFrame, real_media: bool = False) -> DataFrame:
     encoders = {
         "audio": _encode_wav,
         "image": _image_enc,
+        # r10: video is a REAL uncompressed-AVI container too — raw
+        # 'DIB ' frames need no codec, so the last marked fake closes
+        "video": _encode_avi,
     }
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -715,6 +885,10 @@ def extract_features(
                     _decode_image_features(p) if k == "image" and p is not None else None
                     for k, p in zip(pdf["kind"], pdf["payload"])
                 ]
+                vid = [
+                    _decode_avi_features(p) if k == "video" and p is not None else None
+                    for k, p in zip(pdf["kind"], pdf["payload"])
+                ]
                 for j, col in enumerate(
                     ("n_samples", "peak", "sumsq", "zero_cross")
                 ):
@@ -722,27 +896,41 @@ def extract_features(
                         [None if d is None else d[j] for d in wav],
                         dtype="Int64",
                     )
+                # pixel-level features: image containers AND the video
+                # frames share the columns (both are decoded pixels)
                 for j, col in enumerate(
                     ("img_w", "img_h", "sum_rgb", "pix_peak")
                 ):
                     out[col] = pd.array(
-                        [None if d is None else d[j] for d in img],
+                        [
+                            i[j] if i is not None
+                            else (v[j] if v is not None else None)
+                            for i, v in zip(img, vid)
+                        ],
                         dtype="Int64",
                     )
-                # decode proof: audio/image checksum = decoded-content one
+                out["vid_frames"] = pd.array(
+                    [None if v is None else v[6] for v in vid],
+                    dtype="Int64",
+                )
+                # decode proof: audio/image/video checksum = decoded one
                 out["checksum"] = pd.Series(
                     [
-                        w[4] if w is not None else (b[4] if b is not None else c)
-                        for c, w, b in zip(out["checksum"], wav, img)
+                        w[4] if w is not None
+                        else (b[4] if b is not None
+                              else (v[4] if v is not None else c))
+                        for c, w, b, v in zip(out["checksum"], wav, img, vid)
                     ],
                     dtype="int64",
                 )
-                # image n_bytes = the decoder's SQL-reproducible size
-                # (BMP: container length; PNG: inflated scanline bytes)
+                # image/video n_bytes = the decoder's SQL-reproducible
+                # size (BMP: container length; PNG: inflated scanline
+                # bytes; JPEG/AVI: decoded sample count)
                 out["n_bytes"] = pd.Series(
                     [
-                        b[5] if b is not None else n
-                        for n, b in zip(out["n_bytes"], img)
+                        b[5] if b is not None
+                        else (v[5] if v is not None else n)
+                        for n, b, v in zip(out["n_bytes"], img, vid)
                     ],
                     dtype="int64",
                 )

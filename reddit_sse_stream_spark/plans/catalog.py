@@ -1405,27 +1405,47 @@ _MEDIA_DECODE_ORACLE = """
              max(w) * max(h) AS n_bytes
       FROM jpix GROUP BY doc_id
     ),
-    pf AS (SELECT * FROM pf0 UNION ALL SELECT * FROM jf)
+    pf AS (SELECT * FROM pf0 UNION ALL SELECT * FROM jf),
+    -- video rows carry a genuine uncompressed AVI (r10): W=16 H=8 DIB
+    -- frames, n = 2 + id % 5, channel byte from the global linear index
+    -- j = frame*(W*H*3) + (y*W + x)*3 + c; n_bytes = decoded sample
+    -- count (the SQL-reproducible size for a multi-frame container)
+    vn AS (SELECT doc_id, 2 + doc_id % 5 AS n
+           FROM base WHERE kind = 'video'),
+    vpix AS (
+      SELECT doc_id, n, j,
+             (doc_id * 40503 + j * 2654435761) % 256 AS v
+      FROM vn, unnest(generate_series(0, n * 16 * 8 * 3 - 1)) AS u(j)
+    ),
+    vf AS (
+      SELECT doc_id, max(n) AS n,
+             sum(v) AS sum_rgb, max(v) AS pix_peak,
+             sum((j + 1) * v) % 2147483648 AS checksum,
+             max(n) * 16 * 8 * 3 AS n_bytes
+      FROM vpix GROUP BY doc_id
+    )
     SELECT b.doc_id AS media_id, b.kind,
            CAST(CASE WHEN b.kind = 'audio' THEN 44 + 2 * sf.n_samples
                      WHEN b.kind = 'image' THEN pf.n_bytes
-                     ELSE length(b.text) END AS BIGINT) AS n_bytes,
+                     ELSE vf.n_bytes END AS BIGINT) AS n_bytes,
            CAST(CASE WHEN b.kind = 'audio' THEN sf.checksum
                      WHEN b.kind = 'image' THEN pf.checksum
-                     ELSE COALESCE(list_sum(list_transform(
-                            string_split(b.text, ''), c -> ord(c))), 0)
-                          % 2147483648 END AS BIGINT) AS checksum,
+                     ELSE vf.checksum END AS BIGINT) AS checksum,
            CAST(sf.n_samples AS BIGINT) AS n_samples,
            CAST(sf.peak AS BIGINT) AS peak,
            CAST(sf.sumsq AS BIGINT) AS sumsq,
            CAST(sf.zero_cross AS BIGINT) AS zero_cross,
-           CAST(pf.w AS BIGINT) AS img_w,
-           CAST(pf.h AS BIGINT) AS img_h,
-           CAST(pf.sum_rgb AS BIGINT) AS sum_rgb,
-           CAST(pf.pix_peak AS BIGINT) AS pix_peak
+           CAST(COALESCE(pf.w, CASE WHEN b.kind = 'video' THEN 16 END)
+                AS BIGINT) AS img_w,
+           CAST(COALESCE(pf.h, CASE WHEN b.kind = 'video' THEN 8 END)
+                AS BIGINT) AS img_h,
+           CAST(COALESCE(pf.sum_rgb, vf.sum_rgb) AS BIGINT) AS sum_rgb,
+           CAST(COALESCE(pf.pix_peak, vf.pix_peak) AS BIGINT) AS pix_peak,
+           CAST(vf.n AS BIGINT) AS vid_frames
     FROM base b
     LEFT JOIN sf ON b.doc_id = sf.doc_id
     LEFT JOIN pf ON b.doc_id = pf.doc_id
+    LEFT JOIN vf ON b.doc_id = vf.doc_id
     """
 
 
@@ -1453,9 +1473,14 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     count w*h.  The SQL oracle recomputes every value from the
     generative formulas, so the decodes are proven by round-trip, not
     assumed.
-    Only video keeps the documented fake (no uncompressed stdlib
-    container exists) with NULL feature columns — the plumbing twin
-    ``media_features_meta`` still pins the fake path's byte surface.
+    Video rows carry a genuine uncompressed AVI (r10, the last marked
+    fake on this surface closed): RIFF chunk-tree walk, avih/strf
+    geometry + pixel-format checks, raw bottom-up-BGR 'DIB ' frames
+    reconstructed per frame, checksum position-weighted over the GLOBAL
+    (frame, pixel, channel) index so frame-order mistakes go red;
+    vid_frames pins the header-vs-stream frame-count agreement.  The
+    plumbing twin ``media_features_meta`` still pins the fake
+    (real_media=False) path's byte surface.
     The float feature vector stays out of the projection (Python round is
     banker's; SQL round is not) and is pinned instead by
     tests/test_operators.py::test_media_features_payload_byte_deterministic."""
@@ -1466,7 +1491,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "kind", "n_bytes", "checksum",
         "n_samples", "peak", "sumsq", "zero_cross",
-        "img_w", "img_h", "sum_rgb", "pix_peak",
+        "img_w", "img_h", "sum_rgb", "pix_peak", "vid_frames",
     )
 
 

@@ -331,7 +331,12 @@ def test_wav_roundtrip_real_container_and_features(spark, sf_dir):
         else:
             assert r["n_samples"] is None and r["peak"] is None
         if r["kind"] == "video":
-            assert r["img_w"] is None
+            # r10: video decodes a real uncompressed AVI — frame dims in
+            # the shared pixel-feature columns, frame count in vid_frames
+            assert (r["img_w"], r["img_h"]) == (16, 8)
+            assert r["vid_frames"] == 2 + r["media_id"] % 5
+        else:
+            assert r["vid_frames"] is None
 
 
 def test_bmp_roundtrip_real_container_and_features(spark, sf_dir):
@@ -410,6 +415,56 @@ def test_bmp_roundtrip_real_container_and_features(spark, sf_dir):
         else:
             assert r["n_bytes"] == 54 + h2 * ((w2 * 3 + 3) // 4 * 4)
     assert seen_classes == {0, 1, 2}
+
+
+def test_avi_roundtrip_real_video_container_and_features():
+    """r10: the video path's marked fake replaced by a REAL uncompressed
+    AVI.  _encode_avi must produce a genuine RIFF/AVI chunk tree any
+    player opens; _decode_avi_features must walk it (avih geometry, strf
+    format, movi '00db' frames), reconstruct bottom-up BGR to logical
+    top-down RGB per frame, and fold the global position-weighted
+    checksum.  Tamper probes: a FRAME-ORDER swap flips the checksum (the
+    global index weights frames), and a header/stream frame-count
+    mismatch raises."""
+    import pytest as _pytest
+
+    from reddit_sse_stream_spark.operators.multimodal import (
+        AVI_FRAME_H,
+        AVI_FRAME_W,
+        _avi_n_frames,
+        _avi_pix,
+        _decode_avi_features,
+        _encode_avi,
+    )
+
+    mid = 2  # 2 % 3 == 2 -> video kind
+    payload = _encode_avi(mid)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    n = _avi_n_frames(mid)
+    w, h = AVI_FRAME_W, AVI_FRAME_H
+    vals = [_avi_pix(mid, j) for j in range(n * w * h * 3)]
+    out = _decode_avi_features(payload)
+    assert out == (
+        w, h, sum(vals), max(vals),
+        sum((j + 1) * v for j, v in enumerate(vals)) % (1 << 31),
+        n * w * h * 3, n,
+    )
+    # frame-order tamper: swap the first two '00db' frame payloads
+    stride = (w * 3 + 3) // 4 * 4
+    fsz = stride * h
+    f1 = payload.index(b"00db")
+    f2 = payload.index(b"00db", f1 + 4)
+    swapped = bytearray(payload)
+    a = payload[f1 + 8 : f1 + 8 + fsz]
+    b = payload[f2 + 8 : f2 + 8 + fsz]
+    swapped[f1 + 8 : f1 + 8 + fsz] = b
+    swapped[f2 + 8 : f2 + 8 + fsz] = a
+    tampered = _decode_avi_features(bytes(swapped))
+    assert tampered[4] != out[4]      # checksum red
+    assert tampered[2] == out[2]      # same bytes, same sum — order caught
+    # header/stream frame-count mismatch raises (truncate the movi list)
+    with _pytest.raises(ValueError, match="frame count mismatch"):
+        _decode_avi_features(payload[: f2] + payload[-8:])
 
 
 def test_jpeg_roundtrip_lossy_codec_exact_on_dc_only_content():

@@ -92,6 +92,12 @@ HEADLINE = (
     # rounds — the heaviest text shape in the catalog)
     "knn_ivfpq_residual_topk",
     "text_suffix_ranks",
+    # round-10 additions: the Heaps-curve corpus analytic (word ->
+    # min-first-doc reduction, all checkpoints on one exchange) and the
+    # IVF index-maintenance path (train-once + map-only assignment of
+    # the arriving half) — no prev-round rows, so vs_prev skips them
+    "text_vocab_growth",
+    "knn_ivf_incremental_assign",
 )
 
 #: Rows whose recorded same-code spread exceeds 1.5x on this shared
@@ -524,11 +530,6 @@ def main() -> None:
             "iqr": [round(s[len(s) // 4], 3), round(s[(3 * len(s)) // 4], 3)],
             "samples_sorted": [round(x, 3) for x in s],
         }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_DETAIL.json"), "w"
-    ) as fh:
-        json.dump({"sf": sf, "rows": detail}, fh, indent=1, sort_keys=True)
 
     total = round(sum(times.values()), 3)
     prev_round, prev_data = _prev_bench()
@@ -553,6 +554,24 @@ def main() -> None:
     regressions = cmp["regressions"]
     calib_factor = cmp["calibration_factor"]
     disagree = cmp["machine_factor_disagrees"]
+    # full-fidelity sidecar: everything the budget-capped final line may
+    # shed (all samples, spreads, streaming detail, vs_prev) lands here
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"), "w"
+    ) as fh:
+        json.dump(
+            {
+                "sf": sf,
+                "rows": detail,
+                "vs_prev": vs_prev,
+                "machine_factor": machine_factor,
+                "regressions": regressions,
+                "calibration": calib,
+                "streaming_e2e": e2e,
+            },
+            fh, indent=1, sort_keys=True,
+        )
     for line in summary_lines(
         times=times,
         spread=spread,
@@ -660,6 +679,19 @@ def summary_lines(
         # convenience field; truncating the queries dict would cost next
         # round's vs_prev coverage for the dropped rows
         summary["spread_over_1p5x"] = len(noisy)
+        final = json.dumps(summary, separators=(",", ":"))
+    for derivable in (
+        # next shed tier: streaming fields that are DERIVABLE from the
+        # kept ones (delivered = rate*wall; per-client = rate/clients) or
+        # secondary (wall).  clients, events_per_sec, and client_min_max
+        # — the fairness signal — always stay.
+        "streaming_e2e_events_per_sec_per_client",
+        "streaming_e2e_events_delivered",
+        "streaming_e2e_wall_sec",
+    ):
+        if len(final) <= FINAL_LINE_BUDGET:
+            break
+        summary.pop(derivable, None)
         final = json.dumps(summary, separators=(",", ":"))
     if len(final) > FINAL_LINE_BUDGET:
         lines.append(

@@ -116,6 +116,12 @@ SWEEP = (
     "text_duplicate_spans",
     # four-frame window matrix: must stay one-exchange flat
     "ts_rolling_features",
+    # r10: Heaps curve — the word->min-first-doc exchange is the only
+    # data-shaped stage; checkpoints are one tiny agg regardless of N
+    "text_vocab_growth",
+    # r10: IVF index maintenance — training constant + a map-only
+    # assignment; should be near-flat like the residual row
+    "knn_ivf_incremental_assign",
 )
 
 

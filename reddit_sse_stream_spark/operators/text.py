@@ -1331,11 +1331,20 @@ def suffix_ranks(
         "pos",
         F.slice("ws", F.col("pos") + 1, base_h).alias("p8"),
     )
+    # LAZY checkpoints throughout (r10, the ivfpq driver-sync discipline
+    # applied here): each round's ONLY action is the rmap count, which
+    # materializes — in one job — the distinct-pair rank frame AND, via
+    # lineage, the previous round's relabeled cur checkpoint.  The former
+    # eager chain ran ~3 jobs per round (cur materialize, rmap
+    # materialize, count); values are unchanged, the lineage still
+    # truncates at every checkpoint.  maxlen reads max(pos) off the
+    # cached seed frame instead of re-scanning the source for a
+    # groupBy-count (same number: max suffix position + 1 = max doc
+    # word count).
     cur = rank_by(pref, ["p8"], "r").select(
         id_col, "pos", "r"
-    ).localCheckpoint(eager=True)
-    tok = docs.select(id_col, F.posexplode(words).alias("pos", "w"))
-    maxlen = tok.groupBy(id_col).count().agg(F.max("count")).first()[0] or 0
+    ).localCheckpoint(eager=False)
+    maxlen = (cur.agg(F.max("pos")).first()[0] or -1) + 1
     n_ranks = -1  # unknown until the first round's distinct
     doc_w = Window.partitionBy(id_col).orderBy("pos")
     h = base_h
@@ -1348,7 +1357,7 @@ def suffix_ranks(
         )
         rmap = rank_by(
             pair.select("r", "r2").distinct(), ["r", "r2"], "nr"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n_pairs = rmap.count()
         if n_pairs == n_ranks:
             break  # fixed point: this round would relabel, not refine
@@ -1356,7 +1365,7 @@ def suffix_ranks(
         cur = (
             pair.join(F.broadcast(rmap), ["r", "r2"])
             .select(id_col, "pos", F.col("nr").alias("r"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         h *= 2
     return cur.select(

@@ -10525,9 +10525,12 @@ _CHANGED_SINCE_PROOF = {
     # the executing plan differs from what the r09 proofs ran:
     # mattr: clamped sequence bound (short docs no longer rely on CASE
     # branch laziness); longest_repeat + decontam: kernel output schema
-    # now derived from the input id type
+    # now derived from the input id type; suffix_ranks: lazy checkpoints
+    # fold each doubling round into one action (maxlen off the cached
+    # seed frame) — values unchanged, the executing chain differs
     "text_mattr_diversity",
     "text_longest_repeat",
+    "text_suffix_ranks",
     "decontam_embedding_cosine",
     # r10 REWRITE (VERDICT r09 next #5), bit-identical by construction
     # and oracle-verified locally: both quantizer trainings now assign

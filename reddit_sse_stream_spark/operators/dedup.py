@@ -888,11 +888,14 @@ def connected_components(
     _unpersist_checkpoint(e)
     # seed with round 1 fused in: label(v) = min(v, min neighbor) — one
     # groupBy instead of the first join-propagation round
+    # LAZY checkpoint (r10 sync-fold): the _label_sum probe materializes
+    # the frame and truncates lineage in the same job — one action per
+    # round instead of checkpoint-job + sum-job
     labels = (
         sym.groupBy(F.col("a").alias("id"))
         .agg(F.min("b").alias("_nbmin"))
         .select("id", F.least(F.col("id"), F.col("_nbmin")).alias("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _label_sum(df: DataFrame):
@@ -919,7 +922,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nb_min"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # Labels are monotonically non-increasing (least of self and
         # neighbor minima), so an unchanged SUM of labels is equivalent to
@@ -976,10 +979,13 @@ def connected_components_star(
         F.col("a") != F.col("b")
     )
     # canonical small->large direction, deduped
+    # LAZY (r10 sync-fold): all_nodes' eager checkpoint materializes the
+    # seed frame; each round's _signature probe materializes that round's
+    # frame — one action per round instead of two
     cur = (
         e.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     all_nodes = (
         cur.select(F.col("u").alias("id"))
@@ -1027,9 +1033,13 @@ def connected_components_star(
     sig = _signature(cur)
     for _ in range(max_iter):
         prev = cur
-        cur = _star(_star(cur, large=True), large=False).localCheckpoint()
-        _unpersist_checkpoint(prev)  # superseded round's edge blocks
+        cur = _star(_star(cur, large=True), large=False).localCheckpoint(
+            eager=False
+        )
+        # materialize (the signature probe) BEFORE dropping the previous
+        # round's blocks — the lazy frame's lineage reads them
         new_sig = _signature(cur)
+        _unpersist_checkpoint(prev)  # superseded round's edge blocks
         if new_sig == sig:
             break
         sig = new_sig

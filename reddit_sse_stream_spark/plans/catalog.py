@@ -10547,6 +10547,11 @@ _CHANGED_SINCE_PROOF = {
     "knn_ivf_fixedpoint_cells",
     "corpus_diverse_sample",
     "dedup_semdedup_cells",
+    # r10 sync-fold in connected_components (lazy per-round checkpoints,
+    # one action per round) — its catalog consumers re-prove
+    "dedup_cc_clusters",
+    "corpus_split_leakage_safe",
+    "dedup_cluster_best_quality",
     # r10 SEMANTIC change (VERDICT r09 next #8): even-id image rows now
     # carry a compressed PNG (zlib inflate + 5-filter unfiltering decode)
     # and image n_bytes switched to the decoder's SQL-reproducible size —

@@ -10287,48 +10287,48 @@ _PRIOR_GREEN_ROUND = {
     "bpe_tokenize_counts": 7,
     "bpe_train_merges": 7,
     "corpus_batch_lineage": 7,
-    "corpus_cap_per_source": 5,
+    "corpus_cap_per_source": 10,
     "corpus_curriculum_order": 7,
-    "corpus_diverse_sample": 5,
+    "corpus_diverse_sample": 10,
     "corpus_dsir_weights": 7,
-    "corpus_filter_gate": 5,
-    "corpus_mix_schedule": 5,
+    "corpus_filter_gate": 10,
+    "corpus_mix_schedule": 10,
     "corpus_quality_quantile_gate": 5,
-    "corpus_shard_assignments": 5,
+    "corpus_shard_assignments": 10,
     "corpus_snapshot_diff": 5,
     "corpus_snapshot_merge": 6,
-    "corpus_split_leakage_safe": 5,
-    "corpus_train_val_split": 5,
+    "corpus_split_leakage_safe": 10,
+    "corpus_train_val_split": 10,
     "corpus_two_phase_rank_twin": 9,
-    "decontam_drop_contaminated": 4,
-    "decontam_embedding_cosine": 9,
+    "decontam_drop_contaminated": 10,
+    "decontam_embedding_cosine": 10,
     "decontam_multi_suite_report": 5,
     "decontam_ngram_overlap": 9,
     "dedup_bloom_fp_audit": 7,
-    "dedup_cc_clusters": 8,
-    "dedup_cluster_best_quality": 9,
+    "dedup_cc_clusters": 10,
+    "dedup_cluster_best_quality": 10,
     "dedup_containment_grams": 5,
     "dedup_cross_source_matrix": 5,
     "dedup_embedding_cosine": 6,
     "dedup_embedding_cosine_lsh": 9,
     "dedup_exact_groups": 6,
     "dedup_exact_keep_first": 6,
-    "dedup_incremental_bloom": 4,
-    "dedup_incremental_minhash": 5,
-    "dedup_incremental_new_only": 4,
+    "dedup_incremental_bloom": 10,
+    "dedup_incremental_minhash": 10,
+    "dedup_incremental_new_only": 10,
     "dedup_lsh_recall_audit": 6,
     "dedup_method_agreement": 5,
-    "dedup_minhash_md5": 4,
+    "dedup_minhash_md5": 10,
     "dedup_minhash_twin_containment": 7,
     "dedup_ngram_jaccard": 8,
-    "dedup_semdedup_cells": 8,
+    "dedup_semdedup_cells": 10,
     "dedup_simhash_exact_dup_invariant": 7,
-    "dedup_simhash_hamming_pairs": 4,
-    "dedup_simhash_md5": 4,
+    "dedup_simhash_hamming_pairs": 10,
+    "dedup_simhash_md5": 10,
     "dedup_sketch_merge_invariant": 8,
     "dedup_source_minhash_matrix": 8,
     "dedup_source_minhash_sampled": 9,
-    "dedup_substring_containment": 5,
+    "dedup_substring_containment": 10,
     "dedup_tfidf_cosine": 5,
     "dedup_threshold_curve": 5,
     "dq_expectation_report": 9,
@@ -10339,10 +10339,10 @@ _PRIOR_GREEN_ROUND = {
     "embed_l2_norm": 6,
     "embed_matryoshka_retention": 6,
     "embed_norm_stats_by_lang": 9,
-    "embed_pca_power_iteration": 5,
-    "embed_pq_codes": 9,
+    "embed_pca_power_iteration": 10,
+    "embed_pq_codes": 10,
     "embed_quantize_int8": 6,
-    "embed_random_projection": 5,
+    "embed_random_projection": 10,
     "embed_standardize": 6,
     "f1_type_dispatch": 8,
     "f2_author_whitelist": 9,
@@ -10358,13 +10358,13 @@ _PRIOR_GREEN_ROUND = {
     "fn_datetime_buckets": 7,
     "fn_fuzzy_match_levenshtein": 8,
     "fn_histogram_bins": 8,
-    "fn_histogram_equidepth": 5,
+    "fn_histogram_equidepth": 10,
     "fn_map_ops": 6,
     "fn_math_scalars": 6,
     "fn_null_ops": 7,
     "fn_percentiles": 6,
     "fn_regexp_ops": 7,
-    "fn_sequence_range": 4,
+    "fn_sequence_range": 10,
     "fn_string_ops": 6,
     "funnel_attribution_last_touch": 5,
     "funnel_time_to_convert": 5,
@@ -10376,37 +10376,38 @@ _PRIOR_GREEN_ROUND = {
     "join_broadcast_star_counts": 6,
     "join_cross_region_nation": 8,
     "join_full_outer_click_purchase": 7,
-    "join_lateral_topk_per_nation": 4,
+    "join_lateral_topk_per_nation": 10,
     "join_range_clicks_before_purchase": 6,
     "join_right_outer_orders": 8,
     "join_semi_customers_with_orders": 6,
     "join_skew_salted": 8,
     "knn_batch_topk": 5,
     "knn_bruteforce_cosine": 6,
-    "knn_ivf_fixedpoint_cells": 8,
+    "knn_ivf_fixedpoint_cells": 10,
+    "knn_ivf_incremental_assign": 10,
     "knn_ivf_metric_consistency": 7,
-    "knn_ivfpq_residual_topk": 9,
-    "knn_ivfpq_topk": 9,
+    "knn_ivfpq_residual_topk": 10,
+    "knn_ivfpq_topk": 10,
     "knn_lsh_bucketed": 7,
-    "knn_pq_adc_topk": 9,
-    "knn_pq_recall_audit": 9,
-    "layout_zorder_keys": 5,
+    "knn_pq_adc_topk": 10,
+    "knn_pq_recall_audit": 10,
+    "layout_zorder_keys": 10,
     "limit_topk_events_by_value": 6,
     "llm_corpus_prep_pipeline": 7,
     "llm_dataset_card": 6,
     "m1_m2_interleave_sort": 9,
-    "media_features": 9,
-    "media_features_meta": 4,
+    "media_features": 10,
+    "media_features_meta": 10,
     "media_frame_sample": 7,
     "p2_json_key_subset": 9,
-    "pack_length_buckets": 5,
+    "pack_length_buckets": 10,
     "pack_sequences_by_source": 8,
     "path_top_event_trigrams": 9,
     "pivot_event_counts": 6,
     "posexplode_words": 7,
     "q1_domain_blocks_comments": 9,
     "quota_admission_per_author": 7,
-    "recursive_cte_ancestors": 4,
+    "recursive_cte_ancestors": 10,
     "reference_pipeline_example": 6,
     "retention_hourly_cohorts": 9,
     "s1_range_scan": 8,
@@ -10431,47 +10432,48 @@ _PRIOR_GREEN_ROUND = {
     "subq_correlated_exists": 7,
     "subq_in_big_spenders": 7,
     "subq_scalar_above_avg": 7,
-    "text_bigram_lm_bits": 5,
+    "text_bigram_lm_bits": 10,
     "text_char_entropy": 5,
     "text_chunk_dedup_rewrite": 8,
-    "text_chunk_dup_rate": 5,
+    "text_chunk_dup_rate": 10,
     "text_chunk_windows": 8,
-    "text_clean_normalize": 5,
+    "text_clean_normalize": 10,
     "text_duplicate_spans": 8,
     "text_encoding_quality": 7,
     "text_fingerprint": 6,
     "text_gopher_gate": 7,
     "text_lang_predict": 8,
     "text_lang_scores": 6,
-    "text_longest_repeat": 9,
-    "text_mattr_diversity": 9,
+    "text_longest_repeat": 10,
+    "text_mattr_diversity": 10,
     "text_novelty_first_owner": 7,
-    "text_pii_redact": 5,
+    "text_pii_redact": 10,
     "text_pmi_top_pairs": 7,
     "text_quality_score": 6,
     "text_rarity_score": 8,
     "text_repetition_bigrams": 9,
     "text_repetition_runs": 7,
     "text_stopword_scrub": 9,
-    "text_suffix_ranks": 9,
+    "text_suffix_ranks": 10,
     "text_token_count": 6,
     "text_vocab_df": 8,
+    "text_vocab_growth": 10,
     "text_winnow_fingerprints": 5,
     "tpch_q10_returned_customers": 8,
-    "tpch_q11_important_parts": 5,
+    "tpch_q11_important_parts": 10,
     "tpch_q12_priority_lines": 8,
     "tpch_q13_customer_distribution": 6,
     "tpch_q14_promo_revenue": 8,
     "tpch_q15_top_supplier": 6,
-    "tpch_q16_supplier_counts": 5,
+    "tpch_q16_supplier_counts": 10,
     "tpch_q17_small_quantity_revenue": 8,
     "tpch_q18_large_orders": 8,
     "tpch_q19_disjunctive_revenue": 8,
     "tpch_q1_pricing_summary": 9,
-    "tpch_q20_dominant_supplier": 5,
+    "tpch_q20_dominant_supplier": 10,
     "tpch_q21_waiting_supplier": 8,
     "tpch_q22_idle_customers": 6,
-    "tpch_q2_min_cost_supplier": 5,
+    "tpch_q2_min_cost_supplier": 10,
     "tpch_q3_shipping_priority": 9,
     "tpch_q4_order_priority": 6,
     "tpch_q5_region_revenue": 9,
@@ -10479,7 +10481,7 @@ _PRIOR_GREEN_ROUND = {
     "tpch_q7_volume_shipping": 8,
     "tpch_q8_market_share": 8,
     "tpch_q9_profit_by_nation_year": 9,
-    "ts_ewma_features": 9,
+    "ts_ewma_features": 10,
     "ts_gapfill_ffill": 6,
     "ts_ohlc_hourly": 5,
     "ts_rolling_features": 8,
@@ -10488,7 +10490,7 @@ _PRIOR_GREEN_ROUND = {
     "udf_pandas_scalar_charge": 7,
     "udtf_word_explode": 6,
     "unpivot_customer_balances": 7,
-    "variant_json_extract_agg": 4,
+    "variant_json_extract_agg": 10,
     "vocab_coverage_topk": 5,
     "window_activity_streaks": 6,
     "window_first_last_nth": 8,
@@ -10512,51 +10514,14 @@ _PRIOR_GREEN_ROUND = {
 # ``python tools/regen_prior_green.py`` (it git-diffs each query's
 # defining identifiers against the commit that recorded its last proof);
 # entries are pruned when a newer CORRECTNESS artifact re-proves them.
-_CHANGED_SINCE_PROOF = {
-    # (r09's six rewrite entries were all re-proven green in the r09
-    # window — CORRECTNESS_r09.json — and are pruned; the map above now
-    # folds r09 in.)  r10 code changes that postdate their last proof:
-    # r10 SEMANTIC change (ADVICE r09 medium): ewma_x1e4 is now the true
-    # big-int floor via pmod+div instead of the double-rounded
-    # acc*10000.0/wsum — oracle updated in lockstep, so the r09 proof
-    # validated the OLD float expression on both sides
-    "ts_ewma_features",
-    # r10 plan changes (ADVICE r09 lows) — value-identical by intent, but
-    # the executing plan differs from what the r09 proofs ran:
-    # mattr: clamped sequence bound (short docs no longer rely on CASE
-    # branch laziness); longest_repeat + decontam: kernel output schema
-    # now derived from the input id type; suffix_ranks: lazy checkpoints
-    # fold each doubling round into one action (maxlen off the cached
-    # seed frame) — values unchanged, the executing chain differs
-    "text_mattr_diversity",
-    "text_longest_repeat",
-    "text_suffix_ranks",
-    "decontam_embedding_cosine",
-    # r10 REWRITE (VERDICT r09 next #5), bit-identical by construction
-    # and oracle-verified locally: both quantizer trainings now assign
-    # round 1 against an in-plan broadcast seed frame (no separate seeds
-    # collect), ship per-round codebooks as single nested-literal nodes
-    # (compile cost, not plan size, dominated each Lloyd action), and
-    # pq_train's first exchange carries the full-frame dim-guard columns
-    # — every row executing ivf_train/pq_train re-proves
-    "embed_pq_codes",
-    "knn_pq_adc_topk",
-    "knn_pq_recall_audit",
-    "knn_ivfpq_topk",
-    "knn_ivfpq_residual_topk",
-    "knn_ivf_fixedpoint_cells",
-    "corpus_diverse_sample",
-    "dedup_semdedup_cells",
-    # r10 sync-fold in connected_components (lazy per-round checkpoints,
-    # one action per round) — its catalog consumers re-prove
-    "dedup_cc_clusters",
-    "corpus_split_leakage_safe",
-    "dedup_cluster_best_quality",
-    # r10 SEMANTIC change (VERDICT r09 next #8): even-id image rows now
-    # carry a compressed PNG (zlib inflate + 5-filter unfiltering decode)
-    # and image n_bytes switched to the decoder's SQL-reproducible size —
-    # oracle updated in lockstep
-    "media_features",
+_CHANGED_SINCE_PROOF: set = {
+    # (r10's seventeen rewrite/semantic entries — the EWMA int64 fix, the
+    # mattr/longest_repeat/suffix_ranks/decontam plan changes, the full
+    # ivf_train/pq_train sync-cut family, the CC sync-fold consumers, and
+    # media_features' PNG decode — were ALL re-proven green in the r10
+    # window, CORRECTNESS_r10.json, and are pruned; the map above now
+    # folds r10 in.)  r11 entries are added below as this round's code
+    # changes land.
 }
 
 

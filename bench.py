@@ -123,6 +123,115 @@ HIGH_VARIANCE = frozenset({
 BASE_RUNS = 3
 MAX_RUNS = 7
 SPREAD_ESCALATE = 1.5
+#: VERDICT r10 next #8: a 3-run row whose median is already >1.25x its
+#: prior-round median escalates to MAX_RUNS the SAME round — r10's
+#: vs_prev tail (pack_sequences_by_source at 1.32) was a 3-run sample
+#: below the 1.5x spread trigger, exactly the shape that should buy
+#: itself more data before landing in the artifact.
+VS_PREV_ESCALATE = 1.25
+
+
+def should_escalate(samples: list[float], prev_median: float | None) -> bool:
+    """True when a BASE_RUNS sample has earned MAX_RUNS: its own min-max
+    spread crossed SPREAD_ESCALATE (noise this round), or its median sits
+    more than VS_PREV_ESCALATE above the prior round's median (a would-be
+    vs_prev tail entry — escalate now, not next round).  The vs_prev gate
+    uses the RAW ratio: the machine factor isn't known until every row has
+    run, and over-escalating on a slow host only costs extra samples."""
+    if max(samples) / max(min(samples), 1e-9) > SPREAD_ESCALATE:
+        return True
+    if prev_median:
+        med = sorted(samples)[len(samples) // 2]
+        if med / prev_median > VS_PREV_ESCALATE:
+            return True
+    return False
+
+
+class PeakRssSampler:
+    """Background /proc sampler recording PEAK resident-set totals of the
+    Spark JVM and the pyspark.daemon Python-worker tree inside a window
+    (VERDICT r10 next #4: the 100 TB story's "blocked GEMM holds live
+    memory ~constant / driver state is k*dim" claims were code-audited
+    but never measured — these per-row peaks put numbers behind them).
+
+    Mechanics: a daemon thread re-scans /proc for matching pids every
+    ~1 s (cheap; workers are forked per stage) and samples VmRSS of the
+    known pids every ``interval`` seconds, tracking the max of each
+    group-sum since the last ``reset()``.  RSS of a JVM only tells you
+    the high-water heap the OS kept — it ratchets up and rarely comes
+    back — so the JVM series is context, while the PYTHON-WORKER series
+    is the live signal: Arrow batches and numpy blocks in mapInPandas
+    kernels allocate and free per batch, and a kernel that really is
+    blocked shows a flat worker peak as data scales."""
+
+    def __init__(self, interval: float = 0.05):
+        import threading
+
+        self._interval = interval
+        self._lock = threading.Lock()
+        self._peaks = {"jvm": 0, "py": 0}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _classify() -> dict[int, str]:
+        pids: dict[int, str] = {}
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/cmdline", "rb") as fh:
+                    cmd = fh.read()
+            except OSError:
+                continue
+            if b"pyspark.daemon" in cmd or b"pyspark.worker" in cmd:
+                pids[int(entry)] = "py"
+            elif b"java" in cmd.split(b"\x00", 1)[0] and b"spark" in cmd:
+                pids[int(entry)] = "jvm"
+        return pids
+
+    @staticmethod
+    def _rss_kb(pid: int) -> int:
+        try:
+            with open(f"/proc/{pid}/statm") as fh:
+                return int(fh.read().split()[1]) * (os.sysconf("SC_PAGESIZE") // 1024)
+        except (OSError, ValueError, IndexError):
+            return 0
+
+    def _run(self) -> None:
+        pids: dict[int, str] = {}
+        last_scan = 0.0
+        while not self._stop.is_set():
+            now = time.monotonic()
+            if now - last_scan > 1.0:
+                pids = self._classify()
+                last_scan = now
+            sums = {"jvm": 0, "py": 0}
+            for pid, kind in pids.items():
+                sums[kind] += self._rss_kb(pid)
+            with self._lock:
+                for k in sums:
+                    self._peaks[k] = max(self._peaks[k], sums[k])
+            self._stop.wait(self._interval)
+
+    def start(self) -> "PeakRssSampler":
+        self._thread.start()
+        return self
+
+    def reset(self) -> None:
+        with self._lock:
+            self._peaks = {"jvm": 0, "py": 0}
+
+    def peaks_mb(self) -> dict[str, float]:
+        with self._lock:
+            return {
+                "peak_rss_jvm_mb": round(self._peaks["jvm"] / 1024, 1),
+                "peak_rss_pyworkers_mb": round(self._peaks["py"] / 1024, 1),
+            }
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
 
 
 def recover_from_tail(tail: str) -> dict:
@@ -368,6 +477,36 @@ def streaming_e2e(spark, sf_dir: str, n_clients: int = 8) -> dict:
     }
 
 
+#: VERDICT r10 next #1: the e2e was the last driver-visible perf number
+#: measured as a single point, and its slot — right AFTER the 41-query
+#: headline loop — depressed it systematically: the r11 two-arm experiment
+#: (tools/e2e_variance.py, SCALING.md) measured fresh-state medians of
+#: ~20.7k events/s vs post-suite ~12.8k with NON-overlapping spreads
+#: (fresh min 17.5k > post max 14.5k), which is exactly the r10
+#: 21.5k -> 15.8k "regression on a faster host with no streaming change".
+#: So: the e2e now runs FIRST (fresh JVM state, the state the number
+#: claims to describe) and E2E_RUNS times, with the median run as the
+#: headline fields and the min/max rate spread alongside.
+E2E_RUNS = 5
+
+
+def streaming_e2e_samples(spark, sf_dir: str, runs: int = E2E_RUNS) -> dict:
+    """Median-of-``runs`` wrapper around :func:`streaming_e2e`: headline
+    fields come from the median-rate run, plus the cross-run rate spread
+    and run count; the full per-run dicts ride under ``samples`` for
+    BENCH_DETAIL.json."""
+    samples = [streaming_e2e(spark, sf_dir) for _ in range(runs)]
+    by_rate = sorted(samples, key=lambda s: s["streaming_e2e_events_per_sec"])
+    med = by_rate[len(by_rate) // 2]
+    rates = [s["streaming_e2e_events_per_sec"] for s in by_rate]
+    return {
+        **med,
+        "streaming_e2e_runs": len(samples),
+        "streaming_e2e_rate_min_max": [rates[0], rates[-1]],
+        "samples": samples,
+    }
+
+
 def compare_to_prev(
     times: dict[str, float],
     sf: float,
@@ -468,14 +607,23 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
 
+    # Streaming e2e FIRST (VERDICT r10 next #1): the serving number
+    # describes the fresh-state stack, and measuring it after the
+    # headline loop depressed it ~1.6x (two-arm experiment in
+    # SCALING.md r11).  One warm-up pass at the smallest sf heats the
+    # JVM/Python-DataSource/HTTP paths, then E2E_RUNS timed runs.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    streaming_e2e(spark, warm_dir)
+    e2e = streaming_e2e_samples(spark, sf_dir)
+    e2e_samples = e2e.pop("samples")
+
     # Warm-up: run every headline query once at the SMALLEST sf so the JVM,
     # whole-stage codegen compile, Python workers, and parquet footers are
     # hot — the timed loop then measures per-query data work (steady state),
     # not first-compile. Codegen caches key on generated source, which is
     # identical across sf dirs for the same query.
-    warm_dir = "/root/testdata/sf0.001"
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
     for name in HEADLINE:
         QUERIES[name].spark(spark, warm_dir).write.format("noop").mode(
             "overwrite"
@@ -496,13 +644,19 @@ def main() -> None:
     # the regression detector — and the round's reviewer — can gate on
     # spread instead of trusting a lone point (r09's artifact flagged a
     # phantom 3.32x regression and hid a real 6.59->4.73 s win).
+    prev_round, prev_data = _prev_bench()
+    prev_q = (
+        prev_data.get("queries", {}) if prev_data.get("sf") == sf else {}
+    )
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     run_counts: dict[str, int] = {}
     detail: dict[str, dict] = {}
+    sampler = PeakRssSampler().start()
     for name in HEADLINE:
         target = MAX_RUNS if name in HIGH_VARIANCE else BASE_RUNS
         samples: list[float] = []
+        sampler.reset()
         while len(samples) < target:
             start = time.perf_counter()
             df = QUERIES[name].spark(spark, sf_dir)
@@ -513,9 +667,8 @@ def main() -> None:
             # later ones (SCALING.md r05); between queries no cross-query
             # frame survives, so this is safe by construction
             release_local_checkpoints(spark)
-            if (
-                len(samples) == target == BASE_RUNS
-                and max(samples) / max(min(samples), 1e-9) > SPREAD_ESCALATE
+            if len(samples) == target == BASE_RUNS and should_escalate(
+                samples, prev_q.get(name)
             ):
                 target = MAX_RUNS
         s = sorted(samples)
@@ -529,16 +682,18 @@ def main() -> None:
             "max": round(s[-1], 3),
             "iqr": [round(s[len(s) // 4], 3), round(s[(3 * len(s)) // 4], 3)],
             "samples_sorted": [round(x, 3) for x in s],
+            # peak RSS across this row's runs (VERDICT r10 next #4): the
+            # pyworkers series is the live one — JVM RSS ratchets
+            **sampler.peaks_mb(),
         }
+    sampler.stop()
 
     total = round(sum(times.values()), 3)
-    prev_round, prev_data = _prev_bench()
     # throughput context vs BASELINE.md: the reference's designed ceiling is
     # 125 comments/s + 50 submissions/s per connection; this engine filters
     # the full feed (reference_pipeline_example) in times[...] seconds.
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     pipeline_sec = times.get("reference_pipeline_example", 0.0) or 1e-9
-    e2e = streaming_e2e(spark, sf_dir)
     calib = calibration(spark)
     cmp = compare_to_prev(
         times,
@@ -569,6 +724,7 @@ def main() -> None:
                 "regressions": regressions,
                 "calibration": calib,
                 "streaming_e2e": e2e,
+                "streaming_e2e_samples": e2e_samples,
             },
             fh, indent=1, sort_keys=True,
         )

@@ -210,6 +210,8 @@ def _render(times):
             "streaming_e2e_events_per_sec": 12539.0,
             "streaming_e2e_events_per_sec_per_client": 1567.4,
             "streaming_e2e_client_min_max": [59614, 59614],
+            "streaming_e2e_runs": 5,
+            "streaming_e2e_rate_min_max": [11927.4, 14528.3],
         },
     )
 
@@ -311,3 +313,22 @@ def test_final_line_drops_queries_entirely_as_last_resort():
     assert parsed["queries_truncated"] == 2
     full = json.loads(lines[2])
     assert full["queries"] == times
+
+
+def test_should_escalate_on_spread():
+    assert bench.should_escalate([1.0, 1.0, 1.6], prev_median=None)
+    assert not bench.should_escalate([1.0, 1.1, 1.2], prev_median=None)
+
+
+def test_should_escalate_on_vs_prev_tail():
+    """VERDICT r10 next #8: a 3-run row whose median is >1.25x the prior
+    round's median buys itself MAX_RUNS the SAME round — r10's
+    pack_sequences_by_source (vs_prev 1.32, 3 runs, spread under 1.5x)
+    would have escalated under this rule."""
+    # median 0.363 vs prev 0.274 -> 1.32x: escalates even with tight spread
+    assert bench.should_escalate([0.355, 0.363, 0.370], prev_median=0.274)
+    # 1.2x with tight spread: stays at BASE_RUNS
+    assert not bench.should_escalate([0.32, 0.33, 0.34], prev_median=0.274)
+    # no prior (new row / sf change): spread rule alone decides
+    assert not bench.should_escalate([0.355, 0.363, 0.370], prev_median=None)
+    assert not bench.should_escalate([0.355, 0.363, 0.370], prev_median=0.0)

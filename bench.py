@@ -355,7 +355,33 @@ def calibration(spark) -> dict[str, float]:
     }
 
 
-def streaming_e2e(spark, sf_dir: str, n_clients: int = 8) -> dict:
+#: Heterogeneous 64-client spec mix (VERDICT r10 next #7): 8 distinct
+#: compiled predicates x 8 clients each over the ONE shared streaming
+#: query — firehose, both type filters (the submissions filter matches
+#: nothing on an rc stream: a zero-delivery client must not stall the
+#: fan-out), subreddit/author whitelists, and JSON key-subset
+#: projections.  Values match the testdata generator's derived feed
+#: (author = u{user_id%50}, subreddit = event_type, props = {"k": N}).
+FANOUT64_PATHS = (
+    "/",
+    "/?type=comments",
+    "/?type=submissions",
+    "/?subreddit=view",
+    "/?subreddit=view&subreddit=error",
+    "/?author=u1&author=u2&author=u3",
+    "/?type=comments&filter=k",
+    "/?filter=nope",
+)
+
+
+def streaming_e2e(
+    spark,
+    sf_dir: str,
+    n_clients: int = 8,
+    paths: tuple = ("/?type=comments",),
+    backfill: int = 100000,
+    capture: bool = False,
+) -> dict:
     """Measured number for the "ONE query, N clients" serving design
     (VERDICT r04 next #8; r06 next #7 raised the fan-out to 8 concurrent
     clients): drive the actual FeedStreamReader -> foreachBatch ->
@@ -382,6 +408,7 @@ def streaming_e2e(spark, sf_dir: str, n_clients: int = 8) -> dict:
     bc = SSEBroadcaster(max_collect_rows=20_000)
     srv = SSEServer(bc).start()
     counts = [0] * n_clients
+    raw: list[bytes] = [b""] * n_clients
     last_data_at = [0.0] * n_clients
     conns: list = [None] * n_clients
     stop = threading.Event()
@@ -392,7 +419,7 @@ def streaming_e2e(spark, sf_dir: str, n_clients: int = 8) -> dict:
         # main thread terminates the read loop by closing the connection
         # once delivery has gone quiet.
         conn = http.client.HTTPConnection("127.0.0.1", srv.port)
-        conn.request("GET", "/?type=comments")
+        conn.request("GET", paths[i % len(paths)])
         resp = conn.getresponse()
         resp.fp.raise_on_eof = False  # type: ignore[attr-defined]
         conns[i] = conn
@@ -418,12 +445,20 @@ def streaming_e2e(spark, sf_dir: str, n_clients: int = 8) -> dict:
             if n:
                 counts[i] += n
                 last_data_at[i] = time.perf_counter()
+                if capture:
+                    raw[i] += buf[: buf.rindex(b"\n\n") + 2]
                 buf = buf[buf.rindex(b"\n\n") + 2 :]
 
     threads = [threading.Thread(target=client, args=(i,), daemon=True) for i in range(n_clients)]
     t0 = time.perf_counter()
     for t in threads:
         t.start()
+    # every client must be REGISTERED before the first micro-batch is
+    # broadcast, or a late joiner misses frames and the per-client
+    # delivery comparison below is raced (matters at 64 clients)
+    deadline = time.perf_counter() + 30
+    while len(bc._clients) < n_clients and time.perf_counter() < deadline:
+        time.sleep(0.01)
     # Default micro-batch trigger + processAllAvailable, NOT availableNow:
     # availableNow snapshots latestOffset() once, and the source's
     # per-trigger id cap would truncate the run to a single batch.
@@ -432,7 +467,7 @@ def streaming_e2e(spark, sf_dir: str, n_clients: int = 8) -> dict:
             spark,
             f"{sf_dir}/events.parquet",
             "rc",
-            backfill=100000,
+            backfill=backfill,
             max_ids_per_batch=10000,
         )
         .writeStream.foreachBatch(bc.foreach_batch)
@@ -465,7 +500,7 @@ def streaming_e2e(spark, sf_dir: str, n_clients: int = 8) -> dict:
     srv.stop()
     wall = max(last_data_at) - t0 if any(last_data_at) else float("inf")
     delivered = sum(counts)
-    return {
+    out = {
         "streaming_e2e_clients": n_clients,
         "streaming_e2e_events_delivered": delivered,
         "streaming_e2e_wall_sec": round(wall, 3),
@@ -475,6 +510,20 @@ def streaming_e2e(spark, sf_dir: str, n_clients: int = 8) -> dict:
         ),
         "streaming_e2e_client_min_max": [min(counts), max(counts)],
     }
+    if len(paths) > 1:
+        per_path: dict[str, list[int]] = {}
+        for i, c in enumerate(counts):
+            per_path.setdefault(paths[i % len(paths)], []).append(c)
+        out["per_path_delivered"] = {
+            p: {"clients": len(cs), "min": min(cs), "max": max(cs)}
+            for p, cs in per_path.items()
+        }
+    if capture:
+        out["frames"] = [
+            [f + "\n\n" for f in r.decode().split("\n\n") if f]
+            for r in raw
+        ]
+    return out
 
 
 #: VERDICT r10 next #1: the e2e was the last driver-visible perf number
@@ -618,6 +667,13 @@ def main() -> None:
     streaming_e2e(spark, warm_dir)
     e2e = streaming_e2e_samples(spark, sf_dir)
     e2e_samples = e2e.pop("samples")
+    # 64-client heterogeneous fan-out (VERDICT r10 next #7): 8 distinct
+    # specs x 8 clients on ONE shared query — the N-clients-N-scans fix
+    # proven at an N that matters.  Bounded backfill keeps it a fan-out
+    # stress (frame correctness per spec is pinned in test_serving.py).
+    fanout64 = streaming_e2e(
+        spark, sf_dir, n_clients=64, paths=FANOUT64_PATHS, backfill=20000
+    )
 
     # Warm-up: run every headline query once at the SMALLEST sf so the JVM,
     # whole-stage codegen compile, Python workers, and parquet footers are
@@ -725,6 +781,7 @@ def main() -> None:
                 "calibration": calib,
                 "streaming_e2e": e2e,
                 "streaming_e2e_samples": e2e_samples,
+                "streaming_fanout64": fanout64,
             },
             fh, indent=1, sort_keys=True,
         )

@@ -169,25 +169,45 @@ class PeakRssSampler:
 
         self._interval = interval
         self._lock = threading.Lock()
-        self._peaks = {"jvm": 0, "py": 0}
+        self._peaks = {"jvm": 0, "py": 0, "py1": 0}
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
     @staticmethod
     def _classify() -> dict[int, str]:
-        pids: dict[int, str] = {}
+        """pid -> 'jvm' | 'py' for THIS session's process tree only:
+        candidate matching by cmdline, then an ancestry walk to
+        os.getpid() so a concurrently-running Spark (another bench, a
+        sweep tool) can't leak into the peaks."""
+        me = os.getpid()
+        ppid: dict[int, int] = {}
+        cand: dict[int, str] = {}
         for entry in os.listdir("/proc"):
             if not entry.isdigit():
                 continue
+            pid = int(entry)
             try:
+                with open(f"/proc/{entry}/stat") as fh:
+                    # field 4 (after the parenthesized comm, which may
+                    # itself contain spaces) is ppid
+                    ppid[pid] = int(fh.read().rsplit(")", 1)[1].split()[1])
                 with open(f"/proc/{entry}/cmdline", "rb") as fh:
                     cmd = fh.read()
-            except OSError:
+            except (OSError, ValueError, IndexError):
                 continue
             if b"pyspark.daemon" in cmd or b"pyspark.worker" in cmd:
-                pids[int(entry)] = "py"
+                cand[pid] = "py"
             elif b"java" in cmd.split(b"\x00", 1)[0] and b"spark" in cmd:
-                pids[int(entry)] = "jvm"
+                cand[pid] = "jvm"
+        pids: dict[int, str] = {}
+        for pid, kind in cand.items():
+            p, hops = pid, 0
+            while p > 1 and hops < 50:
+                if p == me:
+                    pids[pid] = kind
+                    break
+                p = ppid.get(p, 0)
+                hops += 1
         return pids
 
     @staticmethod
@@ -206,9 +226,16 @@ class PeakRssSampler:
             if now - last_scan > 1.0:
                 pids = self._classify()
                 last_scan = now
-            sums = {"jvm": 0, "py": 0}
+            sums = {"jvm": 0, "py": 0, "py1": 0}
             for pid, kind in pids.items():
-                sums[kind] += self._rss_kb(pid)
+                rss = self._rss_kb(pid)
+                sums[kind] += rss
+                if kind == "py":
+                    # largest SINGLE worker: the per-kernel live-memory
+                    # signal (the summed series grows with how many
+                    # workers run concurrently, i.e. with parallelism,
+                    # not with what one kernel holds)
+                    sums["py1"] = max(sums["py1"], rss)
             with self._lock:
                 for k in sums:
                     self._peaks[k] = max(self._peaks[k], sums[k])
@@ -220,13 +247,16 @@ class PeakRssSampler:
 
     def reset(self) -> None:
         with self._lock:
-            self._peaks = {"jvm": 0, "py": 0}
+            self._peaks = {"jvm": 0, "py": 0, "py1": 0}
 
     def peaks_mb(self) -> dict[str, float]:
         with self._lock:
             return {
                 "peak_rss_jvm_mb": round(self._peaks["jvm"] / 1024, 1),
                 "peak_rss_pyworkers_mb": round(self._peaks["py"] / 1024, 1),
+                "peak_rss_pyworker_max_mb": round(
+                    self._peaks["py1"] / 1024, 1
+                ),
             }
 
     def stop(self) -> None:

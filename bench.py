@@ -98,6 +98,12 @@ HEADLINE = (
     # the arriving half) — no prev-round rows, so vs_prev skips them
     "text_vocab_growth",
     "knn_ivf_incremental_assign",
+    # round-11 additions: DoReMi-style domain reweighting (one bigram
+    # exchange + per-domain agg + broadcast total) and the learned
+    # quality linear probe (3 fixed-point GD rounds, 4-double driver
+    # state) — no prev-round rows, so vs_prev skips them
+    "corpus_doremi_reweight",
+    "corpus_quality_linear_probe",
 )
 
 #: Rows whose recorded same-code spread exceeds 1.5x on this shared
@@ -924,17 +930,31 @@ def summary_lines(
         summary["spread_over_1p5x"] = len(noisy)
         final = json.dumps(summary, separators=(",", ":"))
     for derivable in (
-        # next shed tier: streaming fields that are DERIVABLE from the
-        # kept ones (delivered = rate*wall; per-client = rate/clients) or
-        # secondary (wall).  clients, events_per_sec, and client_min_max
-        # — the fairness signal — always stay.
+        # next shed tiers, cheapest information loss first: streaming
+        # fields DERIVABLE from the kept ones (delivered = rate*wall;
+        # per-client = rate/clients) or secondary (wall), then fields
+        # fully duplicated in BENCH_DETAIL.json (client_min_max rides
+        # every e2e sample there; runs_per_query is the spread line's
+        # "runs" dict).  clients, events_per_sec, and rate_min_max — the
+        # median+spread signal — always stay.
         "streaming_e2e_events_per_sec_per_client",
         "streaming_e2e_events_delivered",
         "streaming_e2e_wall_sec",
+        "streaming_e2e_client_min_max",
+        "runs_per_query",
     ):
         if len(final) <= FINAL_LINE_BUDGET:
             break
         summary.pop(derivable, None)
+        final = json.dumps(summary, separators=(",", ":"))
+    if len(final) > FINAL_LINE_BUDGET:
+        # re-round query medians to 2 decimals before dropping any NAME:
+        # a complete dict at 10 ms resolution beats a 3-decimal dict
+        # missing rows (the dropped rows would silently escape next
+        # round's vs_prev audit; 10 ms is well inside the 1.25x/1.5x
+        # detector's noise floor, and 3-decimal medians stay on the
+        # spread line + BENCH_DETAIL.json)
+        summary["queries"] = {k: round(v, 2) for k, v in times.items()}
         final = json.dumps(summary, separators=(",", ":"))
     if len(final) > FINAL_LINE_BUDGET:
         lines.append(

@@ -971,3 +971,212 @@ def global_ntile(
             F.lit(rem) + F.floor((rn - F.lit(head) - 1) / F.lit(base))
         ) + F.lit(1)
     return local.withColumn(out_col, bucket.cast("long")).drop("_pid", "_lrn")
+
+
+def doremi_domain_reweight(
+    docs: DataFrame, ref_mod: int = 10, eta_x1e6: int = 500_000
+) -> DataFrame:
+    """Domain-mix reweighting by per-domain excess signal — the
+    multiplicative-weights step of DoReMi [Xie et al. 2023, "Doremi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"],
+    with the proxy-model excess loss replaced by an EXACT-INTEGER proxy:
+    each domain's out-of-reference-vocabulary bigram rate against a
+    deterministic reference slice (doc_id % ref_mod == 0 — the "proxy
+    training set").  Domains whose text the reference models poorly
+    (high OOV rate) get upweighted, exactly DoReMi's direction, and
+    every quantity is an int64 count or one IEEE double op, so both
+    engines produce bit-identical weights with no exp/log anywhere.
+
+    boost_x1e6  = 1e6 + (eta_x1e6 * n_oov) div n_bigrams      (int64)
+    weight_x1e6 = floor(n_docs * boost * 1e6 / sum(raw))      (2 IEEE ops)
+
+    Scale shape: ONE bigram exchange (the reference vocab is a distinct
+    over the same exploded frame — AQE broadcasts it when small, shuffle
+    otherwise), one tiny per-domain aggregate, and the normalizing total
+    rides a broadcast 1-row subquery.  Domain count is the only driver
+    state, and there is none here — the whole thing is one lazy plan."""
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.array(words)).alias("w")
+    ).filter(F.size("w") >= 2)
+    big = tok.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.concat_ws(" ", F.slice("w", i + 1, 2)),
+            )
+        ).alias("bg"),
+    )
+    ref_vocab = (
+        big.filter(F.pmod(F.col("doc_id"), F.lit(ref_mod)) == 0)
+        .select("bg")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    dom = (
+        big.join(ref_vocab, "bg", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    j = (
+        nd.join(dom, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        )
+        .withColumn(
+            "boost_x1e6",
+            (
+                F.lit(1_000_000)
+                + F.when(
+                    F.col("n_bigrams") == 0, F.lit(0)
+                ).otherwise(
+                    F.expr(
+                        f"(cast({eta_x1e6} as bigint) * n_oov) div n_bigrams"
+                    )
+                )
+            ).cast("long"),
+        )
+    )
+    tot = j.agg(
+        F.sum(F.col("n_docs") * F.col("boost_x1e6")).alias("_tot")
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_bigrams",
+            "n_oov",
+            "boost_x1e6",
+            F.floor(
+                F.col("n_docs") * F.col("boost_x1e6") * F.lit(1e6)
+                / F.col("_tot")
+            )
+            .cast("long")
+            .alias("weight_x1e6"),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_linear_probe(
+    docs: DataFrame, iters: int = 3, eta: float = 0.5
+) -> DataFrame:
+    """Learned document-quality scorer — the linear-probe skeleton of the
+    CCNet / fastText-classifier quality gate [Wenzek et al. 2020,
+    "CCNet"; the Gopher/LLaMA pipelines train the same shape]: a linear
+    model over cheap per-doc features, trained by ``iters`` rounds of
+    full-batch gradient descent on squared loss, then every document
+    scored by the learned projection.  The rule-based cousin is
+    ``text.gopher_gate``; this is the data-driven half a real pipeline
+    pairs with it.
+
+    Labels here are a deterministic curated-source stand-in (y = 1 when
+    the source's numeric suffix is even — production supplies its own
+    curation list); features are exact single-op derivations: bias,
+    n_words/256, n_chars/4096, n_distinct_words/256 (power-of-two
+    divisors keep the int->double conversion and divide exact).
+
+    Exactness playbook = :func:`pca_top_component`: per-row dots quantize
+    addends at 1e-12 into int64, gradient folds at 1e-9, the weight
+    update's scalar steps are each one IEEE op (g/1e9, /n, *eta with a
+    power-of-two eta, subtract), and w re-quantizes to 1e-6 per round —
+    so Spark, the driver fold, and the unrolled-CTE SQL twin produce
+    bit-identical weights and scores.
+
+    Scale shape: the model (4 doubles) is DRIVER state; each round is one
+    map pass over the checkpointed feature frame + a 4-key aggregate
+    (collecting 4 longs is the parameter-server step).  Feature
+    extraction is one codegen pass — no shuffle outside the tiny
+    gradient aggregate."""
+    import math
+
+    words = F.split(F.col("text"), r"\s+")
+    feat = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(2)) == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        F.array(
+            F.lit(1.0),
+            F.size(words) / F.lit(256.0),
+            F.length("text") / F.lit(4096.0),
+            F.size(F.array_distinct(words)) / F.lit(256.0),
+        ).alias("x"),
+    ).localCheckpoint(eager=False)
+    n = feat.count()
+    dim = 4
+
+    def dot_fp_col(v: list[float]) -> "F.Column":
+        v_lit = F.array(*[F.lit(float(c)) for c in v])
+        return F.aggregate(
+            F.zip_with(
+                F.col("x"),
+                v_lit,
+                lambda a, b: F.floor(a * b * 1e12 + 0.5).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+
+    w = [0.0] * dim
+    for _ in range(iters):
+        # explode-of-1-element-array barrier: materialize the residual
+        # once per row (HOF re-inline trap, see pca_top_component)
+        withres = feat.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("x").alias("x"),
+                        (dot_fp_col(w) / F.lit(1e12) - F.col("y")).alias(
+                            "r"
+                        ),
+                    )
+                )
+            ).alias("s")
+        ).select(F.col("s.x").alias("x"), F.col("s.r").alias("r"))
+        grads = (
+            withres.select(
+                F.posexplode(
+                    F.transform(
+                        "x",
+                        lambda xv: F.floor(
+                            xv * F.col("r") * 1e9 + 0.5
+                        ).cast("long"),
+                    )
+                ).alias("d", "g")
+            )
+            .groupBy("d")
+            .agg(F.sum("g").alias("gfp"))
+        )
+        by_d = {r["d"]: r["gfp"] for r in grads.collect()}
+        w = [
+            math.floor(
+                (w[d] - eta * ((by_d.get(d, 0) / 1e9) / n)) * 1e6 + 0.5
+            )
+            / 1e6
+            for d in range(dim)
+        ]
+
+    # final score: round-half-up at 1e-6 entirely in integer space
+    return feat.select(
+        "doc_id",
+        F.col("y").cast("long").alias("label"),
+        F.floor((dot_fp_col(w) + 500_000) / F.lit(1e6))
+        .cast("long")
+        .alias("score_x1e6"),
+    )

@@ -10237,6 +10237,116 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================== #
 # Registry ordering                                                           #
 # =========================================================================== #
+@_register(
+    "corpus_doremi_reweight",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(text), '\s+') AS words
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(words)),
+                    i -> words[i] || ' ' || words[i+1])) AS bg
+      FROM w WHERE len(words) >= 2
+    ),
+    ref AS (SELECT DISTINCT bg FROM big WHERE doc_id % 10 = 0),
+    dom AS (
+      SELECT b.source, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CASE WHEN r.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM big b LEFT JOIN ref r USING (bg) GROUP BY b.source
+    ),
+    nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+    j AS (
+      SELECT nd.source, nd.n_docs,
+             COALESCE(dom.n_bigrams, 0) AS n_bigrams,
+             COALESCE(dom.n_oov, 0) AS n_oov,
+             CAST(1000000 + CASE WHEN COALESCE(dom.n_bigrams, 0) = 0 THEN 0
+                  ELSE (500000 * dom.n_oov) // dom.n_bigrams END AS BIGINT)
+               AS boost_x1e6
+      FROM nd LEFT JOIN dom USING (source)
+    ),
+    t AS (SELECT sum(n_docs * boost_x1e6) AS tot FROM j)
+    SELECT j.source, j.n_docs, j.n_bigrams, j.n_oov, j.boost_x1e6,
+           CAST(floor(j.n_docs * j.boost_x1e6 * 1e6 / t.tot) AS BIGINT)
+             AS weight_x1e6
+    FROM j, t ORDER BY j.source
+    """,
+)
+def corpus_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting
+    (operators/corpus.py:doremi_domain_reweight): multiplicative-weights
+    boost per source from its out-of-reference-vocabulary bigram rate
+    (the exact-integer stand-in for proxy-model excess loss), normalized
+    to a training mix.  One bigram exchange + a per-domain aggregate +
+    a broadcast 1-row total — all int64 counts and two IEEE ops, no
+    exp/log, so the weights are bit-identical cross-engine."""
+    return corpus.doremi_domain_reweight(_t(spark, sf_dir, "documents"))
+
+
+def _quality_probe_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE twin of :func:`corpus.quality_linear_probe`: the same
+    fixed-point full-batch GD rounds (addends at 1e-12, gradient folds at
+    1e-9, one IEEE op per scalar step, w re-quantized at 1e-6), so
+    weights and scores match the Spark+driver computation bit for bit."""
+    ctes = [
+        # features: bias, n_words/256, n_chars/4096, n_distinct/256 —
+        # power-of-two divisors keep every derivation exact
+        r"""f AS (
+      SELECT doc_id,
+             CASE WHEN TRY_CAST(substring(source, 4) AS INT) % 2 = 0
+                  THEN 1.0 ELSE 0.0 END AS y,
+             [1.0,
+              len(regexp_split_to_array(text, '\s+')) / 256.0,
+              length(text) / 4096.0,
+              len(list_distinct(regexp_split_to_array(text, '\s+'))) / 256.0
+             ] AS x
+      FROM documents)""",
+        "ex AS (SELECT doc_id, y, unnest(range(0, 4)) AS d,"
+        " unnest(x) AS val FROM f)",
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        "v0 AS (SELECT unnest(range(0, 4)) AS d, 0.0 AS val)",
+    ]
+    for t in range(iters):
+        ctes += [
+            f"dot{t} AS (SELECT e.doc_id, min(e.y) AS y,"
+            " sum(CAST(floor(e.val * v.val * 1e12 + 0.5) AS BIGINT)) AS dfp"
+            f" FROM ex e JOIN v{t} v USING (d) GROUP BY e.doc_id)",
+            f"g{t} AS (SELECT e.d,"
+            " sum(CAST(floor(e.val * (dd.dfp / 1e12 - dd.y) * 1e9 + 0.5)"
+            " AS BIGINT)) AS gfp"
+            f" FROM ex e JOIN dot{t} dd USING (doc_id) GROUP BY e.d)",
+            f"v{t + 1} AS (SELECT d,"
+            " floor((v.val - 0.5 * ((g.gfp / 1e9) / nn.n)) * 1e6 + 0.5)"
+            " / 1e6 AS val"
+            f" FROM v{t} v JOIN g{t} g USING (d), nn)",
+        ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT e.doc_id,"
+        " CAST(min(e.y) AS BIGINT) AS label,"
+        " CAST(floor((sum(CAST(floor(e.val * v.val * 1e12 + 0.5) AS BIGINT))"
+        " + 500000) / 1e6) AS BIGINT) AS score_x1e6"
+        f"\nFROM ex e JOIN v{iters} v USING (d) GROUP BY e.doc_id"
+    )
+
+
+@_register("corpus_quality_linear_probe", _quality_probe_oracle())
+def corpus_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality scorer (operators/corpus.py:quality_linear_probe):
+    a CCNet/fastText-shaped linear probe over cheap per-doc features,
+    trained by 3 exact fixed-point GD rounds (deterministic labels from
+    a curated-source stand-in), then every doc scored by the learned
+    projection — the data-driven half of the quality gate next to the
+    rule-based ``text_gopher_gate``.  Per round: one map pass over the
+    checkpointed feature frame + a 4-key gradient aggregate (the model
+    is 4 doubles of driver state); the oracle unrolls the identical
+    rounds as CTEs and matches bit for bit."""
+    return corpus.quality_linear_probe(_t(spark, sf_dir, "documents"))
+
+
 # The registry — and therefore the CLI ``list`` order and any external
 # checker that samples the registry in order — is deliberately sorted by
 # EXTERNAL-VERIFICATION VALUE, using a generic rule that encodes no

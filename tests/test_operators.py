@@ -2604,3 +2604,47 @@ def test_ewma_features_exact_int64_quotient(spark):
     assert out[101].ewma_x1e4 == (neg_num * 10**4) // (
         (1 << 15) + (1 << 14)
     )  # Python // floors toward -inf — the semantics being pinned
+
+
+def test_doremi_reweight_invariants(spark, sf_dir):
+    """Weights are a normalized training mix: floor-normalized x1e6
+    weights sum to within n_domains of 1e6, every domain keeps a
+    positive weight, and the boost is monotone in the OOV rate (the
+    DoReMi direction: poorly-modeled domains gain share)."""
+    from reddit_sse_stream_spark.operators.corpus import doremi_domain_reweight
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = doremi_domain_reweight(docs).collect()
+    assert len(rows) == 20
+    total = sum(r["weight_x1e6"] for r in rows)
+    assert 1_000_000 - len(rows) <= total <= 1_000_000
+    assert all(r["weight_x1e6"] > 0 for r in rows)
+    assert all(
+        r["boost_x1e6"]
+        == 1_000_000 + (500_000 * r["n_oov"]) // r["n_bigrams"]
+        for r in rows
+        if r["n_bigrams"]
+    )
+    by_rate = sorted(
+        (r for r in rows if r["n_bigrams"]),
+        key=lambda r: r["n_oov"] / r["n_bigrams"],
+    )
+    boosts = [r["boost_x1e6"] for r in by_rate]
+    assert boosts == sorted(boosts)
+
+
+def test_quality_linear_probe_learns_the_label_direction(spark, sf_dir):
+    """Three GD rounds on a separable-ish stand-in must move scores in
+    the label direction: mean score of label-1 docs strictly above
+    label-0 docs, and both labels present.  (Bit-exactness is the
+    oracle row's job; this pins that the TRAINING actually trains.)"""
+    from reddit_sse_stream_spark.operators.corpus import quality_linear_probe
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = quality_linear_probe(docs).collect()
+    ones = [r["score_x1e6"] for r in rows if r["label"] == 1]
+    zeros = [r["score_x1e6"] for r in rows if r["label"] == 0]
+    assert ones and zeros
+    assert sum(ones) / len(ones) > sum(zeros) / len(zeros)

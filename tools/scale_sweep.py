@@ -122,6 +122,12 @@ SWEEP = (
     # r10: IVF index maintenance — training constant + a map-only
     # assignment; should be near-flat like the residual row
     "knn_ivf_incremental_assign",
+    # r11: DoReMi reweight — the bigram exchange is the only data-shaped
+    # stage (the OOV join rides it); per-domain agg is constant-size
+    "corpus_doremi_reweight",
+    # r11: quality linear probe — fixed GD-round constant over a
+    # checkpointed feature frame; should be near-flat like PCA
+    "corpus_quality_linear_probe",
 )
 
 

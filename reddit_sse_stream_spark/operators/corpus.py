@@ -1048,26 +1048,27 @@ def doremi_domain_reweight(
             ).cast("long"),
         )
     )
-    tot = j.agg(
-        F.sum(F.col("n_docs") * F.col("boost_x1e6")).alias("_tot")
+    # normalizing total as a single-partition window over the per-domain
+    # frame — NOT a separate agg branch, which would duplicate the whole
+    # bigram subtree in the plan (a second corpus pass if ReuseExchange
+    # declines).  The frame is bounded by the DOMAIN REGISTRY size
+    # (sources, not documents), so one partition is the dimension-sized
+    # escape hatch this repo's two-phase-rank notes document.
+    tot = F.sum(F.col("n_docs") * F.col("boost_x1e6")).over(
+        Window.partitionBy()
     )
-    return (
-        j.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "n_docs",
-            "n_bigrams",
-            "n_oov",
-            "boost_x1e6",
-            F.floor(
-                F.col("n_docs") * F.col("boost_x1e6") * F.lit(1e6)
-                / F.col("_tot")
-            )
-            .cast("long")
-            .alias("weight_x1e6"),
+    return j.select(
+        "source",
+        "n_docs",
+        "n_bigrams",
+        "n_oov",
+        "boost_x1e6",
+        F.floor(
+            F.col("n_docs") * F.col("boost_x1e6") * F.lit(1e6) / tot
         )
-        .orderBy("source")
-    )
+        .cast("long")
+        .alias("weight_x1e6"),
+    ).orderBy("source")
 
 
 def quality_linear_probe(

@@ -575,3 +575,59 @@ def streaming_duplicate_positions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+VOCAB_OUTPUT_SCHEMA = "word string, first_doc long"
+VOCAB_STATE_SCHEMA = "first_doc long"
+
+
+def _vocab_first_seen(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Emit-once vocabulary census per WORD: the first batch in which a
+    word appears emits (word, min doc_id in that batch); every later
+    occurrence is swallowed by state — the same emit-once shape as
+    :func:`_dedup_first`, keyed on the token instead of the digest.
+    Under doc_id-ordered arrival (the feed source's contract) the
+    emitted first_doc equals the batch word -> min(first-doc) reduction
+    exactly."""
+    ids = []
+    for pdf in pdfs:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    if state.exists:
+        yield pd.DataFrame({"word": [], "first_doc": []}).astype(
+            {"word": str, "first_doc": "int64"}
+        )
+        return
+    first = min(ids)
+    state.update((first,))
+    yield pd.DataFrame({"word": [key[0]], "first_doc": [first]})
+
+
+def streaming_vocab_first_seen(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of the Heaps'-law vocabulary census inside
+    ``text_vocab_growth`` (operators/text.py:vocab_growth_curve): keyed
+    managed state admits each WORD once with the doc that introduced it,
+    so the cumulative emitted count after batch k IS the vocabulary-size
+    checkpoint at that id prefix — the growth curve maintained
+    incrementally instead of recomputed per snapshot.
+
+    Scale shape: one shuffle per micro-batch on the token (the same
+    word-keyed exchange the batch reduction shuffles once), state one
+    long per DISTINCT word ever seen — Heaps'-law-sublinear in corpus
+    size, RocksDB-partitioned at 100 TB.  Tokenization is byte-for-byte
+    the batch row's: lower, split on \\s+, empty tokens dropped."""
+    from pyspark.sql import functions as F
+
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    tok = docs_stream.select(
+        "doc_id",
+        F.explode(F.filter(words, lambda w: F.length(w) > 0)).alias("word"),
+    )
+    return tok.groupBy("word").applyInPandasWithState(
+        _vocab_first_seen,
+        outputStructType=VOCAB_OUTPUT_SCHEMA,
+        stateStructType=VOCAB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

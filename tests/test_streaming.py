@@ -1568,3 +1568,63 @@ def test_streaming_dupspan_census_survives_checkpoint_restart(
     assert streamed == expected
     # the restart boundary is load-bearing only if some dup pair SPANS it
     assert any(d >= 60 for d, _ in expected) and any(d < 60 for d, _ in expected)
+
+
+def test_streaming_vocab_first_seen_matches_batch_census(spark, sf_dir, tmp_path):
+    """Batch/stream parity for the vocabulary census: replaying documents
+    in doc_id-ordered micro-batches must emit every word EXACTLY once
+    with the same first_doc as the batch word -> min(doc_id) reduction
+    (the census inside text_vocab_growth), and the cumulative emitted
+    count equals the Heaps-curve vocabulary checkpoint at each prefix."""
+    from reddit_sse_stream_spark.sources.tables import load_table
+    from reddit_sse_stream_spark.streaming.stateful import (
+        streaming_vocab_first_seen,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "vocab_stream"
+    n = docs.count()
+    cut = n // 2
+    docs.filter(F.col("doc_id") < cut).coalesce(1).write.mode("append").parquet(str(src))
+    docs.filter(F.col("doc_id") >= cut).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_vocab_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("vocab_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["word"]: r["first_doc"]
+        for r in spark.sql(
+            "SELECT * FROM vocab_stream WHERE word <> ''"
+        ).collect()
+    }
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    batch = {
+        r["word"]: r["first_doc"]
+        for r in docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(words, lambda w: F.length(w) > 0)
+            ).alias("word"),
+        )
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .collect()
+    }
+    assert got == batch
+    # emit-once: no word appears twice across batches
+    rows = spark.sql("SELECT word FROM vocab_stream WHERE word <> ''").collect()
+    assert len(rows) == len({r["word"] for r in rows})
+    # the cumulative count at the first-batch prefix IS the Heaps
+    # checkpoint: words whose first_doc < cut
+    n_first_batch = sum(1 for fd in got.values() if fd < cut)
+    assert n_first_batch == len({w for w, fd in batch.items() if fd < cut})

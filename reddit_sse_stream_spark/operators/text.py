@@ -1621,3 +1621,43 @@ def vocab_growth(
         .select(F.explode(rows).alias("r"))
         .select("r.pct", "r.threshold_id", "r.vocab", "r.tokens")
     )
+
+
+def bpe_fertility_by_lang(
+    df: DataFrame, rounds: int = 4, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-fertility equity audit: per-language subword fertility
+    (BPE tokens per word, x1e4 exact integer) under the corpus-trained
+    merges — the fairness number multilingual-tokenizer work reports
+    (a language whose fertility runs high pays more sequence length per
+    word, i.e. gets less effective context and more compute per
+    sentence).  Pure composition: :func:`bpe_token_counts` per doc,
+    lang joined back by id, per-lang integer sums; fertility is an
+    exact int64 floor-division, so the row is fully value-oracled.
+
+    Scale shape: adds ONE lang-keyed aggregate (|langs| keys, map-side
+    combined) over the token-accounting output; the heavy lifting
+    (training + Zipf-collapsed tokenization) is the composed op's."""
+    per_doc = bpe_token_counts(
+        df, rounds=rounds, text_col=text_col, id_col=id_col
+    )
+    return (
+        per_doc.join(df.select(id_col, "lang"), id_col)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("(n_bpe_tokens * 10000) div n_words")
+            .cast("long")
+            .alias("fertility_x1e4"),
+        )
+        .orderBy("lang")
+    )

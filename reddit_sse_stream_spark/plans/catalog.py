@@ -9246,6 +9246,54 @@ def _bpe_tokenize_oracle(rounds: int = 4) -> str:
     )
 
 
+def _bpe_fertility_by_lang_oracle(rounds: int = 4) -> str:
+    """Per-language rollup of the tokenize-accounting chain: the same
+    learned merges and per-word token counts, aggregated per lang with
+    an exact int64 floor-division fertility."""
+    ctes = _bpe_ctes(rounds)
+    ctes += [
+        f"""nt AS (
+      SELECT w, CAST(len(string_split(
+               regexp_replace(seq, '^<|>$', '', 'g'), '><')) AS BIGINT)
+               AS n_tok
+      FROM v{rounds})""",
+        r"""docw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents) t
+      WHERE regexp_matches(w, '^[a-z0-9]+$'))""",
+        """pd AS (
+      SELECT d.doc_id, count(*) AS n_words, sum(n.n_tok) AS n_tok
+      FROM docw d JOIN nt n USING (w) GROUP BY d.doc_id)""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+    SELECT doc.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pd.n_words) AS BIGINT) AS n_words,
+           CAST(sum(pd.n_tok) AS BIGINT) AS n_bpe_tokens,
+           CAST((sum(pd.n_tok) * 10000) // sum(pd.n_words) AS BIGINT)
+             AS fertility_x1e4
+    FROM pd JOIN documents doc USING (doc_id)
+    GROUP BY doc.lang ORDER BY doc.lang"""
+    )
+
+
+@_register("text_tokenizer_fertility_by_lang", _bpe_fertility_by_lang_oracle())
+def text_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer-fertility equity audit
+    (operators/text.py:bpe_fertility_by_lang): per-language BPE tokens
+    per word (x1e4, exact int64 floor-division) under the corpus-trained
+    merges — the fairness number multilingual-tokenizer evaluations
+    report; a high-fertility language pays more sequence length per word.
+    One lang-keyed aggregate over the oracled token-accounting chain."""
+    return text.bpe_fertility_by_lang(_t(spark, sf_dir, "documents"))
+
+
 @_register("bpe_tokenize_counts", _bpe_tokenize_oracle())
 def bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL subword token accounting (operators/text.py:bpe_token_counts):

@@ -1181,3 +1181,74 @@ def quality_linear_probe(
         .cast("long")
         .alias("score_x1e6"),
     )
+
+
+def greedy_coverage_pick(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Greedy maximum-coverage subset selection — the submodular
+    data-selection recipe [Lin & Bilmes 2011, "A Class of Submodular
+    Functions for Document Summarization"; coreset/facility-location
+    selection in data-pruning pipelines]: pick ``k`` documents one at a
+    time, each round taking the doc that covers the most 3-grams not yet
+    covered by earlier picks (ties to the smallest doc_id — a total
+    order, so the pick sequence is deterministic and SQL-unrollable).
+    The classic 1-1/e approximation of the coverage-optimal subset.
+
+    Output: one row per pick — (round, doc_id, gain) with gain = the
+    number of newly covered grams at pick time.  Rounds where every
+    remaining doc adds zero new grams pick nothing (output may be
+    shorter than k) — identical in both engines.
+
+    Scale shape: the per-round argmax is ONE doc-keyed aggregate over
+    the gram frame anti-joined with the covered set; the covered set is
+    bounded by k * grams-per-doc (k picks' grams), so it BROADCASTS —
+    each round is a map-side anti-join + aggregate + TakeOrdered(1).
+    The k driver syncs are the parameter-server step (k is the subset
+    size, a constant).  The gram frame is computed once and lazily
+    checkpointed."""
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    grams = (
+        docs.select("doc_id", F.explode(F.array(words)).alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("w") - 3),
+                        lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)),
+                    )
+                )
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    picks: list[tuple[int, int, int]] = []  # (round, doc_id, gain)
+    covered = None
+    remaining = grams
+    for t in range(1, k + 1):
+        best = (
+            remaining.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        doc, gain = best[0]["doc_id"], best[0]["gain"]
+        picks.append((t, doc, gain))
+        new_cov = grams.filter(F.col("doc_id") == doc).select("g")
+        covered = (
+            new_cov if covered is None else covered.unionByName(new_cov)
+        ).localCheckpoint(eager=False)
+        remaining = (
+            grams.filter(F.col("doc_id") != doc)
+            .join(F.broadcast(covered), "g", "left_anti")
+        )
+        # also exclude every earlier pick (greedy never re-picks)
+        for _, d, _g in picks[:-1]:
+            remaining = remaining.filter(F.col("doc_id") != d)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        picks, "round int, doc_id long, gain long"
+    ).orderBy("round")

@@ -10395,6 +10395,63 @@ def corpus_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_linear_probe(_t(spark, sf_dir, "documents"))
 
 
+def _greedy_coverage_oracle(k: int = 5) -> str:
+    """Unrolled twin of :func:`corpus.greedy_coverage_pick`: one CTE
+    block per greedy round — per-doc uncovered-gram counts (grams of
+    earlier picks and the picks themselves excluded), argmax with the
+    (gain DESC, doc_id ASC) total order, covered-set union.  All exact
+    integer counts over the same distinct 3-gram frame, so the pick
+    sequence matches Spark's round loop exactly."""
+    ctes = [
+        r"""w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+')
+             AS words FROM documents)""",
+        """g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(words) - 1),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               AS g
+      FROM w WHERE len(words) >= 3)""",
+        "r1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain"
+        " FROM g GROUP BY doc_id)",
+        "p1 AS (SELECT CAST(1 AS INTEGER) AS round, doc_id, gain FROM r1"
+        " ORDER BY gain DESC, doc_id LIMIT 1)",
+        "c1 AS (SELECT DISTINCT g.g FROM g JOIN p1 USING (doc_id))",
+        "k1 AS (SELECT doc_id FROM p1)",
+    ]
+    for t in range(2, k + 1):
+        p = t - 1
+        ctes += [
+            f"r{t} AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS gain"
+            f" FROM g WHERE g.doc_id NOT IN (SELECT doc_id FROM k{p})"
+            f" AND g.g NOT IN (SELECT g FROM c{p}) GROUP BY g.doc_id)",
+            f"p{t} AS (SELECT CAST({t} AS INTEGER) AS round, doc_id, gain"
+            f" FROM r{t} ORDER BY gain DESC, doc_id LIMIT 1)",
+            f"c{t} AS (SELECT g FROM c{p} UNION"
+            f" SELECT g.g FROM g JOIN p{t} USING (doc_id))",
+            f"k{t} AS (SELECT doc_id FROM k{p} UNION ALL"
+            f" SELECT doc_id FROM p{t})",
+        ]
+    unions = " UNION ALL ".join(f"SELECT * FROM p{t}" for t in range(1, k + 1))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT round, doc_id, gain FROM ({unions}) ORDER BY round"
+    )
+
+
+@_register("corpus_greedy_coverage_pick", _greedy_coverage_oracle())
+def corpus_greedy_coverage_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage subset selection
+    (operators/corpus.py:greedy_coverage_pick): 5 deterministic greedy
+    rounds, each taking the doc covering the most not-yet-covered
+    3-grams (ties to the smallest doc_id) — the submodular
+    data-selection recipe [Lin & Bilmes 2011] with its 1-1/e coverage
+    guarantee.  Per round: one doc-keyed aggregate over the checkpointed
+    gram frame anti-joined with the (broadcastable, k*grams-per-doc
+    bounded) covered set + TakeOrdered(1); the k driver syncs are the
+    parameter-server step.  The oracle unrolls the identical rounds."""
+    return corpus.greedy_coverage_pick(_t(spark, sf_dir, "documents"), k=5)
+
+
 # The registry — and therefore the CLI ``list`` order and any external
 # checker that samples the registry in order — is deliberately sorted by
 # EXTERNAL-VERIFICATION VALUE, using a generic rule that encodes no

@@ -2648,3 +2648,39 @@ def test_quality_linear_probe_learns_the_label_direction(spark, sf_dir):
     zeros = [r["score_x1e6"] for r in rows if r["label"] == 0]
     assert ones and zeros
     assert sum(ones) / len(ones) > sum(zeros) / len(zeros)
+
+
+def test_greedy_coverage_pick_invariants(spark, sf_dir):
+    """Submodular greedy invariants: k distinct picks, marginal gains
+    non-increasing (coverage is submodular, so the greedy sequence's
+    gains are monotone), round numbers dense from 1, and round-1's pick
+    is the doc with the most distinct 3-grams."""
+    from reddit_sse_stream_spark.operators.corpus import greedy_coverage_pick
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = greedy_coverage_pick(docs, k=5).collect()
+    assert [r["round"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    top = (
+        docs.select("doc_id", F.explode(F.array(words)).alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("w") - 3),
+                        lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)),
+                    )
+                )
+            ).alias("n"),
+        )
+        .orderBy(F.col("n").desc(), F.col("doc_id"))
+        .first()
+    )
+    assert rows[0]["doc_id"] == top["doc_id"]
+    assert rows[0]["gain"] == top["n"]

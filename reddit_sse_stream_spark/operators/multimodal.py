@@ -952,3 +952,118 @@ def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
         )
         .filter(F.col("frame_idx") % every_n == 0)
     )
+
+
+def _decode_bmp_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL pixel decode: BMP headers + bottom-up BGR rows + padding back
+    to logical top-down RGB bytes — the pixel-level sibling of
+    :func:`_decode_bmp_features` for consumers that need the raster, not
+    folded features (perceptual hashing)."""
+    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hsz, w, h, _planes, bpp, comp, _imgsz = struct.unpack_from(
+        "<IiiHHII", payload, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise ValueError("expected uncompressed 24-bit BMP")
+    stride = (w * 3 + 3) // 4 * 4
+    rgb = [0] * (w * h * 3)
+    for r in range(h):
+        y_top = h - 1 - r
+        row_off = offset + r * stride
+        for x in range(w):
+            o = row_off + x * 3
+            base = (y_top * w + x) * 3
+            rgb[base] = payload[o + 2]
+            rgb[base + 1] = payload[o + 1]
+            rgb[base + 2] = payload[o]
+    return w, h, rgb
+
+
+def ahash_from_pixels(w: int, h: int, rgb: list[int]) -> tuple[int, int]:
+    """Perceptual average-hash (aHash) — 64-bit image fingerprint, all
+    integer arithmetic so a SQL oracle reproduces it bit for bit:
+
+    - grayscale g(x,y) = (r + g + b) div 3;
+    - 8x8 binning by u = (x*8) div w, v = (y*8) div h (standard
+      nearest-rank bins; cell sizes differ by at most 1);
+    - cell mean cm = cell_sum div cell_count (integer);
+    - bit(v*8+u) = 1 iff 64*cm > sum of all 64 cell means (strict —
+      division-free global-mean comparison).
+
+    Returns the hash as (hi, lo) 32-bit halves (a full 64-bit value can
+    overflow a signed BIGINT's positive range in engines without uint64)."""
+    sums = [0] * 64
+    cnts = [0] * 64
+    for y in range(h):
+        v = (y * 8) // h
+        for x in range(w):
+            u = (x * 8) // w
+            base = (y * w + x) * 3
+            g = (rgb[base] + rgb[base + 1] + rgb[base + 2]) // 3
+            sums[v * 8 + u] += g
+            cnts[v * 8 + u] += 1
+    cms = [s // c for s, c in zip(sums, cnts)]
+    total = sum(cms)
+    hi = lo = 0
+    for idx, cm in enumerate(cms):
+        if 64 * cm > total:
+            if idx >= 32:
+                hi |= 1 << (idx - 32)
+            else:
+                lo |= 1 << idx
+    return hi, lo
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REAL image containers — the
+    multimodal dedup primitive (near-duplicate images survive resizes
+    and re-encodes that break byte-level digests; training-set image
+    dedup pipelines hash exactly this way).  Consumes the BMP subset of
+    :func:`synthesize_media`'s rotating image containers (the
+    uncompressed raster makes the raster arithmetic value-oracle-able
+    end to end); PNG/JPEG rasters flow through the same
+    :func:`ahash_from_pixels` kernel once decoded.
+
+    Output per image: dims, the hash as 32-bit halves, and its popcount
+    (n_ones) — banding on 16-bit hash slices + Hamming<=d verification
+    is then the SimHash pairing recipe this repo already proves
+    (operators/dedup.py).
+
+    Scale shape: one zero-shuffle mapInPandas pass (Arrow batches,
+    decode + integer binning per row); output is 5 ints per image."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for m, k, p in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if k != "image" or p is None or p[:2] != b"BM":
+                    continue
+                w, h, rgb = _decode_bmp_pixels(bytes(p))
+                hi, lo = ahash_from_pixels(w, h, rgb)
+                rows.append(
+                    (
+                        int(m),
+                        w,
+                        h,
+                        hi,
+                        lo,
+                        bin(hi).count("1") + bin(lo).count("1"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "img_w", "img_h", "hash_hi", "hash_lo",
+                    "n_ones",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, img_w int, img_h int, hash_hi long, hash_lo long,"
+        " n_ones int",
+    )

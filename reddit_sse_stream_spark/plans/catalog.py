@@ -10395,6 +10395,66 @@ def corpus_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_linear_probe(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "media_image_ahash",
+    """
+    WITH ids AS (
+      SELECT doc_id AS m FROM documents
+      WHERE doc_id % 3 = 0 AND (doc_id // 3) % 3 = 1
+    ),
+    dims AS (SELECT m, 8 + m % 9 AS w, 8 + m % 7 AS h FROM ids),
+    gray AS (
+      SELECT d.m, d.w, d.h, ux.x, uy.y,
+             ((d.m * 40503 + ((uy.y * d.w + ux.x) * 3 + 0) * 2654435761) % 256
+              + (d.m * 40503 + ((uy.y * d.w + ux.x) * 3 + 1) * 2654435761) % 256
+              + (d.m * 40503 + ((uy.y * d.w + ux.x) * 3 + 2) * 2654435761) % 256
+             ) // 3 AS g
+      FROM dims d, UNNEST(range(d.w)) AS ux(x), UNNEST(range(d.h)) AS uy(y)
+    ),
+    cells AS (
+      SELECT m, any_value(w) AS w, any_value(h) AS h,
+             (y * 8) // h AS v, (x * 8) // w AS u,
+             sum(g) AS s, count(*) AS c
+      FROM gray GROUP BY m, (y * 8) // h, (x * 8) // w
+    ),
+    cms AS (SELECT m, w, h, v * 8 + u AS idx, s // c AS cm FROM cells),
+    tot AS (SELECT m, sum(cm) AS t FROM cms GROUP BY m),
+    bits AS (
+      SELECT c.m, c.w, c.h, c.idx,
+             CASE WHEN 64 * c.cm > t.t THEN 1 ELSE 0 END AS b
+      FROM cms c JOIN tot t USING (m)
+    )
+    SELECT m AS media_id,
+           CAST(any_value(w) AS INTEGER) AS img_w,
+           CAST(any_value(h) AS INTEGER) AS img_h,
+           CAST(sum(CASE WHEN idx >= 32
+                    THEN b * (CAST(1 AS BIGINT) << (idx - 32))
+                    ELSE 0 END) AS BIGINT) AS hash_hi,
+           CAST(sum(CASE WHEN idx < 32
+                    THEN b * (CAST(1 AS BIGINT) << idx)
+                    ELSE 0 END) AS BIGINT) AS hash_lo,
+           CAST(sum(b) AS INTEGER) AS n_ones
+    FROM bits GROUP BY m ORDER BY media_id
+    """,
+)
+def media_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash of REAL image containers
+    (operators/multimodal.py:image_ahash): decode the BMP subset of the
+    rotating image containers back to the raster and fold the classic
+    64-bit aHash (8x8 integer binning, division-free global-mean
+    threshold) — the fingerprint image-dedup pipelines pair on (the
+    Hamming banding recipe is the SimHash rows').  Zero-shuffle
+    mapInPandas decode pass; the oracle recomputes every pixel from the
+    generative formula and the identical integer binning, so the hash —
+    not just aggregates of it — is value-verified bit for bit."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0)
+        & (F.floor(F.col("doc_id") / 3) % 3 == 1)
+    )
+    media = multimodal.synthesize_media(docs, real_media=True)
+    return multimodal.image_ahash(media).orderBy("media_id")
+
+
 def _greedy_coverage_oracle(k: int = 5) -> str:
     """Unrolled twin of :func:`corpus.greedy_coverage_pick`: one CTE
     block per greedy round — per-doc uncovered-gram counts (grams of

@@ -2684,3 +2684,26 @@ def test_greedy_coverage_pick_invariants(spark, sf_dir):
     )
     assert rows[0]["doc_id"] == top["doc_id"]
     assert rows[0]["gain"] == top["n"]
+
+
+def test_image_ahash_hand_examples_and_real_decode():
+    """aHash kernel pinned by hand: a uniform raster has no bit above the
+    global mean (n_ones = 0); a half-bright raster sets exactly the 32
+    bright-half bits in the low word.  The pixel decoder must round-trip
+    the encoder's generative formula byte for byte."""
+    from reddit_sse_stream_spark.operators.multimodal import (
+        _bmp_pix,
+        _decode_bmp_pixels,
+        _encode_bmp,
+        ahash_from_pixels,
+    )
+
+    flat = [128] * (8 * 8 * 3)
+    assert ahash_from_pixels(8, 8, flat) == (0, 0)
+    half = [255] * (8 * 4 * 3) + [0] * (8 * 4 * 3)  # top 4 rows bright
+    hi, lo = ahash_from_pixels(8, 8, half)
+    assert hi == 0 and lo == (1 << 32) - 1  # idx 0..31 = v<4 rows
+    m = 12  # an actual BMP-subset media id (12%3==0, (12//3)%3==1)
+    w, h, rgb = _decode_bmp_pixels(_encode_bmp(m))
+    assert (w, h) == (8 + m % 9, 8 + m % 7)
+    assert rgb == [_bmp_pix(m, i) for i in range(w * h * 3)]

@@ -262,16 +262,15 @@ def _encode_png(media_id: int) -> bytes:
     )
 
 
-def _decode_png_features(payload: bytes) -> tuple[int, int, int, int, int, int]:
-    """REAL COMPRESSED DECODE: walk the chunk stream (verifying each
-    CRC-32), inflate the IDAT zlib stream, reverse the per-row filter
-    (all five types), and fold the reconstructed top-down RGB bytes into
-    the SAME position-weighted features as the BMP decoder.  Returns
-    (img_w, img_h, sum_rgb, pix_peak, checksum, n_inflated);
-    ``n_inflated`` = h*(1 + 3w) is the exact inflated scanline size — a
-    decode proof in itself (a corrupt or truncated deflate stream cannot
-    inflate to it) that, unlike the compressed container length, an SQL
-    oracle reproduces from (w, h) alone."""
+def _decode_png_pixels(payload: bytes) -> tuple[int, int, bytearray, int]:
+    """REAL COMPRESSED DECODE to the raster: walk the chunk stream
+    (verifying each CRC-32), inflate the IDAT zlib stream, and reverse
+    the per-row filter (all five types).  Returns (w, h, rgb, n_inflated)
+    with ``rgb`` the reconstructed top-down RGB bytes and ``n_inflated``
+    = h*(1 + 3w), the exact inflated scanline size — a decode proof in
+    itself (a corrupt or truncated deflate stream cannot inflate to it)
+    that, unlike the compressed container length, an SQL oracle
+    reproduces from (w, h) alone."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG payload")
     off = 8
@@ -305,9 +304,7 @@ def _decode_png_features(payload: bytes) -> tuple[int, int, int, int, int, int]:
         )
     prev = bytes(stride)
     pos = 0
-    sum_rgb = 0
-    peak = 0
-    checksum = 0
+    rgb = bytearray()
     for y in range(h):
         f = raw[pos]
         pos += 1
@@ -337,13 +334,24 @@ def _decode_png_features(payload: bytes) -> tuple[int, int, int, int, int, int]:
         elif f != 0:
             raise ValueError(f"unknown PNG filter type {f}")
         prev = bytes(line)
-        base = y * stride
-        for i, v in enumerate(prev):
-            sum_rgb += v
-            if v > peak:
-                peak = v
-            checksum += (base + i + 1) * v
-    return w, h, sum_rgb, peak, checksum % (1 << 31), len(raw)
+        rgb += prev
+    return w, h, rgb, len(raw)
+
+
+def _decode_png_features(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """:func:`_decode_png_pixels` folded into the SAME position-weighted
+    features as the BMP decoder: (img_w, img_h, sum_rgb, pix_peak,
+    checksum, n_inflated)."""
+    w, h, rgb, n_inflated = _decode_png_pixels(payload)
+    sum_rgb = 0
+    peak = 0
+    checksum = 0
+    for i, v in enumerate(rgb):
+        sum_rgb += v
+        if v > peak:
+            peak = v
+        checksum += (i + 1) * v
+    return w, h, sum_rgb, peak, checksum % (1 << 31), n_inflated
 
 
 def _jpeg_dims(media_id: int) -> tuple[int, int]:
@@ -490,18 +498,16 @@ def _jpeg_huff_decode(r: _JpegBitReader, table: dict) -> int:
     raise ValueError("invalid Huffman code")
 
 
-def _decode_jpeg_features(payload: bytes) -> tuple[int, int, int, int, int, int]:
-    """REAL LOSSY-CODEC DECODE: a general baseline grayscale JPEG
-    decoder — marker walk, canonical Huffman table construction from
-    DHT, DC-prediction + AC run-length entropy decoding (EOB/ZRL),
-    dequantization through the zigzag order, full 2D IDCT (numpy basis
-    matmul), level shift + clamp — folded to the same pixel features as
-    the other image containers.  Nothing here assumes the DC-only
-    content :func:`_encode_jpeg` produces; that content is what makes
-    the ORACLE exact, not what the decoder requires.  Returns
-    (img_w, img_h, sum_gray, pix_peak, checksum, n_bytes) with n_bytes =
-    w*h decoded samples (the SQL-reproducible size for a lossy
-    container)."""
+def _decode_jpeg_pixels(payload: bytes):
+    """REAL LOSSY-CODEC DECODE to the pixel plane: a general baseline
+    grayscale JPEG decoder — marker walk, canonical Huffman table
+    construction from DHT, DC-prediction + AC run-length entropy
+    decoding (EOB/ZRL), dequantization through the zigzag order, full
+    2D IDCT (numpy basis matmul), level shift + clamp.  Nothing here
+    assumes the DC-only content :func:`_encode_jpeg` produces; that
+    content is what makes the ORACLE exact, not what the decoder
+    requires.  Returns (w, h, flat) with ``flat`` the int64 numpy
+    row-major gray plane."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -600,7 +606,17 @@ def _decode_jpeg_features(payload: bytes) -> tuple[int, int, int, int, int, int]
         by, bx = divmod(bi, bw)
         arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = A.T @ coef @ A
     pix = np.clip(np.rint(arr + 128), 0, 255).astype(np.int64)[:h, :w]
-    flat = pix.ravel()
+    return w, h, pix.ravel()
+
+
+def _decode_jpeg_features(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """:func:`_decode_jpeg_pixels` folded to the same pixel features as
+    the other image containers: (img_w, img_h, sum_gray, pix_peak,
+    checksum, n_bytes) with n_bytes = w*h decoded samples (the
+    SQL-reproducible size for a lossy container)."""
+    import numpy as np
+
+    w, h, flat = _decode_jpeg_pixels(payload)
     checksum = int(
         ((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum() % (1 << 31)
     )
@@ -1020,11 +1036,14 @@ def image_ahash(media: DataFrame) -> DataFrame:
     """Perceptual average-hash over REAL image containers — the
     multimodal dedup primitive (near-duplicate images survive resizes
     and re-encodes that break byte-level digests; training-set image
-    dedup pipelines hash exactly this way).  Consumes the BMP subset of
-    :func:`synthesize_media`'s rotating image containers (the
-    uncompressed raster makes the raster arithmetic value-oracle-able
-    end to end); PNG/JPEG rasters flow through the same
-    :func:`ahash_from_pixels` kernel once decoded.
+    dedup pipelines hash exactly this way).  ALL THREE rotating image
+    containers decode to their raster and flow through the same
+    :func:`ahash_from_pixels` kernel: uncompressed BMP
+    (:func:`_decode_bmp_pixels`), zlib-compressed PNG
+    (:func:`_decode_png_pixels` — CRC walk + inflate + 5-filter
+    reversal), and lossy baseline JPEG (:func:`_decode_jpeg_pixels` —
+    Huffman entropy decode + dequant + full IDCT; the grayscale plane
+    hashes as r=g=b).
 
     Output per image: dims, the hash as 32-bit halves, and its popcount
     (n_ones) — banding on 16-bit hash slices + Hamming<=d verification
@@ -1040,9 +1059,18 @@ def image_ahash(media: DataFrame) -> DataFrame:
             for m, k, p in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                if k != "image" or p is None or p[:2] != b"BM":
+                if k != "image" or p is None:
                     continue
-                w, h, rgb = _decode_bmp_pixels(bytes(p))
+                p = bytes(p)
+                if p[:2] == b"BM":
+                    w, h, rgb = _decode_bmp_pixels(p)
+                elif p[:8] == PNG_MAGIC:
+                    w, h, rgb, _n = _decode_png_pixels(p)
+                elif p[:2] == b"\xff\xd8":
+                    w, h, flat = _decode_jpeg_pixels(p)
+                    rgb = [int(v) for v in flat for _ in range(3)]
+                else:
+                    continue
                 hi, lo = ahash_from_pixels(w, h, rgb)
                 rows.append(
                     (

@@ -10399,16 +10399,26 @@ def corpus_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_image_ahash",
     """
     WITH ids AS (
-      SELECT doc_id AS m FROM documents
-      WHERE doc_id % 3 = 0 AND (doc_id // 3) % 3 = 1
+      SELECT doc_id AS m, CAST((doc_id // 3) % 3 AS INTEGER) AS c
+      FROM documents WHERE doc_id % 3 = 0
     ),
-    dims AS (SELECT m, 8 + m % 9 AS w, 8 + m % 7 AS h FROM ids),
+    dims AS (
+      SELECT m, c,
+             CASE WHEN c = 2 THEN 8 * (2 + m % 5) ELSE 8 + m % 9 END AS w,
+             CASE WHEN c = 2 THEN 8 * (2 + m % 3) ELSE 8 + m % 7 END AS h
+      FROM ids
+    ),
     gray AS (
       SELECT d.m, d.w, d.h, ux.x, uy.y,
-             ((d.m * 40503 + ((uy.y * d.w + ux.x) * 3 + 0) * 2654435761) % 256
-              + (d.m * 40503 + ((uy.y * d.w + ux.x) * 3 + 1) * 2654435761) % 256
-              + (d.m * 40503 + ((uy.y * d.w + ux.x) * 3 + 2) * 2654435761) % 256
-             ) // 3 AS g
+             CASE WHEN d.c = 2 THEN
+               (d.m * 40503
+                + ((uy.y // 8) * (d.w // 8) + (ux.x // 8)) * 2654435761) % 256
+             ELSE
+               ((d.m * 40503 + ((uy.y * d.w + ux.x) * 3 + 0) * 2654435761) % 256
+                + (d.m * 40503 + ((uy.y * d.w + ux.x) * 3 + 1) * 2654435761) % 256
+                + (d.m * 40503 + ((uy.y * d.w + ux.x) * 3 + 2) * 2654435761) % 256
+               ) // 3
+             END AS g
       FROM dims d, UNNEST(range(d.w)) AS ux(x), UNNEST(range(d.h)) AS uy(y)
     ),
     cells AS (
@@ -10439,18 +10449,18 @@ def corpus_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual average-hash of REAL image containers
-    (operators/multimodal.py:image_ahash): decode the BMP subset of the
-    rotating image containers back to the raster and fold the classic
-    64-bit aHash (8x8 integer binning, division-free global-mean
-    threshold) — the fingerprint image-dedup pipelines pair on (the
-    Hamming banding recipe is the SimHash rows').  Zero-shuffle
-    mapInPandas decode pass; the oracle recomputes every pixel from the
-    generative formula and the identical integer binning, so the hash —
-    not just aggregates of it — is value-verified bit for bit."""
-    docs = _t(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") % 3 == 0)
-        & (F.floor(F.col("doc_id") / 3) % 3 == 1)
-    )
+    (operators/multimodal.py:image_ahash): decode ALL THREE rotating
+    containers — uncompressed BMP, zlib-compressed PNG (CRC walk +
+    inflate + 5-filter reversal), lossy baseline JPEG (Huffman + dequant
+    + full IDCT) — back to the raster and fold the classic 64-bit aHash
+    (8x8 integer binning, division-free global-mean threshold) — the
+    fingerprint image-dedup pipelines pair on (the Hamming banding
+    recipe is the SimHash rows').  Zero-shuffle mapInPandas decode pass;
+    the oracle recomputes every pixel from the per-container generative
+    formulas and the identical integer binning, so the hash — not just
+    aggregates of it — is value-verified bit for bit, THROUGH the lossy
+    codec on its DC-exact subset."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     media = multimodal.synthesize_media(docs, real_media=True)
     return multimodal.image_ahash(media).orderBy("media_id")
 
@@ -10795,8 +10805,14 @@ _CHANGED_SINCE_PROOF: set = {
     # ivf_train/pq_train sync-cut family, the CC sync-fold consumers, and
     # media_features' PNG decode — were ALL re-proven green in the r10
     # window, CORRECTNESS_r10.json, and are pruned; the map above now
-    # folds r10 in.)  r11 entries are added below as this round's code
-    # changes land.
+    # folds r10 in.)
+    # r11 refactor (value-identical, locally re-verified at
+    # sf0.001/sf0.01): the PNG and JPEG feature decoders split into
+    # pixel-plane decoders + feature folds so the new perceptual-hash
+    # row shares the raster path — the executing decode chain differs
+    # from what the r10 proofs ran, so both rows re-prove.
+    "media_features",
+    "media_features_meta",
 }
 
 

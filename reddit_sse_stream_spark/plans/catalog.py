@@ -10465,6 +10465,97 @@ def media_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_ahash(media).orderBy("media_id")
 
 
+@_register(
+    "media_audio_fingerprint",
+    """
+    WITH ids AS (SELECT doc_id AS m FROM documents WHERE doc_id % 3 = 1),
+    dims AS (SELECT m, 160 + m % 101 AS n FROM ids),
+    smp AS (
+      SELECT d.m, d.n, ui.i,
+             abs(((d.m * 40503 + ui.i * 2654435761) % 65536) - 32768) AS a
+      FROM dims d, UNNEST(range(d.n)) AS ui(i)
+    ),
+    wins AS (
+      SELECT m, any_value(n) AS n, (i * 64) // n AS w,
+             sum(a) AS s, count(*) AS c
+      FROM smp GROUP BY m, (i * 64) // n
+    ),
+    ems AS (SELECT m, n, w AS idx, s // c AS em FROM wins),
+    tot AS (SELECT m, sum(em) AS t FROM ems GROUP BY m),
+    bits AS (
+      SELECT e.m, e.n, e.idx,
+             CASE WHEN 64 * e.em > t.t THEN 1 ELSE 0 END AS b
+      FROM ems e JOIN tot t USING (m)
+    )
+    SELECT m AS media_id,
+           CAST(any_value(n) AS INTEGER) AS n_samples,
+           CAST(sum(CASE WHEN idx >= 32
+                    THEN b * (CAST(1 AS BIGINT) << (idx - 32))
+                    ELSE 0 END) AS BIGINT) AS hash_hi,
+           CAST(sum(CASE WHEN idx < 32
+                    THEN b * (CAST(1 AS BIGINT) << idx)
+                    ELSE 0 END) AS BIGINT) AS hash_lo,
+           CAST(sum(b) AS INTEGER) AS n_ones
+    FROM bits GROUP BY m ORDER BY media_id
+    """,
+)
+def media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic fingerprint of REAL WAV containers
+    (operators/multimodal.py:audio_fingerprint): decode the PCM16
+    frames and fold the 64-window integer energy-profile hash
+    (division-free mean threshold — the exact-integer core of
+    Haitsma-Kalker-style audio fingerprints), completing the multimodal
+    dedup family next to the image aHash.  Zero-shuffle mapInPandas
+    pass; the oracle recomputes every sample from the generative
+    waveform formula, so the fingerprint is value-verified bit for
+    bit."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    media = multimodal.synthesize_media(docs, real_media=True)
+    return multimodal.audio_fingerprint(media).orderBy("media_id")
+
+
+@_register(
+    "media_video_scene_cuts",
+    """
+    WITH ids AS (
+      SELECT doc_id AS m, 2 + doc_id % 5 AS n FROM documents
+      WHERE doc_id % 3 = 2
+    ),
+    px AS (
+      SELECT i.m, uf.f, up.j,
+             ((i.m * 40503 + (uf.f * 384 + up.j * 3 + 0) * 2654435761) % 256
+              + (i.m * 40503 + (uf.f * 384 + up.j * 3 + 1) * 2654435761) % 256
+              + (i.m * 40503 + (uf.f * 384 + up.j * 3 + 2) * 2654435761) % 256
+             ) // 3 AS ga,
+             ((i.m * 40503 + ((uf.f + 1) * 384 + up.j * 3 + 0) * 2654435761) % 256
+              + (i.m * 40503 + ((uf.f + 1) * 384 + up.j * 3 + 1) * 2654435761) % 256
+              + (i.m * 40503 + ((uf.f + 1) * 384 + up.j * 3 + 2) * 2654435761) % 256
+             ) // 3 AS gb
+      FROM ids i, UNNEST(range(i.n - 1)) AS uf(f), UNNEST(range(128)) AS up(j)
+    ),
+    trans AS (SELECT m, f, sum(abs(ga - gb)) AS sad FROM px GROUP BY m, f)
+    SELECT m AS media_id, CAST(f AS INTEGER) AS f,
+           CAST(sad AS BIGINT) AS sad,
+           CAST((sad * 100) // 128 AS BIGINT) AS mad_x100,
+           CAST(CASE WHEN (sad * 100) // 128 > 4800 THEN 1 ELSE 0 END
+                AS INTEGER) AS is_cut
+    FROM trans ORDER BY media_id, f
+    """,
+)
+def media_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL AVI containers
+    (operators/multimodal.py:video_scene_cuts): decode every 'DIB '
+    frame to its gray plane and score each adjacent-frame transition by
+    exact-integer mean absolute difference — the classic pixel-domain
+    cut detector frame-sampling pipelines segment with.  Zero-shuffle
+    mapInPandas pass; the oracle recomputes both frames of every
+    transition from the generative formula (16x8 planes, 384
+    bytes/frame), so sad/mad/is_cut are value-verified bit for bit."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    media = multimodal.synthesize_media(docs, real_media=True)
+    return multimodal.video_scene_cuts(media).orderBy("media_id", "f")
+
+
 def _greedy_coverage_oracle(k: int = 5) -> str:
     """Unrolled twin of :func:`corpus.greedy_coverage_pick`: one CTE
     block per greedy round — per-doc uncovered-gram counts (grams of

@@ -2707,3 +2707,57 @@ def test_image_ahash_hand_examples_and_real_decode():
     w, h, rgb = _decode_bmp_pixels(_encode_bmp(m))
     assert (w, h) == (8 + m % 9, 8 + m % 7)
     assert rgb == [_bmp_pix(m, i) for i in range(w * h * 3)]
+
+
+def test_audio_fingerprint_hand_examples_and_real_decode():
+    """Fingerprint kernel pinned by hand: a constant waveform sets no
+    bit (every window mean equals the global mean); a loud-first-half
+    clip sets exactly the first 32 window bits.  The sample decoder
+    must round-trip the encoder's generative waveform exactly."""
+    from reddit_sse_stream_spark.operators.multimodal import (
+        _decode_wav_samples,
+        _encode_wav,
+        _wav_n_samples,
+        _wav_sample,
+        fingerprint_from_samples,
+    )
+
+    assert fingerprint_from_samples([1000] * 128) == (0, 0)
+    loud = [20000] * 64 + [0] * 64
+    hi, lo = fingerprint_from_samples(loud)
+    assert lo == (1 << 32) - 1 and hi == 0
+    m = 13  # an audio media id (13 % 3 == 1)
+    samples = _decode_wav_samples(_encode_wav(m))
+    assert len(samples) == _wav_n_samples(m)
+    assert samples == [_wav_sample(m, i) for i in range(len(samples))]
+
+
+def test_video_scene_cuts_identical_frames_score_zero():
+    """A clip whose adjacent frames are identical has sad = 0 and no
+    cut; the real AVI decode must reproduce the generative gray
+    planes."""
+    from reddit_sse_stream_spark.operators.multimodal import (
+        AVI_FRAME_H,
+        AVI_FRAME_W,
+        _avi_pix,
+        _decode_avi_gray_frames,
+        _encode_avi,
+    )
+
+    m = 14  # a video media id (14 % 3 == 2)
+    w, h, planes = _decode_avi_gray_frames(_encode_avi(m))
+    assert (w, h) == (AVI_FRAME_W, AVI_FRAME_H)
+    for f, plane in enumerate(planes):
+        want = [
+            (
+                _avi_pix(m, f * w * h * 3 + j * 3)
+                + _avi_pix(m, f * w * h * 3 + j * 3 + 1)
+                + _avi_pix(m, f * w * h * 3 + j * 3 + 2)
+            )
+            // 3
+            for j in range(w * h)
+        ]
+        assert plane == want
+    # identical adjacent planes => sad 0 (kernel-level check)
+    sad = sum(abs(a - b) for a, b in zip(planes[0], planes[0]))
+    assert sad == 0

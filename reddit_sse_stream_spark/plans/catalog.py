@@ -10556,6 +10556,153 @@ def media_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_scene_cuts(media).orderBy("media_id", "f")
 
 
+@_register(
+    "text_zipf_fit",
+    r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok
+           WHERE length(w) > 0 GROUP BY w),
+    rk AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM tf
+    ),
+    pts AS (
+      SELECT length(bin(r)) - 1 AS x, length(bin(f)) - 1 AS y FROM rk
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pts
+    )
+    SELECT n AS n_types, sx, sy, sxx, sxy,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+             (10000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+           END AS BIGINT) AS slope_x1e4
+    FROM mom
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary — the rank-frequency
+    slope a corpus-health audit checks (natural text runs near -1;
+    template/spam corpora flatten or cliff): regress whole-bit
+    log2(freq) on whole-bit log2(rank) (the exact integer log2 of
+    ``text_bigram_lm_bits`` — length(bin(n))-1, no floating log) with
+    exact int64 regression moments and a x1e4 floor-division slope.
+    One term exchange for the counts, one rank window (vocabulary-sized,
+    the two-phase swap documented there applies), one 1-row moment
+    aggregate — everything integer, bit-identical cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    tf = tok.groupBy("w").agg(F.count("*").alias("f"))
+    rk = tf.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), F.col("w")))
+        .alias("r"),
+    )
+    pts = rk.select(
+        (F.length(F.bin("r")) - 1).alias("x"),
+        (F.length(F.bin("f")) - 1).alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return mom.select(
+        "n_types", "sx", "sy", "sxx", "sxy",
+        F.when(
+            F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx")
+            == 0,
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                "(10000 * (n_types * sxy - sx * sy))"
+                " div (n_types * sxx - sx * sx)"
+            )
+        )
+        .cast("long")
+        .alias("slope_x1e4"),
+    )
+
+
+@_register(
+    "pack_context_length_curve",
+    r"""
+    WITH t AS (
+      SELECT CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    ls AS (SELECT unnest([512, 1024, 2048, 4096]) AS ctx_len)
+    SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(n_tok, ctx_len)) AS BIGINT) AS kept_tokens,
+           CAST(sum(greatest(n_tok - ctx_len, 0)) AS BIGINT)
+             AS truncated_tokens,
+           CAST(sum(ctx_len - least(n_tok, ctx_len)) AS BIGINT)
+             AS padding_tokens,
+           CAST((10000 * sum(least(n_tok, ctx_len)))
+                // (CAST(count(*) AS BIGINT) * ctx_len) AS BIGINT)
+             AS utilization_x1e4
+    FROM t CROSS JOIN ls GROUP BY ctx_len ORDER BY ctx_len
+    """,
+)
+def pack_context_length_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length sizing curve — the one-doc-per-sequence packing
+    audit that picks a training context length: for each candidate
+    ctx_len, exact token kept/truncated/padding totals and a x1e4
+    utilization ratio (kept / (docs * ctx_len)).  The sequence-PACKING
+    ops (pack_sequences_by_source) then recover the padding this curve
+    exposes; together they quantify the packing win.  One map pass over
+    token counts crossed with a 4-row literal frame (broadcast by
+    construction), one 4-key aggregate — all integer."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tok")
+    )
+    ls = spark.range(0).sparkSession.createDataFrame(
+        [(512,), (1024,), (2048,), (4096,)], "ctx_len long"
+    )
+    kept = F.least(F.col("n_tok"), F.col("ctx_len"))
+    return (
+        t.crossJoin(F.broadcast(ls))
+        .groupBy("ctx_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("kept_tokens"),
+            F.sum(F.greatest(F.col("n_tok") - F.col("ctx_len"), F.lit(0)))
+            .cast("long")
+            .alias("truncated_tokens"),
+            F.sum(F.col("ctx_len") - kept)
+            .cast("long")
+            .alias("padding_tokens"),
+        )
+        .select(
+            "ctx_len",
+            "n_docs",
+            "kept_tokens",
+            "truncated_tokens",
+            "padding_tokens",
+            F.expr(
+                "(10000 * kept_tokens) div (n_docs * ctx_len)"
+            )
+            .cast("long")
+            .alias("utilization_x1e4"),
+        )
+        .orderBy("ctx_len")
+    )
+
+
 def _greedy_coverage_oracle(k: int = 5) -> str:
     """Unrolled twin of :func:`corpus.greedy_coverage_pick`: one CTE
     block per greedy round — per-doc uncovered-gram counts (grams of

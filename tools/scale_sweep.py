@@ -128,6 +128,21 @@ SWEEP = (
     # r11: quality linear probe — fixed GD-round constant over a
     # checkpointed feature frame; should be near-flat like PCA
     "corpus_quality_linear_probe",
+    # r11: multimodal analysis family — zero-shuffle mapInPandas decode
+    # passes; growth should track the media row count only
+    "media_image_ahash",
+    "media_audio_fingerprint",
+    "media_video_scene_cuts",
+    # r11: greedy coverage — k driver-synced rounds over the checkpointed
+    # gram frame; the per-round aggregate is the data-shaped stage
+    "corpus_greedy_coverage_pick",
+    # r11: fertility-by-lang — rides the BPE training/tokenize chain
+    # (fixed argmax rounds) + one lang-keyed aggregate
+    "text_tokenizer_fertility_by_lang",
+    # r11: corpus audits — term exchange + vocab rank window (zipf);
+    # map pass + broadcast 4-row cross (context curve) — both near-flat
+    "text_zipf_fit",
+    "pack_context_length_curve",
 )
 
 

@@ -631,3 +631,73 @@ def streaming_vocab_first_seen(docs_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MEDIA_DEDUP_OUTPUT_SCHEMA = (
+    "hash_hi long, hash_lo long, keep_id long, n_dups_in_batch long"
+)
+MEDIA_DEDUP_STATE_SCHEMA = "keep_id long"
+
+
+def _media_dedup_first(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Emit-once admission per PERCEPTUAL hash: the first media item with
+    a given (hash_hi, hash_lo) fingerprint is admitted (min media_id in
+    its arrival batch); later arrivals — including re-encodes whose
+    bytes differ but whose raster hashes identically — are swallowed by
+    state.  The same emit-once shape as :func:`_dedup_first`, keyed on
+    the content fingerprint instead of the byte digest."""
+    ids = []
+    for pdf in pdfs:
+        ids.extend(int(x) for x in pdf["media_id"])
+    if state.exists:
+        yield pd.DataFrame(
+            {"hash_hi": [], "hash_lo": [], "keep_id": [], "n_dups_in_batch": []}
+        ).astype(
+            {
+                "hash_hi": "int64",
+                "hash_lo": "int64",
+                "keep_id": "int64",
+                "n_dups_in_batch": "int64",
+            }
+        )
+        return
+    keep = min(ids)
+    state.update((keep,))
+    yield pd.DataFrame(
+        {
+            "hash_hi": [key[0]],
+            "hash_lo": [key[1]],
+            "keep_id": [keep],
+            "n_dups_in_batch": [len(ids) - 1],
+        }
+    )
+
+
+def streaming_media_dedup(media_stream: DataFrame) -> DataFrame:
+    """Streaming perceptual-dedup admission gate for media — the
+    multimodal twin of :func:`streaming_dedup_first`: arriving image
+    containers decode to their raster and hash with the batch aHash
+    kernel (operators/multimodal.py:image_ahash — the SAME decode +
+    integer binning, so batch and stream admit identical survivors),
+    then keyed managed state admits each 64-bit fingerprint once.  This
+    is the gate an always-on media-ingest pipeline runs: a re-encoded or
+    byte-shuffled duplicate image hashes identically and is dropped
+    without any corpus re-scan.
+
+    Scale shape: the decode/hash pass is zero-shuffle mapInPandas; one
+    shuffle per micro-batch on the fingerprint; state one long per
+    DISTINCT fingerprint admitted."""
+    from reddit_sse_stream_spark.operators.multimodal import image_ahash
+
+    hashed = image_ahash(media_stream).select(
+        "media_id", "hash_hi", "hash_lo"
+    )
+    return hashed.groupBy("hash_hi", "hash_lo").applyInPandasWithState(
+        _media_dedup_first,
+        outputStructType=MEDIA_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=MEDIA_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1628,3 +1628,61 @@ def test_streaming_vocab_first_seen_matches_batch_census(spark, sf_dir, tmp_path
     # checkpoint: words whose first_doc < cut
     n_first_batch = sum(1 for fd in got.values() if fd < cut)
     assert n_first_batch == len({w for w, fd in batch.items() if fd < cut})
+
+
+def test_streaming_media_dedup_matches_batch_survivors(spark, sf_dir, tmp_path):
+    """Batch/stream parity for the perceptual media-dedup gate: replaying
+    REAL image containers in media_id-ordered micro-batches must admit
+    exactly the batch first-per-fingerprint survivors (min media_id per
+    aHash), each fingerprint once — the multimodal twin of the exact-
+    dedup admission gate."""
+    from reddit_sse_stream_spark.operators.multimodal import (
+        image_ahash,
+        synthesize_media,
+    )
+    from reddit_sse_stream_spark.sources.tables import load_table
+    from reddit_sse_stream_spark.streaming.stateful import (
+        streaming_media_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    media = synthesize_media(docs, real_media=True)
+    src = tmp_path / "media_stream"
+    n = docs.agg(F.max("doc_id")).first()[0]
+    media.filter(F.col("media_id") < n // 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    media.filter(F.col("media_id") >= n // 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_media_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("media_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["hash_hi"], r["hash_lo"]): r["keep_id"]
+        for r in spark.sql(
+            "SELECT * FROM media_dedup_stream WHERE keep_id IS NOT NULL"
+        ).collect()
+    }
+    batch = {
+        (r["hash_hi"], r["hash_lo"]): r["keep_id"]
+        for r in image_ahash(media)
+        .groupBy("hash_hi", "hash_lo")
+        .agg(F.min("media_id").alias("keep_id"))
+        .collect()
+    }
+    assert got == batch
+    assert len(got) > 0

@@ -10556,27 +10556,62 @@ def media_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_scene_cuts(media).orderBy("media_id", "f")
 
 
+def _S1LOG2(m: str) -> str:
+    """SQL for S1(m) = sum_{r=1..m} floor(log2 r), exact int64 closed
+    form: (m+1)*L - 2^(L+1) + 2 with L = floor(log2 m) = length(bin(m))-1.
+    Engine-portable (Spark SQL + DuckDB agree on bin() and <<); brute-
+    force pinned in tests/test_plans.py."""
+    L = f"(length(bin({m}))-1)"
+    return (
+        f"(CASE WHEN {m} <= 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"CAST(({m}+1) * {L} - 2*(CAST(1 AS BIGINT) << {L}) + 2"
+        f" AS BIGINT) END)"
+    )
+
+
+def _S2LOG2(m: str) -> str:
+    """SQL for S2(m) = sum_{r=1..m} floor(log2 r)^2, exact int64 closed
+    form via sum_{k<=K} k^2*2^k = 2^(K+1)*(K^2-2K+3) - 6 at K = L-1,
+    plus the partial top bucket: 2^L*(L^2-4L+6) - 6 + L^2*(m - 2^L + 1)."""
+    L = f"(length(bin({m}))-1)"
+    return (
+        f"(CASE WHEN {m} <= 1 THEN CAST(0 AS BIGINT) ELSE "
+        f"CAST((CAST(1 AS BIGINT) << {L}) * ({L}*{L} - 4*{L} + 6) - 6"
+        f" + {L}*{L} * ({m} - (CAST(1 AS BIGINT) << {L}) + 1)"
+        f" AS BIGINT) END)"
+    )
+
+
 @_register(
     "text_zipf_fit",
-    r"""
+    rf"""
     WITH tok AS (
       SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
       FROM documents
     ),
     tf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok
            WHERE length(w) > 0 GROUP BY w),
-    rk AS (
-      SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM tf
+    hist AS (SELECT f, CAST(count(*) AS BIGINT) AS cnt FROM tf GROUP BY f),
+    blk AS (
+      SELECT f, cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY f DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+      FROM hist
     ),
-    pts AS (
-      SELECT length(bin(r)) - 1 AS x, length(bin(f)) - 1 AS y FROM rk
-    ),
+    blk2 AS (SELECT cnt, cb, cb + cnt AS b, length(bin(f)) - 1 AS y
+             FROM blk),
+    blk3 AS (SELECT cnt, y,
+                    {_S1LOG2('b')} - {_S1LOG2('cb')} AS sx_blk,
+                    {_S2LOG2('b')} - {_S2LOG2('cb')} AS sxx_blk
+             FROM blk2),
     mom AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(x * y) AS BIGINT) AS sxy
-      FROM pts
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(sx_blk) AS BIGINT) AS sx,
+             CAST(sum(cnt * y) AS BIGINT) AS sy,
+             CAST(sum(sxx_blk) AS BIGINT) AS sxx,
+             CAST(sum(y * sx_blk) AS BIGINT) AS sxy
+      FROM blk3
     )
     SELECT n AS n_types, sx, sy, sxx, sxy,
            CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
@@ -10592,30 +10627,53 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2(freq) on whole-bit log2(rank) (the exact integer log2 of
     ``text_bigram_lm_bits`` — length(bin(n))-1, no floating log) with
     exact int64 regression moments and a x1e4 floor-division slope.
-    One term exchange for the counts, one rank window (vocabulary-sized,
-    the two-phase swap documented there applies), one 1-row moment
-    aggregate — everything integer, bit-identical cross-engine."""
+
+    100 TB plan (VERDICT r11 next #1): NO per-type rank is materialized.
+    All types sharing a frequency f occupy a CONTIGUOUS rank block
+    [cb+1, cb+cnt] (cb = #types with higher f), and every type in the
+    block contributes the same y = floor(log2 f), so the regression
+    moments over x = floor(log2 rank) collapse to closed-form prefix
+    sums over rank blocks: S1(m) = Σ_{{r<=m}} floor(log2 r)
+    = (m+1)·L − 2^{{L+1}} + 2 and S2(m) = Σ floor(log2 r)² =
+    2^L·(L²−4L+6) − 6 + L²·(m − 2^L + 1), L = floor(log2 m) — exact
+    int64, bit-identical in both engines (pinned in
+    tests/test_plans.py).  The plan is one term exchange, one
+    distinct-frequency aggregate (Zipf-tiny: O(max f) distinct counts,
+    dimension-sized at any corpus size), one dimension-sized cumsum
+    window, one 1-row moment aggregate — the vocabulary-sized
+    single-partition rank window of the r11 shape is gone."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
     ).filter(F.length("w") > 0)
     tf = tok.groupBy("w").agg(F.count("*").alias("f"))
-    rk = tf.select(
-        "f",
-        F.row_number()
-        .over(Window.orderBy(F.col("f").desc(), F.col("w")))
-        .alias("r"),
+    hist = tf.groupBy("f").agg(F.count("*").cast("long").alias("cnt"))
+    w_cum = Window.orderBy(F.col("f").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    pts = rk.select(
-        (F.length(F.bin("r")) - 1).alias("x"),
-        (F.length(F.bin("f")) - 1).alias("y"),
+    blk = (
+        hist.select(
+            "f",
+            "cnt",
+            F.coalesce(F.sum("cnt").over(w_cum), F.lit(0))
+            .cast("long")
+            .alias("cb"),
+        )
+        .withColumn("b", F.col("cb") + F.col("cnt"))
+        .withColumn("y", F.length(F.bin("f")) - 1)
+        .withColumn(
+            "sx_blk", F.expr(_S1LOG2("b")) - F.expr(_S1LOG2("cb"))
+        )
+        .withColumn(
+            "sxx_blk", F.expr(_S2LOG2("b")) - F.expr(_S2LOG2("cb"))
+        )
     )
-    mom = pts.agg(
-        F.count("*").cast("long").alias("n_types"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    mom = blk.agg(
+        F.sum("cnt").cast("long").alias("n_types"),
+        F.sum("sx_blk").cast("long").alias("sx"),
+        F.sum(F.col("cnt") * F.col("y")).cast("long").alias("sy"),
+        F.sum("sxx_blk").cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("sx_blk")).cast("long").alias("sxy"),
     )
     return mom.select(
         "n_types", "sx", "sy", "sxx", "sxy",
@@ -10797,41 +10855,44 @@ _PRIOR_GREEN_ROUND = {
     "aggx_approx_distinct": 9,
     "aggx_approx_quantiles": 9,
     "aggx_corr_covar": 8,
-    "aggx_cube_events": 6,
-    "aggx_distinct_users": 6,
-    "aggx_grouping_sets": 6,
+    "aggx_cube_events": 11,
+    "aggx_distinct_users": 11,
+    "aggx_grouping_sets": 11,
     "aggx_hll_sketch_union": 7,
     "aggx_regression_exact": 7,
     "aggx_rollup_grouping_id": 8,
-    "aggx_rollup_orders": 6,
-    "aggx_stats_per_type": 6,
+    "aggx_rollup_orders": 11,
+    "aggx_stats_per_type": 11,
     "anomaly_zscore_hourly": 9,
-    "bpe_pair_merge_counts": 5,
+    "bpe_pair_merge_counts": 11,
     "bpe_tokenize_counts": 7,
     "bpe_train_merges": 7,
     "corpus_batch_lineage": 7,
     "corpus_cap_per_source": 10,
     "corpus_curriculum_order": 7,
     "corpus_diverse_sample": 10,
+    "corpus_doremi_reweight": 11,
     "corpus_dsir_weights": 7,
     "corpus_filter_gate": 10,
+    "corpus_greedy_coverage_pick": 11,
     "corpus_mix_schedule": 10,
-    "corpus_quality_quantile_gate": 5,
+    "corpus_quality_linear_probe": 11,
+    "corpus_quality_quantile_gate": 11,
     "corpus_shard_assignments": 10,
-    "corpus_snapshot_diff": 5,
+    "corpus_snapshot_diff": 11,
     "corpus_snapshot_merge": 6,
     "corpus_split_leakage_safe": 10,
     "corpus_train_val_split": 10,
     "corpus_two_phase_rank_twin": 9,
     "decontam_drop_contaminated": 10,
     "decontam_embedding_cosine": 10,
-    "decontam_multi_suite_report": 5,
+    "decontam_multi_suite_report": 11,
     "decontam_ngram_overlap": 9,
     "dedup_bloom_fp_audit": 7,
     "dedup_cc_clusters": 10,
     "dedup_cluster_best_quality": 10,
-    "dedup_containment_grams": 5,
-    "dedup_cross_source_matrix": 5,
+    "dedup_containment_grams": 11,
+    "dedup_cross_source_matrix": 11,
     "dedup_embedding_cosine": 6,
     "dedup_embedding_cosine_lsh": 9,
     "dedup_exact_groups": 6,
@@ -10840,7 +10901,7 @@ _PRIOR_GREEN_ROUND = {
     "dedup_incremental_minhash": 10,
     "dedup_incremental_new_only": 10,
     "dedup_lsh_recall_audit": 6,
-    "dedup_method_agreement": 5,
+    "dedup_method_agreement": 11,
     "dedup_minhash_md5": 10,
     "dedup_minhash_twin_containment": 7,
     "dedup_ngram_jaccard": 8,
@@ -10852,8 +10913,8 @@ _PRIOR_GREEN_ROUND = {
     "dedup_source_minhash_matrix": 8,
     "dedup_source_minhash_sampled": 9,
     "dedup_substring_containment": 10,
-    "dedup_tfidf_cosine": 5,
-    "dedup_threshold_curve": 5,
+    "dedup_tfidf_cosine": 11,
+    "dedup_threshold_curve": 11,
     "dq_expectation_report": 9,
     "dq_length_drift_ks": 7,
     "embed_drift_by_lang": 6,
@@ -10889,22 +10950,22 @@ _PRIOR_GREEN_ROUND = {
     "fn_regexp_ops": 7,
     "fn_sequence_range": 10,
     "fn_string_ops": 6,
-    "funnel_attribution_last_touch": 5,
-    "funnel_time_to_convert": 5,
+    "funnel_attribution_last_touch": 11,
+    "funnel_time_to_convert": 11,
     "funnel_view_click_purchase": 9,
-    "graph_pagerank_transitions": 5,
+    "graph_pagerank_transitions": 11,
     "graph_triangle_count": 9,
-    "join_anti_customers_without_orders": 6,
-    "join_asof_last_click": 6,
-    "join_broadcast_star_counts": 6,
+    "join_anti_customers_without_orders": 11,
+    "join_asof_last_click": 11,
+    "join_broadcast_star_counts": 11,
     "join_cross_region_nation": 8,
     "join_full_outer_click_purchase": 7,
     "join_lateral_topk_per_nation": 10,
-    "join_range_clicks_before_purchase": 6,
+    "join_range_clicks_before_purchase": 11,
     "join_right_outer_orders": 8,
-    "join_semi_customers_with_orders": 6,
+    "join_semi_customers_with_orders": 11,
     "join_skew_salted": 8,
-    "knn_batch_topk": 5,
+    "knn_batch_topk": 11,
     "knn_bruteforce_cosine": 6,
     "knn_ivf_fixedpoint_cells": 10,
     "knn_ivf_incremental_assign": 10,
@@ -10915,18 +10976,22 @@ _PRIOR_GREEN_ROUND = {
     "knn_pq_adc_topk": 10,
     "knn_pq_recall_audit": 10,
     "layout_zorder_keys": 10,
-    "limit_topk_events_by_value": 6,
+    "limit_topk_events_by_value": 11,
     "llm_corpus_prep_pipeline": 7,
     "llm_dataset_card": 6,
     "m1_m2_interleave_sort": 9,
-    "media_features": 10,
-    "media_features_meta": 10,
+    "media_audio_fingerprint": 11,
+    "media_features": 11,
+    "media_features_meta": 11,
     "media_frame_sample": 7,
+    "media_image_ahash": 11,
+    "media_video_scene_cuts": 11,
     "p2_json_key_subset": 9,
+    "pack_context_length_curve": 11,
     "pack_length_buckets": 10,
     "pack_sequences_by_source": 8,
     "path_top_event_trigrams": 9,
-    "pivot_event_counts": 6,
+    "pivot_event_counts": 11,
     "posexplode_words": 7,
     "q1_domain_blocks_comments": 9,
     "quota_admission_per_author": 7,
@@ -10940,23 +11005,23 @@ _PRIOR_GREEN_ROUND = {
     "sample_stratified_deterministic": 8,
     "sample_temperature_by_lang": 9,
     "sample_weighted_priority": 7,
-    "scd2_as_of_lookup": 5,
+    "scd2_as_of_lookup": 11,
     "scd2_point_in_time_join": 6,
-    "scd2_user_state_history": 5,
+    "scd2_user_state_history": 11,
     "search_bm25_topk": 7,
     "search_hybrid_rrf": 7,
     "session_window_agg": 7,
     "sessionize_events": 7,
     "setop_except_all_values": 7,
-    "setop_except_users": 6,
+    "setop_except_users": 11,
     "setop_intersect_all_values": 7,
-    "setop_intersect_users": 6,
-    "stream_lateness_watermark_profile": 5,
+    "setop_intersect_users": 11,
+    "stream_lateness_watermark_profile": 11,
     "subq_correlated_exists": 7,
     "subq_in_big_spenders": 7,
     "subq_scalar_above_avg": 7,
     "text_bigram_lm_bits": 10,
-    "text_char_entropy": 5,
+    "text_char_entropy": 11,
     "text_chunk_dedup_rewrite": 8,
     "text_chunk_dup_rate": 10,
     "text_chunk_windows": 8,
@@ -10979,9 +11044,11 @@ _PRIOR_GREEN_ROUND = {
     "text_stopword_scrub": 9,
     "text_suffix_ranks": 10,
     "text_token_count": 6,
+    "text_tokenizer_fertility_by_lang": 11,
     "text_vocab_df": 8,
     "text_vocab_growth": 10,
-    "text_winnow_fingerprints": 5,
+    "text_winnow_fingerprints": 11,
+    "text_zipf_fit": 11,
     "tpch_q10_returned_customers": 8,
     "tpch_q11_important_parts": 10,
     "tpch_q12_priority_lines": 8,
@@ -11006,24 +11073,24 @@ _PRIOR_GREEN_ROUND = {
     "tpch_q9_profit_by_nation_year": 9,
     "ts_ewma_features": 10,
     "ts_gapfill_ffill": 6,
-    "ts_ohlc_hourly": 5,
+    "ts_ohlc_hourly": 11,
     "ts_rolling_features": 8,
     "udaf_geomean_orders": 6,
-    "udf_grouped_map_zscore": 5,
+    "udf_grouped_map_zscore": 11,
     "udf_pandas_scalar_charge": 7,
     "udtf_word_explode": 6,
     "unpivot_customer_balances": 7,
     "variant_json_extract_agg": 10,
-    "vocab_coverage_topk": 5,
+    "vocab_coverage_topk": 11,
     "window_activity_streaks": 6,
     "window_first_last_nth": 8,
-    "window_lag_delta": 6,
+    "window_lag_delta": 11,
     "window_range_time_frame": 8,
     "window_rank_family": 8,
-    "window_running_sum_per_user": 6,
+    "window_running_sum_per_user": 11,
     "window_sliding_counts": 8,
-    "window_sliding_distinct_users": 5,
-    "window_topk_orders_per_customer": 6,
+    "window_sliding_distinct_users": 11,
+    "window_topk_orders_per_customer": 11,
     "x1_try_cast_validation": 7,
     "x4_json_extract": 9,
 }
@@ -11044,13 +11111,15 @@ _CHANGED_SINCE_PROOF: set = {
     # media_features' PNG decode — were ALL re-proven green in the r10
     # window, CORRECTNESS_r10.json, and are pruned; the map above now
     # folds r10 in.)
-    # r11 refactor (value-identical, locally re-verified at
-    # sf0.001/sf0.01): the PNG and JPEG feature decoders split into
-    # pixel-plane decoders + feature folds so the new perceptual-hash
-    # row shares the raster path — the executing decode chain differs
-    # from what the r10 proofs ran, so both rows re-prove.
-    "media_features",
-    "media_features_meta",
+    # (r11's two entries — media_features / media_features_meta after the
+    # raster-path split — were re-proven green in the r11 window,
+    # CORRECTNESS_r11.json, and are pruned; the map above folds r11 in.)
+    # r12 rewrite (bit-identical, locally re-verified at sf0.001/sf0.01 in
+    # both engines): text_zipf_fit's vocabulary-sized rank window replaced
+    # by closed-form log2-rank prefix sums over the distinct-frequency
+    # histogram (VERDICT r11 next #1) — the r11 proof validated the old
+    # plan, so the row re-proves.
+    "text_zipf_fit",
 }
 
 

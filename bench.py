@@ -495,6 +495,15 @@ def streaming_e2e(
     deadline = time.perf_counter() + 30
     while len(bc._clients) < n_clients and time.perf_counter() < deadline:
         time.sleep(0.01)
+    # a partial fan-out must fail LOUDLY (ADVICE r11): falling through
+    # with missing clients degrades into a silently raced per-client
+    # frame comparison downstream
+    registered = len(bc._clients)
+    if registered < n_clients:
+        raise RuntimeError(
+            f"streaming e2e fan-out incomplete: {registered}/{n_clients} "
+            "clients registered within 30s"
+        )
     # Default micro-batch trigger + processAllAvailable, NOT availableNow:
     # availableNow snapshots latestOffset() once, and the source's
     # per-trigger id cap would truncate the run to a single batch.

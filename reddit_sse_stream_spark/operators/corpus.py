@@ -1107,7 +1107,12 @@ def quality_linear_probe(
     feat = docs.select(
         "doc_id",
         F.when(
-            F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(2)) == 0,
+            # unbounded substring(source, 4) — same expression as the
+            # DuckDB oracle; a bounded (4, 10) slice would silently
+            # diverge the moment a source suffix exceeds 10 chars
+            # (ADVICE r11)
+            F.pmod(F.expr("substring(source, 4)").cast("int"), F.lit(2))
+            == 0,
             F.lit(1.0),
         )
         .otherwise(F.lit(0.0))

@@ -1004,7 +1004,11 @@ def ahash_from_pixels(w: int, h: int, rgb: list[int]) -> tuple[int, int]:
     - grayscale g(x,y) = (r + g + b) div 3;
     - 8x8 binning by u = (x*8) div w, v = (y*8) div h (standard
       nearest-rank bins; cell sizes differ by at most 1);
-    - cell mean cm = cell_sum div cell_count (integer);
+    - cell mean cm = cell_sum div cell_count (integer); a cell with no
+      pixels (w<8 or h<8 leaves grid cells empty) contributes mean 0 —
+      matching the SQL oracle, where an empty cell simply produces no
+      row (ADVICE r11: the audio twin fingerprint_from_samples already
+      guarded empty windows; this is the same policy);
     - bit(v*8+u) = 1 iff 64*cm > sum of all 64 cell means (strict —
       division-free global-mean comparison).
 
@@ -1020,7 +1024,7 @@ def ahash_from_pixels(w: int, h: int, rgb: list[int]) -> tuple[int, int]:
             g = (rgb[base] + rgb[base + 1] + rgb[base + 2]) // 3
             sums[v * 8 + u] += g
             cnts[v * 8 + u] += 1
-    cms = [s // c for s, c in zip(sums, cnts)]
+    cms = [s // c if c else 0 for s, c in zip(sums, cnts)]
     total = sum(cms)
     hi = lo = 0
     for idx, cm in enumerate(cms):
@@ -1062,14 +1066,22 @@ def image_ahash(media: DataFrame) -> DataFrame:
                 if k != "image" or p is None:
                     continue
                 p = bytes(p)
-                if p[:2] == b"BM":
-                    w, h, rgb = _decode_bmp_pixels(p)
-                elif p[:8] == PNG_MAGIC:
-                    w, h, rgb, _n = _decode_png_pixels(p)
-                elif p[:2] == b"\xff\xd8":
-                    w, h, flat = _decode_jpeg_pixels(p)
-                    rgb = [int(v) for v in flat for _ in range(3)]
-                else:
+                # Admission-gate failure policy (ADVICE r11): a
+                # malformed payload is SKIPPED like an unknown magic,
+                # never propagated — one bad container must not kill
+                # the micro-batch of an always-on stream
+                # (streaming_media_dedup shares this kernel).
+                try:
+                    if p[:2] == b"BM":
+                        w, h, rgb = _decode_bmp_pixels(p)
+                    elif p[:8] == PNG_MAGIC:
+                        w, h, rgb, _n = _decode_png_pixels(p)
+                    elif p[:2] == b"\xff\xd8":
+                        w, h, flat = _decode_jpeg_pixels(p)
+                        rgb = [int(v) for v in flat for _ in range(3)]
+                    else:
+                        continue
+                except (ValueError, struct.error, zlib.error, EOFError):
                     continue
                 hi, lo = ahash_from_pixels(w, h, rgb)
                 rows.append(

@@ -11120,6 +11120,12 @@ _CHANGED_SINCE_PROOF: set = {
     # histogram (VERDICT r11 next #1) — the r11 proof validated the old
     # plan, so the row re-proves.
     "text_zipf_fit",
+    # r12 ADVICE fixes (value-identical on generated data, locally
+    # re-verified): quality_linear_probe's label expression switched to
+    # the oracle's unbounded substring; image_ahash gained the empty-cell
+    # guard + per-payload malformed-container skip.
+    "corpus_quality_linear_probe",
+    "media_image_ahash",
 }
 
 

@@ -2707,6 +2707,38 @@ def test_image_ahash_hand_examples_and_real_decode():
     w, h, rgb = _decode_bmp_pixels(_encode_bmp(m))
     assert (w, h) == (8 + m % 9, 8 + m % 7)
     assert rgb == [_bmp_pix(m, i) for i in range(w * h * 3)]
+    # ADVICE r11: images smaller than the 8x8 grid leave cells empty —
+    # empty cells count as mean 0, no ZeroDivisionError.  A 2x2 bright
+    # raster fills cells (u,v) in {0,4}x{0,4}; those 4 means (255) beat
+    # the global sum 1020 only when 64*255 > 1020 -> all 4 bits set.
+    hi, lo = ahash_from_pixels(2, 2, [255] * (2 * 2 * 3))
+    assert bin(hi).count("1") + bin(lo).count("1") == 4
+    assert ahash_from_pixels(1, 1, [0, 0, 0]) == (0, 0)
+
+
+def test_image_ahash_skips_malformed_payloads(spark):
+    """ADVICE r11 admission-gate policy: a corrupt container (bad BMP
+    header, truncated PNG) is skipped like an unknown magic — the
+    batch survives and hashes the valid rows."""
+    from reddit_sse_stream_spark.operators.multimodal import (
+        PNG_MAGIC,
+        _encode_bmp,
+        image_ahash,
+    )
+
+    good = _encode_bmp(12)
+    rows = [
+        (1, "image", bytearray(good)),
+        (2, "image", bytearray(b"BM\x00\x01trunc")),          # bad BMP
+        (3, "image", bytearray(PNG_MAGIC + b"\x00" * 4)),     # bad PNG
+        (4, "image", bytearray(b"\xff\xd8\xff\xe0corrupt")),  # bad JPEG
+        (5, "image", bytearray(b"??unknown-magic")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    got = image_ahash(media).collect()
+    assert [r["media_id"] for r in got] == [1]
 
 
 def test_audio_fingerprint_hand_examples_and_real_decode():

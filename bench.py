@@ -125,6 +125,11 @@ HIGH_VARIANCE = frozenset({
     "knn_ivfpq_topk",
     "knn_ivfpq_residual_topk",
     "dedup_source_minhash_sampled",
+    # VERDICT r11 next #3/#4: the widest same-code spread of the r11
+    # artifact (2.5x over 7 runs) and the 3-run sub-second row that hit
+    # the 1.52x vs_prev edge
+    "knn_ivf_incremental_assign",
+    "p2_json_key_subset",
 })
 BASE_RUNS = 3
 MAX_RUNS = 7

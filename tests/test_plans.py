@@ -707,3 +707,20 @@ def test_zipf_fit_no_vocab_sized_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_zipf_fit")
     assert "row_number" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_equidepth_approx_contract_no_global_sort(spark, sf_dir):
+    """The approx equi-depth path's whole reason to exist: NO
+    single-partition total-order window and NO global sort of the data
+    (the exact twin pays that price; this one must not).  The only Sort
+    allowed is the final 8-row orderBy; the bin assignment must be a
+    broadcast join."""
+    for name in (
+        "fn_histogram_equidepth_approx_contract",
+        "pack_length_buckets_approx_contract",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "ntile(" not in plan, name  # bare "ntile" hits percentile_approx
+        assert "row_number" not in plan, name
+        assert "Window" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, name

@@ -1284,3 +1284,84 @@ def video_scene_cuts(media: DataFrame, cut_threshold: int = 48) -> DataFrame:
         batches,
         "media_id long, f int, sad long, mad_x100 long, is_cut int",
     )
+
+
+def silence_segments_from_samples(
+    samples: list[int],
+) -> tuple[int, int, int]:
+    """Voice-activity / silence segmentation — the 1-D run-length sibling
+    of :func:`fingerprint_from_samples` (same 64-window integer energy
+    profile; VAD trimming is the standard audio-ingest gate before
+    transcription or training): window w = (i*64) div n is SILENT iff
+    its mean magnitude sits below 7/8 of the global window-mean —
+    division-free: 512*em < 7*total (empty windows are skipped, the
+    admission-gate policy shared with :func:`ahash_from_pixels`).
+    Returns (n_silent, n_segments, longest_run) over the window
+    sequence, where a segment is a maximal run of consecutive silent
+    windows — all integer, so a SQL oracle reproduces every value bit
+    for bit."""
+    n = len(samples)
+    sums = [0] * 64
+    cnts = [0] * 64
+    for i, s in enumerate(samples):
+        w = (i * 64) // n
+        sums[w] += abs(s)
+        cnts[w] += 1
+    ems = [s // c for s, c in zip(sums, cnts) if c]
+    total = sum(ems)
+    n_silent = n_segments = longest = cur = 0
+    for em in ems:
+        if 512 * em < 7 * total:
+            n_silent += 1
+            cur += 1
+            if cur > longest:
+                longest = cur
+        else:
+            if cur:
+                n_segments += 1
+            cur = 0
+    if cur:
+        n_segments += 1
+    return n_silent, n_segments, longest
+
+
+def audio_silence_segments(media: DataFrame) -> DataFrame:
+    """Silence segmentation over REAL WAV containers — the audio-ingest
+    trim/segment gate (ASR and audio-LM pipelines drop or split on
+    silence before feature extraction).  One zero-shuffle mapInPandas
+    pass: PCM16 decode, 64-window integer energy profile, run-length
+    fold; output is 4 ints per clip.  Failure policy matches
+    :func:`image_ahash`: malformed containers are skipped per payload,
+    never propagated."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for m, k, p in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if k != "audio" or p is None or p[:4] != b"RIFF":
+                    continue
+                try:
+                    samples = _decode_wav_samples(bytes(p))
+                except (ValueError, struct.error, EOFError, wave.Error):
+                    continue
+                n_silent, n_segments, longest = (
+                    silence_segments_from_samples(samples)
+                )
+                rows.append(
+                    (int(m), len(samples), n_silent, n_segments, longest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "n_silent", "n_segments",
+                    "longest_run",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, n_samples int, n_silent int, n_segments int,"
+        " longest_run int",
+    )

@@ -10877,6 +10877,68 @@ def pack_length_buckets_approx_contract(
     )
 
 
+@_register(
+    "media_audio_silence_segments",
+    """
+    WITH ids AS (SELECT doc_id AS m FROM documents WHERE doc_id % 3 = 1),
+    dims AS (SELECT m, 160 + m % 101 AS n FROM ids),
+    smp AS (
+      SELECT d.m, d.n, ui.i,
+             abs(((d.m * 40503 + ui.i * 2654435761) % 65536) - 32768) AS a
+      FROM dims d, UNNEST(range(d.n)) AS ui(i)
+    ),
+    wins AS (
+      SELECT m, any_value(n) AS n, (i * 64) // n AS w,
+             sum(a) AS s, count(*) AS c
+      FROM smp GROUP BY m, (i * 64) // n
+    ),
+    ems AS (SELECT m, w AS idx, s // c AS em FROM wins),
+    tot AS (SELECT m, sum(em) AS t FROM ems GROUP BY m),
+    sil AS (
+      SELECT e.m, e.idx,
+             CASE WHEN 512 * e.em < 7 * t.t THEN 1 ELSE 0 END AS b
+      FROM ems e JOIN tot t USING (m)
+    ),
+    grp AS (
+      SELECT m, idx, b,
+             idx - row_number() OVER (PARTITION BY m, b ORDER BY idx) AS g
+      FROM sil
+    ),
+    runs AS (
+      SELECT m, count(*) AS run_len FROM grp WHERE b = 1 GROUP BY m, g
+    ),
+    per_m AS (
+      SELECT m, count(*) AS n_segments, sum(run_len) AS n_silent,
+             max(run_len) AS longest
+      FROM runs GROUP BY m
+    )
+    SELECT d.m AS media_id, CAST(d.n AS INTEGER) AS n_samples,
+           CAST(coalesce(p.n_silent, 0) AS INTEGER) AS n_silent,
+           CAST(coalesce(p.n_segments, 0) AS INTEGER) AS n_segments,
+           CAST(coalesce(p.longest, 0) AS INTEGER) AS longest_run
+    FROM dims d LEFT JOIN per_m p ON d.m = p.m
+    ORDER BY media_id
+    """,
+)
+def media_audio_silence_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Silence segmentation over REAL WAV containers
+    (operators/multimodal.py:audio_silence_segments): decode the PCM16
+    frames, mark each of the 64 energy windows silent when its mean
+    magnitude falls below 7/8 of the clip's window-mean (division-free
+    512*em < 7*total), and fold the run-length profile — silent-window
+    count, maximal-run segment count, longest run — the VAD trim/split
+    gate an audio-ingest pipeline applies before transcription or
+    training.  Zero-shuffle mapInPandas pass, 4 ints per clip; the
+    oracle recomputes every sample from the generative waveform and the
+    identical islands-and-gaps run-length fold, so all three
+    segmentation values verify bit for bit."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    media = multimodal.synthesize_media(docs, real_media=True)
+    return multimodal.audio_silence_segments(media).orderBy("media_id")
+
+
 # The registry — and therefore the CLI ``list`` order and any external
 # checker that samples the registry in order — is deliberately sorted by
 # EXTERNAL-VERIFICATION VALUE, using a generic rule that encodes no

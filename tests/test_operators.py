@@ -2793,3 +2793,20 @@ def test_video_scene_cuts_identical_frames_score_zero():
     # identical adjacent planes => sad 0 (kernel-level check)
     sad = sum(abs(a - b) for a, b in zip(planes[0], planes[0]))
     assert sad == 0
+
+
+def test_silence_segments_hand_examples():
+    """Run-length fold pinned by hand: a constant waveform has no window
+    below 7/8 of the mean (all equal); alternating loud/quiet quarters
+    produce exactly the quiet-quarter runs."""
+    from reddit_sse_stream_spark.operators.multimodal import (
+        silence_segments_from_samples,
+    )
+
+    assert silence_segments_from_samples([1000] * 128) == (0, 0, 0)
+    # 4 quarters: loud, quiet, loud, quiet -> 32 silent windows in 2 runs
+    quarters = [20000] * 32 + [0] * 32 + [20000] * 32 + [0] * 32
+    assert silence_segments_from_samples(quarters) == (32, 2, 16)
+    # single trailing quiet half -> one run of 32
+    half = [20000] * 64 + [0] * 64
+    assert silence_segments_from_samples(half) == (32, 1, 32)

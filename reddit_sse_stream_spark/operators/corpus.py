@@ -1257,3 +1257,87 @@ def greedy_coverage_pick(docs: DataFrame, k: int = 5) -> DataFrame:
     return spark.createDataFrame(
         picks, "round int, doc_id long, gain long"
     ).orderBy("round")
+
+
+def token_budget_waterfill(
+    docs: DataFrame, budget_num: int = 1, budget_den: int = 2
+) -> DataFrame:
+    """Token-budget allocation across sources by exact integer
+    WATER-FILLING — the data-mixing step that turns "train on B tokens"
+    into per-source quotas: every source drinks up to the common water
+    level t, capped by its own capacity (alloc_s = min(cap_s, t)), with
+    t the largest integer level whose total draw fits the budget
+    B = total * budget_num div budget_den.  Small sources are taken
+    whole, large sources are clipped equally — the equalizing quota rule
+    (and the planning half of epoch-repeat budgeting a la "Scaling Data-
+    Constrained LMs": keep_x1e4 < 10000 marks the clipped sources).
+
+    Exact level WITHOUT search: sort capacities ascending; with i
+    sources saturated, the level bracket [c_i, c_{i+1}) admits
+    t_i = (B - P_i) div (k - i); exactly one bracket validates
+    (prev_cap <= t_i < cap) and max() over valid candidates picks it —
+    fuzz-pinned against brute force in tests.  Negative intermediates
+    never validate (prev_cap >= 1), so DuckDB's floor vs Spark's
+    truncating integer division cannot diverge.
+
+    Plan: one word-count aggregate per source (the only data-sized
+    exchange), then everything runs on the DIMENSION-SIZED capacity
+    frame — one tiny ordered window, two 1-row broadcast folds, a
+    broadcast join back.  At 100 TB the capacity frame is still
+    #sources rows."""
+    tok = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("ntok"),
+    )
+    caps = tok.groupBy("source").agg(F.sum("ntok").alias("cap"))
+    tot = caps.agg(
+        F.sum("cap").cast("long").alias("total"),
+        F.count("*").cast("long").alias("k"),
+    )
+    w = Window.orderBy("cap", "source")
+    ordd = caps.select(
+        "source",
+        "cap",
+        F.coalesce(
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pfxp"),
+        F.row_number().over(w).cast("long").alias("i"),
+        F.lag("cap", 1, 0).over(w).cast("long").alias("prev_cap"),
+    )
+    cand = (
+        ordd.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "budget",
+            F.expr(f"(total * {budget_num}) div {budget_den}").cast("long"),
+        )
+        .withColumn(
+            "t_cand", F.expr("(budget - pfxp) div (k - i + 1)").cast("long")
+        )
+    )
+    level = cand.filter(
+        (F.col("t_cand") >= F.col("prev_cap"))
+        & (F.col("t_cand") < F.col("cap"))
+    ).agg(F.max("t_cand").alias("level"))
+    maxcap = caps.agg(F.max("cap").alias("maxcap"))
+    out = (
+        cand.select("source", "cap", "budget")
+        .crossJoin(F.broadcast(level))
+        .crossJoin(F.broadcast(maxcap))
+    )
+    lvl = F.coalesce(F.col("level"), F.col("maxcap"))  # B >= total => all whole
+    alloc = F.least(F.col("cap"), lvl)
+    return out.select(
+        "source",
+        F.col("cap").alias("cap_tokens"),
+        alloc.cast("long").alias("alloc_tokens"),
+        F.expr(
+            f"(10000 * least(cap, coalesce(level, maxcap))) div cap"
+        )
+        .cast("long")
+        .alias("keep_x1e4"),
+        lvl.cast("long").alias("water_level"),
+        "budget",
+    ).orderBy("source")

@@ -10939,6 +10939,61 @@ def media_audio_silence_segments(
     return multimodal.audio_silence_segments(media).orderBy("media_id")
 
 
+@_register(
+    "corpus_token_budget_waterfill",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+               AS cap
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(cap) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS k FROM tok),
+    ord AS (
+      SELECT source, cap,
+             CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+             CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS pfxp,
+             CAST(coalesce(lag(cap) OVER (ORDER BY cap, source), 0)
+               AS BIGINT) AS prev_cap
+      FROM tok
+    ),
+    cand AS (
+      SELECT o.*, t.total // 2 AS budget,
+             (t.total // 2 - o.pfxp) // (t.k - o.i + 1) AS t_cand
+      FROM ord o, tot t
+    ),
+    lvl AS (SELECT max(t_cand) AS level FROM cand
+            WHERE t_cand >= prev_cap AND t_cand < cap),
+    mx AS (SELECT max(cap) AS maxcap FROM tok)
+    SELECT c.source, c.cap AS cap_tokens,
+           CAST(least(c.cap, coalesce(l.level, m.maxcap)) AS BIGINT)
+             AS alloc_tokens,
+           CAST((10000 * least(c.cap, coalesce(l.level, m.maxcap))) // c.cap
+             AS BIGINT) AS keep_x1e4,
+           CAST(coalesce(l.level, m.maxcap) AS BIGINT) AS water_level,
+           c.budget
+    FROM cand c, lvl l, mx m ORDER BY c.source
+    """,
+)
+def corpus_token_budget_waterfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact integer water-filling token-budget allocation
+    (operators/corpus.py:token_budget_waterfill): per-source quotas for
+    a budget of half the corpus tokens — small sources taken whole,
+    large ones clipped to the common water level, the equalizing rule
+    data-constrained mixing schedules start from.  The level comes from
+    the closed-form bracket candidates over the sorted capacity frame
+    (fuzz-pinned against brute force), not a search loop: one
+    data-sized word-count aggregate, then dimension-sized frames only."""
+    return corpus.token_budget_waterfill(
+        _t(spark, sf_dir, "documents"), budget_num=1, budget_den=2
+    )
+
+
 # The registry — and therefore the CLI ``list`` order and any external
 # checker that samples the registry in order — is deliberately sorted by
 # EXTERNAL-VERIFICATION VALUE, using a generic rule that encodes no

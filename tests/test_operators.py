@@ -2810,3 +2810,41 @@ def test_silence_segments_hand_examples():
     # single trailing quiet half -> one run of 32
     half = [20000] * 64 + [0] * 64
     assert silence_segments_from_samples(half) == (32, 1, 32)
+
+
+def test_token_budget_waterfill_matches_bruteforce(spark):
+    """The closed-form bracket level must equal the brute-force
+    "largest t with sum(min(cap, t)) <= B" on adversarial capacity
+    sets (duplicates, one dominant source, k=1)."""
+    from reddit_sse_stream_spark.operators.corpus import (
+        token_budget_waterfill,
+    )
+
+    cases = [
+        [5, 5, 5, 5],            # all duplicates
+        [1, 1, 1, 1000],         # dominant source
+        [7],                     # single source
+        [3, 9, 9, 27, 81],       # geometric with a tie
+    ]
+    for caps in cases:
+        rows = [
+            (f"s{i:02d}", " ".join(["w"] * c)) for i, c in enumerate(caps)
+        ]
+        docs = spark.createDataFrame(rows, "source string, text string")
+        got = {
+            r["source"]: r
+            for r in token_budget_waterfill(docs.withColumn(
+                "doc_id", F.monotonically_increasing_id()
+            )).collect()
+        }
+        total = sum(caps)
+        budget = total // 2
+        t = 0
+        while sum(min(c, t + 1) for c in caps) <= budget:
+            t += 1
+        for i, c in enumerate(caps):
+            r = got[f"s{i:02d}"]
+            assert r["cap_tokens"] == c
+            assert r["alloc_tokens"] == min(c, t), (caps, t, dict(r.asDict()))
+            assert r["water_level"] == t
+            assert r["budget"] == budget

@@ -10994,6 +10994,269 @@ def corpus_token_budget_waterfill(
     )
 
 
+#: Topic keyword dictionary for corpus_topic_tagging — driver-side literal
+#: injected into BOTH engines (the oracle-parity playbook), standing in for
+#: the domain taxonomies (FlashText/Aho-Corasick gazetteer lists) crawl
+#: pipelines tag with.  Words may belong to one topic only here; the op
+#: itself supports multi-topic words (the join simply fans out).
+_TOPIC_DICT: list[tuple[str, str]] = [
+    ("join", "joins"), ("merge", "joins"), ("hash", "joins"),
+    ("key", "joins"),
+    ("scan", "scans"), ("filter", "scans"), ("column", "scans"),
+    ("row", "scans"), ("table", "scans"),
+    ("stream", "streaming"), ("window", "streaming"),
+    ("batch", "streaming"), ("fast", "streaming"),
+    ("agg", "aggregation"), ("group", "aggregation"),
+    ("sort", "aggregation"), ("order", "aggregation"),
+    ("value", "aggregation"),
+]
+
+_TOPIC_VALUES_SQL = ", ".join(f"('{w}', '{t}')" for w, t in _TOPIC_DICT)
+
+
+@_register(
+    "corpus_topic_tagging",
+    rf"""
+    WITH dict(word, topic) AS (VALUES {_TOPIC_VALUES_SQL}),
+    words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+      FROM documents
+    ),
+    hits AS (
+      SELECT w.doc_id, d.topic, CAST(count(*) AS BIGINT) AS n_hits
+      FROM words w JOIN dict d USING (word)
+      GROUP BY w.doc_id, d.topic
+    ),
+    top AS (
+      SELECT doc_id, topic,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n_hits DESC, topic) AS rn
+      FROM hits
+    ),
+    per_topic AS (
+      SELECT topic, CAST(count(*) AS BIGINT) AS n_docs_tagged,
+             CAST(sum(n_hits) AS BIGINT) AS total_hits
+      FROM hits GROUP BY topic
+    ),
+    top_topic AS (
+      SELECT topic, CAST(count(*) AS BIGINT) AS n_docs_top
+      FROM top WHERE rn = 1 GROUP BY topic
+    ),
+    topics AS (SELECT DISTINCT topic FROM dict)
+    SELECT t.topic,
+           CAST(coalesce(p.n_docs_tagged, 0) AS BIGINT) AS n_docs_tagged,
+           CAST(coalesce(p.total_hits, 0) AS BIGINT) AS total_hits,
+           CAST(coalesce(x.n_docs_top, 0) AS BIGINT) AS n_docs_top
+    FROM topics t
+    LEFT JOIN per_topic p USING (topic)
+    LEFT JOIN top_topic x USING (topic)
+    ORDER BY t.topic
+    """,
+)
+def corpus_topic_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer topic tagging — the broadcast-dictionary keyword pass
+    (the distributed shape of FlashText / Aho-Corasick corpus taggers)
+    that labels every document with domain topics for mixing and
+    reporting: explode words once, equi-join the BROADCAST dictionary
+    (dimension-sized, never shuffled), fold per-(doc, topic) hit counts,
+    and pick each doc's argmax topic with a deterministic (hits desc,
+    topic) tie-break — a per-doc window, so the partition key is the
+    document, never the corpus.  Output: per topic, tagged-doc count,
+    total hits, and argmax-winner count, with never-winning topics kept
+    at 0 via the dictionary frame."""
+    docs = _t(spark, sf_dir, "documents")
+    dic = spark.createDataFrame(_TOPIC_DICT, "word string, topic string")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    )
+    hits = (
+        words.join(F.broadcast(dic), "word")
+        .groupBy("doc_id", "topic")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    top = (
+        hits.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("n_hits").desc(), "topic"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("topic")
+        .agg(F.count("*").cast("long").alias("n_docs_top"))
+    )
+    per_topic = hits.groupBy("topic").agg(
+        F.count("*").cast("long").alias("n_docs_tagged"),
+        F.sum("n_hits").cast("long").alias("total_hits"),
+    )
+    topics = dic.select("topic").distinct()
+    return (
+        topics.join(per_topic, "topic", "left")
+        .join(top, "topic", "left")
+        .select(
+            "topic",
+            F.coalesce("n_docs_tagged", F.lit(0)).cast("long").alias(
+                "n_docs_tagged"
+            ),
+            F.coalesce("total_hits", F.lit(0)).cast("long").alias(
+                "total_hits"
+            ),
+            F.coalesce("n_docs_top", F.lit(0)).cast("long").alias(
+                "n_docs_top"
+            ),
+        )
+        .orderBy("topic")
+    )
+
+
+#: code-keyword lexicon for text_code_detect (shared literal, both engines)
+_CODE_KWS = (
+    "join", "scan", "sort", "merge", "filter", "group", "table", "query",
+)
+_CODE_KWS_SQL = ", ".join(f"'{w}'" for w in _CODE_KWS)
+
+
+@_register(
+    "text_code_detect",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+               AS n_words,
+             CAST(len(list_filter(
+               regexp_split_to_array(lower(text), '\s+'),
+               w -> w IN ({_CODE_KWS_SQL}))) AS BIGINT) AS kw_hits,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_words, kw_hits,
+           CAST((10000 * kw_hits) // n_words AS BIGINT) AS kw_density_x1e4,
+           CAST((100 * n_chars) // n_words AS BIGINT) AS avg_wordlen_x100,
+           CASE WHEN 3 * kw_hits >= n_words THEN 1 ELSE 0 END AS is_code
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing gate — the heuristic classifier an LLM
+    pipeline uses to split a mixed crawl into code and natural-language
+    streams before separate quality gates and mixing weights (the
+    StarCoder/Stack-style triage reduced to its division-free core):
+    per-doc lexicon-keyword density (here the corpus' query-language
+    keywords stand in for `def`/`return`/`;`) plus average word length,
+    gated by the integer comparison 3*kw_hits >= n_words.
+
+    Scale shape: a single higher-order-function pass — `filter()` over
+    the split array with an IN-list lambda, evaluated inside
+    whole-stage codegen; no explode, no join, no shuffle, zero Python.
+    At 100 TB this fuses into the scan like the Gopher gate does."""
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.split(F.lower(F.col("text")), r"\s+")
+    in_list = ", ".join(f"'{w}'" for w in _CODE_KWS)
+    kw_hits = F.expr(
+        rf"size(filter(split(lower(text), '\\s+'), w -> w IN ({in_list})))"
+    ).cast("long")
+    t = docs.select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_words"),
+        kw_hits.alias("kw_hits"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return t.select(
+        "doc_id",
+        "n_words",
+        "kw_hits",
+        F.expr("(10000 * kw_hits) div n_words")
+        .cast("long")
+        .alias("kw_density_x1e4"),
+        F.expr("(100 * n_chars) div n_words")
+        .cast("long")
+        .alias("avg_wordlen_x100"),
+        F.when(3 * F.col("kw_hits") >= F.col("n_words"), 1)
+        .otherwise(0)
+        .alias("is_code"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "corpus_lang_gini",
+    """
+    WITH g AS (
+      SELECT 'lang' AS dim, lang AS grp, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT 'source' AS dim, source AS grp, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source
+    ),
+    r AS (
+      SELECT dim, c,
+             CAST(row_number() OVER (PARTITION BY dim ORDER BY c, grp)
+               AS BIGINT) AS i
+      FROM g
+    )
+    SELECT dim, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(c) AS BIGINT) AS total_docs,
+           CAST((10000 * (2 * sum(i * c) - (count(*) + 1) * sum(c)))
+                // (count(*) * sum(c)) AS BIGINT) AS gini_x1e4
+    FROM r GROUP BY dim ORDER BY dim
+    """,
+)
+def corpus_lang_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-concentration audit: the Gini coefficient of the document
+    distribution over languages and over sources — the one-number
+    imbalance score a multilingual data card reports (0 = perfectly
+    even mix, ->1 = one group owns the corpus), computed exactly from
+    the rank identity G = (2*sum(i*c_i) - (k+1)*sum(c)) / (k*sum(c))
+    over ascending-sorted group counts with a deterministic (count,
+    group) tie-break, floor-quantized x1e4.
+
+    Scale shape: two group-count aggregates (the only data-sized
+    exchanges) union into a DIMENSION-SIZED frame (#langs + #sources
+    rows); the rank window partitions by dimension over that tiny
+    frame — never over data."""
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        docs.groupBy(F.col("lang").alias("grp"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(F.lit("lang").alias("dim"), "grp", "c")
+        .unionByName(
+            docs.groupBy(F.col("source").alias("grp"))
+            .agg(F.count("*").cast("long").alias("c"))
+            .select(F.lit("source").alias("dim"), "grp", "c")
+        )
+    )
+    r = g.select(
+        "dim",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("dim").orderBy("c", "grp"))
+        .cast("long")
+        .alias("i"),
+    )
+    return (
+        r.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("c").cast("long").alias("total_docs"),
+            F.sum(F.col("i") * F.col("c")).alias("_sic"),
+        )
+        .select(
+            "dim",
+            "n_groups",
+            "total_docs",
+            F.expr(
+                "(10000 * (2 * _sic - (n_groups + 1) * total_docs))"
+                " div (n_groups * total_docs)"
+            )
+            .cast("long")
+            .alias("gini_x1e4"),
+        )
+        .orderBy("dim")
+    )
+
+
 # The registry — and therefore the CLI ``list`` order and any external
 # checker that samples the registry in order — is deliberately sorted by
 # EXTERNAL-VERIFICATION VALUE, using a generic rule that encodes no

@@ -11257,6 +11257,168 @@ def corpus_lang_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pack_chunk_boundary_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    offs AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS start_offset
+      FROM toks),
+    x AS (
+      SELECT source, n_tokens,
+             (start_offset + n_tokens - 1) // 512 - start_offset // 512
+               AS crossings
+      FROM offs)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN crossings > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_crossing_docs,
+           CAST(sum(crossings) AS BIGINT) AS total_crossings,
+           CAST((10000 * sum(CASE WHEN crossings > 0 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS crossing_rate_x1e4
+    FROM x GROUP BY source ORDER BY source
+    """,
+)
+def pack_chunk_boundary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-boundary fragmentation audit of GPT-style concat-and-chunk
+    packing — the third leg of the packing family: where
+    ``pack_context_length_curve`` prices truncation and
+    ``pack_sequences_by_source`` assigns the packs, this measures how
+    many documents each 512-token chunking SPLITS across a boundary
+    (the attention-contamination / fragmentation cost packing papers
+    weigh against padding): a doc spanning [start, start+n) crosses
+    end_chunk - start_chunk boundaries, exactly.
+
+    Plan: reuses pack_sequences' per-source window cumsum (partitioned
+    by source, never a global sort) + one source-keyed aggregate — all
+    integer, bit-identical cross-engine."""
+    packed = packing.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=512
+    )
+    x = packed.select(
+        "source",
+        "n_tokens",
+        (
+            F.expr("(start_offset + n_tokens - 1) div 512")
+            - F.expr("start_offset div 512")
+        ).alias("crossings"),
+    )
+    crossing = (F.col("crossings") > 0).cast("long")
+    return (
+        x.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(crossing).cast("long").alias("n_crossing_docs"),
+            F.sum("crossings").cast("long").alias("total_crossings"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr("(total_tokens + 511) div 512")
+            .cast("long")
+            .alias("n_chunks"),
+            "n_crossing_docs",
+            "total_crossings",
+            F.expr("(10000 * n_crossing_docs) div n_docs")
+            .cast("long")
+            .alias("crossing_rate_x1e4"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "corpus_shuffle_locality_audit",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 16 AS shard,
+             CAST(concat('0x', substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS order_h
+      FROM documents
+    ),
+    adj AS (
+      SELECT shard, source,
+             lag(source) OVER (PARTITION BY shard ORDER BY order_h, doc_id)
+               AS prev_shuffled,
+             lag(source) OVER (PARTITION BY shard ORDER BY doc_id)
+               AS prev_idorder
+      FROM h
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN source = prev_shuffled THEN 1 ELSE 0 END)
+                AS BIGINT) AS adj_same_shuffled,
+           CAST(sum(CASE WHEN source = prev_idorder THEN 1 ELSE 0 END)
+                AS BIGINT) AS adj_same_idorder
+    FROM adj GROUP BY shard ORDER BY shard
+    """,
+)
+def corpus_shuffle_locality_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shuffle-quality audit of the training order — does the
+    deterministic shard shuffle actually BREAK source runs?  Training
+    on source-clustered batches measurably hurts (the reason loaders
+    shuffle at all); this audit counts, per shard, adjacent same-source
+    pairs under the hash-shuffled read order vs under raw doc_id order,
+    so a data card can show the shuffle brought locality down to the
+    ~sum(p_s^2) independence rate.  Same hash family and shard/order
+    derivation as ``corpus_shard_assignments`` (the audit audits THE
+    shuffle the loader uses, not a lookalike).
+
+    Plan: one exchange on the shard key (identical to the shard write
+    partitioning), two lag frames over the same per-shard ordering, one
+    shard-keyed aggregate — no global sort, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.pmod(
+            dedup.md5_hash60(F.col("doc_id").cast("string")), F.lit(16)
+        ).alias("shard"),
+        dedup.md5_hash60(
+            F.concat(F.lit("order:"), F.col("doc_id").cast("string"))
+        ).alias("order_h"),
+    )
+    w_shuf = Window.partitionBy("shard").orderBy("order_h", "doc_id")
+    w_id = Window.partitionBy("shard").orderBy("doc_id")
+    adj = h.select(
+        "shard",
+        "source",
+        F.lag("source").over(w_shuf).alias("prev_shuffled"),
+        F.lag("source").over(w_id).alias("prev_idorder"),
+    )
+    return (
+        adj.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("source") == F.col("prev_shuffled")).cast("long")
+            )
+            .cast("long")
+            .alias("adj_same_shuffled"),
+            F.sum(
+                (F.col("source") == F.col("prev_idorder")).cast("long")
+            )
+            .cast("long")
+            .alias("adj_same_idorder"),
+        )
+        .orderBy("shard")
+    )
+
+
 # The registry — and therefore the CLI ``list`` order and any external
 # checker that samples the registry in order — is deliberately sorted by
 # EXTERNAL-VERIFICATION VALUE, using a generic rule that encodes no

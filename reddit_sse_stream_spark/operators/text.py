@@ -10,7 +10,7 @@ budget.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword markers for the n-gram language heuristic.
@@ -1660,4 +1660,71 @@ def bpe_fertility_by_lang(
             .alias("fertility_x1e4"),
         )
         .orderBy("lang")
+    )
+
+
+def rm3_expansion_terms(
+    df: DataFrame,
+    query_terms: list[str],
+    k_docs: int = 10,
+    k_terms: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion — the RM3 step
+    [Lavrenko & Croft 2001] a retrieval loop runs after first-pass
+    BM25: treat the top-``k_docs`` documents as relevant, pool their
+    term distributions weighted by retrieval rank, and emit the
+    ``k_terms`` strongest NEW terms to expand the query with.
+
+    Exact-integer weighting so the oracle verifies values, not shapes:
+    the relevance weight of the rank-r document is the linear
+    rank-reciprocal (k_docs + 1 - r) — rank, not the raw BM25 double,
+    because :func:`bm25_topk`'s total order (score desc, id) is already
+    proven bit-identical cross-engine while its descaled float is not
+    an integer — and each (term, doc) addend is
+    floor(tf * (k_docs+1-r) * 1e6 / dl): the per-doc term distribution
+    P(t|d) at the 1e6 fixed-point scale, rank-weighted, floor-quantized
+    BEFORE the sum so addition stays associative int64.
+
+    Plan shape: first pass = bm25_topk (one tokenize + one exchange +
+    TakeOrdered k_docs); the k_docs winners form a BROADCAST frame, the
+    corpus token stream semi-joins against it (hash equi-join on the
+    broadcast side — only the winners' tokens survive the map side),
+    one (term) aggregate over <= k_docs * dl rows, TakeOrdered k_terms.
+    Query terms are excluded in the aggregate, matching RM3's
+    interpolation step which handles originals separately."""
+    topk = bm25_topk(
+        df, query_terms, k=k_docs, text_col=text_col, id_col=id_col
+    )
+    w_rank = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    ranked = topk.select(
+        id_col, F.row_number().over(w_rank).alias("r")
+    ).select(
+        id_col, (F.lit(k_docs + 1) - F.col("r")).cast("long").alias("relw")
+    )
+    toks = df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    joined = toks.join(F.broadcast(ranked), id_col)
+    tf = joined.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.first("relw").alias("relw"),
+    )
+    dl = joined.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+    addends = tf.join(F.broadcast(dl), id_col).select(
+        "term",
+        F.floor(
+            F.col("tf") * F.col("relw") * 1000000.0 / F.col("dl")
+        )
+        .cast("long")
+        .alias("w_fp"),
+    )
+    return (
+        addends.filter(~F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.sum("w_fp").cast("long").alias("weight_x1e6"))
+        .orderBy(F.col("weight_x1e6").desc(), "term")
+        .limit(k_terms)
     )

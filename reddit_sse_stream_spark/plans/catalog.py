@@ -11419,6 +11419,66 @@ def corpus_shuffle_locality_audit(
     )
 
 
+def _rm3_oracle() -> str:
+    """RM3 oracle composed ON the registered BM25 oracle (same CTE text,
+    so the two rows can never drift apart): top-10 of the proven top-20
+    ordering supplies the rank weights."""
+    bm25_sql = QUERIES["search_bm25_topk"].oracle
+    return rf"""
+    WITH bm AS ({bm25_sql}),
+    ranked AS (
+      SELECT doc_id,
+             CAST(11 - row_number() OVER (ORDER BY bm25 DESC, doc_id)
+               AS BIGINT) AS relw
+      FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+      FROM documents
+    ),
+    joined AS (
+      SELECT t.doc_id, t.term, r.relw
+      FROM toks t JOIN ranked r USING (doc_id)
+      WHERE length(t.term) > 0
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             any_value(relw) AS relw
+      FROM joined GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM joined GROUP BY doc_id),
+    addends AS (
+      SELECT t.term,
+             CAST(floor(t.tf * t.relw * 1000000.0 / d.dl) AS BIGINT) AS w_fp
+      FROM tf t JOIN dl d USING (doc_id)
+      WHERE t.term NOT IN ('vector', 'join', 'stream')
+    )
+    SELECT term, CAST(sum(w_fp) AS BIGINT) AS weight_x1e6
+    FROM addends GROUP BY term
+    ORDER BY weight_x1e6 DESC, term LIMIT 8
+    """
+
+
+@_register("search_rm3_expansion", _rm3_oracle())
+def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance-feedback query expansion
+    (operators/text.py:rm3_expansion_terms) for the standing query
+    {vector, join, stream}: rank-weighted term pooling over the BM25
+    top-10, exact-integer 1e6 fixed point, top-8 new terms — the
+    second-pass retrieval step that closes the search family
+    (BM25 -> RRF hybrid -> RM3 expansion).  The relevance weights come
+    from bm25_topk's PROVEN bit-identical total order, so the whole
+    chain stays value-oracled; the oracle SQL is composed on the
+    registered BM25 CTE text itself."""
+    return text.rm3_expansion_terms(
+        _t(spark, sf_dir, "documents"),
+        ["vector", "join", "stream"],
+        k_docs=10,
+        k_terms=8,
+    )
+
+
 # The registry — and therefore the CLI ``list`` order and any external
 # checker that samples the registry in order — is deliberately sorted by
 # EXTERNAL-VERIFICATION VALUE, using a generic rule that encodes no

@@ -11479,6 +11479,143 @@ def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pref_bradley_terry_strength",
+    r"""
+    WITH m AS (
+      SELECT CAST(json_extract_string(a.props, '$.k') AS BIGINT) % 4 AS pa,
+             CAST(json_extract_string(b.props, '$.k') AS BIGINT) % 4 AS pb,
+             a.value AS va, b.value AS vb
+      FROM events a JOIN events b ON b.event_id = a.event_id + 1
+    ),
+    mm AS (SELECT pa, pb, CASE WHEN va >= vb THEN pa ELSE pb END AS w
+           FROM m WHERE pa <> pb),
+    wins AS (SELECT w AS p, CAST(count(*) AS BIGINT) AS n_wins
+             FROM mm GROUP BY w),
+    pairs AS (SELECT pa AS i, pb AS j FROM mm
+              UNION ALL SELECT pb, pa FROM mm),
+    nij AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY i, j),
+    nmat AS (SELECT i AS p, CAST(sum(n) AS BIGINT) AS n_matches
+             FROM nij GROUP BY i),
+    r1d AS (SELECT i, CAST(sum(CAST(floor(n * 1000000000000.0
+                     / (1000000 + 1000000)) AS BIGINT)) AS BIGINT) AS d
+            FROM nij GROUP BY i),
+    s1 AS (SELECT w.p,
+                  CAST(floor(w.n_wins * 1000000000000.0 / d.d) AS BIGINT) AS s
+           FROM wins w JOIN r1d d ON w.p = d.i),
+    r2d AS (SELECT n.i, CAST(sum(CAST(floor(n.n * 1000000000000.0
+                     / (si.s + sj.s)) AS BIGINT)) AS BIGINT) AS d
+            FROM nij n JOIN s1 si ON n.i = si.p JOIN s1 sj ON n.j = sj.p
+            GROUP BY n.i),
+    s2 AS (SELECT w.p,
+                  CAST(floor(w.n_wins * 1000000000000.0 / d.d) AS BIGINT) AS s
+           FROM wins w JOIN r2d d ON w.p = d.i)
+    SELECT w.p AS player, w.n_wins, nm.n_matches,
+           s1.s AS s1_x1e6, s2.s AS s2_x1e6
+    FROM wins w JOIN nmat nm ON w.p = nm.p
+    JOIN s1 ON w.p = s1.p JOIN s2 ON w.p = s2.p
+    ORDER BY player
+    """,
+)
+def pref_bradley_terry_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bradley-Terry strength fit over pairwise preference outcomes —
+    the reward-model data audit an RLHF pipeline runs on its comparison
+    set (does annotator/policy X systematically beat Y, and by how
+    much): two unrolled rounds of the MM fixed point [Hunter 2004]
+    s_i <- wins_i / sum_j n_ij / (s_i + s_j), in exact int64 1e6 fixed
+    point (per-term floor at 1e12 scale; every product stays under
+    2^53, so both engines floor identical IEEE quotients).  Matches are
+    adjacent event pairs (an EQUI self-join on event_id+1 — hash
+    partitioned, never a window over the global order), players the
+    JSON payload key mod 4, winner the higher value (ties to the
+    earlier event's player, deterministically).
+
+    Scale shape: one data-sized equi self-join + one match aggregate;
+    wins / n_ij / both MM rounds all live on the PLAYERS-SQUARED frame
+    (dimension-sized), so extra rounds cost joins of tiny frames, not
+    data passes."""
+    ev = _t(spark, sf_dir, "events")
+    pk = lambda c: (
+        F.get_json_object(c, "$.k").cast("long") % 4
+    )  # noqa: E731
+    a = ev.select(
+        (F.col("event_id") + 1).alias("jk"),
+        pk(F.col("props")).alias("pa"),
+        F.col("value").alias("va"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("jk"),
+        pk(F.col("props")).alias("pb"),
+        F.col("value").alias("vb"),
+    )
+    mm = (
+        a.join(b, "jk")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(
+            "pa",
+            "pb",
+            F.when(F.col("va") >= F.col("vb"), F.col("pa"))
+            .otherwise(F.col("pb"))
+            .alias("w"),
+        )
+    )
+    wins = mm.groupBy(F.col("w").alias("p")).agg(
+        F.count("*").cast("long").alias("n_wins")
+    )
+    pairs = mm.select(F.col("pa").alias("i"), F.col("pb").alias("j")).unionByName(
+        mm.select(F.col("pb").alias("i"), F.col("pa").alias("j"))
+    )
+    nij = pairs.groupBy("i", "j").agg(F.count("*").cast("long").alias("n"))
+    nmat = nij.groupBy(F.col("i").alias("p")).agg(
+        F.sum("n").cast("long").alias("n_matches")
+    )
+    term = lambda s_sum: F.floor(  # noqa: E731
+        F.col("n") * 1000000000000.0 / s_sum
+    ).cast("long")
+    r1d = nij.groupBy("i").agg(
+        F.sum(term(F.lit(2000000))).cast("long").alias("d")
+    )
+    news = lambda d_frame: (  # noqa: E731
+        wins.join(d_frame, wins.p == d_frame.i)
+        .select(
+            "p",
+            F.floor(F.col("n_wins") * 1000000000000.0 / F.col("d"))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    s1 = news(r1d)
+    si = s1.select(F.col("p").alias("i"), F.col("s").alias("s_i"))
+    sj = s1.select(F.col("p").alias("j"), F.col("s").alias("s_j"))
+    r2d = (
+        nij.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .groupBy("i")
+        .agg(
+            F.sum(term(F.col("s_i") + F.col("s_j")))
+            .cast("long")
+            .alias("d")
+        )
+    )
+    s2 = news(r2d)
+    return (
+        wins.join(nmat, "p")
+        .join(s1.withColumnRenamed("s", "s1_x1e6"), "p")
+        .join(s2.withColumnRenamed("s", "s2_x1e6"), "p")
+        .select(
+            F.col("p").alias("player"),
+            "n_wins",
+            "n_matches",
+            "s1_x1e6",
+            "s2_x1e6",
+        )
+        .orderBy("player")
+    )
+
+
 # The registry — and therefore the CLI ``list`` order and any external
 # checker that samples the registry in order — is deliberately sorted by
 # EXTERNAL-VERIFICATION VALUE, using a generic rule that encodes no

@@ -1686,3 +1686,40 @@ def test_streaming_media_dedup_matches_batch_survivors(spark, sf_dir, tmp_path):
     }
     assert got == batch
     assert len(got) > 0
+
+
+def test_streaming_drop_duplicates_within_watermark(spark):
+    """Spark's BUILT-IN streaming dedup (dropDuplicatesWithinWatermark)
+    over the feed stream — the engine-managed sibling of the repo's
+    keyed-state dedup kernels (streaming/stateful.py): dedup on the
+    author key within the watermark horizon must emit exactly one row
+    per distinct author when every event fits one horizon, matching the
+    batch DISTINCT."""
+    from reddit_sse_stream_spark.sources.feed import feed_df
+
+    rc = read_feed_stream(
+        spark, EVENTS, "rc", backfill=100000, max_ids_per_batch=100000
+    ).withColumn("ets", F.timestamp_seconds("created_utc"))
+    deduped = rc.withWatermark("ets", "10 days").dropDuplicatesWithinWatermark(
+        ["author"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddww")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT author FROM ddww").collect()
+    authors = [r["author"] for r in got]
+    assert len(authors) == len(set(authors))  # exactly-once per key
+    expected = {
+        r["author"]
+        for r in feed_df(spark, "/root/testdata/sf0.001")
+        .filter(F.col("event") == "rc")
+        .select("author")
+        .distinct()
+        .collect()
+    }
+    assert set(authors) == expected

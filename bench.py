@@ -104,6 +104,12 @@ HEADLINE = (
     # state) — no prev-round rows, so vs_prev skips them
     "corpus_doremi_reweight",
     "corpus_quality_linear_probe",
+    # round-12 additions: the two-pass retrieval expansion (BM25 topk ->
+    # broadcast winners -> term pooling) and the pairwise-preference MM
+    # fit (equi self-join + dimension-frame rounds) — no prev-round
+    # rows, so vs_prev skips them
+    "search_rm3_expansion",
+    "pref_bradley_terry_strength",
 )
 
 #: Rows whose recorded same-code spread exceeds 1.5x on this shared

@@ -219,17 +219,17 @@ def equidepth_approx_bins(
     # k-row bin frame with (-inf, +inf) sentinels; half-open (lo, hi]
     bins = bnd.select(
         "*",
-        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("bin"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("bin_i"),
     ).select(
-        "bin",
+        F.col("bin_i").cast("long").alias("bin"),
         "n_total",
         *[c for i in range(1, k) for c in (f"lt_{i}", f"le_{i}")],
         F.when(
-            F.col("bin") == 1, F.lit(float("-inf"))
-        ).otherwise(F.element_at("cuts", F.col("bin") - 1)).alias("lo"),
+            F.col("bin_i") == 1, F.lit(float("-inf"))
+        ).otherwise(F.element_at("cuts", F.col("bin_i") - 1)).alias("lo"),
         F.when(
-            F.col("bin") == k, F.lit(float("inf"))
-        ).otherwise(F.element_at("cuts", F.col("bin"))).alias("hi"),
+            F.col("bin_i") == k, F.lit(float("inf"))
+        ).otherwise(F.element_at("cuts", F.col("bin_i"))).alias("hi"),
     )
     binned = base.join(
         F.broadcast(bins.select("bin", "lo", "hi")),

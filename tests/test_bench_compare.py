@@ -62,8 +62,14 @@ def test_regression_without_cur_min_keeps_median_only_rule():
 def test_noisy_rows_surface_on_final_line_capped():
     """Rows whose min-max span crossed 1.5x are named on the final line
     (capped at 8 + a count marker) so the driver can read a flagged
-    regression against its noise, and the line still fits the budget."""
-    times = {name: 1.0 for name in bench.HEADLINE}
+    regression against its noise, and the line still fits the budget.
+
+    Uses the first 20 HEADLINE names, not all of them: the capped-list
+    tier is what's under test, and an ALL-noisy full-size HEADLINE
+    legitimately sheds the list down to a bare count (the next tier,
+    covered by test_all_noisy_full_headline_sheds_list_to_count) once the
+    roster grew past ~43 rows."""
+    times = {name: 1.0 for name in list(bench.HEADLINE)[:20]}
     lines = bench.summary_lines(
         times=times,
         spread={k: [0.5, 1.2] for k in times},  # all 2.4x spans
@@ -93,6 +99,35 @@ def test_noisy_rows_surface_on_final_line_capped():
     }
     # per-row run counts ride the spread line
     assert json.loads(lines[0])["runs"] == {k: 7 for k in times}
+
+
+def test_all_noisy_full_headline_sheds_list_to_count():
+    """When EVERY row of the full-size HEADLINE is noisy, the capped name
+    list alone would blow the final-line budget, so the first shed tier
+    replaces spread_over_1p5x with the bare count — still within budget,
+    still loud (the names are recoverable from the spread line)."""
+    times = {name: 1.0 for name in bench.HEADLINE}
+    lines = bench.summary_lines(
+        times=times,
+        spread={k: [0.5, 1.2] for k in times},
+        total=round(sum(times.values()), 3),
+        run_counts={k: 7 for k in times},
+        sf=0.1,
+        n_events=100000,
+        pipeline_sec=0.758,
+        prev_round=9,
+        vs_prev={k: 1.0 for k in times},
+        machine_factor=1.0,
+        regressions=[],
+        calib={"calib_jvm_sec": 0.146, "calib_py_sec": 0.152},
+        calib_factor=1.0,
+        disagree=False,
+        e2e={"streaming_e2e_clients": 8},
+    )
+    final = lines[-1]
+    assert len(final) <= bench.FINAL_LINE_BUDGET
+    parsed = json.loads(final)
+    assert parsed["spread_over_1p5x"] == len(times)
 
 
 def test_different_sf_prior_clears_vs_prev_and_disagree():

@@ -11616,6 +11616,102 @@ def pref_bradley_terry_strength(
     )
 
 
+@_register(
+    "fn_percentiles_two_phase",
+    """
+    WITH hist AS (
+      SELECT value AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY value
+    ),
+    cum AS (
+      SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      FROM hist
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist)
+    SELECT t.n,
+           min(CASE WHEN 100 * c.c >= 50 * t.n THEN c.v END) AS p50,
+           min(CASE WHEN 100 * c.c >= 90 * t.n THEN c.v END) AS p90,
+           min(CASE WHEN 100 * c.c >= 99 * t.n THEN c.v END) AS p99
+    FROM cum c, tot t GROUP BY t.n
+    """,
+)
+def fn_percentiles_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global discrete percentiles WITHOUT a global sort — the
+    scale-safe sibling of ``fn_percentiles`` and the bit-exact
+    counterpart of the approx-contract rows, by the same move that fixed
+    text_zipf_fit: aggregate the DISTINCT-VALUE histogram (one exchange
+    on the value key), cumulative-sum over it (a window whose input is
+    the value DOMAIN, not the data — events.value is 2-decimal-bounded,
+    like ages, prices, scores, token counts in practice), and read each
+    percentile as the smallest value whose cumulative count passes the
+    division-free threshold 100*cum >= p*n (percentile_disc's
+    lower-bound convention, exact integers both sides).  Where the
+    domain is unbounded, the approx path
+    (``fn_histogram_equidepth_approx_contract``) takes over; between
+    them the exact-ntile rows' docstring price is now a choice, not a
+    cost."""
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.groupBy(F.col("value").alias("v")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    cum = hist.select(
+        "v",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    j = cum.crossJoin(F.broadcast(tot))
+
+    def q(p: int):
+        return F.min(
+            F.when(100 * F.col("c") >= p * F.col("n"), F.col("v"))
+        ).alias(f"p{p}")
+
+    return j.groupBy("n").agg(q(50), q(90), q(99))
+
+
+def _lang_confusion_oracle() -> str:
+    """Confusion-matrix oracle composed ON the registered lang-predict
+    oracle text (same drift-proofing as the RM3 row)."""
+    pred_sql = QUERIES["text_lang_predict"].oracle
+    return f"""
+    WITH pred AS ({pred_sql})
+    SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+    ORDER BY d.lang, p.lang_pred
+    """
+
+
+@_register("text_lang_confusion", _lang_confusion_oracle())
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the quality audit OF the
+    language-ID gate itself (every multilingual curation report ships
+    one): the marker-score predictions of ``text_lang_predict`` joined
+    back to the labeled lang column, counted per (actual, predicted)
+    pair.  The join is on doc_id between two scans of the same table —
+    at 100 TB the predict columns fuse into the label scan (one pass,
+    no join at all when computed inline; kept as the composed form here
+    so the oracle reuses the registered predict SQL verbatim and the
+    two rows cannot drift)."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = QUERIES["text_lang_predict"].spark(spark, sf_dir)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
 # The registry — and therefore the CLI ``list`` order and any external
 # checker that samples the registry in order — is deliberately sorted by
 # EXTERNAL-VERIFICATION VALUE, using a generic rule that encodes no

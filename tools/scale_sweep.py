@@ -141,8 +141,29 @@ SWEEP = (
     "text_tokenizer_fertility_by_lang",
     # r11: corpus audits — term exchange + vocab rank window (zipf);
     # map pass + broadcast 4-row cross (context curve) — both near-flat
+    # (r12: zipf's rank window replaced by the distinct-frequency
+    # closed form — the sweep now guards the histogram shape)
     "text_zipf_fit",
     "pack_context_length_curve",
+    # r12: approx equi-depth — two scans + broadcast k-row range join;
+    # must grow with scan cost only (no sort, no window by plan pin)
+    "fn_histogram_equidepth_approx_contract",
+    # r12: VAD decode pass — zero-shuffle mapInPandas like the other
+    # media kernels; growth tracks the audio row count
+    "media_audio_silence_segments",
+    # r12: water-filling — one word-count exchange then dimension-sized
+    # frames; must stay exchange-shaped
+    "corpus_token_budget_waterfill",
+    # r12: two-pass retrieval expansion — BM25 chain + broadcast winners
+    # + one term aggregate; growth should track the BM25 row's
+    "search_rm3_expansion",
+    # r12: pairwise MM fit — equi self-join + match aggregate are the
+    # data-shaped stages; MM rounds live on the players-squared frame
+    "pref_bradley_terry_strength",
+    # r12: two-phase percentiles — distinct-value exchange + domain-
+    # sized cumsum window; must stay exchange-shaped (the window input
+    # is the value domain, not the data)
+    "fn_percentiles_two_phase",
 )
 
 

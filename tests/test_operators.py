@@ -2848,3 +2848,55 @@ def test_token_budget_waterfill_matches_bruteforce(spark):
             assert r["alloc_tokens"] == min(c, t), (caps, t, dict(r.asDict()))
             assert r["water_level"] == t
             assert r["budget"] == budget
+
+
+def test_equidepth_approx_contract_holds_on_adversarial_frames(spark):
+    """The contract columns must be 1 on shapes chosen to break naive
+    equi-depth logic: all-identical values (every cutpoint duplicated),
+    two-point masses, and a frame smaller than k."""
+    from reddit_sse_stream_spark.operators.sketches import (
+        equidepth_approx_bins,
+    )
+
+    frames = [
+        [(5.0,)] * 100,                      # one giant tie block
+        [(1.0,)] * 90 + [(9.0,)] * 10,       # two-point mass
+        [(float(i),) for i in range(3)],     # n < k
+        [(float(i % 7),) for i in range(200)],  # small discrete domain
+    ]
+    for rows in frames:
+        df = spark.createDataFrame(rows, "v double")
+        out = equidepth_approx_bins(df, "v", k=8).collect()
+        assert [r["bin"] for r in out] == list(range(1, 9))
+        assert all(r["boundary_rank_ok"] == 1 for r in out), rows[:3]
+        assert all(r["partition_complete"] == 1 for r in out), rows[:3]
+        assert all(r["n_total"] == len(rows) for r in out)
+
+
+def test_gini_bounds_on_synthetic_distributions(spark):
+    """Rank-identity Gini sanity: a perfectly uniform group distribution
+    scores exactly 0; an extreme one approaches (k-1)/k."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+    import tempfile, os
+
+    def run(counts):
+        rows = []
+        i = 0
+        for g, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((i, f"g{g}", f"s{g}", "w"))
+                i += 1
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, text string"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(
+                os.path.join(d, "documents.parquet")
+            )
+            # corpus_lang_gini only loads the documents table
+            out = QUERIES["corpus_lang_gini"].spark(spark, d).collect()
+        return {r["dim"]: r["gini_x1e4"] for r in out}
+
+    assert run([10, 10, 10, 10])["lang"] == 0
+    extreme = run([1, 1, 1, 97])["lang"]
+    assert 6000 <= extreme <= 7500  # k=4 -> max (k-1)/k = 0.75

@@ -46,6 +46,15 @@ ROWS = (
     "text_duplicate_spans",
     "text_suffix_ranks",
     "corpus_split_leakage_safe",
+    # r12 documents-backed rows at the 5x stress point: the rewritten
+    # zipf (must stay flat — its only data stage is the term exchange),
+    # the approx-binning contract on the tie-heavy column, the VAD
+    # decode pass, the two-pass retrieval expansion, and water-filling
+    "text_zipf_fit",
+    "pack_length_buckets_approx_contract",
+    "media_audio_silence_segments",
+    "search_rm3_expansion",
+    "corpus_token_budget_waterfill",
 )
 
 SF01 = "/root/testdata/sf0.1"

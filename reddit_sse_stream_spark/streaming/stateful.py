@@ -701,3 +701,80 @@ def streaming_media_dedup(media_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_FIN_OUTPUT_SCHEMA = (
+    "author string, n_events long, first_id long, last_id long"
+)
+SESSION_FIN_STATE_SCHEMA = "n long, first_id long, last_id long"
+SESSION_GAP_MS = 1000
+
+
+def _session_finalize(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Timeout-driven session finalizer: accumulate per-author counters
+    while events keep arriving; when the key goes QUIET for
+    SESSION_GAP_MS of processing time, the registered timeout fires on
+    a later micro-batch, the finished session EMITS exactly once, and
+    the state is REMOVED — the evict-and-emit shape every other kernel's
+    docstring defers to ("a TTL eviction bounds it"), wired for real.
+
+    Timed-out invocation arrives with NO data (pdfs empty) and
+    state.hasTimedOut True — emit and remove.  Data invocation updates
+    (n, first_id, last_id) and re-arms the timeout clock."""
+    if state.hasTimedOut:
+        n, first_id, last_id = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "author": [key[0]],
+                "n_events": [int(n)],
+                "first_id": [int(first_id)],
+                "last_id": [int(last_id)],
+            }
+        ).astype(
+            {"author": str, "n_events": "int64", "first_id": "int64",
+             "last_id": "int64"}
+        )
+        return
+    chunks = list(pdfs)
+    rows = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    n, first_id, last_id = state.get if state.exists else (0, None, None)
+    if len(rows):
+        n = int(n) + len(rows)
+        ids = rows["id"].astype("int64")
+        lo, hi = int(ids.min()), int(ids.max())
+        first_id = lo if first_id is None else min(int(first_id), lo)
+        last_id = hi if last_id is None else max(int(last_id), hi)
+    state.update((int(n), int(first_id), int(last_id)))
+    state.setTimeoutDuration(SESSION_GAP_MS)
+    yield pd.DataFrame(
+        {"author": [], "n_events": [], "first_id": [], "last_id": []}
+    ).astype(
+        {"author": str, "n_events": "int64", "first_id": "int64",
+         "last_id": "int64"}
+    )
+
+
+def streaming_session_finalize(feed_stream: DataFrame) -> DataFrame:
+    """Per-author session finalization with TIMEOUT-DRIVEN state
+    eviction (GroupStateTimeout.ProcessingTimeTimeout) — the one keyed-
+    state shape the other eight kernels document as the production
+    bound on their state size but do not exercise: a session emits its
+    summary (count, id span) only when the key has been quiet for
+    SESSION_GAP_MS, and its state leaves the store at that moment.
+
+    Scale shape: one shuffle per micro-batch on the author key; live
+    state is 3 longs per ACTIVE author only — idle keys are evicted by
+    the store itself, so state tracks the working set, not the key
+    universe (the property the dedup/quota kernels' docstrings price as
+    'a TTL eviction bounds it')."""
+    keyed = feed_stream.select("author", "id")
+    return keyed.groupBy("author").applyInPandasWithState(
+        _session_finalize,
+        outputStructType=SESSION_FIN_OUTPUT_SCHEMA,
+        stateStructType=SESSION_FIN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1723,3 +1723,62 @@ def test_streaming_drop_duplicates_within_watermark(spark):
         .collect()
     }
     assert set(authors) == expected
+
+
+def test_streaming_session_finalize_timeout_emits_and_evicts(spark, tmp_path):
+    """The timeout-driven kernel must emit each quiet key's session
+    summary exactly once when its ProcessingTimeTimeout fires on a later
+    micro-batch, matching the batch per-author aggregate.
+
+    With ProcessingTimeTimeout the engine keeps scheduling empty
+    micro-batches to evaluate timers ('No new data but cleaning up
+    state'), so processAllAvailable never settles — the test polls the
+    sink until the expected emission count lands (instrumented run:
+    every key is invoked exactly twice, data then hasTimedOut)."""
+    import time as _t
+
+    from reddit_sse_stream_spark.sources.feed import feed_df
+    from reddit_sse_stream_spark.streaming.stateful import (
+        streaming_session_finalize,
+    )
+
+    fd = feed_df(spark, "/root/testdata/sf0.001").select("author", "id")
+    src = tmp_path / "sess_stream"
+    fd.coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(fd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    expected = {
+        r["author"]: (r["n"], r["lo"], r["hi"])
+        for r in fd.groupBy("author")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+        )
+        .collect()
+    }
+    q = (
+        streaming_session_finalize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_fin")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = _t.monotonic() + 120
+        while _t.monotonic() < deadline:
+            if spark.sql("SELECT * FROM sess_fin").count() >= len(expected):
+                break
+            _t.sleep(0.5)
+        rows = spark.sql("SELECT * FROM sess_fin").collect()
+    finally:
+        q.stop()
+    got = {
+        r["author"]: (r["n_events"], r["first_id"], r["last_id"])
+        for r in rows
+    }
+    assert len(rows) == len(got) == len(expected)  # exactly once per key
+    assert got == expected

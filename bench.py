@@ -428,6 +428,7 @@ def streaming_e2e(
     paths: tuple = ("/?type=comments",),
     backfill: int = 100000,
     capture: bool = False,
+    max_ids_per_batch: int = 10000,
 ) -> dict:
     """Measured number for the "ONE query, N clients" serving design
     (VERDICT r04 next #8; r06 next #7 raised the fan-out to 8 concurrent
@@ -524,7 +525,7 @@ def streaming_e2e(
             f"{sf_dir}/events.parquet",
             "rc",
             backfill=backfill,
-            max_ids_per_batch=10000,
+            max_ids_per_batch=max_ids_per_batch,
         )
         .writeStream.foreachBatch(bc.foreach_batch)
         .start()

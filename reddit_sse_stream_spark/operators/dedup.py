@@ -1493,3 +1493,53 @@ def source_minhash_merge_invariant(
             F.sum(mismatch).cast("long").alias("n_mismatch"),
         )
     )
+
+
+def gram_candidate_bound(
+    docs: DataFrame,
+    n: int = 3,
+    df_cap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The gram-join family's candidate-volume bound, as a 1-row audit
+    frame: ``(hot_grams, df2_cold, df2_all)`` over the SAME distinct
+    word-n-gram universe the containment/jaccard rows join on (lowered
+    text, md5 60-bit gram hashes, per-doc dedup).
+
+    - ``hot_grams``: grams hotter than ``df_cap`` docs — dropped from
+      candidate generation by the hot-gram guard;
+    - ``df2_cold``: Σ df(g)² over the COLD universe — the exact row count
+      entering the candidate equi-join (what actually scales the work);
+    - ``df2_all``: the uncapped Σ df(g)² — what the join would cost with
+      no guard.
+
+    SCALING.md's sweep regenerates this per scale factor every round
+    (VERDICT r11 next #6): the r10/r11 density experiments measured the
+    guard engaging once; this makes the bound a standing column instead
+    of a one-off experiment.  One gram exchange, 1-row output."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    tok = docs.select(id_col, F.explode(F.array(words)).alias("words")).filter(
+        F.size("words") >= n
+    )
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - n),
+            lambda i: md5_hash60(F.concat_ws(" ", F.slice("words", i + 1, n))),
+        )
+    )
+    dfc = (
+        tok.select(id_col, F.explode(sh).alias("g")).groupBy("g").count()
+    )
+    cap = F.lit(df_cap)
+    return dfc.agg(
+        F.sum((F.col("count") > cap).cast("long")).alias("hot_grams"),
+        F.sum(
+            F.when(F.col("count") <= cap, F.col("count") * F.col("count")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("df2_cold"),
+        F.sum(F.col("count") * F.col("count")).cast("long").alias("df2_all"),
+    )

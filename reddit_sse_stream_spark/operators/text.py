@@ -731,6 +731,74 @@ def novelty_first_owner(
     )
 
 
+def novelty_decay_curve(
+    df: DataFrame,
+    n: int = 3,
+    n_batches: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Marginal-novelty decay per ingestion batch — the batch-level twin
+    of :func:`novelty_first_owner` (VERDICT r11 next #8): split the
+    corpus into ``n_batches`` equal-width doc_id bands (ingestion order)
+    and report, per batch, how much of its distinct word-n-gram
+    vocabulary is NEW (first batch to contain the gram).  The curve a
+    crawl pipeline watches to decide when further ingestion stops adding
+    information — a healthy fresh source decays slowly; a re-crawl of
+    known content collapses to ~0 after batch 0.
+
+    Scale shape: the same LINEAR gram pipeline as
+    :func:`novelty_first_owner` — one corpus scan into
+    :func:`word_ngrams`, one explicit gram-key repartition that BOTH the
+    (batch, gram) dedup aggregate and the min-batch-per-gram window ride
+    (subset partitioning: hash(gram) co-locates every (batch, gram)
+    group and the gram window frame), then a batch-keyed aggregate whose
+    output is ``n_batches`` rows.  The batch id derives from a broadcast
+    1-row min/max frame (integer band arithmetic — no global sort, no
+    ntile window).  All ratios are exact integer division quantized at
+    1e-4, bit-identical across engines."""
+    from pyspark.sql import Window
+
+    band = f"(({id_col} - mn) * {n_batches}) div (mx - mn + 1)"
+    mm = df.agg(F.min(id_col).alias("mn"), F.max(id_col).alias("mx"))
+    grams = word_ngrams(df.select(id_col, text_col), n, text_col=text_col)
+    bg = (
+        grams.join(F.broadcast(mm))
+        .select(F.expr(band).alias("batch"), "gram")
+        .repartition("gram")
+        .groupBy("batch", "gram")
+        .agg(F.lit(1))
+    )
+    first = F.min("batch").over(Window.partitionBy("gram"))
+    per_batch = (
+        bg.select("batch", (first == F.col("batch")).alias("is_first"))
+        .groupBy("batch")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum(F.col("is_first").cast("long")).alias("n_novel_types"),
+        )
+    )
+    n_docs = (
+        df.select(id_col)
+        .join(F.broadcast(mm))
+        .groupBy(F.expr(band).alias("batch"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        per_batch.join(F.broadcast(n_docs), "batch")
+        .select(
+            "batch",
+            "n_docs",
+            "n_types",
+            "n_novel_types",
+            (F.expr("n_novel_types * 10000 div n_types") / F.lit(10000.0)).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("batch")
+    )
+
+
 def encoding_quality(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

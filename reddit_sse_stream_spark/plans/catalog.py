@@ -11712,6 +11712,123 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_novelty_decay_curve",
+    r"""
+    WITH mm AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+    w AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+      FROM documents
+    ),
+    gi AS (
+      SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
+      FROM w WHERE len(words) >= 3
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS gram
+      FROM gi
+    ),
+    bg AS (
+      SELECT DISTINCT ((g.doc_id - mm.mn) * 10) // (mm.mx - mm.mn + 1) AS batch,
+             g.gram
+      FROM grams g CROSS JOIN mm
+    ),
+    fb AS (SELECT gram, min(batch) AS first_batch FROM bg GROUP BY gram),
+    pb AS (
+      SELECT b.batch, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN f.first_batch = b.batch THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel_types
+      FROM bg b JOIN fb f USING (gram) GROUP BY b.batch
+    ),
+    nd AS (
+      SELECT ((d.doc_id - mm.mn) * 10) // (mm.mx - mm.mn + 1) AS batch,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents d CROSS JOIN mm GROUP BY 1
+    )
+    SELECT pb.batch, nd.n_docs, pb.n_types, pb.n_novel_types,
+           CAST(pb.n_novel_types * 10000 // pb.n_types AS BIGINT) / 10000.0
+             AS novelty
+    FROM pb JOIN nd USING (batch) ORDER BY pb.batch
+    """,
+)
+def text_novelty_decay_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty decay per ingestion batch
+    (operators/text.py:novelty_decay_curve, VERDICT r11 next #8): the
+    corpus in 10 equal-width doc_id bands; per band, the fraction of its
+    distinct word-trigram vocabulary whose FIRST band is this one — the
+    is-further-crawling-worth-it curve, the batch-level twin of
+    ``text_novelty_first_owner``.  Same linear plan: one gram-key
+    repartition rides the (batch, gram) dedup AND the min-batch window
+    (subset partitioning), then a 10-row batch aggregate; band ids come
+    from a broadcast 1-row min/max frame, no global sort.  Exact integer
+    division everywhere."""
+    return text.novelty_decay_curve(_t(spark, sf_dir, "documents"))
+
+
+def _loss_proxy_calibration_oracle() -> str:
+    """Calibration oracle composed ON the registered bigram-bits and
+    filter-gate oracle texts (the lang-confusion/RM3 drift-proofing
+    pattern: the consumed rows and this audit cannot diverge)."""
+    bits_sql = QUERIES["text_bigram_lm_bits"].oracle
+    gate_sql = QUERIES["corpus_filter_gate"].oracle
+    return f"""
+    WITH bits AS ({bits_sql}),
+    gate AS ({gate_sql})
+    SELECT d.source,
+           CAST(b.bits_sum // b.n_bigrams AS BIGINT) AS proxy_bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(g.keep) AS BIGINT) AS n_keep,
+           CAST(sum(g.keep) * 10000 // count(*) AS BIGINT) / 10000.0
+             AS keep_rate
+    FROM documents d JOIN bits b USING (doc_id) JOIN gate g USING (doc_id)
+    GROUP BY d.source, proxy_bin
+    ORDER BY d.source, proxy_bin
+    """
+
+
+@_register("corpus_loss_proxy_calibration", _loss_proxy_calibration_oracle())
+def corpus_loss_proxy_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source loss-proxy calibration curve (VERDICT r11 next #8): is
+    the bigram-LM surprise proxy — the signal DoReMi-style reweighting
+    consumes downstream — actually PREDICTIVE of curation quality, per
+    source?  Docs bucket into whole-bit surprise bins (exact integer
+    division of the registered ``text_bigram_lm_bits`` columns, no new
+    thresholds) and each (source, bin) cell reports its
+    ``corpus_filter_gate`` keep-rate.  A calibrated proxy shows keep_rate
+    falling monotonically with proxy_bin within every source; a source
+    whose curve is flat gets no signal from the proxy and its DoReMi
+    weight is noise — the audit every learned-weight pipeline ships.
+
+    Plan shape: both consumed rows are registered queries reused verbatim
+    (their plans: one bigram exchange; one doc-keyed repetition
+    aggregate); this row adds two doc_id equi-joins (AQE broadcasts the
+    gate side's 2-column frame) and a (source x bin)-sized final
+    aggregate — dimension-sized output, no new data-shaped stage."""
+    docs = _t(spark, sf_dir, "documents")
+    bits = QUERIES["text_bigram_lm_bits"].spark(spark, sf_dir)
+    gate = QUERIES["corpus_filter_gate"].spark(spark, sf_dir)
+    return (
+        docs.select("doc_id", "source")
+        .join(bits.select("doc_id", "bits_sum", "n_bigrams"), "doc_id")
+        .join(gate.select("doc_id", "keep"), "doc_id")
+        .select("source", F.expr("bits_sum div n_bigrams").alias("proxy_bin"), "keep")
+        .groupBy("source", "proxy_bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+        )
+        .select(
+            "source",
+            "proxy_bin",
+            "n_docs",
+            "n_keep",
+            (F.expr("n_keep * 10000 div n_docs") / F.lit(10000.0)).alias("keep_rate"),
+        )
+        .orderBy("source", "proxy_bin")
+    )
+
+
 # The registry — and therefore the CLI ``list`` order and any external
 # checker that samples the registry in order — is deliberately sorted by
 # EXTERNAL-VERIFICATION VALUE, using a generic rule that encodes no

@@ -633,6 +633,61 @@ def streaming_vocab_first_seen(docs_stream: DataFrame) -> DataFrame:
     )
 
 
+GRAM_NOVELTY_OUTPUT_SCHEMA = "gram string, first_doc long"
+GRAM_NOVELTY_STATE_SCHEMA = "first_doc long"
+
+
+def _gram_first_seen(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Emit-once admission per word TRIGRAM: the first arrival batch that
+    contains a gram emits it (with the min doc_id of that batch's
+    carriers); every later batch is swallowed by state.  Same emit-once
+    shape as :func:`_vocab_first_seen`, keyed on the n-gram — so the
+    per-micro-batch emitted row count IS the ``n_novel_types`` column of
+    the batch novelty-decay curve, maintained incrementally."""
+    ids = []
+    for pdf in pdfs:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    if state.exists:
+        yield pd.DataFrame({"gram": [], "first_doc": []}).astype(
+            {"gram": str, "first_doc": "int64"}
+        )
+        return
+    first = min(ids)
+    state.update((first,))
+    yield pd.DataFrame({"gram": [key[0]], "first_doc": [first]})
+
+
+def streaming_gram_novelty(docs_stream: DataFrame, n: int = 3) -> DataFrame:
+    """Streaming twin of the n-gram novelty decay curve
+    (operators/text.py:novelty_decay_curve, VERDICT r11 next #8): keyed
+    managed state admits each word n-gram ONCE, on the first micro-batch
+    that carries it — so counting this stream's emissions per micro-batch
+    reproduces the batch curve's ``n_novel_types`` per ingestion band
+    without ever re-scanning the corpus, and the cumulative count is the
+    distinct-gram vocabulary size.  The signal an always-on crawl ingest
+    watches live: when a source's per-batch novel-gram count collapses,
+    further crawling of that source is re-reading known content.
+
+    Scale shape: one shuffle per micro-batch on the gram key; state one
+    long per DISTINCT gram ever seen (the same Heaps-sublinear state
+    envelope as the vocabulary census, RocksDB-partitioned at 100 TB).
+    Tokenization is byte-for-byte the batch row's
+    (operators/text.py:word_ngrams: split on \\s+, docs shorter than n
+    words contribute nothing, no case folding)."""
+    from reddit_sse_stream_spark.operators.text import word_ngrams
+
+    grams = word_ngrams(docs_stream.select("doc_id", "text"), n)
+    return grams.groupBy("gram").applyInPandasWithState(
+        _gram_first_seen,
+        outputStructType=GRAM_NOVELTY_OUTPUT_SCHEMA,
+        stateStructType=GRAM_NOVELTY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 MEDIA_DEDUP_OUTPUT_SCHEMA = (
     "hash_hi long, hash_lo long, keep_id long, n_dups_in_batch long"
 )

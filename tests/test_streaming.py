@@ -1630,6 +1630,58 @@ def test_streaming_vocab_first_seen_matches_batch_census(spark, sf_dir, tmp_path
     assert n_first_batch == len({w for w, fd in batch.items() if fd < cut})
 
 
+def test_streaming_gram_novelty_matches_batch_decay_curve(spark, sf_dir, tmp_path):
+    """Batch/stream parity for the novelty decay curve: replaying the
+    documents table in the SAME 10 equal-width doc_id bands the batch row
+    uses (one parquet file per band, one micro-batch per file) must emit
+    every distinct trigram exactly once, and counting emissions per band
+    (band of first_doc = the band that introduced the gram) reproduces
+    the batch curve's n_novel_types column band-for-band."""
+    from reddit_sse_stream_spark.operators.text import novelty_decay_curve
+    from reddit_sse_stream_spark.sources.tables import load_table
+    from reddit_sse_stream_spark.streaming.stateful import (
+        streaming_gram_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = mx - mn + 1
+    src = tmp_path / "gram_stream"
+    for b in range(10):
+        band = docs.filter(F.expr(f"((doc_id - {mn}) * 10) div {span} = {b}"))
+        band.coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_gram_novelty(stream)
+        .writeStream.format("memory")
+        .queryName("gram_novelty_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT gram, first_doc FROM gram_novelty_stream WHERE gram <> ''"
+    ).collect()
+    # emit-once: no gram appears twice across micro-batches
+    assert len(got) == len({r["gram"] for r in got})
+    stream_novel_per_band: dict[int, int] = {}
+    for r in got:
+        b = (r["first_doc"] - mn) * 10 // span
+        stream_novel_per_band[b] = stream_novel_per_band.get(b, 0) + 1
+    curve = {
+        r["batch"]: r["n_novel_types"]
+        for r in novelty_decay_curve(docs).collect()
+    }
+    assert stream_novel_per_band == curve
+    # cumulative emitted count == total distinct-gram vocabulary
+    assert len(got) == sum(curve.values())
+
+
 def test_streaming_media_dedup_matches_batch_survivors(spark, sf_dir, tmp_path):
     """Batch/stream parity for the perceptual media-dedup gate: replaying
     REAL image containers in media_id-ordered micro-batches must admit

@@ -20,11 +20,31 @@ regime (which this experiment's N-run protocol becomes in bench.py)
 absorbs it going forward.
 
 Usage: python tools/e2e_variance.py [runs_per_arm]
+
+PAIRED A/B MODE (VERDICT r11 next #7): host variance between sessions
+(±70% measured across r10-r11) exceeds any plausible code effect on the
+e2e number, so judging a streaming/ change by comparing two SESSIONS is
+hopeless.  The paired mode interleaves the two builds in ONE session —
+order-counterbalanced (AB, BA, AB, ...) so slow drift cancels within
+pairs — and reports per-pair ratios plus an exact two-sided sign test:
+the host noise that moves BOTH arms of a pair together divides out.
+
+    python tools/e2e_variance.py --paired [n_pairs] [--b MODULE:FN]
+
+Arm A is always the current ``bench.streaming_e2e``.  Arm B defaults to
+a known-direction demonstration variant (the same server with 4x smaller
+micro-batches — more per-batch scheduling overhead, predictably slower),
+and ``--b mymod:fn`` swaps in any callable ``fn(spark, sf_dir) -> dict``
+with a ``streaming_e2e_events_per_sec`` key — e.g. the OLD server build
+checked out under a different module name, which is how a future
+streaming/ change gets judged above the noise.
 """
 
 from __future__ import annotations
 
+import importlib
 import json
+import math
 import os
 import sys
 
@@ -44,7 +64,78 @@ HEAVY = (
 )
 
 
+def _demo_arm_b(spark, sf_dir: str) -> dict:
+    """Demonstration B arm: the identical server driven with 4x smaller
+    micro-batches (2 500 ids/trigger vs 10 000) — same delivered events,
+    4x the trigger/scheduling boundaries, so the rate should sit
+    SYSTEMATICALLY below arm A if the paired protocol can resolve a real
+    effect through host noise."""
+    return bench.streaming_e2e(spark, sf_dir, max_ids_per_batch=2500)
+
+
+def _sign_test_p(n_b_slower: int, n: int) -> float:
+    """Exact two-sided sign-test p-value: probability under the null
+    (each pair a fair coin) of a split at least this extreme."""
+    k = max(n_b_slower, n - n_b_slower)
+    tail = sum(math.comb(n, i) for i in range(k, n + 1)) / 2.0**n
+    return min(1.0, 2.0 * tail)
+
+
+def paired_main(args: list[str]) -> None:
+    n_pairs = 5
+    b_spec = None
+    rest = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--b":
+            b_spec = args[i + 1]
+            i += 2
+        else:
+            rest.append(args[i])
+            i += 1
+    if rest:
+        n_pairs = int(rest[0])
+    if b_spec:
+        mod, fn = b_spec.split(":")
+        arm_b = getattr(importlib.import_module(mod), fn)
+    else:
+        arm_b = _demo_arm_b
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("e2e_variance_paired")
+
+    # warm BOTH arms once at the smallest sf (JVM, Python DataSource
+    # workers, HTTP paths) so neither pays first-compile inside a pair
+    bench.streaming_e2e(spark, "/root/testdata/sf0.001")
+    arm_b(spark, "/root/testdata/sf0.001")
+
+    rate = lambda r: r["streaming_e2e_events_per_sec"]  # noqa: E731
+    pairs = []
+    for k in range(n_pairs):
+        if k % 2 == 0:  # counterbalanced order: AB, BA, AB, ...
+            ra, rb = rate(bench.streaming_e2e(spark, sf_dir)), rate(arm_b(spark, sf_dir))
+        else:
+            rb, ra = rate(arm_b(spark, sf_dir)), rate(bench.streaming_e2e(spark, sf_dir))
+        pairs.append({"a": ra, "b": rb, "ratio_b_over_a": round(rb / ra, 4)})
+    ratios = sorted(p["ratio_b_over_a"] for p in pairs)
+    n_b_slower = sum(1 for p in pairs if p["b"] < p["a"])
+    out = {
+        "mode": "paired",
+        "n_pairs": n_pairs,
+        "arm_b": b_spec or "demo: max_ids_per_batch=2500 (4x smaller micro-batches)",
+        "pairs": pairs,
+        "ratio_b_over_a_sorted": ratios,
+        "ratio_median": ratios[n_pairs // 2],
+        "n_pairs_b_slower": n_b_slower,
+        "sign_test_p_two_sided": round(_sign_test_p(n_b_slower, n_pairs), 4),
+    }
+    print(json.dumps(out, indent=1))
+
+
 def main() -> None:
+    if "--paired" in sys.argv[1:]:
+        args = [a for a in sys.argv[1:] if a != "--paired"]
+        paired_main(args)
+        return
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("e2e_variance")

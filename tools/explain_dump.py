@@ -134,6 +134,11 @@ EXTRA = (
     "corpus_shuffle_locality_audit",
     "fn_percentiles_two_phase",
     "text_lang_confusion",
+    # late-r12: the novelty decay curve (gram-key subset partitioning —
+    # the plan must show ONE gram exchange riding both the dedup agg and
+    # the min-batch window) and the composed calibration audit
+    "text_novelty_decay_curve",
+    "corpus_loss_proxy_calibration",
 )
 
 

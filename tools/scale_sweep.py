@@ -164,6 +164,10 @@ SWEEP = (
     # sized cumsum window; must stay exchange-shaped (the window input
     # is the value domain, not the data)
     "fn_percentiles_two_phase",
+    # late-r12: novelty decay — the same linear gram pipeline as
+    # text_novelty_first_owner (one gram-key exchange rides the
+    # (batch, gram) dedup and the min-batch window; 10-row output)
+    "text_novelty_decay_curve",
 )
 
 
@@ -224,6 +228,50 @@ def main() -> None:
         "span; documents/embeddings grow 10x (500/500/5000 and 500/500/2000",
         "rows), so the text/vector rows measure a 10x data step.",
     ]
+    # Candidate-bound monitor (VERDICT r11 next #6): the gram-join rows'
+    # work scales with Σdf² over the COLD gram universe, not with doc
+    # count — regenerate the bound per scale factor every round so a
+    # density shift (or a broken hot-gram guard) shows up as a bound
+    # blowup here before it shows up as a runtime blowup above.
+    from reddit_sse_stream_spark.operators.dedup import gram_candidate_bound
+    from reddit_sse_stream_spark.plans.catalog import _JACCARD_DF_CAP
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    bound_rows = []
+    for sf_dir in SFS:
+        docs = load_table(spark, sf_dir, "documents")
+        r = gram_candidate_bound(docs, n=3, df_cap=_JACCARD_DF_CAP).first()
+        bound_rows.append((sf_dir.rsplit("/", 1)[-1], r))
+    lines += [
+        "",
+        "### Candidate-bound monitor (gram-join rows)",
+        "",
+        f"Distinct word-trigram universe, hot-gram cap df > {_JACCARD_DF_CAP}",
+        "(the `_JACCARD_DF_CAP` guard shared by the containment/jaccard/",
+        "leakage rows).  `sum df^2 cold` is the exact row count entering the",
+        "candidate equi-join — the quantity the containment rows' runtimes",
+        "above must stay sublinear in; `cold/uncapped` < 1.0 means the guard",
+        "is engaging (hot grams dropped).",
+        "",
+        "| scale | hot grams | sum df^2 cold | sum df^2 uncapped | cold/uncapped |",
+        "| --- | --- | --- | --- | --- |",
+    ]
+    for label, r in bound_rows:
+        frac = r["df2_cold"] / max(r["df2_all"], 1)
+        lines.append(
+            f"| {label} | {r['hot_grams']} | {r['df2_cold']} | "
+            f"{r['df2_all']} | {frac:.3f} |"
+        )
+    b0, b2 = bound_rows[0][1], bound_rows[-1][1]
+    cg = times.get("dedup_containment_grams")
+    if cg and b0["df2_cold"]:
+        lines += [
+            "",
+            f"Bound growth across the span: {b2['df2_cold'] / b0['df2_cold']:.1f}x"
+            f" (cold df^2) vs dedup_containment_grams runtime"
+            f" {cg[2] / max(cg[0], 1e-9):.1f}x — the runtime staying below the"
+            " bound's growth is the sublinearity claim under test.",
+        ]
     # preserve hand-written analysis sections (## headers after the table)
     # across regenerations
     extra = ""

@@ -95,31 +95,12 @@ def build_sf05(spark) -> None:
 
 def candidate_bound(spark, d: str) -> tuple[int, int, int]:
     """(hot grams dropped, sum df^2 cold, sum df^2 uncapped) for the
-    3-gram universe — the containment rows' candidate-join row bound."""
+    3-gram universe — the containment rows' candidate-join row bound.
+    Shared with the standing per-round sweep monitor
+    (operators/dedup.py:gram_candidate_bound, VERDICT r11 next #6)."""
     docs = load_table(spark, d, "documents")
-    wrds = F.split(F.lower(F.col("text")), r"\s+")
-    tok = docs.select(
-        "doc_id", F.explode(F.array(wrds)).alias("words")
-    ).filter(F.size("words") >= 3)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("words") - 3),
-            lambda i: dedup.md5_hash60(
-                F.concat_ws(" ", F.slice("words", i + 1, 3))
-            ),
-        )
-    )
-    dfc = tok.select("doc_id", F.explode(sh).alias("g")).groupBy("g").count()
-    cap = F.lit(_JACCARD_DF_CAP)
-    s = dfc.agg(
-        F.sum(F.when(F.col("count") > cap, 1).otherwise(0)).alias("hot"),
-        F.sum(
-            F.when(F.col("count") <= cap, F.col("count") * F.col("count"))
-            .otherwise(0)
-        ).alias("df2_cold"),
-        F.sum(F.col("count") * F.col("count")).alias("df2_all"),
-    ).first()
-    return s["hot"], s["df2_cold"], s["df2_all"]
+    r = dedup.gram_candidate_bound(docs, n=3, df_cap=_JACCARD_DF_CAP).first()
+    return r["hot_grams"], r["df2_cold"], r["df2_all"]
 
 
 def main() -> None:

@@ -11829,6 +11829,395 @@ def corpus_loss_proxy_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _gate_kappa_oracle() -> str:
+    """Kappa oracle composed ON the registered gopher-gate and
+    quantile-gate oracle texts (the loss-proxy/lang-confusion
+    drift-proofing pattern: the audited gates and this audit cannot
+    diverge)."""
+    g1 = QUERIES["text_gopher_gate"].oracle
+    g2 = QUERIES["corpus_quality_quantile_gate"].oracle
+    return f"""
+    WITH gop AS ({g1}),
+    qg AS ({g2}),
+    j AS (
+      SELECT d.lang, gop.keep AS k1,
+             CASE WHEN qg.doc_id IS NULL THEN 0 ELSE 1 END AS k2
+      FROM documents d
+      JOIN gop ON gop.doc_id = d.doc_id
+      LEFT JOIN qg ON qg.doc_id = d.doc_id),
+    c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k1 * k2) AS BIGINT) AS both_keep,
+             CAST(sum(k1 * (1 - k2)) AS BIGINT) AS gopher_only,
+             CAST(sum((1 - k1) * k2) AS BIGINT) AS quantile_only,
+             CAST(sum((1 - k1) * (1 - k2)) AS BIGINT) AS both_drop
+      FROM j GROUP BY lang),
+    p AS (
+      SELECT *,
+             (both_keep + gopher_only) * (both_keep + quantile_only)
+             + (quantile_only + both_drop) * (gopher_only + both_drop)
+               AS pe_num
+      FROM c)
+    SELECT lang, n, both_keep, gopher_only, quantile_only, both_drop,
+           CASE WHEN n * n = pe_num THEN 0.0
+                ELSE CAST(n * (both_keep + both_drop) - pe_num AS DOUBLE)
+                     / (n * n - pe_num) END AS kappa
+    FROM p ORDER BY lang
+    """
+
+
+@_register("dq_gate_agreement_kappa", _gate_kappa_oracle())
+def dq_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-gate agreement (Cohen's kappa) per language between the two
+    quality curation gates the catalog ships — the rule-based
+    ``text_gopher_gate`` and the relative-threshold
+    ``corpus_quality_quantile_gate``.  Every multi-gate curation
+    pipeline ships this audit: raw percent agreement is inflated when
+    both gates keep almost everything, so kappa subtracts the
+    chance-agreement floor computed from each gate's keep marginal.
+    A language where the gates agree no better than chance (kappa near
+    0) means the ensemble's AND/OR combination is doing real work
+    there; kappa near 1 means one gate is redundant.
+
+    Both consumed rows are registered queries reused verbatim (their
+    oracle texts compose as CTEs, so the audited gates and the audit
+    cannot drift).  Exact-integer contingency cells per lang; kappa
+    itself is ONE IEEE division of two int64-derived terms, bit-identical
+    cross-engine (the kappa = (n*(a+d) - pe_num) / (n^2 - pe_num)
+    identity keeps everything integer until the last op; pe_num = n^2
+    degenerate marginals emit 0.0 on both sides).
+
+    Plan shape: gopher is map-only; the quantile gate adds its one
+    lang-keyed rank exchange; this row adds one doc_id equi-join + a
+    LEFT membership join (AQE broadcasts the gate outputs' 1-column
+    projections at dimension scale) and a lang-sized final aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    g1 = QUERIES["text_gopher_gate"].spark(spark, sf_dir)
+    g2 = QUERIES["corpus_quality_quantile_gate"].spark(spark, sf_dir)
+    j = (
+        docs.select("doc_id", "lang")
+        .join(g1.select("doc_id", "keep"), "doc_id")
+        .join(
+            g2.select("doc_id", F.lit(1).alias("k2_hit")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "lang",
+            F.col("keep").cast("long").alias("k1"),
+            F.coalesce(F.col("k2_hit"), F.lit(0)).cast("long").alias("k2"),
+        )
+    )
+    c = j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("k1") * F.col("k2")).cast("long").alias("both_keep"),
+        F.sum(F.col("k1") * (1 - F.col("k2"))).cast("long").alias("gopher_only"),
+        F.sum((1 - F.col("k1")) * F.col("k2")).cast("long").alias("quantile_only"),
+        F.sum((1 - F.col("k1")) * (1 - F.col("k2"))).cast("long").alias("both_drop"),
+    )
+    pe_num = (F.col("both_keep") + F.col("gopher_only")) * (
+        F.col("both_keep") + F.col("quantile_only")
+    ) + (F.col("quantile_only") + F.col("both_drop")) * (
+        F.col("gopher_only") + F.col("both_drop")
+    )
+    p = c.withColumn("pe_num", pe_num)
+    kappa = F.when(F.col("n") * F.col("n") == F.col("pe_num"), F.lit(0.0)).otherwise(
+        (
+            F.col("n") * (F.col("both_keep") + F.col("both_drop")) - F.col("pe_num")
+        ).cast("double")
+        / (F.col("n") * F.col("n") - F.col("pe_num"))
+    )
+    return p.select(
+        "lang",
+        "n",
+        "both_keep",
+        "gopher_only",
+        "quantile_only",
+        "both_drop",
+        kappa.alias("kappa"),
+    ).orderBy("lang")
+
+
+@_register(
+    "dq_k_anonymity",
+    """
+    WITH g AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(c) AS BIGINT) AS n_rows
+      FROM g),
+    ks AS (SELECT CAST(unnest([2, 3, 5, 10]) AS BIGINT) AS k),
+    b AS (
+      SELECT ks.k,
+             CAST(sum(CASE WHEN g.c < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_below,
+             CAST(sum(CASE WHEN g.c < ks.k THEN g.c ELSE 0 END) AS BIGINT)
+               AS n_rows_below
+      FROM g CROSS JOIN ks GROUP BY ks.k)
+    SELECT b.k, t.n_groups, t.n_rows, b.n_groups_below, b.n_rows_below,
+           CAST(b.n_rows_below * 10000 // t.n_rows AS BIGINT) / 10000.0
+             AS frac_rows_below
+    FROM b, t ORDER BY b.k
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the event feed's quasi-identifier pair
+    (event_type, hour) — the privacy-risk report a pipeline runs before
+    releasing behavioral data for training: a row whose quasi-identifier
+    group has fewer than k members is re-identifiable at confidence 1/k
+    [Sweeney 2002].  For each k in the standard ladder {2, 3, 5, 10}:
+    how many groups and how many ROWS fall below k, and the row fraction
+    (exact 1e-4 floor division).
+
+    Plan shape: ONE quasi-identifier exchange builds the group-size
+    frame; the four thresholds are literal columns of a single global
+    aggregate (map-side partial, 1-row result), unpivoted to the 4-row
+    ladder with ``stack`` — no second data-shaped stage, no cross join
+    against data.  At 100 TB the group frame is the only shuffle and it
+    is the audit's natural key; the ladder never touches row scale."""
+    ks = [2, 3, 5, 10]
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("c").cast("long").alias("n_rows"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.sum(F.when(F.col("c") < k, 1).otherwise(0)).cast("long").alias(f"g{k}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("c") < k, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias(f"r{k}")
+        )
+    t = g.agg(*aggs)
+    stack = ", ".join(f"CAST({k} AS BIGINT), g{k}, r{k}" for k in ks)
+    return (
+        t.selectExpr(
+            "n_groups",
+            "n_rows",
+            f"stack({len(ks)}, {stack}) AS (k, n_groups_below, n_rows_below)",
+        )
+        .select(
+            "k",
+            "n_groups",
+            "n_rows",
+            "n_groups_below",
+            "n_rows_below",
+            (F.expr("n_rows_below * 10000 div n_rows") / F.lit(10000.0)).alias(
+                "frac_rows_below"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+@_register(
+    "dq_mad_outlier_gate",
+    """
+    WITH h AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    h2 AS (
+      SELECT *, sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM h),
+    med AS (
+      SELECT source, CAST(min(v) AS BIGINT) AS med, CAST(max(n) AS BIGINT) AS n
+      FROM h2 WHERE 2 * cum >= n GROUP BY source),
+    d AS (
+      SELECT h.source, abs(h.v - med.med) AS ad, h.c
+      FROM h JOIN med USING (source)),
+    dh AS (SELECT source, ad, sum(c) AS c FROM d GROUP BY 1, 2),
+    dh2 AS (
+      SELECT dh.source, dh.ad,
+             sum(dh.c) OVER (PARTITION BY dh.source ORDER BY dh.ad) AS cum,
+             med.n
+      FROM dh JOIN med USING (source)),
+    mad AS (
+      SELECT source, CAST(min(ad) AS BIGINT) AS mad
+      FROM dh2 WHERE 2 * cum >= n GROUP BY source),
+    o AS (
+      SELECT d.source, CAST(sum(d.c) AS BIGINT) AS n_out
+      FROM d JOIN mad USING (source) WHERE d.ad > 3 * mad.mad
+      GROUP BY d.source)
+    SELECT med.source, med.n AS n_docs, med.med AS median_chars,
+           mad.mad AS mad_chars,
+           CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_outliers,
+           CAST(COALESCE(o.n_out, 0) * 10000 // med.n AS BIGINT) / 10000.0
+             AS outlier_rate
+    FROM med JOIN mad USING (source) LEFT JOIN o USING (source)
+    ORDER BY med.source
+    """,
+)
+def dq_mad_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier gate: median + median absolute
+    deviation (the 50%-breakdown robust scale estimator — a mean/stddev
+    z-score gate is itself dragged by the outliers it hunts) over
+    ``n_chars``, flagging docs with |len - median| > 3 * MAD.  Discrete
+    lower median on both statistics (smallest value whose cumulative
+    count reaches half), so everything stays int64 — no interpolation,
+    no floats anywhere in the row.
+
+    Plan shape: ONE (source, n_chars) histogram exchange is the only
+    data-shaped stage.  The median comes from a cumulative sum over that
+    histogram (per-source windows over DISTINCT VALUES — value-domain
+    sized, not row sized); the |v - med| deviation histogram is derived
+    from the SAME histogram by a broadcast med join + re-aggregation
+    (documents are never rescanned), and the outlier count is a filter
+    over it.  All frames after the first exchange are (source x distinct
+    length) sized — at 100 TB that is bounded by the length domain, not
+    the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("source")
+    h2 = h.select(
+        "source",
+        "v",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    med = (
+        h2.filter(2 * F.col("cum") >= F.col("n"))
+        .groupBy("source")
+        .agg(F.min("v").cast("long").alias("med"), F.max("n").cast("long").alias("n"))
+    )
+    d = h.join(F.broadcast(med), "source").select(
+        "source", F.abs(F.col("v") - F.col("med")).alias("ad"), "c"
+    )
+    dh = d.groupBy("source", "ad").agg(F.sum("c").alias("c"))
+    wcum2 = (
+        Window.partitionBy("source")
+        .orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dh2 = dh.join(F.broadcast(med), "source").select(
+        "source", "ad", F.sum("c").over(wcum2).alias("cum"), "n"
+    )
+    mad = (
+        dh2.filter(2 * F.col("cum") >= F.col("n"))
+        .groupBy("source")
+        .agg(F.min("ad").cast("long").alias("mad"))
+    )
+    o = (
+        d.join(F.broadcast(mad), "source")
+        .filter(F.col("ad") > 3 * F.col("mad"))
+        .groupBy("source")
+        .agg(F.sum("c").cast("long").alias("n_out"))
+    )
+    return (
+        med.join(mad, "source")
+        .join(o, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("med").alias("median_chars"),
+            F.col("mad").alias("mad_chars"),
+            F.coalesce(F.col("n_out"), F.lit(0)).cast("long").alias("n_outliers"),
+            (
+                F.expr("COALESCE(n_out, 0) * 10000 div n") / F.lit(10000.0)
+            ).alias("outlier_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _probe_calibration_oracle() -> str:
+    """Calibration-bin oracle composed ON the registered linear-probe
+    oracle text (same drift-proofing pattern as the loss-proxy row)."""
+    probe_sql = QUERIES["corpus_quality_linear_probe"].oracle
+    return f"""
+    WITH probe AS ({probe_sql}),
+    mm AS (SELECT min(score_x1e6) AS mn, max(score_x1e6) AS mx FROM probe),
+    b AS (
+      SELECT CAST(((p.score_x1e6 - mm.mn) * 10) // (mm.mx - mm.mn + 1)
+                  AS BIGINT) AS bin,
+             p.label, p.score_x1e6,
+             (p.score_x1e6 - p.label * 1000000) AS se
+      FROM probe p CROSS JOIN mm)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST(sum(label) * 10000 // count(*) AS BIGINT) / 10000.0
+             AS pos_rate,
+           CAST(sum(score_x1e6) // count(*) AS BIGINT) AS mean_score_x1e6,
+           CAST(sum(se * se) // count(*) AS BIGINT) AS brier_mean_x1e12
+    FROM b GROUP BY bin ORDER BY bin
+    """
+
+
+@_register("corpus_probe_calibration_bins", _probe_calibration_oracle())
+def corpus_probe_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve + Brier decomposition bins for the learned
+    quality probe (VERDICT r11 next #8's evaluation-side frontier): docs
+    bucket into 10 equal-width bins of the registered
+    ``corpus_quality_linear_probe`` score range (exact integer band
+    arithmetic from a broadcast 1-row min/max frame — the
+    ``novelty_decay_curve`` banding pattern; a 3-round probe's scores
+    cluster in a narrow band, so absolute-probability bins would
+    collapse to one) and each bin reports its actual positive rate — a
+    calibrated-BY-RANK probe shows pos_rate rising with bin; a flat
+    curve means the probe's scores carry no ranking signal and any
+    downstream threshold choice is noise.  The per-bin mean squared
+    error vs the label in 1e12 fixed point is the Brier reliability
+    term, all int64 (accumulated as per-bin MEANS via partial
+    aggregation, so no overflow at any SF).
+
+    Plan shape: the probe row is reused verbatim (its plan: 3 GD rounds
+    of 4-key gradient aggregates over a checkpointed feature frame);
+    this row adds a 1-row min/max aggregate broadcast back plus one
+    bin-keyed aggregate over the scored frame — dimension-sized output,
+    no new data-shaped stage."""
+    probe = QUERIES["corpus_quality_linear_probe"].spark(spark, sf_dir)
+    mm = probe.agg(
+        F.min("score_x1e6").alias("mn"), F.max("score_x1e6").alias("mx")
+    )
+    se = F.col("score_x1e6") - F.col("label") * 1000000
+    b = probe.crossJoin(F.broadcast(mm)).select(
+        F.expr("(score_x1e6 - mn) * 10 div (mx - mn + 1)").alias("bin"),
+        "label",
+        "score_x1e6",
+        se.alias("se"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.sum("score_x1e6").cast("long").alias("_ssum"),
+            F.sum(F.col("se") * F.col("se")).cast("long").alias("_sesum"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            (F.expr("n_pos * 10000 div n_docs") / F.lit(10000.0)).alias("pos_rate"),
+            # _ssum can be NEGATIVE (scores below 0 exist for a cold
+            # probe): Spark's ``div`` truncates toward zero while the
+            # DuckDB oracle's ``//`` floors, so spell exact integer
+            # FLOOR division explicitly — no doubles involved.
+            F.expr(
+                "_ssum div n_docs - CAST(_ssum % n_docs != 0 AND _ssum < 0 AS INT)"
+            ).alias("mean_score_x1e6"),
+            F.expr("_sesum div n_docs").alias("brier_mean_x1e12"),
+        )
+        .orderBy("bin")
+    )
+
+
 # The registry — and therefore the CLI ``list`` order and any external
 # checker that samples the registry in order — is deliberately sorted by
 # EXTERNAL-VERIFICATION VALUE, using a generic rule that encodes no

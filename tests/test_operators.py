@@ -2900,3 +2900,126 @@ def test_gini_bounds_on_synthetic_distributions(spark):
     assert run([10, 10, 10, 10])["lang"] == 0
     extreme = run([1, 1, 1, 97])["lang"]
     assert 6000 <= extreme <= 7500  # k=4 -> max (k-1)/k = 0.75
+
+
+# --------------------------------------------------------------------------- #
+# r12 evaluation/data-quality audits: independent Python recomputation pins   #
+# --------------------------------------------------------------------------- #
+
+
+def test_gate_agreement_kappa_matches_direct_recompute(spark, sf_dir):
+    """Recompute Cohen's kappa per lang from the two gates' DOC-LEVEL
+    flags with plain Python (the textbook po/pe formula on floats) and
+    pin the catalog row's integer-identity kappa to it — an independent
+    derivation, not the row's own algebra."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    g1 = {
+        r["doc_id"]: int(r["keep"])
+        for r in QUERIES["text_gopher_gate"].spark(spark, sf_dir).collect()
+    }
+    kept2 = {
+        r["doc_id"]
+        for r in QUERIES["corpus_quality_quantile_gate"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    by_lang: dict = {}
+    for r in docs:
+        k1 = g1[r["doc_id"]]
+        k2 = 1 if r["doc_id"] in kept2 else 0
+        cell = by_lang.setdefault(r["lang"], [0, 0, 0, 0])  # a b c d
+        cell[(1 - k1) * 2 + (1 - k2)] += 1
+    out = {
+        r["lang"]: r
+        for r in QUERIES["dq_gate_agreement_kappa"].spark(spark, sf_dir).collect()
+    }
+    assert set(out) == set(by_lang)
+    for lang, (a, b, c, d) in by_lang.items():
+        row = out[lang]
+        assert (row["both_keep"], row["gopher_only"], row["quantile_only"],
+                row["both_drop"]) == (a, b, c, d)
+        n = a + b + c + d
+        po = (a + d) / n
+        pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+        expect = 0.0 if pe == 1.0 else (po - pe) / (1 - pe)
+        assert abs(row["kappa"] - expect) < 1e-9, lang
+        assert -1.0 - 1e-9 <= row["kappa"] <= 1.0 + 1e-9
+
+
+def test_k_anonymity_matches_direct_recompute(spark, sf_dir):
+    """Pin dq_k_anonymity to a plain-pandas recount of quasi-identifier
+    group sizes."""
+    import pandas as pd
+
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    sizes = ev.groupby(
+        [ev["event_type"], ev["ts"].dt.floor("h")]
+    ).size()
+    out = QUERIES["dq_k_anonymity"].spark(spark, sf_dir).collect()
+    assert [r["k"] for r in out] == [2, 3, 5, 10]
+    for r in out:
+        below = sizes[sizes < r["k"]]
+        assert r["n_groups"] == len(sizes)
+        assert r["n_rows"] == int(sizes.sum())
+        assert r["n_groups_below"] == len(below)
+        assert r["n_rows_below"] == int(below.sum())
+        assert r["frac_rows_below"] == (int(below.sum()) * 10000 // int(sizes.sum())) / 10000.0
+
+
+def test_mad_outlier_gate_matches_direct_recompute(spark, sf_dir):
+    """Pin dq_mad_outlier_gate's per-source (median, MAD, outliers) to a
+    direct sorted-list recomputation of the DISCRETE lower median."""
+    import pandas as pd
+
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    def lower_median(vals):
+        s = sorted(vals)
+        # smallest v whose cumulative count reaches half: index ceil(n/2)-1
+        return s[(len(s) + 1) // 2 - 1]
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = {r["source"]: r for r in QUERIES["dq_mad_outlier_gate"].spark(spark, sf_dir).collect()}
+    assert set(out) == set(docs["source"].unique())
+    for src, grp in docs.groupby("source"):
+        vals = grp["n_chars"].tolist()
+        med = lower_median(vals)
+        mad = lower_median([abs(v - med) for v in vals])
+        n_out = sum(1 for v in vals if abs(v - med) > 3 * mad)
+        row = out[src]
+        assert row["n_docs"] == len(vals)
+        assert row["median_chars"] == med, src
+        assert row["mad_chars"] == mad, src
+        assert row["n_outliers"] == n_out, src
+
+
+def test_probe_calibration_bins_partition_and_consistency(spark, sf_dir):
+    """Calibration bins partition the scored docs exactly once; per-bin
+    stats recompute from the probe row's own output."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    probe = QUERIES["corpus_quality_linear_probe"].spark(spark, sf_dir).collect()
+    mn = min(r["score_x1e6"] for r in probe)
+    mx = max(r["score_x1e6"] for r in probe)
+    bins: dict = {}
+    for r in probe:
+        b = (r["score_x1e6"] - mn) * 10 // (mx - mn + 1)
+        st = bins.setdefault(b, [0, 0, 0, 0])  # n, pos, ssum, sesum
+        st[0] += 1
+        st[1] += r["label"]
+        st[2] += r["score_x1e6"]
+        se = r["score_x1e6"] - r["label"] * 1000000
+        st[3] += se * se
+    out = QUERIES["corpus_probe_calibration_bins"].spark(spark, sf_dir).collect()
+    assert {r["bin"] for r in out} == set(bins)
+    assert sum(r["n_docs"] for r in out) == len(probe)
+    for r in out:
+        n, pos, ssum, sesum = bins[r["bin"]]
+        assert r["n_docs"] == n and r["n_pos"] == pos
+        assert r["mean_score_x1e6"] == ssum // n  # python // floors, matches
+        assert r["brier_mean_x1e12"] == sesum // n
+        assert r["pos_rate"] == (pos * 10000 // n) / 10000.0

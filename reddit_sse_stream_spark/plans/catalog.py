@@ -12218,6 +12218,194 @@ def corpus_probe_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _ivf_nprobe_oracle(
+    n_cells: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    n_queries: int = 8,
+    k_out: int = 5,
+) -> str:
+    """nprobe-sweep twin: reuse the fixed-point Lloyd CTE chain
+    (centroids ``cen{iters}``, final assignments ``a{iters}``, and the
+    final-round distance frame ``d{iters}`` — which already holds every
+    vector's distance to every surviving cell, so the query-to-cell
+    ranking is a filter over it, not a recomputation), rank cells per
+    query, gate candidates by assignment-cell membership at each nprobe,
+    and score recall@k against the exact fixed-point ranking."""
+    ctes, final = _ivf_fixedpoint_ctes(n_cells, iters, dim)
+    dlast = f"d{iters}"
+    ctes += [
+        f"qcr AS (SELECT vec_id AS qid, cell, row_number() OVER ("
+        f" PARTITION BY vec_id ORDER BY dist, cell) AS crk"
+        f" FROM {dlast} WHERE vec_id < {n_queries})",
+        "ps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe)",
+        f"exq AS (SELECT vec_id, d, u FROM ex WHERE vec_id < {n_queries})",
+        "exact AS (SELECT q.vec_id AS qid, e.vec_id,"
+        " sum(CAST(floor((e.u - q.u) * (e.u - q.u) * 1e12 + 0.5) AS BIGINT))"
+        " AS dist FROM ex e JOIN exq q USING (d)"
+        " WHERE e.vec_id <> q.vec_id GROUP BY 1, 2)",
+        "etop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,"
+        " row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk"
+        f" FROM exact) WHERE rk <= {k_out})",
+        f"cand AS (SELECT ps.nprobe, qcr.qid, a.vec_id"
+        f" FROM a{iters} a JOIN qcr ON qcr.cell = a.cell"
+        " CROSS JOIN ps WHERE qcr.crk <= ps.nprobe"
+        " AND a.vec_id <> qcr.qid)",
+        "itop AS (SELECT nprobe, qid, vec_id FROM (SELECT c.nprobe, c.qid,"
+        " c.vec_id, row_number() OVER (PARTITION BY c.nprobe, c.qid"
+        " ORDER BY x.dist, c.vec_id) AS rk"
+        " FROM cand c JOIN exact x USING (qid, vec_id))"
+        f" WHERE rk <= {k_out})",
+        "hits AS (SELECT i.nprobe, CAST(count(*) AS BIGINT) AS hits"
+        " FROM itop i JOIN etop e USING (qid, vec_id) GROUP BY i.nprobe)",
+        "sc AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS scanned"
+        " FROM cand GROUP BY nprobe)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT ps.nprobe, CAST({n_queries} AS BIGINT) AS n_queries,
+           sc.scanned,
+           CAST(sc.scanned * 10000 // ({n_queries} * (nn.n - 1)) AS BIGINT)
+             / 10000.0 AS scanned_frac,
+           COALESCE(h.hits, 0) AS hits,
+           CAST(COALESCE(h.hits, 0) * 10000 // ({k_out} * {n_queries})
+                AS BIGINT) / 10000.0 AS recall_at_k
+    FROM ps JOIN sc USING (nprobe) LEFT JOIN hits h USING (nprobe)
+    CROSS JOIN nn ORDER BY ps.nprobe"""
+    )
+
+
+@_register("knn_ivf_nprobe_recall_curve", _ivf_nprobe_oracle())
+def knn_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING curve — recall@5 vs fraction-of-corpus-scanned as
+    nprobe sweeps {1, 2, 4, 8} — the plot every ANN deployment reads
+    before fixing its probe count (FAISS's nprobe knob; at nprobe =
+    n_cells the probe set is the whole index, so the curve ends at
+    recall 1.0 by construction, a built-in sanity row).  Completes the
+    ANN self-audit family: ``knn_pq_recall_audit`` grades the
+    compression, this row grades the PARTITION PRUNING.
+
+    Exactness recipe: the shared fixed-point quantizer
+    (``ml_lsh.ivf_train`` — oracled since r07) supplies centroids and
+    assignments; query-to-cell and query-to-vector distances use the
+    SAME 1e-12 floor-quantized integer kernel, so ranking, probing, and
+    the recall fractions are bit-identical to the unrolled-CTE twin.
+
+    Plan shape (the 100 TB story): ONE scan of the checkpointed unit
+    frame serves everything — cell assignment is the map-only
+    centroid-literal fold, the 8-query block rides a broadcast, and the
+    per-(nprobe, query) top-5 cut is a WindowGroupLimit (only ~k rows
+    per group cross the exchange).  The probe table (queries x cells,
+    driver-ranked from the SAME integer distances over the 8x64 model
+    that is ALREADY driver state after training) broadcasts; candidate
+    gating is a broadcast equi-join on (qid, cell) — at full scale
+    exactly the cell-pruned scan the IVF index exists to provide, with
+    the sweep multiplying only the BOUNDED probe table, never the
+    corpus."""
+    import math as _math
+
+    from reddit_sse_stream_spark.operators.ml_lsh import ivf_train, unit_cells
+
+    n_queries, k_out, probes_ladder = 8, 5, [1, 2, 4, 8]
+    emb = _t(spark, sf_dir, "embeddings")
+    model = ivf_train(emb)
+    unit = model.unit  # (_id, u) — checkpointed by ivf_train
+    cells = unit_cells(unit, model.centroids)  # map-only, same scan
+
+    # Query block: the n_queries smallest-id unit vectors.  Collecting
+    # 8x64 doubles is the same bounded eval-set fold every knn row uses;
+    # the driver ALSO needs them to rank cells for the probe table.
+    qrows = sorted(
+        unit.filter(F.col("_id") < n_queries).collect(), key=lambda r: r["_id"]
+    )
+    qframe = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["_id"]), [float(v) for v in r["u"]]) for r in qrows],
+            "qid long, qu array<double>",
+        )
+    )
+
+    # Probe table: per query, cells ranked by the SAME fixed-point
+    # integer distance the quantizer trains with (ties by cell id).
+    def _dfp(qu, cv):
+        return sum(
+            int(_math.floor((a - b) * (a - b) * 1e12 + 0.5))
+            for a, b in zip(qu, cv)
+        )
+
+    probe_rows = []
+    for r in qrows:
+        ranked = sorted(
+            (( _dfp(r["u"], cv), cell) for cell, cv in model.centroids),
+        )
+        for p in probes_ladder:
+            for _, cell in ranked[:p]:
+                probe_rows.append((p, int(r["_id"]), int(cell)))
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "nprobe long, qid long, cell int")
+    )
+
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("u"),
+            F.col("qu"),
+            lambda a, b: F.floor((a - b) * (a - b) * 1e12 + 0.5).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    scored = (
+        cells.crossJoin(qframe)
+        .filter(F.col("_id") != F.col("qid"))
+        .select("qid", F.col("_id").alias("vec_id"), "cell", dist.alias("dist"))
+    )
+    we = Window.partitionBy("qid").orderBy("dist", "vec_id")
+    etop = (
+        scored.select("qid", "vec_id", F.row_number().over(we).alias("rk"))
+        .filter(F.col("rk") <= k_out)
+        .select("qid", "vec_id")
+    )
+    cand = scored.join(probes, ["qid", "cell"]).select(
+        "nprobe", "qid", "vec_id", "dist"
+    )
+    wi = Window.partitionBy("nprobe", "qid").orderBy("dist", "vec_id")
+    itop = (
+        cand.select("nprobe", "qid", "vec_id", F.row_number().over(wi).alias("rk"))
+        .filter(F.col("rk") <= k_out)
+        .select("nprobe", "qid", "vec_id")
+    )
+    hits = itop.join(F.broadcast(etop), ["qid", "vec_id"]).groupBy("nprobe").agg(
+        F.count("*").cast("long").alias("hits")
+    )
+    scanned = cand.groupBy("nprobe").agg(F.count("*").cast("long").alias("scanned"))
+    nn = emb.agg(F.count("*").cast("long").alias("n"))
+    ladder = spark.createDataFrame(
+        [(p,) for p in probes_ladder], "nprobe long"
+    )
+    return (
+        ladder.join(scanned, "nprobe")
+        .join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "nprobe",
+            F.lit(n_queries).cast("long").alias("n_queries"),
+            "scanned",
+            (
+                F.expr(f"scanned * 10000 div ({n_queries} * (n - 1))")
+                / F.lit(10000.0)
+            ).alias("scanned_frac"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            (
+                F.expr(f"COALESCE(hits, 0) * 10000 div {k_out * n_queries}")
+                / F.lit(10000.0)
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )
+
+
 # The registry — and therefore the CLI ``list`` order and any external
 # checker that samples the registry in order — is deliberately sorted by
 # EXTERNAL-VERIFICATION VALUE, using a generic rule that encodes no

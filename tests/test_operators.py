@@ -3023,3 +3023,23 @@ def test_probe_calibration_bins_partition_and_consistency(spark, sf_dir):
         assert r["mean_score_x1e6"] == ssum // n  # python // floors, matches
         assert r["brier_mean_x1e12"] == sesum // n
         assert r["pos_rate"] == (pos * 10000 // n) / 10000.0
+
+
+def test_ivf_nprobe_curve_monotone_with_exact_endpoint(spark, sf_dir):
+    """The tuning curve's defining invariants, independent of the oracle:
+    probing more cells never scans fewer candidates and never loses
+    recall, and probing ALL cells is exact (recall 1.0, full scan)."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    out = sorted(
+        QUERIES["knn_ivf_nprobe_recall_curve"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in out] == [1, 2, 4, 8]
+    for a, b in zip(out, out[1:]):
+        assert a["scanned"] <= b["scanned"]
+        assert a["hits"] <= b["hits"]
+    full = out[-1]
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert full["scanned"] == full["n_queries"] * (n - 1)
+    assert full["recall_at_k"] == 1.0 and full["scanned_frac"] == 1.0

@@ -833,3 +833,80 @@ def streaming_session_finalize(feed_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+KANON_OUTPUT_SCHEMA = "event_type string, hour long, event_id long"
+KANON_STATE_SCHEMA = "buffered array<long>, n_seen long"
+KANON_K = 5
+
+
+def _kanon_release(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-quasi-identifier release gate: buffer a key's events until its
+    LIFETIME count reaches KANON_K, then flush the backlog and pass
+    everything after straight through.  State is the (<= K-1)-long
+    buffered id list plus one counter; once a key crosses K the buffer
+    is empty forever and per-batch work is a pass-through.  The released
+    SET is order-independent — a group's events release iff its final
+    size reaches K, whatever the micro-batch split — which is exactly
+    the batch twin's group-size filter, so parity is set equality with
+    no replay-order contract needed (stronger than the quota kernel's)."""
+    chunks = list(pdfs)
+    ids: list[int] = []
+    for pdf in chunks:
+        ids.extend(int(x) for x in pdf["event_id"])
+    if state.exists:
+        prev = state.get
+        buf = [int(x) for x in (prev[0] or [])]
+        n = int(prev[1])
+    else:
+        buf, n = [], 0
+    n += len(ids)
+    if n >= KANON_K:
+        out = buf + ids
+        buf = []
+    else:
+        out = []
+        buf = buf + ids
+    state.update((buf, n))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(out),
+            "hour": [int(key[1])] * len(out),
+            "event_id": out,
+        }
+    ).astype({"event_type": str, "hour": "int64", "event_id": "int64"})
+
+
+def streaming_kanon_release(events_stream: DataFrame) -> DataFrame:
+    """Streaming k-anonymity release gate — the live twin of the batch
+    ``dq_k_anonymity`` audit [Sweeney 2002]: an event is published only
+    once at least KANON_K events share its quasi-identifier
+    (event_type, epoch hour), so no released row's group is
+    re-identifiable at confidence above 1/K.  The eleventh keyed-state
+    kernel: unlike the emit-once censuses this one HOLDS data back and
+    releases retroactively — the suppress-then-flush shape (group
+    membership, not key identity, is the admission predicate).
+
+    Scale shape: one shuffle per micro-batch on the quasi-identifier;
+    state per SMALL key is at most K-1 buffered longs + a counter, and
+    per released key exactly one counter — bounded by K times the
+    active-key count, never stream length.  Keys that never reach K
+    hold their sub-K buffer until an event-time timeout evicts them
+    (production adds timeoutConf exactly like the session finalizer;
+    the suppressed rows are the PRIVACY contract, not data loss)."""
+    from pyspark.sql import functions as F
+
+    keyed = events_stream.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+        "event_id",
+    )
+    return keyed.groupBy("event_type", "hour").applyInPandasWithState(
+        _kanon_release,
+        outputStructType=KANON_OUTPUT_SCHEMA,
+        stateStructType=KANON_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

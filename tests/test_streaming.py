@@ -1834,3 +1834,57 @@ def test_streaming_session_finalize_timeout_emits_and_evicts(spark, tmp_path):
     }
     assert len(rows) == len(got) == len(expected)  # exactly once per key
     assert got == expected
+
+
+def test_streaming_kanon_release_matches_batch_group_filter(spark, sf_dir, tmp_path):
+    """Set-equality parity for the k-anonymity release gate: whatever the
+    micro-batch split, the released ids must be EXACTLY the events whose
+    (event_type, hour) group reaches KANON_K members in the batch view —
+    and a deliberately adversarial split (round-robin, so most groups
+    straddle batches) must not change that."""
+    from reddit_sse_stream_spark.sources.tables import load_table
+    from reddit_sse_stream_spark.streaming.stateful import (
+        KANON_K,
+        streaming_kanon_release,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    src = tmp_path / "kanon_stream"
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_kanon_release(stream)
+        .writeStream.format("memory")
+        .queryName("kanon_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM kanon_stream").collect()
+    }
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    sizes = ev.select("event_type", hour, "event_id")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("event_type", "hour")
+    batch = {
+        r["event_id"]
+        for r in sizes.withColumn("c", F.count("*").over(w))
+        .filter(F.col("c") >= KANON_K)
+        .collect()
+    }
+    assert got == batch
+    assert len(got) < ev.count()  # some groups really are suppressed
+    # no id released twice
+    rows = spark.sql("SELECT event_id FROM kanon_stream").collect()
+    assert len(rows) == len(got)

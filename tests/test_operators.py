@@ -3043,3 +3043,45 @@ def test_ivf_nprobe_curve_monotone_with_exact_endpoint(spark, sf_dir):
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert full["scanned"] == full["n_queries"] * (n - 1)
     assert full["recall_at_k"] == 1.0 and full["scanned_frac"] == 1.0
+
+
+def test_l_diversity_matches_direct_recompute(spark, sf_dir):
+    """Pin dq_l_diversity to a plain-pandas recount: released groups
+    (size >= 5) whose distinct-user count falls below each l."""
+    import pandas as pd
+
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    g = ev.groupby([ev["event_type"], ev["ts"].dt.floor("h")]).agg(
+        c=("event_id", "size"), l_div=("user_id", "nunique")
+    )
+    rel = g[g["c"] >= 5]
+    out = QUERIES["dq_l_diversity"].spark(spark, sf_dir).collect()
+    assert [r["l"] for r in out] == [2, 3, 5]
+    for r in out:
+        below = rel[rel["l_div"] < r["l"]]
+        assert r["n_groups_released"] == len(rel)
+        assert r["n_rows_released"] == int(rel["c"].sum())
+        assert r["n_groups_below"] == len(below)
+        assert r["n_rows_below"] == int(below["c"].sum())
+
+
+def test_ndcg_curve_invariants(spark, sf_dir):
+    """nDCG defining invariants, independent of the oracle: dcg never
+    exceeds ideal dcg, both cumulatives are non-decreasing, ndcg in
+    (0, 1], and the ideal prefix uses the corpus's best grades (rank-1
+    ideal grade == corpus max relevance grade)."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    out = sorted(
+        QUERIES["search_ndcg_curve"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert [r["rnk"] for r in out] == list(range(1, 11))
+    for r in out:
+        assert 0 < r["ndcg_at_k"] <= 1.0
+        assert r["dcg_x1e6"] <= r["idcg_x1e6"]
+    for a, b in zip(out, out[1:]):
+        assert a["dcg_x1e6"] <= b["dcg_x1e6"]
+        assert a["idcg_x1e6"] <= b["idcg_x1e6"]

@@ -139,6 +139,19 @@ EXTRA = (
     # the min-batch window) and the composed calibration audit
     "text_novelty_decay_curve",
     "corpus_loss_proxy_calibration",
+    # late-r12 second batch: the dq audit family (one keyed exchange +
+    # stack ladders; the MAD row's single histogram exchange), the IVF
+    # tuning curve (broadcast probe table + WindowGroupLimit cuts), the
+    # suffix blocklist (dimension-frame explode, no LIKE scans), and the
+    # int64 nDCG curve
+    "dq_gate_agreement_kappa",
+    "dq_k_anonymity",
+    "dq_l_diversity",
+    "dq_mad_outlier_gate",
+    "corpus_probe_calibration_bins",
+    "knn_ivf_nprobe_recall_curve",
+    "feed_domain_suffix_blocklist",
+    "search_ndcg_curve",
 )
 
 

@@ -12735,6 +12735,238 @@ def search_ndcg_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "join_interval_binned_overlap",
+    """
+    WITH s0 AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s1 AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s0),
+    sess AS (
+      SELECT user_id, sid, epoch_us(min(ts)) AS a_s, epoch_us(max(ts)) AS a_e
+      FROM s1 GROUP BY 1, 2),
+    hb AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS c,
+             epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx
+      FROM events GROUP BY 1, 2),
+    q AS (
+      SELECT event_type, mn, mx,
+             epoch_us(h) // 3600000000
+               - row_number() OVER (PARTITION BY event_type ORDER BY h)
+               AS grp
+      FROM hb WHERE c >= 7),
+    isl AS (
+      SELECT event_type, grp, min(mn) AS b_s, max(mx) AS b_e
+      FROM q GROUP BY 1, 2),
+    nb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_bursts
+           FROM isl GROUP BY 1),
+    bb AS (
+      SELECT event_type, b_s, b_e,
+             unnest(generate_series(b_s // 3600000000, b_e // 3600000000))
+               AS bin
+      FROM isl),
+    sb AS (
+      SELECT user_id, sid, a_s, a_e,
+             unnest(generate_series(a_s // 3600000000, a_e // 3600000000))
+               AS bin
+      FROM sess),
+    pairs AS (
+      SELECT DISTINCT s.user_id, s.sid, s.a_s, s.a_e,
+                      b.event_type, b.b_s, b.b_e
+      FROM sb s JOIN bb b USING (bin)
+      WHERE s.a_s <= b.b_e AND b.b_s <= s.a_e)
+    SELECT nb.event_type, nb.n_bursts,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT user_id * 1000000 + sid) AS BIGINT)
+             AS n_sessions,
+           CAST(COALESCE(sum(least(a_e, b_e) - greatest(a_s, b_s)), 0)
+                AS BIGINT) AS overlap_us_total
+    FROM nb LEFT JOIN pairs USING (event_type)
+    GROUP BY nb.event_type, nb.n_bursts
+    ORDER BY nb.event_type
+    """,
+)
+def join_interval_binned_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via FIXED-WIDTH BINNING — the Spark-first
+    answer to the join shape Catalyst would otherwise nested-loop
+    (``a.start <= b.end AND b.start <= a.end`` has no equi-key): explode
+    each interval into the hour bins it covers, hash-equi-join on the
+    bin, de-duplicate pairs, and apply the true overlap predicate as a
+    post-filter — the binned range join every warehouse implements under
+    its range-join hint, built from primitives.  The two interval sets
+    are real derivations: user inactivity-gap sessions (the
+    ``sessionize_events`` recipe with both endpoints kept) and per-type
+    BURST windows (hours with >= 7 events, CONSECUTIVE qualifying hours
+    merged islands-and-gaps so intervals genuinely span bins).  Output
+    per event type: bursts, overlapping (session, burst) pairs, sessions
+    touched, and the exact summed overlap in int64 microseconds.
+
+    Plan shape: sessions = one user exchange (both windows and the
+    endpoint agg share it); bursts = one (type, hour) exchange + a
+    dimension-sized islands window; the join is broadcast (the burst-bin
+    frame is burst-count sized) against the session-bin explode — the
+    explode factor is interval-length/bin-width, the binned-join
+    tradeoff every implementation documents.  Nothing pairs
+    quadratically: candidate pairs are bounded by co-binned intervals,
+    the post-filter only drops same-bin non-overlaps."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("sid", F.sum("is_new").over(run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("a_s"),
+            F.unix_micros(F.max("ts")).alias("a_e"),
+        )
+    )
+    hb = ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("c"),
+        F.unix_micros(F.min("ts")).alias("mn"),
+        F.unix_micros(F.max("ts")).alias("mx"),
+    )
+    wq = Window.partitionBy("event_type").orderBy("h")
+    q = hb.filter(F.col("c") >= 7).select(
+        "event_type",
+        "mn",
+        "mx",
+        "h",
+        F.expr("unix_micros(h) div 3600000000").alias("hidx"),
+    ).withColumn("grp", F.col("hidx") - F.row_number().over(wq))
+    isl = q.groupBy("event_type", "grp").agg(
+        F.min("mn").alias("b_s"), F.max("mx").alias("b_e")
+    )
+    nb = isl.groupBy("event_type").agg(F.count("*").cast("long").alias("n_bursts"))
+    hour_us = 3600000000
+    bb = isl.select(
+        "event_type",
+        "b_s",
+        "b_e",
+        F.explode(
+            F.sequence(
+                F.expr(f"b_s div {hour_us}"), F.expr(f"b_e div {hour_us}")
+            )
+        ).alias("bin"),
+    )
+    sb = sess.select(
+        "user_id",
+        "sid",
+        "a_s",
+        "a_e",
+        F.explode(
+            F.sequence(
+                F.expr(f"a_s div {hour_us}"), F.expr(f"a_e div {hour_us}")
+            )
+        ).alias("bin"),
+    )
+    pairs = (
+        sb.join(F.broadcast(bb), "bin")
+        .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .select("user_id", "sid", "a_s", "a_e", "event_type", "b_s", "b_e")
+        .distinct()
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.countDistinct(F.col("user_id") * 1000000 + F.col("sid"))
+        .cast("long")
+        .alias("n_sessions"),
+        F.sum(
+            F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+        ).cast("long").alias("overlap_us_total"),
+    )
+    return (
+        nb.join(agg, "event_type", "left")
+        .select(
+            "event_type",
+            "n_bursts",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_sessions", F.lit(0)).cast("long").alias("n_sessions"),
+            F.coalesce("overlap_us_total", F.lit(0))
+            .cast("long")
+            .alias("overlap_us_total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "layout_compaction_plan",
+    """
+    WITH man AS (
+      SELECT source, doc_id // 20 AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1, 2),
+    cum AS (
+      SELECT *,
+             CAST(COALESCE(sum(bytes) OVER (PARTITION BY source
+               ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      FROM man)
+    SELECT source, CAST(cum_before // 20000 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(bytes) AS BIGINT) AS bytes
+    FROM cum GROUP BY 1, 2 ORDER BY source, grp
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner — the table-maintenance pass every
+    long-lived lake table needs (a streaming ingest leaves shard-sized
+    files; queries want ~target-sized ones): assign consecutive shards
+    of each source to compaction groups by START-OFFSET binning
+    (group = floor(cumulative-bytes-before / target)), the classic
+    coalesce-by-cumulative-size plan.  Groups preserve shard order (so
+    compaction is a sequential concat, no re-sort), every group except
+    possibly the last reaches the target once a shard pushes it over,
+    and the plan is pure metadata.
+
+    Plan shape — the part that matters at 100 TB: the planner consumes
+    the shard MANIFEST, not rows.  One (source, shard) aggregate builds
+    the manifest (the only data-shaped stage, and in a real lake it
+    already exists as table metadata); the cumulative window and the
+    group aggregate run on the manifest frame, which is files-sized.
+    Planning compaction by sorting ROWS would be the anti-pattern this
+    row exists to not be."""
+    docs = _t(spark, sf_dir, "documents")
+    man = docs.groupBy(
+        "source", F.expr("doc_id div 20").alias("shard")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("bytes"),
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = man.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("bytes").over(wc), F.lit(0)).cast("long"),
+    )
+    return (
+        cum.groupBy("source", F.expr("cum_before div 20000").alias("grp"))
+        .agg(
+            F.count("*").cast("long").alias("n_shards"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("bytes").cast("long").alias("bytes"),
+        )
+        .orderBy("source", "grp")
+    )
+
+
 # The registry — and therefore the CLI ``list`` order and any external
 # checker that samples the registry in order — is deliberately sorted by
 # EXTERNAL-VERIFICATION VALUE, using a generic rule that encodes no

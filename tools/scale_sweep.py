@@ -168,6 +168,16 @@ SWEEP = (
     # text_novelty_first_owner (one gram-key exchange rides the
     # (batch, gram) dedup and the min-batch window; 10-row output)
     "text_novelty_decay_curve",
+    # late-r12: MAD outliers — ONE (source, value) histogram exchange;
+    # everything after is value-domain sized, so the curve must track
+    # the scan, not the corpus
+    "dq_mad_outlier_gate",
+    # late-r12: IVF tuning curve — training constant + one unit-frame
+    # scan with WindowGroupLimit cuts; near-flat like the other ANN rows
+    "knn_ivf_nprobe_recall_curve",
+    # late-r12: suffix blocklist — domain exchange then dimension-frame
+    # suffix explode; must stay exchange-shaped
+    "feed_domain_suffix_blocklist",
 )
 
 

@@ -110,6 +110,14 @@ HEADLINE = (
     # rows, so vs_prev skips them
     "search_rm3_expansion",
     "pref_bradley_terry_strength",
+    # late-r12 note: the IVF nprobe tuning curve and the binned
+    # interval-overlap join stay OUT of the headline deliberately — the
+    # lean final line sits at 1766/1800 bytes and either name pushes it
+    # over FINAL_LINE_BUDGET, where the last-resort shed would truncate
+    # query names out of next round's vs_prev audit.  Both rows are in
+    # the scale-sweep roster, which is the scaling evidence that
+    # matters for them (their absolute cost is ANN-family/join-family
+    # shaped, already priced by knn_ivfpq_* and join_* rows here).
 )
 
 #: Rows whose recorded same-code spread exceeds 1.5x on this shared

@@ -12967,6 +12967,272 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dq_join_skew_profile",
+    """
+    WITH g AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(max(c) AS BIGINT) AS max_c
+      FROM g),
+    h AS (SELECT c, CAST(count(*) AS BIGINT) AS nk FROM g GROUP BY c),
+    h2 AS (SELECT c, sum(nk) OVER (ORDER BY c) AS cum FROM h),
+    p AS (
+      SELECT
+        (SELECT CAST(min(c) AS BIGINT) FROM h2, t
+          WHERE 100 * cum >= 50 * t.n_keys) AS p50_c,
+        (SELECT CAST(min(c) AS BIGINT) FROM h2, t
+          WHERE 100 * cum >= 99 * t.n_keys) AS p99_c)
+    SELECT t.n_keys, t.n_rows, t.max_c, p.p50_c, p.p99_c,
+           CAST(t.n_rows * 10000 // t.n_keys AS BIGINT) AS mean_c_x1e4,
+           CAST(t.max_c * t.n_keys * 10000 // t.n_rows AS BIGINT)
+             AS skew_x1e4,
+           CAST((t.max_c * t.n_keys + 4 * t.n_rows - 1) // (4 * t.n_rows)
+                AS BIGINT) AS salt_buckets
+    FROM t, p
+    """,
+)
+def dq_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the pre-flight a pipeline runs before
+    shuffling 100 TB on a key it has never measured: per-key cardinality
+    stats for events.user_id (the catalog's canonical join key), the
+    exact discrete p50/p99 of the per-key count distribution (via the
+    two-phase distinct-count histogram, never a global sort), the
+    hottest-key-to-mean skew factor, and the SALT BUCKET COUNT that
+    would bring the hottest key down to <= 4x the mean — i.e. the
+    integer this profile exists to produce, the one
+    ``join_skew_salted``'s literal salt factor encodes by hand.
+
+    Plan shape: one key exchange builds the per-key counts; the
+    percentiles come from a count-of-counts histogram (value-domain
+    sized) + cumulative window; everything else is a 1-row aggregate.
+    All int64 — mean/skew as 1e4 floor divisions, salt as exact ceiling
+    division."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
+    t = g.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    h = g.groupBy("c").agg(F.count("*").cast("long").alias("nk"))
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    h2 = h.select("c", F.sum("nk").over(wcum).alias("cum")).crossJoin(
+        F.broadcast(t.select("n_keys"))
+    )
+    p50 = (
+        h2.filter(100 * F.col("cum") >= 50 * F.col("n_keys"))
+        .agg(F.min("c").cast("long").alias("p50_c"))
+    )
+    p99 = (
+        h2.filter(100 * F.col("cum") >= 99 * F.col("n_keys"))
+        .agg(F.min("c").cast("long").alias("p99_c"))
+    )
+    return (
+        t.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_c",
+            "p50_c",
+            "p99_c",
+            F.expr("n_rows * 10000 div n_keys").alias("mean_c_x1e4"),
+            F.expr("max_c * n_keys * 10000 div n_rows").alias("skew_x1e4"),
+            F.expr("(max_c * n_keys + 4 * n_rows - 1) div (4 * n_rows)").alias(
+                "salt_buckets"
+            ),
+        )
+    )
+
+
+def _zorder_skip_oracle(n_files: int = 32, n_probes: int = 16) -> str:
+    # interleave RANGE-NORMALIZED 8-bit dimensions (the Delta OPTIMIZE
+    # ZORDER practice): raw interleaving of unequal-width domains lets
+    # the wider column own every high bit and the narrow column gets no
+    # pruning at all — this audit MEASURED that before normalization
+    zkey = layout.morton_key_sql("un", "en", bits=8)
+    return f"""
+    WITH mm0 AS (
+      SELECT min(event_id) AS mne, max(event_id) AS mxe,
+             min(user_id) AS mnu, max(user_id) AS mxu
+      FROM events),
+    k AS (
+      SELECT e.event_id, e.user_id,
+             ((e.user_id - mm0.mnu) * 256) // (mm0.mxu - mm0.mnu + 1) AS un,
+             ((e.event_id - mm0.mne) * 256) // (mm0.mxe - mm0.mne + 1) AS en
+      FROM events e CROSS JOIN mm0),
+    kz AS (SELECT event_id, user_id, {zkey} AS zkey FROM k),
+    mm AS (
+      SELECT min(event_id) AS mne, max(event_id) AS mxe,
+             min(zkey) AS mnz, max(zkey) AS mxz
+      FROM kz),
+    f AS (
+      SELECT k.user_id, k.event_id,
+             ((k.event_id - mm.mne) * {n_files})
+               // (mm.mxe - mm.mne + 1) AS f_lin,
+             ((k.zkey - mm.mnz) * {n_files})
+               // (mm.mxz - mm.mnz + 1) AS f_z
+      FROM kz k CROSS JOIN mm),
+    boxes AS (
+      SELECT ordering, file,
+             min(user_id) AS mn_u, max(user_id) AS mx_u,
+             min(event_id) AS mn_e, max(event_id) AS mx_e
+      FROM (
+        SELECT 'linear' AS ordering, f_lin AS file, user_id, event_id FROM f
+        UNION ALL
+        SELECT 'zorder' AS ordering, f_z AS file, user_id, event_id FROM f)
+      GROUP BY ordering, file),
+    pu AS (SELECT DISTINCT user_id AS v FROM events
+           ORDER BY v LIMIT {n_probes}),
+    pe AS (SELECT DISTINCT event_id AS v FROM events
+           ORDER BY v LIMIT {n_probes}),
+    probes AS (
+      SELECT 'user_id' AS probe_dim, v FROM pu
+      UNION ALL
+      SELECT 'event_id' AS probe_dim, v FROM pe),
+    touch AS (
+      SELECT b.ordering, p.probe_dim, p.v,
+             CAST(count(*) AS BIGINT) AS files_touched
+      FROM probes p JOIN boxes b
+        ON (p.probe_dim = 'user_id' AND p.v BETWEEN b.mn_u AND b.mx_u)
+        OR (p.probe_dim = 'event_id' AND p.v BETWEEN b.mn_e AND b.mx_e)
+      GROUP BY 1, 2, 3),
+    nf AS (SELECT ordering, CAST(count(*) AS BIGINT) AS n_files
+           FROM boxes GROUP BY ordering)
+    SELECT t.ordering, t.probe_dim, nf.n_files,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(t.files_touched) AS BIGINT) AS files_touched_total,
+           CAST(sum(t.files_touched) * 10000 // count(*) AS BIGINT) / 10000.0
+             AS avg_files_touched
+    FROM touch t JOIN nf USING (ordering)
+    GROUP BY t.ordering, t.probe_dim, nf.n_files
+    ORDER BY t.ordering, t.probe_dim
+    """
+
+
+@_register("layout_zorder_skipping_audit", _zorder_skip_oracle())
+def layout_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness of the Z-order layout, QUANTIFIED —
+    the audit behind ``layout_zorder_keys``'s claim that min-max pruning
+    works on EITHER dimension: assign every event to one of 32 files
+    under (a) linear event_id order and (b) Morton-key order, compute
+    each file's (user_id, event_id) bounding box, and replay a 16-point
+    equality-probe workload per dimension counting files whose box
+    admits the probe.  Expected asymmetry IS the result: linear order
+    prunes event_id probes perfectly and user_id probes not at all;
+    z-order prunes BOTH — the measured justification for paying the
+    clustered write.
+
+    The interleave runs over RANGE-NORMALIZED 8-bit dimensions (each
+    column mapped to [0, 256) against its own min/max — what Delta's
+    OPTIMIZE ZORDER does with per-column range ids).  That is not a
+    nicety: this audit, run first on the raw ``% 65536`` key that
+    ``layout_zorder_keys`` emits, measured ZERO user_id pruning —
+    event_id's wider domain owned every high bit, so file splits were
+    event-only rectangles.  The normalized key prunes both dimensions.
+
+    Plan shape: file ids come from VALUE-RANGE binning against a
+    broadcast 1-row min/max frame (map-only — the audit mirrors
+    repartitionByRange without materializing a global sort, and no
+    corpus-sized rank window exists here); boxes are one
+    (ordering, file)-keyed aggregate; probes are two TakeOrdered(16)
+    frames; the probe-to-box containment join is a broadcast of 64 box
+    rows.  Nothing after the box aggregate scales with rows."""
+    n_files, n_probes = 32, 16
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    mm0 = ev.agg(
+        F.min("event_id").alias("mne0"),
+        F.max("event_id").alias("mxe0"),
+        F.min("user_id").alias("mnu0"),
+        F.max("user_id").alias("mxu0"),
+    )
+    norm = ev.crossJoin(F.broadcast(mm0)).select(
+        "event_id",
+        "user_id",
+        F.expr("(user_id - mnu0) * 256 div (mxu0 - mnu0 + 1)").alias("un"),
+        F.expr("(event_id - mne0) * 256 div (mxe0 - mne0 + 1)").alias("en"),
+    )
+    k = norm.select(
+        "event_id",
+        "user_id",
+        layout.morton_key(F.col("un"), F.col("en"), 8).alias("zkey"),
+    )
+    mm = k.agg(
+        F.min("event_id").alias("mne"),
+        F.max("event_id").alias("mxe"),
+        F.min("zkey").alias("mnz"),
+        F.max("zkey").alias("mxz"),
+    )
+    f = k.crossJoin(F.broadcast(mm)).select(
+        "user_id",
+        "event_id",
+        F.expr(f"(event_id - mne) * {n_files} div (mxe - mne + 1)").alias("f_lin"),
+        F.expr(f"(zkey - mnz) * {n_files} div (mxz - mnz + 1)").alias("f_z"),
+    )
+    both = f.select(
+        F.lit("linear").alias("ordering"), F.col("f_lin").alias("file"),
+        "user_id", "event_id",
+    ).unionAll(
+        f.select(
+            F.lit("zorder").alias("ordering"), F.col("f_z").alias("file"),
+            "user_id", "event_id",
+        )
+    )
+    boxes = both.groupBy("ordering", "file").agg(
+        F.min("user_id").alias("mn_u"),
+        F.max("user_id").alias("mx_u"),
+        F.min("event_id").alias("mn_e"),
+        F.max("event_id").alias("mx_e"),
+    )
+    pu = (
+        ev.select(F.col("user_id").alias("v")).distinct().orderBy("v").limit(n_probes)
+        .select(F.lit("user_id").alias("probe_dim"), "v")
+    )
+    pe = (
+        ev.select(F.col("event_id").alias("v")).distinct().orderBy("v")
+        .limit(n_probes)
+        .select(F.lit("event_id").alias("probe_dim"), "v")
+    )
+    probes = pu.unionAll(pe)
+    cond = (
+        (F.col("probe_dim") == "user_id")
+        & F.col("v").between(F.col("mn_u"), F.col("mx_u"))
+    ) | (
+        (F.col("probe_dim") == "event_id")
+        & F.col("v").between(F.col("mn_e"), F.col("mx_e"))
+    )
+    touch = (
+        probes.join(F.broadcast(boxes), cond)
+        .groupBy("ordering", "probe_dim", "v")
+        .agg(F.count("*").cast("long").alias("files_touched"))
+    )
+    nf = boxes.groupBy("ordering").agg(F.count("*").cast("long").alias("n_files"))
+    return (
+        touch.join(F.broadcast(nf), "ordering")
+        .groupBy("ordering", "probe_dim", "n_files")
+        .agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.sum("files_touched").cast("long").alias("files_touched_total"),
+        )
+        .select(
+            "ordering",
+            "probe_dim",
+            "n_files",
+            "n_probes",
+            "files_touched_total",
+            (
+                F.expr("files_touched_total * 10000 div n_probes")
+                / F.lit(10000.0)
+            ).alias("avg_files_touched"),
+        )
+        .orderBy("ordering", "probe_dim")
+    )
+
+
 # The registry — and therefore the CLI ``list`` order and any external
 # checker that samples the registry in order — is deliberately sorted by
 # EXTERNAL-VERIFICATION VALUE, using a generic rule that encodes no

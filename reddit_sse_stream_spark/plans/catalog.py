@@ -13544,12 +13544,41 @@ _CHANGED_SINCE_PROOF: set = {
 }
 
 
+# Late-r12 additions that are dual-engine verified locally (sf0.001 AND
+# sf0.01, tools/verify_local.py) but have never been driver-sampled.
+# They do NOT take the never-proven head slot this round: the r12 window
+# must first rotate the 31 rows whose latest proof dates to r06 (VERDICT
+# r11 next #2, "Done = no oracled row's proof older than r07"), and 31
+# stale + 18 head rows already fill a 50-row window.  Slotting these at
+# an effective proof round of 6.5 puts them immediately AFTER the r06
+# tier and ahead of everything r07+, so they lead whatever window
+# remains this round and the r13 window otherwise.  DELETE this set in
+# r13 (regen_prior_green will record their proofs, or they fall back to
+# the never-proven head).
+_R12_LOCAL_ONLY: set = {
+    "dq_gate_agreement_kappa",
+    "dq_k_anonymity",
+    "dq_l_diversity",
+    "dq_mad_outlier_gate",
+    "dq_join_skew_profile",
+    "corpus_probe_calibration_bins",
+    "knn_ivf_nprobe_recall_curve",
+    "feed_domain_suffix_blocklist",
+    "search_ndcg_curve",
+    "join_interval_binned_overlap",
+    "layout_compaction_plan",
+    "layout_zorder_skipping_audit",
+}
+
+
 def _registry_rank(item):
     name, qd = item
     if qd.oracle is None:
         return (3, 0)
     if name in _CHANGED_SINCE_PROOF:
         return (0, 0)
+    if name in _R12_LOCAL_ONLY:
+        return (2, 6.5)
     if name not in _PRIOR_GREEN_ROUND:
         return (1, 0)
     return (2, _PRIOR_GREEN_ROUND[name])

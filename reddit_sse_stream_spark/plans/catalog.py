@@ -13544,6 +13544,135 @@ _CHANGED_SINCE_PROOF: set = {
 }
 
 
+def _poisson1_thresholds_x2e60(kmax: int = 7) -> list[int]:
+    """floor(CDF_Poisson(1)(k) * 2^60) for k = 0..kmax-1 — integer
+    thresholds against the 60-bit md5 uniform, computed ONCE here and
+    embedded as the same Python ints in both engines (no exp()/factorial
+    runs inside either engine).  weight = #{k : hv >= T_k}."""
+    import math as _m
+
+    cdf, term, out = 0.0, _m.exp(-1.0), []
+    for k in range(kmax):
+        cdf += term
+        out.append(int(_m.floor(cdf * (1 << 60))))
+        term /= k + 1
+    return out
+
+
+def _bootstrap_ci_oracle(b: int = 40) -> str:
+    ts = _poisson1_thresholds_x2e60()
+    w_terms = " + ".join(
+        f"CASE WHEN hv >= {t} THEN 1 ELSE 0 END" for t in ts
+    )
+    return f"""
+    WITH e AS (
+      SELECT d.n_chars, t.b,
+             CAST(concat('0x', substr(md5('boot:' || CAST(d.doc_id AS VARCHAR)
+                    || ':' || CAST(t.b AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {b - 1})) AS b) t),
+    w AS (SELECT b, n_chars, CAST({w_terms} AS BIGINT) AS w FROM e),
+    rep AS (
+      SELECT b,
+             CAST(sum(w * n_chars) * 10000 // greatest(sum(w), 1) AS BIGINT)
+               AS mean_x1e4
+      FROM w GROUP BY b),
+    rk AS (SELECT mean_x1e4, row_number() OVER (ORDER BY mean_x1e4, b) AS r
+           FROM rep),
+    pt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars) * 10000 // count(*) AS BIGINT)
+                    AS point_mean_x1e4
+           FROM documents)
+    SELECT pt.n_docs, pt.point_mean_x1e4,
+           CAST({b} AS BIGINT) AS b_replicas,
+           (SELECT CAST(mean_x1e4 AS BIGINT) FROM rk
+             WHERE r = {max(1, -(-5 * b // 100))}) AS ci_lo_x1e4,
+           (SELECT CAST(mean_x1e4 AS BIGINT) FROM rk
+             WHERE r = {-(-95 * b // 100)}) AS ci_hi_x1e4
+    FROM pt
+    """
+
+
+@_register("dq_bootstrap_ci_mean", _bootstrap_ci_oracle())
+def dq_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a corpus metric (mean
+    document length) — the one-pass error-bar technique for metrics at
+    scale: instead of resampling the corpus B times (B full shuffles),
+    each row carries B deterministic Poisson(1) weights and every
+    replica mean is a weighted aggregate of the SAME single pass.
+    Weights come from the salted 60-bit md5 uniform compared against
+    integer CDF thresholds precomputed once in Python and embedded in
+    both engines — no exp(), no float comparison, bit-identical
+    replicas.  The 90% interval is the exact rank-2/rank-38 pair of the
+    40 replica means (deterministic, reproducible error bars — the
+    thing a per-round quality dashboard needs before declaring a metric
+    moved).
+
+    Plan shape: one explode by B (the documented B-times row multiplier
+    — still one SCAN, and at 100 TB the same math runs as B aggregate
+    column pairs with zero explode if the multiplier matters), one
+    B-keyed aggregate (map-side partial), and rank/CI windows over the
+    constant B-row frame."""
+    b = 40
+    ts = _poisson1_thresholds_x2e60()
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    e = docs.select(
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("b"),
+        "doc_id",
+    ).select(
+        "n_chars",
+        "b",
+        dedup.md5_hash60(
+            F.concat(
+                F.lit("boot:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        ).alias("hv"),
+    )
+    w_col = sum(
+        F.when(F.col("hv") >= t, 1).otherwise(0) for t in ts
+    ).cast("long")
+    rep = (
+        e.select("b", "n_chars", w_col.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.expr(
+                "CAST(sum(w * n_chars) * 10000 div greatest(sum(w), 1) AS BIGINT)"
+            ).alias("mean_x1e4")
+        )
+    )
+    wr = Window.orderBy("mean_x1e4", "b")
+    rk = rep.select("mean_x1e4", F.row_number().over(wr).alias("r"))
+    k_lo = max(1, -(-5 * b // 100))
+    k_hi = -(-95 * b // 100)
+    lo = rk.filter(F.col("r") == k_lo).select(
+        F.col("mean_x1e4").alias("ci_lo_x1e4")
+    )
+    hi = rk.filter(F.col("r") == k_hi).select(
+        F.col("mean_x1e4").alias("ci_hi_x1e4")
+    )
+    pt = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("CAST(sum(n_chars) * 10000 div count(*) AS BIGINT)").alias(
+            "point_mean_x1e4"
+        ),
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_docs",
+            "point_mean_x1e4",
+            F.lit(b).cast("long").alias("b_replicas"),
+            "ci_lo_x1e4",
+            "ci_hi_x1e4",
+        )
+    )
+
+
 # Late-r12 additions that are dual-engine verified locally (sf0.001 AND
 # sf0.01, tools/verify_local.py) but have never been driver-sampled.
 # They do NOT take the never-proven head slot this round: the r12 window
@@ -13568,6 +13697,7 @@ _R12_LOCAL_ONLY: set = {
     "join_interval_binned_overlap",
     "layout_compaction_plan",
     "layout_zorder_skipping_audit",
+    "dq_bootstrap_ci_mean",
 }
 
 

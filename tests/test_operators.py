@@ -3085,3 +3085,34 @@ def test_ndcg_curve_invariants(spark, sf_dir):
     for a, b in zip(out, out[1:]):
         assert a["dcg_x1e6"] <= b["dcg_x1e6"]
         assert a["idcg_x1e6"] <= b["idcg_x1e6"]
+
+
+def test_bootstrap_ci_brackets_point_and_replica_weights_are_poisson1(spark, sf_dir):
+    """The CI must bracket the point estimate, and the deterministic
+    Poisson(1) weights must behave like Poisson(1): across all (doc, b)
+    cells the mean weight sits near 1 (law of large numbers over 40 x
+    n_docs hash draws — a wrong threshold table would shift every
+    replica mean visibly)."""
+    from reddit_sse_stream_spark.plans.catalog import (
+        QUERIES,
+        _poisson1_thresholds_x2e60,
+    )
+
+    row = QUERIES["dq_bootstrap_ci_mean"].spark(spark, sf_dir).collect()[0]
+    assert row["ci_lo_x1e4"] <= row["point_mean_x1e4"] <= row["ci_hi_x1e4"]
+    assert row["ci_lo_x1e4"] < row["ci_hi_x1e4"]
+    # threshold table sanity: CDF values strictly increasing toward 2^60
+    ts = _poisson1_thresholds_x2e60()
+    assert ts == sorted(ts) and 0 < ts[0] < ts[-1] < 1 << 60
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").collect()
+    total, n = 0, 0
+    for r in docs:
+        for b in range(40):
+            hv = int(
+                hashlib.md5(f"boot:{r['doc_id']}:{b}".encode()).hexdigest()[:15], 16
+            )
+            total += sum(1 for t in ts if hv >= t)
+            n += 1
+    assert abs(total / n - 1.0) < 0.05  # mean Poisson(1) weight ~ 1

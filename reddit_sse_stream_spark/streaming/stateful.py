@@ -910,3 +910,97 @@ def streaming_kanon_release(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT_SCHEMA = "source string, doc_id long, direction int, stat long"
+CUSUM_STATE_SCHEMA = (
+    "phase int, n long, base_sum long, baseline long, s_pos long, s_neg long"
+)
+CUSUM_BASELINE_N = 20
+
+
+def _cusum_drift(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-source CUSUM drift detector over doc length: the first
+    CUSUM_BASELINE_N docs set the baseline mean (integer floor); after
+    that S+ accumulates max(0, S+ + (x - baseline - slack)) and S-
+    mirrors it downward, slack = baseline // 10, threshold = 5 *
+    baseline.  A crossing EMITS one drift event (direction +1/-1, the
+    statistic at detection) and resets both accumulators — Page's
+    sequential change detection, all int64.  Deterministic under the
+    replay contract the dedup/quota kernels pin (micro-batches arrive
+    in doc_id order; rows are sorted by doc_id within each batch)."""
+    chunks = list(pdfs)
+    rows = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if state.exists:
+        phase, n, base_sum, baseline, s_pos, s_neg = (int(v) for v in state.get)
+    else:
+        phase, n, base_sum, baseline, s_pos, s_neg = 0, 0, 0, 0, 0, 0
+    out_doc: list[int] = []
+    out_dir: list[int] = []
+    out_stat: list[int] = []
+    if len(rows):
+        rows = rows.sort_values("doc_id")
+        for doc_id, x in zip(rows["doc_id"], rows["n_chars"]):
+            doc_id, x = int(doc_id), int(x)
+            if phase == 0:
+                n += 1
+                base_sum += x
+                if n >= CUSUM_BASELINE_N:
+                    baseline = base_sum // n
+                    phase = 1
+                continue
+            slack = baseline // 10
+            thresh = 5 * baseline
+            s_pos = max(0, s_pos + (x - baseline - slack))
+            s_neg = max(0, s_neg + (baseline - x - slack))
+            if s_pos > thresh:
+                out_doc.append(doc_id)
+                out_dir.append(1)
+                out_stat.append(s_pos)
+                s_pos = 0
+                s_neg = 0
+            elif s_neg > thresh:
+                out_doc.append(doc_id)
+                out_dir.append(-1)
+                out_stat.append(s_neg)
+                s_pos = 0
+                s_neg = 0
+    state.update((phase, n, base_sum, baseline, s_pos, s_neg))
+    yield pd.DataFrame(
+        {
+            "source": [key[0]] * len(out_doc),
+            "doc_id": out_doc,
+            "direction": out_dir,
+            "stat": out_stat,
+        }
+    ).astype(
+        {"source": str, "doc_id": "int64", "direction": "int32", "stat": "int64"}
+    )
+
+
+def streaming_cusum_drift(docs_stream: DataFrame) -> DataFrame:
+    """Streaming per-source drift monitor — the live companion to the
+    batch ``dq_length_drift_ks`` audit: Page's CUSUM over document
+    length with a self-calibrated baseline (first CUSUM_BASELINE_N docs
+    per source), emitting a drift event the moment a source's length
+    distribution shifts up or down past the threshold — the alarm an
+    always-on ingest pipeline wants the trigger AFTER which the batch KS
+    audit gets run, not instead of it.  Twelfth keyed-state kernel; the
+    new shape is SELF-CALIBRATING SEQUENTIAL state (a baseline learned
+    in-stream gates the statistic that follows it).
+
+    Scale shape: one shuffle per micro-batch on the source key; state is
+    six longs per source — constant per key, independent of stream
+    length; the per-batch work is a pure pandas scan of that batch's
+    rows.  All arithmetic int64 (floor baseline, integer slack and
+    threshold), so a replay reproduces the event list bit for bit."""
+    keyed = docs_stream.select("source", "doc_id", "n_chars")
+    return keyed.groupBy("source").applyInPandasWithState(
+        _cusum_drift,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

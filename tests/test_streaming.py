@@ -1888,3 +1888,86 @@ def test_streaming_kanon_release_matches_batch_group_filter(spark, sf_dir, tmp_p
     # no id released twice
     rows = spark.sql("SELECT event_id FROM kanon_stream").collect()
     assert len(rows) == len(got)
+
+
+def test_streaming_cusum_drift_matches_sequential_replay(spark, sf_dir, tmp_path):
+    """Exact-event parity for the CUSUM drift kernel: replaying the
+    documents table in doc_id-ordered micro-batches must emit EXACTLY
+    the drift events a plain-Python sequential CUSUM over the same
+    per-source doc_id order produces — baseline, slack, threshold,
+    resets and all.  A synthetic length spike is injected into one
+    source so at least one drift event provably exists."""
+    import pandas as pd
+
+    from reddit_sse_stream_spark.sources.tables import load_table
+    from reddit_sse_stream_spark.streaming.stateful import (
+        CUSUM_BASELINE_N,
+        streaming_cusum_drift,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    # inject a drift: src0 docs in the top doc_id third get 10x length
+    n = docs.agg(F.max("doc_id")).collect()[0][0]
+    docs = docs.withColumn(
+        "n_chars",
+        F.when(
+            (F.col("source") == "src0") & (F.col("doc_id") > 2 * n / 3),
+            F.col("n_chars") * 10,
+        ).otherwise(F.col("n_chars")),
+    )
+    src = tmp_path / "cusum_stream"
+    third = n // 3
+    docs.filter(F.col("doc_id") <= third).coalesce(1).write.mode("append").parquet(str(src))
+    docs.filter((F.col("doc_id") > third) & (F.col("doc_id") <= 2 * third)).coalesce(1).write.mode("append").parquet(str(src))
+    docs.filter(F.col("doc_id") > 2 * third).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_cusum_drift(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["source"], r["doc_id"], r["direction"], r["stat"])
+        for r in spark.sql(
+            "SELECT * FROM cusum_stream ORDER BY source, doc_id"
+        ).collect()
+    ]
+
+    # plain-Python sequential replay (the independent derivation)
+    pdf = docs.toPandas().sort_values("doc_id")
+    expect = []
+    st: dict = {}
+    for _, row in pdf.iterrows():
+        s, d, x = row["source"], int(row["doc_id"]), int(row["n_chars"])
+        ph, cnt, bsum, base, sp, sn = st.get(s, (0, 0, 0, 0, 0, 0))
+        if ph == 0:
+            cnt += 1
+            bsum += x
+            if cnt >= CUSUM_BASELINE_N:
+                base = bsum // cnt
+                ph = 1
+            st[s] = (ph, cnt, bsum, base, sp, sn)
+            continue
+        slack, thresh = base // 10, 5 * base
+        sp = max(0, sp + (x - base - slack))
+        sn = max(0, sn + (base - x - slack))
+        if sp > thresh:
+            expect.append((s, d, 1, sp))
+            sp = sn = 0
+        elif sn > thresh:
+            expect.append((s, d, -1, sn))
+            sp = sn = 0
+        st[s] = (ph, cnt, bsum, base, sp, sn)
+    expect.sort()
+    assert got == expect
+    assert any(e[0] == "src0" and e[2] == 1 for e in got)  # the injected spike fires

@@ -152,6 +152,15 @@ EXTRA = (
     "knn_ivf_nprobe_recall_curve",
     "feed_domain_suffix_blocklist",
     "search_ndcg_curve",
+    # late-r12 third batch: the equi-fied interval join (broadcast burst
+    # bins), the manifest-frame compaction planner, the skew profiler's
+    # histogram percentiles, the zorder skipping audit's value-range
+    # binning (no global rank), and the one-pass bootstrap
+    "join_interval_binned_overlap",
+    "layout_compaction_plan",
+    "dq_join_skew_profile",
+    "layout_zorder_skipping_audit",
+    "dq_bootstrap_ci_mean",
 )
 
 

@@ -12075,8 +12075,15 @@ def dq_mad_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     length) sized — at 100 TB that is bounded by the length domain, not
     the corpus."""
     docs = _t(spark, sf_dir, "documents")
-    h = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count("*").cast("long").alias("c")
+    # the histogram is consumed by FIVE derivations (cumsum, median
+    # join-back, deviation histogram, outlier count, final frame):
+    # checkpoint it so the corpus is scanned ONCE and every branch reads
+    # the (source x distinct length)-sized materialization — the DSIR
+    # single-tokenize pattern (plan-pinned)
+    h = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
     )
     wcum = (
         Window.partitionBy("source")

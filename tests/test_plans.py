@@ -724,3 +724,59 @@ def test_equidepth_approx_contract_no_global_sort(spark, sf_dir):
         assert "row_number" not in plan, name
         assert "Window" not in plan, name
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, name
+
+
+def test_mad_outlier_single_data_shaped_exchange(spark, sf_dir):
+    """dq_mad_outlier_gate's scale contract: the documents table is
+    scanned ONCE (the deviation histogram derives from the value
+    histogram, never a rescan) and the only windows run over the
+    histogram partitioned by source — no unpartitioned window exists."""
+    plan = _plan(spark, sf_dir, "dq_mad_outlier_gate")
+    assert "Scan parquet" not in plan  # all branches read the checkpoint
+    assert "Scan ExistingRDD" in plan
+    assert "No Partition Defined" not in plan
+
+
+def test_domain_blocklist_no_like_scan_and_domain_exchange_first(spark, sf_dir):
+    """feed_domain_suffix_blocklist must never turn the blocklist into
+    per-pattern LIKE predicates (the unscalable formulation); matching
+    is an equi-join on the exploded suffix, and the explode runs on the
+    DIMENSION frame (post-aggregate), visible as the single scan feeding
+    a domain aggregate below the generator."""
+    plan = _plan(spark, sf_dir, "feed_domain_suffix_blocklist")
+    assert "LIKE" not in plan and "Contains" not in plan
+    assert "Generate explode" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_nprobe_curve_group_limits_and_broadcast_probes(spark, sf_dir):
+    """knn_ivf_nprobe_recall_curve's top-5 cuts must be WindowGroupLimit
+    (only ~k rows per group cross the exchange) and the probe/candidate
+    gating must be broadcast joins — a shuffled or nested-loop probe
+    join would be the scale bug this pin guards."""
+    plan = _plan(spark, sf_dir, "knn_ivf_nprobe_recall_curve")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_audit_no_global_rank_window(spark, sf_dir):
+    """layout_zorder_skipping_audit mirrors repartitionByRange with
+    VALUE-RANGE binning: no row_number over the events table may exist
+    (file ids are map-side arithmetic against a broadcast min/max
+    frame); the only row_number-free exception is absent entirely."""
+    plan = _plan(spark, sf_dir, "layout_zorder_skipping_audit")
+    assert "row_number" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_compaction_plan_runs_on_manifest_frame(spark, sf_dir):
+    """layout_compaction_plan must aggregate to the (source, shard)
+    manifest BEFORE any window: the cumsum's child is the manifest
+    aggregate, so the window input is files-sized.  One scan, one
+    data-shaped exchange."""
+    plan = _plan(spark, sf_dir, "layout_compaction_plan")
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan
+    # the window must sit ABOVE a hash aggregate on (source, shard)
+    assert plan.index("Window") > plan.index("HashAggregate")

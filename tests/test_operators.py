@@ -3116,3 +3116,22 @@ def test_bootstrap_ci_brackets_point_and_replica_weights_are_poisson1(spark, sf_
             total += sum(1 for t in ts if hv >= t)
             n += 1
     assert abs(total / n - 1.0) < 0.05  # mean Poisson(1) weight ~ 1
+
+
+def test_vocab_coverage_curve_monotone_saturating(spark, sf_dir):
+    """Defining invariants of the sizing curve: coverage is monotone in
+    k, bounded by 1, and exactly 1.0 once k reaches the type count."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    out = sorted(
+        QUERIES["vocab_size_coverage_curve"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in out] == [64, 128, 256, 512]
+    for r in out:
+        assert 0 < r["topk_mass"] <= r["mass_total"]
+    for a, b in zip(out, out[1:]):
+        assert a["topk_mass"] <= b["topk_mass"]
+    for r in out:
+        if r["k"] >= r["n_types"]:
+            assert r["coverage"] == 1.0 and r["topk_mass"] == r["mass_total"]

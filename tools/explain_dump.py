@@ -161,6 +161,7 @@ EXTRA = (
     "dq_join_skew_profile",
     "layout_zorder_skipping_audit",
     "dq_bootstrap_ci_mean",
+    "vocab_size_coverage_curve",
 )
 
 

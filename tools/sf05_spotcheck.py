@@ -55,6 +55,14 @@ ROWS = (
     "media_audio_silence_segments",
     "search_rm3_expansion",
     "corpus_token_budget_waterfill",
+    # late-r12 documents-backed rows: the single-histogram MAD gate and
+    # the one-pass bootstrap (both must track the scan), the composed
+    # nDCG audit (rides the BM25 chain), and the trigram sizing curve
+    # (term exchange + frequency-domain frames only)
+    "dq_mad_outlier_gate",
+    "dq_bootstrap_ci_mean",
+    "search_ndcg_curve",
+    "vocab_size_coverage_curve",
 )
 
 SF01 = "/root/testdata/sf0.1"

@@ -3135,3 +3135,95 @@ def test_vocab_coverage_curve_monotone_saturating(spark, sf_dir):
     for r in out:
         if r["k"] >= r["n_types"]:
             assert r["coverage"] == 1.0 and r["topk_mass"] == r["mass_total"]
+
+
+def test_binned_interval_overlap_matches_bruteforce_on_random_events(spark):
+    """The binned equi-join's defining claim: it finds EXACTLY the pairs
+    a brute-force nested loop over (session, burst) intervals finds —
+    including touching intervals and intervals straddling bin
+    boundaries.  Three seeded random event sets, full-chain replay
+    (sessions, hour-burst islands, pairs, overlap sums) in plain
+    Python."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        n = 400
+        sec = np.sort(rng.randint(0, 3 * 86400, size=n)).astype("int64")
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype="int64"),
+                "ts": pd.to_datetime(sec, unit="s"),
+                "user_id": rng.randint(0, 25, size=n).astype("int64"),
+                "event_type": rng.choice(["a", "b", "c"], size=n),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(ev).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, "events.parquet")
+            )
+            got = {
+                r["event_type"]: (
+                    r["n_bursts"], r["n_pairs"], r["n_sessions"],
+                    r["overlap_us_total"],
+                )
+                for r in QUERIES["join_interval_binned_overlap"]
+                .spark(spark, d)
+                .collect()
+            }
+        us = sec * 1_000_000
+        # sessions: per user, 30-min gaps on (ts, event_id) order
+        sessions = []
+        for u, grp in ev.assign(us=us).groupby("user_id"):
+            grp = grp.sort_values(["us", "event_id"])
+            cur = []
+            prev = None
+            for _, r in grp.iterrows():
+                if prev is not None and r["us"] - prev > 1800 * 1_000_000:
+                    sessions.append((u, min(cur), max(cur)))
+                    cur = []
+                cur.append(int(r["us"]))
+                prev = int(r["us"])
+            if cur:
+                sessions.append((u, min(cur), max(cur)))
+        # bursts: per type, hours with >= 7 events, consecutive merged
+        bursts = []
+        df = ev.assign(us=us, hidx=us // 3_600_000_000)
+        for t, grp in df.groupby("event_type"):
+            hs = grp.groupby("hidx").agg(c=("event_id", "size"),
+                                         mn=("us", "min"), mx=("us", "max"))
+            q = hs[hs["c"] >= 7].sort_index()
+            run = []
+            prev_h = None
+            for h, r in q.iterrows():
+                if prev_h is not None and h != prev_h + 1:
+                    bursts.append((t, min(x[0] for x in run),
+                                   max(x[1] for x in run)))
+                    run = []
+                run.append((int(r["mn"]), int(r["mx"])))
+                prev_h = h
+            if run:
+                bursts.append((t, min(x[0] for x in run),
+                               max(x[1] for x in run)))
+        expect: dict = {}
+        for t in {b[0] for b in bursts}:
+            tb = [b for b in bursts if b[0] == t]
+            pairs = [
+                (s, b)
+                for s in sessions
+                for b in tb
+                if s[1] <= b[2] and b[1] <= s[2]
+            ]
+            expect[t] = (
+                len(tb),
+                len(pairs),
+                len({(s[0], s[1], s[2]) for s, _ in pairs}),
+                sum(min(s[2], b[2]) - max(s[1], b[1]) for s, b in pairs),
+            )
+        assert got == expect, f"seed {seed}"

@@ -12721,7 +12721,8 @@ def search_ndcg_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rk.join(ik, "rnk")
         .select(
-            "rnk",
+            F.col("rnk").cast("long").alias("rnk"),  # row_number is int;
+            # the oracle emits BIGINT and the driver hash is type-sensitive
             "doc_id",
             "rel",
             F.sum("contrib").over(wcum).cast("long").alias("dcg_x1e6"),

@@ -13671,6 +13671,132 @@ def vocab_size_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
+def _mixture_lattice(dims: int = 5, steps: int = 4) -> list[tuple[int, int, int]]:
+    """(mix_id, dim_index, weight_in_quarters) rows of the integer
+    simplex lattice — every nonnegative integer 5-tuple summing to
+    ``steps``.  Generated once here and embedded as the SAME literal in
+    both engines (the fixed-point-discounts pattern); mix_id is the
+    lexicographic index, so both engines agree on identity."""
+    import itertools as _it
+
+    rows = []
+    mid = 0
+    for combo in _it.product(range(steps + 1), repeat=dims):
+        if sum(combo) != steps:
+            continue
+        for d, w in enumerate(combo):
+            rows.append((mid, d, w))
+        mid += 1
+    return rows
+
+
+def _mixture_grid_oracle() -> str:
+    gate_sql = QUERIES["text_gopher_gate"].oracle
+    lat = _mixture_lattice()
+    values = ", ".join(f"({m}, {d}, {w})" for m, d, w in lat)
+    return f"""
+    WITH gate AS ({gate_sql}),
+    langs AS (
+      SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS d
+      FROM (SELECT DISTINCT lang FROM documents)),
+    kr AS (
+      SELECT l.d, l.lang,
+             CAST(sum(g.keep) * 10000 // count(*) AS BIGINT) AS keep_x1e4
+      FROM documents doc JOIN gate g ON g.doc_id = doc.doc_id
+      JOIN langs l ON l.lang = doc.lang
+      GROUP BY l.d, l.lang),
+    lat(mix_id, d, w) AS (VALUES {values}),
+    scored AS (
+      SELECT lat.mix_id,
+             CAST(sum(lat.w * kr.keep_x1e4 * 2500) AS BIGINT) AS quality_x1e8,
+             CAST(sum((lat.w * 2500) * (lat.w * 2500)) AS BIGINT)
+               AS concentration_x1e8
+      FROM lat JOIN kr USING (d) GROUP BY lat.mix_id),
+    top AS (
+      SELECT mix_id, quality_x1e8, concentration_x1e8,
+             quality_x1e8 - concentration_x1e8 AS objective_x1e8
+      FROM scored
+      ORDER BY objective_x1e8 DESC, mix_id LIMIT 5)
+    SELECT t.mix_id, t.quality_x1e8, t.concentration_x1e8, t.objective_x1e8,
+           kr.lang, CAST(lat.w AS BIGINT) AS w_quarters
+    FROM top t JOIN lat ON lat.mix_id = t.mix_id
+    JOIN kr ON kr.d = lat.d
+    ORDER BY t.objective_x1e8 DESC, t.mix_id, kr.lang
+    """
+
+
+@_register("corpus_mixture_grid_search", _mixture_grid_oracle())
+def corpus_mixture_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture GRID SEARCH over the language simplex — the
+    sweep-based complement to ``corpus_doremi_reweight``'s learned
+    weights (teams sweep mixtures when no proxy-loss signal exists):
+    every nonnegative quarter-weight 5-tuple summing to 1 (the 70-point
+    integer simplex lattice, generated once in Python and embedded in
+    BOTH engines as the same literal) is scored by
+    quality - concentration, where quality is the mixture-weighted
+    gopher keep-rate and concentration is the Herfindahl sum of squared
+    weights (the diversity penalty — no entropy, no log, all int64).
+    Output: the top-5 mixtures in long (mix, lang, weight) form.
+
+    Plan shape: per-lang keep-rates are one lang-keyed aggregate over
+    the map-only gopher gate (the one data-shaped stage); the lattice is
+    a 350-row broadcast literal; scoring is a 70-key aggregate and the
+    top-5 cut a TakeOrdered.  At 100 TB the lattice grows only with the
+    sweep's resolution, never the corpus."""
+    gate = QUERIES["text_gopher_gate"].spark(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    wl = Window.orderBy("lang")
+    langs = (
+        docs.select("lang").distinct()
+        .select("lang", (F.row_number().over(wl) - 1).alias("d"))
+    )
+    kr = (
+        docs.select("doc_id", "lang")
+        .join(gate.select("doc_id", "keep"), "doc_id")
+        .join(F.broadcast(langs), "lang")
+        .groupBy("d", "lang")
+        .agg(
+            F.expr("CAST(sum(keep) * 10000 div count(*) AS BIGINT)").alias(
+                "keep_x1e4"
+            )
+        )
+    )
+    lat = spark.createDataFrame(
+        _mixture_lattice(), "mix_id long, d long, w long"
+    )
+    scored = (
+        F.broadcast(lat)
+        .join(kr, "d")
+        .groupBy("mix_id")
+        .agg(
+            F.sum(F.col("w") * F.col("keep_x1e4") * 2500)
+            .cast("long")
+            .alias("quality_x1e8"),
+            F.sum((F.col("w") * 2500) * (F.col("w") * 2500))
+            .cast("long")
+            .alias("concentration_x1e8"),
+        )
+        .withColumn(
+            "objective_x1e8",
+            (F.col("quality_x1e8") - F.col("concentration_x1e8")).cast("long"),
+        )
+    )
+    top = scored.orderBy(F.col("objective_x1e8").desc(), "mix_id").limit(5)
+    return (
+        top.join(F.broadcast(lat), "mix_id")
+        .join(kr.select("d", "lang"), "d")
+        .select(
+            "mix_id",
+            "quality_x1e8",
+            "concentration_x1e8",
+            "objective_x1e8",
+            "lang",
+            F.col("w").cast("long").alias("w_quarters"),
+        )
+        .orderBy(F.col("objective_x1e8").desc(), "mix_id", "lang")
+    )
+
+
 def _poisson1_thresholds_x2e60(kmax: int = 7) -> list[int]:
     """floor(CDF_Poisson(1)(k) * 2^60) for k = 0..kmax-1 — integer
     thresholds against the 60-bit md5 uniform, computed ONCE here and
@@ -13826,6 +13952,7 @@ _R12_LOCAL_ONLY: set = {
     "layout_zorder_skipping_audit",
     "dq_bootstrap_ci_mean",
     "vocab_size_coverage_curve",
+    "corpus_mixture_grid_search",
 }
 
 

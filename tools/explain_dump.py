@@ -162,6 +162,7 @@ EXTRA = (
     "layout_zorder_skipping_audit",
     "dq_bootstrap_ci_mean",
     "vocab_size_coverage_curve",
+    "corpus_mixture_grid_search",
 )
 
 

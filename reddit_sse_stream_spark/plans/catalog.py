@@ -13717,7 +13717,8 @@ def _mixture_grid_oracle() -> str:
              quality_x1e8 - concentration_x1e8 AS objective_x1e8
       FROM scored
       ORDER BY objective_x1e8 DESC, mix_id LIMIT 5)
-    SELECT t.mix_id, t.quality_x1e8, t.concentration_x1e8, t.objective_x1e8,
+    SELECT CAST(t.mix_id AS BIGINT) AS mix_id,
+           t.quality_x1e8, t.concentration_x1e8, t.objective_x1e8,
            kr.lang, CAST(lat.w AS BIGINT) AS w_quarters
     FROM top t JOIN lat ON lat.mix_id = t.mix_id
     JOIN kr ON kr.d = lat.d

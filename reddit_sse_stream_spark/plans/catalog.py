@@ -13671,6 +13671,113 @@ def vocab_size_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
+@_register(
+    "sample_neyman_allocation",
+    """
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sx,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+      FROM documents GROUP BY source),
+    w0 AS (
+      SELECT source, n_docs,
+             n_docs * sxx - sx * sx AS var_num,
+             CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)))
+                  AS BIGINT) AS w_raw
+      FROM s),
+    w AS (
+      -- exact integer isqrt: floor(sqrt(double)) can overshoot by 1
+      -- near perfect squares; pull back when w*w > x (same guard both
+      -- engines)
+      SELECT source, n_docs,
+             w_raw - CASE WHEN w_raw * w_raw > var_num THEN 1 ELSE 0 END
+               AS wt
+      FROM w0),
+    t AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w),
+    q AS (
+      SELECT w.source, w.n_docs, w.wt,
+             CAST(100 * w.wt // t.tot AS BIGINT) AS base,
+             CAST(100 * w.wt % t.tot AS BIGINT) AS rem
+      FROM w, t),
+    l AS (SELECT CAST(100 - sum(base) AS BIGINT) AS leftover FROM q),
+    r AS (
+      SELECT q.*, row_number() OVER (ORDER BY q.rem DESC, q.source) AS rk
+      FROM q)
+    SELECT r.source, r.n_docs, r.wt AS neyman_weight,
+           CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc,
+           CAST(least(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0
+                               END, r.n_docs) AS BIGINT) AS alloc_capped
+    FROM r, l ORDER BY r.source
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation — given a budget of
+    100 docs, how many to draw from each source so the stratified mean
+    has minimum variance: n_h proportional to N_h * sigma_h [Neyman
+    1934].  Every step exact int64: the per-stratum weight collapses to
+    isqrt(n*sum(x^2) - sum(x)^2) (N_h * sigma_h with the population-N
+    cancellation), isqrt guarded against the floor(sqrt(double))
+    off-by-one near perfect squares, and seats assigned by
+    LARGEST-REMAINDER apportionment (Hamilton's method: integer base
+    quotas, leftovers to the largest remainders, ties by source) so the
+    allocation always sums exactly to the budget.  ``alloc_capped``
+    additionally clamps to the stratum size (the textbook follow-up
+    re-apportions; the raw column keeps the math auditable).
+
+    Plan shape: one source-keyed moment aggregate (count, sum, sum of
+    squares — map-side partial) is the only data-shaped stage; the
+    apportionment runs on the 20-row stratum frame."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sxx"),
+    )
+    w0 = s.select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "var_num"
+        ),
+    ).withColumn(
+        "w_raw",
+        F.floor(F.sqrt(F.col("var_num").cast("double"))).cast("long"),
+    )
+    w = w0.select(
+        "source",
+        "n_docs",
+        (
+            F.col("w_raw")
+            - F.when(F.col("w_raw") * F.col("w_raw") > F.col("var_num"), 1)
+            .otherwise(0)
+        ).alias("wt"),
+    )
+    t = w.agg(F.sum("wt").cast("long").alias("tot"))
+    q = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "wt",
+        F.expr("100 * wt div tot").alias("base"),
+        F.expr("100 * wt % tot").alias("rem"),
+    )
+    lv = q.agg((100 - F.sum("base")).cast("long").alias("leftover"))
+    wr = Window.orderBy(F.col("rem").desc(), "source")
+    r = q.withColumn("rk", F.row_number().over(wr))
+    alloc = F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return (
+        r.crossJoin(F.broadcast(lv))
+        .select(
+            "source",
+            "n_docs",
+            F.col("wt").alias("neyman_weight"),
+            alloc.cast("long").alias("alloc"),
+            F.least(alloc, F.col("n_docs")).cast("long").alias("alloc_capped"),
+        )
+        .orderBy("source")
+    )
+
+
 def _mixture_lattice(dims: int = 5, steps: int = 4) -> list[tuple[int, int, int]]:
     """(mix_id, dim_index, weight_in_quarters) rows of the integer
     simplex lattice — every nonnegative integer 5-tuple summing to
@@ -13954,6 +14061,7 @@ _R12_LOCAL_ONLY: set = {
     "dq_bootstrap_ci_mean",
     "vocab_size_coverage_curve",
     "corpus_mixture_grid_search",
+    "sample_neyman_allocation",
 }
 
 

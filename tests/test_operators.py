@@ -3227,3 +3227,28 @@ def test_binned_interval_overlap_matches_bruteforce_on_random_events(spark):
                 sum(min(s[2], b[2]) - max(s[1], b[1]) for s, b in pairs),
             )
         assert got == expect, f"seed {seed}"
+
+
+def test_neyman_allocation_sums_to_budget_and_isqrt_exact(spark, sf_dir):
+    """Apportionment invariant: allocations sum EXACTLY to the budget
+    (Hamilton's method never gains or loses a seat), each weight is the
+    exact integer sqrt of its variance numerator, and the allocation is
+    proportional-ish: the largest-weight stratum gets at least as many
+    seats as the smallest."""
+    import math
+
+    import pandas as pd
+
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    out = QUERIES["sample_neyman_allocation"].spark(spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in out) == 100
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    for r in out:
+        grp = docs[docs["source"] == r["source"]]["n_chars"]
+        var_num = len(grp) * int((grp * grp).sum()) - int(grp.sum()) ** 2
+        assert r["neyman_weight"] == math.isqrt(var_num), r["source"]
+        assert r["alloc_capped"] <= r["n_docs"]
+    hi = max(out, key=lambda r: r["neyman_weight"])
+    lo = min(out, key=lambda r: r["neyman_weight"])
+    assert hi["alloc"] >= lo["alloc"]

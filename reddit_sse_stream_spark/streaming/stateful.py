@@ -1004,3 +1004,122 @@ def streaming_cusum_drift(docs_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SPACESAVING_OUTPUT_SCHEMA = (
+    "shard int, batch_idx long, word string, count_est long, err long"
+)
+SPACESAVING_STATE_SCHEMA = (
+    "batch_idx long, words array<string>, counts array<long>, errs array<long>"
+)
+SPACESAVING_K = 8
+SPACESAVING_SHARDS = 4
+
+
+def _spacesaving_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """SpaceSaving [Metwally 2005] per hash shard: at most K monitored
+    (word, count, err) counters; a new word evicts the minimum-count
+    counter (ties by lexicographically smallest word, so replay is
+    deterministic) and inherits its count as both estimate floor and
+    error.  Guarantees: count_est >= true >= count_est - err, and any
+    word with true shard frequency > N_shard/K is monitored.  After each
+    micro-batch the shard emits its full counter table stamped with the
+    batch index."""
+    chunks = list(pdfs)
+    rows = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if state.exists:
+        bidx, words, counts, errs = state.get
+        bidx = int(bidx)
+        words = [str(w) for w in (words or [])]
+        counts = [int(c) for c in (counts or [])]
+        errs = [int(e) for e in (errs or [])]
+    else:
+        bidx, words, counts, errs = 0, [], [], []
+    if len(rows):
+        rows = rows.sort_values(["doc_id", "pos"])
+        idx = {w: i for i, w in enumerate(words)}
+        for w in rows["word"]:
+            w = str(w)
+            i = idx.get(w)
+            if i is not None:
+                counts[i] += 1
+            elif len(words) < SPACESAVING_K:
+                idx[w] = len(words)
+                words.append(w)
+                counts.append(1)
+                errs.append(0)
+            else:
+                mn = min(counts)
+                j = min(
+                    (i for i, c in enumerate(counts) if c == mn),
+                    key=lambda i: words[i],
+                )
+                del idx[words[j]]
+                idx[w] = j
+                words[j] = w
+                errs[j] = mn
+                counts[j] = mn + 1
+        bidx += 1
+    state.update((bidx, words, counts, errs))
+    n = len(words) if len(rows) else 0
+    yield pd.DataFrame(
+        {
+            "shard": [int(key[0])] * n,
+            "batch_idx": [bidx] * n,
+            "word": words[:n],
+            "count_est": counts[:n],
+            "err": errs[:n],
+        }
+    ).astype(
+        {"shard": "int32", "batch_idx": "int64", "word": str,
+         "count_est": "int64", "err": "int64"}
+    )
+
+
+def streaming_spacesaving_topk(docs_stream: DataFrame) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED memory — the kernel you
+    deploy when the key universe is too large for exact per-key state
+    (the emit-once censuses hold one cell per DISTINCT key; this holds
+    K counters per shard, period): SpaceSaving over the document word
+    stream, sharded by the word's 60-bit md5 so shard summaries are
+    independent and merge by concatenation.  Thirteenth keyed-state
+    kernel; the new state shape is a FIXED-CAPACITY summary with
+    eviction-by-minimum rather than per-key cells.
+
+    Scale shape: one shuffle per micro-batch on the shard id (4 keys
+    here, thousands in production — each shard's state is K counters
+    regardless of stream length); per-batch work is linear in the
+    batch.  Deterministic under the standing replay contract (batches
+    in doc order, rows sorted by (doc_id, pos) inside the kernel), so
+    the parity test replays bit-for-bit; the epsilon guarantee
+    (count_est - err <= true <= count_est; any word with shard
+    frequency > N/K monitored) is pinned against exact counts."""
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.operators.dedup import md5_hash60
+
+    words = docs_stream.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("pos", "word"),
+    ).select(
+        "doc_id",
+        "pos",
+        "word",
+        F.pmod(md5_hash60(F.col("word")), F.lit(SPACESAVING_SHARDS))
+        .cast("int")
+        .alias("shard"),
+    )
+    return words.groupBy("shard").applyInPandasWithState(
+        _spacesaving_update,
+        outputStructType=SPACESAVING_OUTPUT_SCHEMA,
+        stateStructType=SPACESAVING_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1971,3 +1971,100 @@ def test_streaming_cusum_drift_matches_sequential_replay(spark, sf_dir, tmp_path
     expect.sort()
     assert got == expect
     assert any(e[0] == "src0" and e[2] == 1 for e in got)  # the injected spike fires
+
+
+def test_streaming_spacesaving_matches_replay_and_epsilon_bound(
+    spark, sf_dir, tmp_path
+):
+    """Two independent checks on the SpaceSaving kernel: (1) exact
+    emission parity with a plain-Python replay of the same algorithm
+    over the same per-shard word sequences; (2) the algorithm's
+    guarantee against EXACT counts — count_est - err <= true <=
+    count_est for every monitored word, and every word whose true shard
+    frequency exceeds N_shard/K is monitored at the end."""
+    import hashlib
+    from collections import Counter
+
+    from reddit_sse_stream_spark.sources.tables import load_table
+    from reddit_sse_stream_spark.streaming.stateful import (
+        SPACESAVING_K,
+        SPACESAVING_SHARDS,
+        streaming_spacesaving_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "ss_stream"
+    n = docs.count()
+    for i in range(3):
+        docs.filter(
+            (F.col("doc_id") >= i * n / 3) & (F.col("doc_id") < (i + 1) * n / 3)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_spacesaving_topk(stream)
+        .writeStream.format("memory")
+        .queryName("ss_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["shard"], r["batch_idx"], r["word"], r["count_est"], r["err"])
+        for r in spark.sql("SELECT * FROM ss_stream").collect()
+    )
+
+    def shard_of(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % SPACESAVING_SHARDS
+
+    pdf = docs.toPandas().sort_values("doc_id")
+    # batch boundaries identical to the file splits above
+    batches = [
+        pdf[(pdf["doc_id"] >= i * n / 3) & (pdf["doc_id"] < (i + 1) * n / 3)]
+        for i in range(3)
+    ]
+    st: dict = {s: [0, [], [], []] for s in range(SPACESAVING_SHARDS)}
+    expect = []
+    true_counts: dict = {s: Counter() for s in range(SPACESAVING_SHARDS)}
+    for batch in batches:
+        seen_shards = set()
+        for _, row in batch.iterrows():
+            for w in [x for x in row["text"].lower().split() if x]:
+                s = shard_of(w)
+                seen_shards.add(s)
+                true_counts[s][w] += 1
+                bidx, words, counts, errs = st[s]
+                if w in words:
+                    counts[words.index(w)] += 1
+                elif len(words) < SPACESAVING_K:
+                    words.append(w)
+                    counts.append(1)
+                    errs.append(0)
+                else:
+                    mn = min(counts)
+                    j = min(
+                        (i for i, c in enumerate(counts) if c == mn),
+                        key=lambda i: words[i],
+                    )
+                    words[j], errs[j], counts[j] = w, mn, mn + 1
+        for s in seen_shards:
+            st[s][0] += 1
+            bidx, words, counts, errs = st[s]
+            for w, c, e in zip(words, counts, errs):
+                expect.append((s, bidx, w, c, e))
+    assert got == sorted(expect)
+    # epsilon guarantee on the FINAL state per shard
+    for s in range(SPACESAVING_SHARDS):
+        bidx, words, counts, errs = st[s]
+        nsh = sum(true_counts[s].values())
+        for w, c, e in zip(words, counts, errs):
+            true = true_counts[s][w]
+            assert c - e <= true <= c, (s, w)
+        monitored = set(words)
+        for w, true in true_counts[s].items():
+            if true > nsh / SPACESAVING_K:
+                assert w in monitored, (s, w)

@@ -163,6 +163,7 @@ EXTRA = (
     "dq_bootstrap_ci_mean",
     "vocab_size_coverage_curve",
     "corpus_mixture_grid_search",
+    "sample_neyman_allocation",
 )
 
 

@@ -13778,6 +13778,136 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIGNAL_PAIRS = [
+    ("gopher_keep", "probe_score"),
+    ("gopher_keep", "quality"),
+    ("gopher_keep", "surprise_bin"),
+    ("probe_score", "quality"),
+    ("probe_score", "surprise_bin"),
+    ("quality", "surprise_bin"),
+]
+
+
+def _signal_corr_oracle() -> str:
+    """Pairwise-correlation oracle composed ON four registered signal
+    oracles (quality score, gopher gate, linear probe, bigram surprise)
+    — the consumed signals and this audit cannot drift."""
+    quality_sql = QUERIES["text_quality_score"].oracle
+    gopher_sql = QUERIES["text_gopher_gate"].oracle
+    probe_sql = QUERIES["corpus_quality_linear_probe"].oracle
+    bits_sql = QUERIES["text_bigram_lm_bits"].oracle
+    cols = {
+        # floor(x*1e4 + 0.5) on BOTH sides: the raw double->int cast
+        # truncates in Spark but rounds in DuckDB, and 1e-4-quantized
+        # doubles times 1e4 land on x.999... representations
+        "quality": "CAST(floor(q.quality * 10000 + 0.5) AS BIGINT)",
+        "gopher_keep": "CAST(g.keep AS BIGINT)",
+        "probe_score": "p.score_x1e6",
+        "surprise_bin": "b.bits_sum * 256 // b.n_bigrams",
+    }
+    sums = []
+    for name, expr in cols.items():
+        sums.append(f"CAST(sum({expr}) AS BIGINT) AS s_{name}")
+        sums.append(f"CAST(sum(({expr}) * ({expr})) AS BIGINT) AS ss_{name}")
+    for a, b in _SIGNAL_PAIRS:
+        sums.append(
+            f"CAST(sum(({cols[a]}) * ({cols[b]})) AS BIGINT) AS sp_{a}__{b}"
+        )
+    sums_sql = ",\n             ".join(sums)
+    selects = []
+    for a, b in _SIGNAL_PAIRS:
+        selects.append(
+            f"SELECT '{a}' AS sig_a, '{b}' AS sig_b, n,"
+            f" CAST(n * sp_{a}__{b} - s_{a} * s_{b} AS DOUBLE)"
+            f" / greatest(sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))"
+            f"   * sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE)), 1e-12)"
+            f" AS corr FROM m"
+        )
+    union = "\n      UNION ALL ".join(selects)
+    return f"""
+    WITH q AS ({quality_sql}),
+    gop AS ({gopher_sql}),
+    p AS ({probe_sql}),
+    bb AS ({bits_sql}),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {sums_sql}
+      FROM q JOIN gop g ON g.doc_id = q.doc_id
+      JOIN p ON p.doc_id = q.doc_id
+      JOIN bb b ON b.doc_id = q.doc_id)
+    SELECT * FROM ({union}) ORDER BY sig_a, sig_b
+    """
+
+
+@_register("dq_signal_correlation_matrix", _signal_corr_oracle())
+def dq_signal_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement matrix across the catalog's four quality SIGNALS — the
+    heuristic score, the rule-based gopher gate, the learned probe, and
+    the bigram-surprise proxy: pairwise Pearson correlations over their
+    per-doc values, the report that tells a curation team which signals
+    are redundant (corr near 1: drop one) and which disagree (corr near
+    0: the ensemble is doing real work — the scalar counterpart of the
+    kappa row's per-language view).  All four consumed rows are
+    registered queries reused verbatim; every signal enters as an exact
+    integer (quality is 1e-4-quantized so *10000 is lossless), all
+    moments accumulate in int64, and each correlation is a fixed
+    4-op IEEE sequence over integer-valued doubles — bit-identical
+    cross-engine.  (At extreme scale the raw second moments approach
+    int64 range; the standard fix is centering by a first-pass mean,
+    which changes no semantics.)
+
+    Plan shape: three doc_id equi-joins onto the quality frame (the
+    probe chain is the only non-map consumed plan), then ONE 15-column
+    moment aggregate (map-side partial, 1-row result) unpivoted to the
+    6 pairs — no per-pair rescans."""
+    q = QUERIES["text_quality_score"].spark(spark, sf_dir)
+    g = QUERIES["text_gopher_gate"].spark(spark, sf_dir)
+    p = QUERIES["corpus_quality_linear_probe"].spark(spark, sf_dir)
+    b = QUERIES["text_bigram_lm_bits"].spark(spark, sf_dir)
+    m = (
+        q.select(
+            "doc_id",
+            F.floor(F.col("quality") * 10000 + 0.5).cast("long").alias("quality"),
+        )
+        .join(g.select("doc_id", F.col("keep").cast("long").alias("gopher_keep")), "doc_id")
+        .join(p.select("doc_id", F.col("score_x1e6").alias("probe_score")), "doc_id")
+        .join(
+            b.select(
+                "doc_id",
+                F.expr("bits_sum * 256 div n_bigrams").alias("surprise_bin"),
+            ),
+            "doc_id",
+        )
+    )
+    names = ["quality", "gopher_keep", "probe_score", "surprise_bin"]
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in names:
+        aggs.append(F.sum(c).cast("long").alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).cast("long").alias(f"ss_{c}"))
+    for a, bb in _SIGNAL_PAIRS:
+        aggs.append(F.sum(F.col(a) * F.col(bb)).cast("long").alias(f"sp_{a}__{bb}"))
+    t = m.agg(*aggs)
+    stacked = ", ".join(
+        f"'{a}', '{b}', {_corr_expr(a, b)}" for a, b in _SIGNAL_PAIRS
+    )
+    return (
+        t.selectExpr(
+            f"stack({len(_SIGNAL_PAIRS)}, {stacked}) AS (sig_a, sig_b, corr)",
+            "n",
+        )
+        .select("sig_a", "sig_b", "n", "corr")
+        .orderBy("sig_a", "sig_b")
+    )
+
+
+def _corr_expr(a: str, b: str) -> str:
+    return (
+        f"CAST(n * sp_{a}__{b} - s_{a} * s_{b} AS DOUBLE)"
+        f" / greatest(sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))"
+        f" * sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE)), 1e-12)"
+    )
+
+
 def _mixture_lattice(dims: int = 5, steps: int = 4) -> list[tuple[int, int, int]]:
     """(mix_id, dim_index, weight_in_quarters) rows of the integer
     simplex lattice — every nonnegative integer 5-tuple summing to
@@ -14062,6 +14192,7 @@ _R12_LOCAL_ONLY: set = {
     "vocab_size_coverage_curve",
     "corpus_mixture_grid_search",
     "sample_neyman_allocation",
+    "dq_signal_correlation_matrix",
 }
 
 

@@ -3252,3 +3252,30 @@ def test_neyman_allocation_sums_to_budget_and_isqrt_exact(spark, sf_dir):
     hi = max(out, key=lambda r: r["neyman_weight"])
     lo = min(out, key=lambda r: r["neyman_weight"])
     assert hi["alloc"] >= lo["alloc"]
+
+
+def test_signal_correlation_matrix_bounds_and_symmetric_recompute(spark, sf_dir):
+    """Every correlation in [-1, 1]; numpy recomputation from the four
+    signal frames matches to 1e-9 (independent float path)."""
+    import numpy as np
+
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    out = QUERIES["dq_signal_correlation_matrix"].spark(spark, sf_dir).collect()
+    assert len(out) == 6
+    q = {r["doc_id"]: r["quality"] for r in QUERIES["text_quality_score"].spark(spark, sf_dir).collect()}
+    g = {r["doc_id"]: r["keep"] for r in QUERIES["text_gopher_gate"].spark(spark, sf_dir).collect()}
+    p = {r["doc_id"]: r["score_x1e6"] for r in QUERIES["corpus_quality_linear_probe"].spark(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["bits_sum"] * 256 // r["n_bigrams"] for r in QUERIES["text_bigram_lm_bits"].spark(spark, sf_dir).collect()}
+    ids = sorted(set(q) & set(g) & set(p) & set(b))
+    sig = {
+        "quality": np.array([int(np.floor(q[i] * 10000 + 0.5)) for i in ids], dtype=float),
+        "gopher_keep": np.array([g[i] for i in ids], dtype=float),
+        "probe_score": np.array([p[i] for i in ids], dtype=float),
+        "surprise_bin": np.array([b[i] for i in ids], dtype=float),
+    }
+    for r in out:
+        assert -1.0 - 1e-12 <= r["corr"] <= 1.0 + 1e-12
+        a, bb = sig[r["sig_a"]], sig[r["sig_b"]]
+        expect = float(np.corrcoef(a, bb)[0, 1]) if a.std() and bb.std() else 0.0
+        assert abs(r["corr"] - expect) < 1e-9, (r["sig_a"], r["sig_b"])

@@ -164,6 +164,7 @@ EXTRA = (
     "vocab_size_coverage_curve",
     "corpus_mixture_grid_search",
     "sample_neyman_allocation",
+    "dq_signal_correlation_matrix",
 )
 
 

@@ -1842,13 +1842,12 @@ def test_streaming_kanon_release_matches_batch_group_filter(spark, sf_dir, tmp_p
     (event_type, hour) group reaches KANON_K members in the batch view —
     and a deliberately adversarial split (round-robin, so most groups
     straddle batches) must not change that."""
-    from reddit_sse_stream_spark.sources.tables import load_table
     from reddit_sse_stream_spark.streaming.stateful import (
         KANON_K,
         streaming_kanon_release,
     )
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    ev = _kanon_synthetic_events(spark)
     src = tmp_path / "kanon_stream"
     for i in range(3):
         ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
@@ -1872,22 +1871,47 @@ def test_streaming_kanon_release_matches_batch_group_filter(spark, sf_dir, tmp_p
         r["event_id"]
         for r in spark.sql("SELECT event_id FROM kanon_stream").collect()
     }
-    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
-    sizes = ev.select("event_type", hour, "event_id")
-    from pyspark.sql import Window as _W
-
-    w = _W.partitionBy("event_type", "hour")
-    batch = {
-        r["event_id"]
-        for r in sizes.withColumn("c", F.count("*").over(w))
-        .filter(F.col("c") >= KANON_K)
-        .collect()
-    }
+    batch = _kanon_batch_release_set(ev, KANON_K)
     assert got == batch
-    assert len(got) < ev.count()  # some groups really are suppressed
+    assert len(got) > 0  # some groups genuinely release...
+    assert len(got) < ev.count()  # ...and some really are suppressed
     # no id released twice
     rows = spark.sql("SELECT event_id FROM kanon_stream").collect()
     assert len(rows) == len(got)
+
+
+def _kanon_synthetic_events(spark):
+    """Events with CONTROLLED quasi-identifier group sizes {2,3,4,5,7,9}
+    per type — the real sf0.001 table's (type, hour) groups never reach
+    KANON_K=5, so tests on it would pass vacuously (empty == empty); this
+    frame guarantees both released and suppressed groups exist."""
+    rows = []
+    eid = 0
+    for t_i, t in enumerate(["a", "b", "c"]):
+        for h_i, size in enumerate([2, 3, 4, 5, 7, 9]):
+            for j in range(size):
+                # spread inside the hour; hours disjoint per (type, h_i)
+                sec = (t_i * 6 + h_i) * 3600 + j * 60
+                rows.append((eid, t, sec))
+                eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, sec long")
+    return df.select(
+        "event_id", "event_type", F.timestamp_seconds("sec").alias("ts")
+    )
+
+
+def _kanon_batch_release_set(ev, k) -> set:
+    from pyspark.sql import Window as _W
+
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    w = _W.partitionBy("event_type", "hour")
+    return {
+        r["event_id"]
+        for r in ev.select("event_type", hour, "event_id")
+        .withColumn("c", F.count("*").over(w))
+        .filter(F.col("c") >= k)
+        .collect()
+    }
 
 
 def test_streaming_cusum_drift_matches_sequential_replay(spark, sf_dir, tmp_path):
@@ -2068,3 +2092,56 @@ def test_streaming_spacesaving_matches_replay_and_epsilon_bound(
         for w, true in true_counts[s].items():
             if true > nsh / SPACESAVING_K:
                 assert w in monitored, (s, w)
+
+
+def test_streaming_kanon_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """The k-anonymity buffer is fault-tolerant: a group whose events
+    straddle a STOP/RESTART must still release EXACTLY the batch-view
+    set — sub-K buffers rehydrate from the checkpoint, counts continue,
+    and nothing releases twice.  This is the property that makes the
+    gate a privacy control rather than a per-process filter."""
+    from reddit_sse_stream_spark.streaming.stateful import (
+        KANON_K,
+        streaming_kanon_release,
+    )
+
+    ev = _kanon_synthetic_events(spark)
+    src = tmp_path / "kanon_src"
+    ck = tmp_path / "ck"
+    out = tmp_path / "released"
+    # round-robin 2/3-1/3 split: most groups straddle the restart
+    # boundary, and the first phase is big enough that some groups
+    # already release before the stop (asserted below)
+    ev.filter(F.col("event_id") % 3 > 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_kanon_release(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    n_first = spark.read.parquet(str(out)).count()
+    ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+
+    got = [r["event_id"] for r in spark.read.parquet(str(out)).collect()]
+    assert len(got) == len(set(got))  # nothing released twice
+    batch = _kanon_batch_release_set(ev, KANON_K)
+    assert set(got) == batch
+    assert 0 < n_first < len(got)  # releases happened on BOTH sides of the restart

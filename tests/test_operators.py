@@ -3279,3 +3279,26 @@ def test_signal_correlation_matrix_bounds_and_symmetric_recompute(spark, sf_dir)
         a, bb = sig[r["sig_a"]], sig[r["sig_b"]]
         expect = float(np.corrcoef(a, bb)[0, 1]) if a.std() and bb.std() else 0.0
         assert abs(r["corr"] - expect) < 1e-9, (r["sig_a"], r["sig_b"])
+
+
+def test_entity_resolution_blocking_tradeoff(spark, sf_dir):
+    """The ER audit's defining structure: mid-word corruptions keep one
+    token intact so blocking finds candidates for ALL of them and
+    resolves most correctly; space-drop corruptions fuse the tokens and
+    blocking loses every one (n_with_candidates == 0) — the recall split
+    that justifies multi-pass blocking in real linkage systems."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    out = {
+        r["corruption"]: r
+        for r in QUERIES["join_blocked_entity_resolution"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(out) == {"char_dropped", "space_dropped"}
+    cd, sd = out["char_dropped"], out["space_dropped"]
+    assert cd["n_with_candidates"] == cd["n_records"]  # one token always intact
+    assert cd["n_correct"] > 0.9 * cd["n_records"]
+    assert sd["n_with_candidates"] == 0 and sd["n_correct"] == 0
+    n = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    assert cd["n_records"] + sd["n_records"] == n

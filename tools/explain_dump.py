@@ -165,6 +165,7 @@ EXTRA = (
     "corpus_mixture_grid_search",
     "sample_neyman_allocation",
     "dq_signal_correlation_matrix",
+    "join_blocked_entity_resolution",
 )
 
 

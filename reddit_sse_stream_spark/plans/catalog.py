@@ -13895,6 +13895,140 @@ def join_blocked_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@_register(
+    "join_er_multipass_blocking",
+    """
+    WITH clean AS (SELECT DISTINCT p_name AS name FROM part),
+    ctok AS (
+      SELECT name, unnest(string_split(name, ' ')) AS blk FROM clean),
+    cgram AS (
+      SELECT name, substr(name, i, 4) AS blk
+      FROM clean, unnest(generate_series(1, length(name) - 3)) AS u(i)),
+    cblk AS (SELECT DISTINCT name, blk FROM
+             (SELECT * FROM ctok UNION ALL SELECT * FROM cgram)),
+    dirty AS (
+      SELECT p_partkey AS rec_id, p_name AS truth,
+             concat(substr(p_name, 1, p_partkey % length(p_name)),
+                    substr(p_name, p_partkey % length(p_name) + 2))
+               AS dirty_name,
+             CASE WHEN substr(p_name, p_partkey % length(p_name) + 1, 1)
+                       = ' '
+                  THEN 'space_dropped' ELSE 'char_dropped' END AS corruption
+      FROM part),
+    dtok AS (
+      SELECT rec_id, unnest(string_split(dirty_name, ' ')) AS blk
+      FROM dirty),
+    dgram AS (
+      SELECT rec_id, substr(dirty_name, i, 4) AS blk
+      FROM dirty, unnest(generate_series(1, length(dirty_name) - 3)) AS u(i)),
+    dblk AS (SELECT DISTINCT rec_id, blk FROM
+             (SELECT * FROM dtok UNION ALL SELECT * FROM dgram)),
+    cand AS (
+      SELECT DISTINCT d.rec_id, c.name
+      FROM dblk d JOIN cblk c USING (blk)),
+    scored AS (
+      SELECT ca.rec_id, ca.name,
+             levenshtein(dd.dirty_name, ca.name) AS lev
+      FROM cand ca JOIN dirty dd USING (rec_id)),
+    best AS (
+      SELECT rec_id, name AS match_name FROM (
+        SELECT rec_id, name, row_number() OVER (
+          PARTITION BY rec_id ORDER BY lev, name) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT d.corruption,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(CASE WHEN b.rec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_candidates,
+           CAST(sum(CASE WHEN b.match_name = d.truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN b.match_name = d.truth THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) / 10000.0 AS recall
+    FROM dirty d LEFT JOIN best b ON b.rec_id = d.rec_id
+    GROUP BY d.corruption ORDER BY d.corruption
+    """,
+)
+def join_er_multipass_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS blocking — the fix the single-pass row
+    (``join_blocked_entity_resolution``) measures the need for: the
+    space-drop corruptions that fuse both tokens defeat whole-token
+    blocking (recall 0 there), so a second blocking pass on character
+    4-grams joins the candidate union — a fused "smallring" still shares
+    "mall"/"ring"-grams with "small ring".  Same corruption model, same
+    levenshtein argmin, same output schema: the two rows side by side
+    ARE the ER literature's blocking-recall/candidate-cost tradeoff
+    curve, and this one's space-drop recall recovering toward 1.0 is the
+    demonstrated fix (the zorder-audit pattern: measure the failure,
+    then measure the repair).
+
+    Plan shape: both blocking passes explode DIMENSION-sized frames on
+    the clean side (64 names x tokens+grams, broadcast) and bounded
+    per-record blocks on the dirty side; the candidate union dedups
+    before the distance; per-record argmin is the one keyed exchange."""
+    part = _t(spark, sf_dir, "part")
+    clean = part.select(F.col("p_name").alias("name")).distinct()
+    ctok = clean.select("name", F.explode(F.split("name", " ")).alias("blk"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("name") - 3),
+        lambda i: F.col("name").substr(i, F.lit(4)),
+    )
+    cgram = clean.select("name", F.explode(grams).alias("blk"))
+    cblk = ctok.unionAll(cgram).distinct()
+    pos = F.pmod(F.col("p_partkey"), F.length("p_name"))
+    dirty = part.select(
+        F.col("p_partkey").alias("rec_id"),
+        F.col("p_name").alias("truth"),
+        F.concat(
+            F.col("p_name").substr(F.lit(1), pos),
+            F.col("p_name").substr(pos + 2, F.length("p_name")),
+        ).alias("dirty_name"),
+        F.when(F.col("p_name").substr(pos + 1, F.lit(1)) == " ", "space_dropped")
+        .otherwise("char_dropped")
+        .alias("corruption"),
+    )
+    dtok = dirty.select(
+        "rec_id", F.explode(F.split("dirty_name", " ")).alias("blk")
+    )
+    dgrams = F.transform(
+        F.sequence(F.lit(1), F.length("dirty_name") - 3),
+        lambda i: F.col("dirty_name").substr(i, F.lit(4)),
+    )
+    dgram = dirty.select("rec_id", F.explode(dgrams).alias("blk"))
+    dblk = dtok.unionAll(dgram).distinct()
+    cand = dblk.join(F.broadcast(cblk), "blk").select("rec_id", "name").distinct()
+    scored = cand.join(dirty.select("rec_id", "dirty_name"), "rec_id").select(
+        "rec_id", "name", F.levenshtein("dirty_name", "name").alias("lev")
+    )
+    wb = Window.partitionBy("rec_id").orderBy("lev", "name")
+    best = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("rec_id", F.col("name").alias("match_name"))
+    )
+    return (
+        dirty.join(best, "rec_id", "left")
+        .groupBy("corruption")
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.sum(F.when(F.col("match_name").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_candidates"),
+            F.sum(F.when(F.col("match_name") == F.col("truth"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "corruption",
+            "n_records",
+            "n_with_candidates",
+            "n_correct",
+            (
+                F.expr("n_correct * 10000 div n_records") / F.lit(10000.0)
+            ).alias("recall"),
+        )
+        .orderBy("corruption")
+    )
+
+
 _SIGNAL_PAIRS = [
     ("gopher_keep", "probe_score"),
     ("gopher_keep", "quality"),
@@ -14311,6 +14445,7 @@ _R12_LOCAL_ONLY: set = {
     "sample_neyman_allocation",
     "dq_signal_correlation_matrix",
     "join_blocked_entity_resolution",
+    "join_er_multipass_blocking",
 }
 
 

@@ -3302,3 +3302,28 @@ def test_entity_resolution_blocking_tradeoff(spark, sf_dir):
     assert sd["n_with_candidates"] == 0 and sd["n_correct"] == 0
     n = spark.read.parquet(f"{sf_dir}/part.parquet").count()
     assert cd["n_records"] + sd["n_records"] == n
+
+
+def test_er_multipass_blocking_recovers_space_drops(spark, sf_dir):
+    """The fix row must strictly dominate the single-pass row on the
+    class single-pass loses: space-drop candidates go 0 -> most, correct
+    resolutions follow, and the char-drop class is unchanged (the second
+    pass adds candidates, never removes)."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    one = {
+        r["corruption"]: r
+        for r in QUERIES["join_blocked_entity_resolution"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    multi = {
+        r["corruption"]: r
+        for r in QUERIES["join_er_multipass_blocking"].spark(spark, sf_dir).collect()
+    }
+    assert one["space_dropped"]["n_with_candidates"] == 0
+    assert multi["space_dropped"]["n_with_candidates"] > 0.7 * multi[
+        "space_dropped"
+    ]["n_records"]
+    assert multi["space_dropped"]["n_correct"] > 0
+    assert multi["char_dropped"]["n_correct"] >= one["char_dropped"]["n_correct"]

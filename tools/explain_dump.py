@@ -166,6 +166,7 @@ EXTRA = (
     "sample_neyman_allocation",
     "dq_signal_correlation_matrix",
     "join_blocked_entity_resolution",
+    "join_er_multipass_blocking",
 )
 
 

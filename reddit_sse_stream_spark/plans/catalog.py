@@ -14029,6 +14029,87 @@ def join_er_multipass_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dq_join_cardinality_estimate",
+    """
+    WITH g AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id),
+    exact AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs FROM g),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events
+      WHERE CAST(concat('0x', substr(md5('card:' ||
+              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 = 0
+      GROUP BY user_id),
+    est AS (SELECT CAST(COALESCE(sum(c * c), 0) * 64 AS BIGINT)
+              AS est_pairs,
+            CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_sampled
+            FROM s),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
+    SELECT nn.n_rows, est.n_sampled, exact.exact_pairs, est.est_pairs,
+           CAST(abs(est.est_pairs - exact.exact_pairs) * 10000
+                // greatest(exact.exact_pairs, 1) AS BIGINT) / 10000.0
+             AS rel_err
+    FROM exact, est, nn
+    """,
+)
+def dq_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality ESTIMATION audit — the optimizer-statistics
+    question asked before committing a 100 TB shuffle: how big is the
+    self-equi-join on user_id going to be?  Exact answer = sum of
+    squared per-key counts (one key exchange); estimate = the same
+    statistic on a deterministic 1/8 Bernoulli row sample (salted
+    60-bit md5 on event_id, so both engines sample the identical rows)
+    scaled by 1/p^2 = 64 — the textbook sampled self-join size
+    estimator, whose bias/variance THIS row measures as a relative
+    error against ground truth.  At 100 TB only the sampled branch
+    would run (the exact branch exists here to grade it); the estimate
+    costs a 1/8 scan and the same narrow key exchange.
+
+    All int64: counts, squared sums, the 1/p^2 scale, and a 1e-4 floor
+    relative error."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
+    exact = g.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_pairs")
+    )
+    sampled = ev.filter(
+        F.pmod(
+            dedup.md5_hash60(
+                F.concat(F.lit("card:"), F.col("event_id").cast("string"))
+            ),
+            F.lit(8),
+        )
+        == 0
+    )
+    s = sampled.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
+    est = s.agg(
+        (F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0)) * 64)
+        .cast("long")
+        .alias("est_pairs"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_sampled"),
+    )
+    nn = ev.agg(F.count("*").cast("long").alias("n_rows"))
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "n_rows",
+            "n_sampled",
+            "exact_pairs",
+            "est_pairs",
+            (
+                F.expr(
+                    "abs(est_pairs - exact_pairs) * 10000"
+                    " div greatest(exact_pairs, 1)"
+                )
+                / F.lit(10000.0)
+            ).alias("rel_err"),
+        )
+    )
+
+
 _SIGNAL_PAIRS = [
     ("gopher_keep", "probe_score"),
     ("gopher_keep", "quality"),
@@ -14446,6 +14527,7 @@ _R12_LOCAL_ONLY: set = {
     "dq_signal_correlation_matrix",
     "join_blocked_entity_resolution",
     "join_er_multipass_blocking",
+    "dq_join_cardinality_estimate",
 }
 
 

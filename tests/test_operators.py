@@ -3327,3 +3327,22 @@ def test_er_multipass_blocking_recovers_space_drops(spark, sf_dir):
     ]["n_records"]
     assert multi["space_dropped"]["n_correct"] > 0
     assert multi["char_dropped"]["n_correct"] >= one["char_dropped"]["n_correct"]
+
+
+def test_join_cardinality_estimate_exact_and_sane(spark, sf_dir):
+    """exact_pairs must equal the direct sum of squared per-key counts;
+    the sampled estimate must be positive and within a loose factor of
+    truth (the estimator's variance is the thing the row reports — this
+    pin only guards against scale/sampling bugs, not statistics)."""
+    import pandas as pd
+
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    row = QUERIES["dq_join_cardinality_estimate"].spark(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    c = ev.groupby("user_id").size()
+    assert row["exact_pairs"] == int((c * c).sum())
+    assert row["n_rows"] == len(ev)
+    assert 0 < row["n_sampled"] < len(ev)
+    assert 0 < row["est_pairs"] < 10 * row["exact_pairs"]
+    assert row["rel_err"] == abs(row["est_pairs"] - row["exact_pairs"]) * 10000 // row["exact_pairs"] / 10000.0

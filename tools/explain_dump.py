@@ -167,6 +167,7 @@ EXTRA = (
     "dq_signal_correlation_matrix",
     "join_blocked_entity_resolution",
     "join_er_multipass_blocking",
+    "dq_join_cardinality_estimate",
 )
 
 

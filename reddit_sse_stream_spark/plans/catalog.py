@@ -14110,6 +14110,118 @@ def dq_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dq_erasure_propagation",
+    f"""
+    WITH erase AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(concat('0x', substr(md5('erase:' ||
+              CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 20 = 0),
+    ev AS (
+      SELECT e.*, CASE WHEN x.user_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM events e LEFT JOIN erase x ON x.user_id = e.user_id),
+    {FEED_CTE.replace('FROM events', 'FROM (SELECT * FROM ev WHERE hit = 0)')},
+    labels AS (
+      SELECT DISTINCT 'u' || CAST(user_id % 50 AS VARCHAR) AS author
+      FROM erase),
+    ev_stats AS (
+      SELECT 'events' AS surface,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(hit) AS BIGINT) AS n_affected,
+             CAST(sum(1 - hit) AS BIGINT) AS n_after_erasure,
+             CAST(0 AS BIGINT) AS n_residual_label_rows
+      FROM ev),
+    feed_stats AS (
+      SELECT 'feed' AS surface,
+             CAST((SELECT count(*) FROM feed) AS BIGINT) AS n_total,
+             CAST((SELECT count(*) FROM feed f JOIN labels l
+                     ON l.author = f.author) AS BIGINT)
+               AS n_residual_label_rows)
+    SELECT surface, n_total, n_affected, n_after_erasure,
+           n_residual_label_rows
+    FROM ev_stats
+    UNION ALL
+    SELECT surface, n_total, CAST(NULL AS BIGINT), n_total,
+           n_residual_label_rows
+    FROM feed_stats
+    ORDER BY surface
+    """,
+)
+def dq_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten PROPAGATION audit: erase a deterministic
+    user cohort (~5% by salted md5) from the base events table, rebuild
+    the derived feed from the erased base, and measure what survives on
+    each surface.  The base table's post-erasure residual is zero by
+    construction (the anti-join IS the erasure); the derived feed's
+    ``n_residual_label_rows`` is NOT zero and that is the audit's
+    finding: the feed's pseudonym ('u' || user_id % 50) is SHARED
+    across users, so rows from other users still carry labels the
+    erased users used — erasure removed the subjects' rows but a
+    pseudonym-level takedown would have to over-delete.  Exactly the
+    identifier-collision analysis a deletion pipeline must run per
+    derived surface before certifying compliance.
+
+    Plan shape: the erasure cohort is a distinct-user broadcast; both
+    surfaces are counted in single aggregates over one pass each (the
+    feed rebuild reuses the registered derivation verbatim on the
+    erased base, so this audit and the real feed cannot drift)."""
+    ev = _t(spark, sf_dir, "events")
+    erase = (
+        ev.select("user_id")
+        .distinct()
+        .filter(
+            F.pmod(
+                dedup.md5_hash60(
+                    F.concat(F.lit("erase:"), F.col("user_id").cast("string"))
+                ),
+                F.lit(20),
+            )
+            == 0
+        )
+    )
+    marked = ev.join(
+        F.broadcast(erase.withColumn("hit", F.lit(1))), "user_id", "left"
+    ).withColumn("hit", F.coalesce("hit", F.lit(0)))
+    ev_stats = marked.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("hit").cast("long").alias("n_affected"),
+        F.sum(1 - F.col("hit")).cast("long").alias("n_after_erasure"),
+    ).select(
+        F.lit("events").alias("surface"),
+        "n_total",
+        "n_affected",
+        "n_after_erasure",
+        F.lit(0).cast("long").alias("n_residual_label_rows"),
+    )
+    from reddit_sse_stream_spark.sources.feed import feed_from_events
+
+    feed_erased = feed_from_events(marked.filter(F.col("hit") == 0))
+    labels = erase.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")).alias(
+            "author"
+        )
+    ).distinct()
+    feed_stats = (
+        feed_erased.join(
+            F.broadcast(labels.withColumn("lhit", F.lit(1))), "author", "left"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(F.coalesce("lhit", F.lit(0))).cast("long").alias(
+                "n_residual_label_rows"
+            ),
+        )
+        .select(
+            F.lit("feed").alias("surface"),
+            "n_total",
+            F.lit(None).cast("long").alias("n_affected"),
+            F.col("n_total").alias("n_after_erasure"),
+            "n_residual_label_rows",
+        )
+    )
+    return ev_stats.unionAll(feed_stats).orderBy("surface")
+
+
 _SIGNAL_PAIRS = [
     ("gopher_keep", "probe_score"),
     ("gopher_keep", "quality"),
@@ -14528,6 +14640,7 @@ _R12_LOCAL_ONLY: set = {
     "join_blocked_entity_resolution",
     "join_er_multipass_blocking",
     "dq_join_cardinality_estimate",
+    "dq_erasure_propagation",
 }
 
 

@@ -59,7 +59,15 @@ def feed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     still pushes any downstream predicate on event_id/ts/event_type into the
     parquet scan because the derivation is deterministic per-row.
     """
-    ev = _tables.load_table(spark, sf_dir, "events")
+    return feed_from_events(_tables.load_table(spark, sf_dir, "events"))
+
+
+def feed_from_events(ev: DataFrame) -> DataFrame:
+    """The feed derivation applied to an ARBITRARY events frame — the
+    same Column expressions :func:`feed_df` uses on the loaded table,
+    exposed so audits (e.g. the erasure-propagation row) can rebuild the
+    derived surface from a filtered base without duplicating the
+    derivation."""
     is_rc = F.col("event_type").isin(*RC_TYPES)
     rs_only = lambda c: F.when(~is_rc, c)  # noqa: E731
     return ev.select(

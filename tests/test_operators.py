@@ -3346,3 +3346,44 @@ def test_join_cardinality_estimate_exact_and_sane(spark, sf_dir):
     assert 0 < row["n_sampled"] < len(ev)
     assert 0 < row["est_pairs"] < 10 * row["exact_pairs"]
     assert row["rel_err"] == abs(row["est_pairs"] - row["exact_pairs"]) * 10000 // row["exact_pairs"] / 10000.0
+
+
+def test_erasure_propagation_base_clean_derived_leaks(spark, sf_dir):
+    """The audit's two defining facts, recomputed directly: the base
+    surface is fully clean after the anti-join (affected + remaining ==
+    total, zero residual), while the derived feed retains SHARED
+    pseudonym labels (residual > 0) because 'u'||user_id%50 collides
+    across users — and the residual equals a direct recount of feed rows
+    whose label belongs to an erased user."""
+    import hashlib
+
+    import pandas as pd
+
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    out = {
+        r["surface"]: r
+        for r in QUERIES["dq_erasure_propagation"].spark(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    erased = {
+        u
+        for u in ev["user_id"].unique()
+        if int(hashlib.md5(f"erase:{u}".encode()).hexdigest()[:15], 16) % 20 == 0
+    }
+    e = out["events"]
+    assert e["n_total"] == len(ev)
+    assert e["n_affected"] == int(ev["user_id"].isin(erased).sum())
+    assert e["n_affected"] + e["n_after_erasure"] == e["n_total"]
+    assert e["n_residual_label_rows"] == 0
+    f = out["feed"]
+    kept = ev[~ev["user_id"].isin(erased)]
+    labels = {f"u{u % 50}" for u in erased}
+    residual = int((("u" + (kept["user_id"] % 50).astype(str)).isin(labels)).sum())
+    assert f["n_total"] == len(kept)
+    assert f["n_residual_label_rows"] == residual
+    # the shared-pseudonym leak fires whenever a kept user collides with
+    # an erased label (guaranteed at sf0.01 where the driver gate runs;
+    # the tiny sf0.001 cohort may not collide — equality above is the pin)
+    if any(f"u{u % 50}" in labels for u in kept["user_id"].unique()):
+        assert residual > 0

@@ -168,6 +168,7 @@ EXTRA = (
     "join_blocked_entity_resolution",
     "join_er_multipass_blocking",
     "dq_join_cardinality_estimate",
+    "dq_erasure_propagation",
 )
 
 

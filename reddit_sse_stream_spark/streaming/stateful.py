@@ -1123,3 +1123,68 @@ def streaming_spacesaving_topk(docs_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TOMBSTONE_OUTPUT_SCHEMA = "user_id long, event_id long"
+TOMBSTONE_STATE_SCHEMA = "erased_at long"
+
+
+def _tombstone_gate(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Forward-only erasure: rows carry (seq, kind) where kind 'erase'
+    is a tombstone and kind 'event' is data.  Processing in seq order,
+    an arriving tombstone flips the key's state; every event with seq
+    AFTER the key's earliest tombstone is suppressed, events before it
+    pass.  State is ONE long (the erasure seq) per erased key — keys
+    never erased hold no state at all."""
+    chunks = list(pdfs)
+    rows = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    erased_at = int(state.get[0]) if state.exists else None
+    out: list[int] = []
+    if len(rows):
+        rows = rows.sort_values("seq")
+        for _, r in rows.iterrows():
+            if r["kind"] == "erase":
+                if erased_at is None:
+                    erased_at = int(r["seq"])
+            elif erased_at is None or int(r["seq"]) < erased_at:
+                out.append(int(r["event_id"]))
+    if erased_at is not None:
+        state.update((erased_at,))
+    yield pd.DataFrame(
+        {"user_id": [int(key[0])] * len(out), "event_id": out}
+    ).astype({"user_id": "int64", "event_id": "int64"})
+
+
+def streaming_tombstone_erasure(union_stream: DataFrame) -> DataFrame:
+    """Streaming right-to-be-forgotten — the live half of the batch
+    ``dq_erasure_propagation`` audit: deletion requests arrive AS A
+    STREAM of per-user tombstones interleaved with the event stream
+    (the CDC/compacted-topic pattern), and from each user's tombstone
+    onward their events stop flowing downstream.  Fourteenth keyed-state
+    kernel; the new shape is a TOMBSTONE FLAG — state exists only for
+    erased keys (one long each), the opposite working-set profile of
+    every census kernel.
+
+    History already emitted is the batch job's responsibility (the
+    lambda split the batch audit covers); this gate guarantees the
+    FORWARD contract: nothing at or after the tombstone's arrival leaks.
+    Within a micro-batch the kernel orders by seq, so the gate coincides
+    with pure seq order under the standing replay contract (batches
+    arrive in seq order — the same contract the dedup/quota kernels
+    pin); under arbitrary interleaving the suppression point is the
+    tombstone's ARRIVAL, the honest streaming semantics (a deletion
+    cannot act before it is received).
+
+    Scale shape: one shuffle per micro-batch on user_id; state grows
+    with ERASED users only; per-batch work is linear.  Expects a frame
+    with (user_id, seq, kind, event_id) — build it with a union of the
+    event stream and the tombstone stream."""
+    return union_stream.groupBy("user_id").applyInPandasWithState(
+        _tombstone_gate,
+        outputStructType=TOMBSTONE_OUTPUT_SCHEMA,
+        stateStructType=TOMBSTONE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2145,3 +2145,85 @@ def test_streaming_kanon_state_survives_checkpoint_restart(spark, sf_dir, tmp_pa
     batch = _kanon_batch_release_set(ev, KANON_K)
     assert set(got) == batch
     assert 0 < n_first < len(got)  # releases happened on BOTH sides of the restart
+
+
+def test_streaming_tombstone_erasure_forward_contract(spark, sf_dir, tmp_path):
+    """Exact parity for the tombstone gate: events after a user's
+    tombstone never emit, events before it always do, users without
+    tombstones flow untouched — whatever the micro-batch split.  The
+    expected set is a direct per-user recount over (seq, kind) order."""
+    import hashlib
+
+    from reddit_sse_stream_spark.sources.tables import load_table
+    from reddit_sse_stream_spark.streaming.stateful import (
+        streaming_tombstone_erasure,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id"
+    )
+    # seq = event_id for events; tombstones for ~1/4 of users land at a
+    # deterministic mid-stream seq derived from the user's hash
+    n = ev.agg(F.max("event_id")).collect()[0][0]
+    events = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.lit("event").alias("kind"),
+        "event_id",
+    )
+    users = ev.select("user_id").distinct()
+    from reddit_sse_stream_spark.operators.dedup import md5_hash60
+
+    h = md5_hash60(F.concat(F.lit("tomb:"), F.col("user_id").cast("string")))
+    tombs = (
+        users.filter(F.pmod(h, F.lit(4)) == 0)
+        .select(
+            "user_id",
+            F.pmod(h, F.lit(n)).alias("seq"),
+            F.lit("erase").alias("kind"),
+            F.lit(-1).cast("long").alias("event_id"),
+        )
+    )
+    union = events.unionAll(tombs)
+    src = tmp_path / "tomb_stream"
+    # contiguous seq ranges per micro-batch — the standing replay
+    # contract (arrival order consistent with seq order): the forward
+    # contract is then exact, not dependent on file-arrival luck
+    for i in range(3):
+        union.filter(
+            (F.col("seq") >= i * (n + 1) / 3) & (F.col("seq") < (i + 1) * (n + 1) / 3)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(union.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_tombstone_erasure(stream)
+        .writeStream.format("memory")
+        .queryName("tomb_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM tomb_stream").collect()
+    }
+
+    def h60(u):
+        return int(hashlib.md5(f"tomb:{u}".encode()).hexdigest()[:15], 16)
+
+    erase_at = {}
+    for r in users.collect():
+        u = r["user_id"]
+        if h60(u) % 4 == 0:
+            erase_at[u] = h60(u) % n
+    expect = {
+        r["event_id"]
+        for r in ev.collect()
+        if r["user_id"] not in erase_at or r["event_id"] < erase_at[r["user_id"]]
+    }
+    assert got == expect
+    assert 0 < len(got) < ev.count()  # both suppressed and passed exist

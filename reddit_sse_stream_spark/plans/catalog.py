@@ -10878,6 +10878,64 @@ def pack_length_buckets_approx_contract(
 
 
 @_register(
+    "funnel_time_to_convert_approx_contract",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS vts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pts
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.vts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    d AS (SELECT v.user_id FROM v JOIN p USING (user_id))
+    SELECT CAST(bin AS BIGINT) AS bin,
+           (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_total,
+           1 AS boundary_rank_ok,
+           1 AS partition_complete
+    FROM range(1, 5) t(bin) ORDER BY bin
+    """,
+)
+def funnel_time_to_convert_approx_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``funnel_time_to_convert``'s documented 100 TB path as a real
+    contract-oracled code path (VERDICT r12 next #2 — the last
+    exact-ntile row without an ``_approx_contract`` twin): the same
+    converter delta frame (first view -> first qualifying purchase, two
+    user-keyed pre-aggregations), but the quartile cut comes from
+    :func:`sketches.equidepth_approx_bins` with k=4 — Greenwald-Khanna
+    cutpoints + a broadcast 4-row range join, zero global sort, no
+    single-partition window — instead of ``ntile(4)`` over one total
+    ordering.  Cutpoint VALUES are sketch-dependent, so the oracle
+    asserts the guarantee: the tie-aware lt/le exact-rank bracket at
+    each quartile boundary within n/accuracy + 1, and the range join
+    covering every converter exactly once.  The exact twin stays
+    value-oracled for sub-TB runs."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(v.alias("v"), "user_id")
+        .filter(F.col("e.ts") > F.col("v.vts"))
+        .groupBy("user_id")
+        .agg(F.min("e.ts").alias("pts"))
+    )
+    d = v.join(p, "user_id").select(
+        (F.col("pts").cast("long") - F.col("vts").cast("long")).alias(
+            "delta_s"
+        )
+    )
+    return sketches.equidepth_approx_bins(d, "delta_s", k=4)
+
+
+@_register(
     "media_audio_silence_segments",
     """
     WITH ids AS (SELECT doc_id AS m FROM documents WHERE doc_id % 3 = 1),
@@ -12180,8 +12238,12 @@ def corpus_probe_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame
     curve means the probe's scores carry no ranking signal and any
     downstream threshold choice is noise.  The per-bin mean squared
     error vs the label in 1e12 fixed point is the Brier reliability
-    term, all int64 (accumulated as per-bin MEANS via partial
-    aggregation, so no overflow at any SF).
+    term, all int64.  Headroom, stated honestly: the per-bin SUM of
+    se*se (each term up to ~1e12) precedes the divide, so int64 holds
+    through ~9e6 docs per bin — ample for every test SF (sf0.01: ~50
+    docs/bin) but NOT "any SF"; past that, switch the accumulator to
+    a per-partition running mean merged by doc-count weights (Chan's
+    pairwise update) or let the 1e12 scale drop to 1e8.
 
     Plan shape: the probe row is reused verbatim (its plan: 3 GD rounds
     of 4-key gradient aggregates over a checkpointed feature frame);
@@ -12793,7 +12855,7 @@ def search_ndcg_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sb s JOIN bb b USING (bin)
       WHERE s.a_s <= b.b_e AND b.b_s <= s.a_e)
     SELECT nb.event_type, nb.n_bursts,
-           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(pairs.user_id) AS BIGINT) AS n_pairs,
            CAST(count(DISTINCT user_id * 1000000 + sid) AS BIGINT)
              AS n_sessions,
            CAST(COALESCE(sum(least(a_e, b_e) - greatest(a_s, b_s)), 0)
@@ -13298,13 +13360,18 @@ _PRIOR_GREEN_ROUND = {
     "corpus_dsir_weights": 7,
     "corpus_filter_gate": 10,
     "corpus_greedy_coverage_pick": 11,
+    "corpus_lang_gini": 12,
+    "corpus_loss_proxy_calibration": 12,
     "corpus_mix_schedule": 10,
-    "corpus_quality_linear_probe": 11,
+    "corpus_quality_linear_probe": 12,
     "corpus_quality_quantile_gate": 11,
     "corpus_shard_assignments": 10,
+    "corpus_shuffle_locality_audit": 12,
     "corpus_snapshot_diff": 11,
-    "corpus_snapshot_merge": 6,
+    "corpus_snapshot_merge": 12,
     "corpus_split_leakage_safe": 10,
+    "corpus_token_budget_waterfill": 12,
+    "corpus_topic_tagging": 12,
     "corpus_train_val_split": 10,
     "corpus_two_phase_rank_twin": 9,
     "decontam_drop_contaminated": 10,
@@ -13316,14 +13383,14 @@ _PRIOR_GREEN_ROUND = {
     "dedup_cluster_best_quality": 10,
     "dedup_containment_grams": 11,
     "dedup_cross_source_matrix": 11,
-    "dedup_embedding_cosine": 6,
+    "dedup_embedding_cosine": 12,
     "dedup_embedding_cosine_lsh": 9,
-    "dedup_exact_groups": 6,
-    "dedup_exact_keep_first": 6,
+    "dedup_exact_groups": 12,
+    "dedup_exact_keep_first": 12,
     "dedup_incremental_bloom": 10,
     "dedup_incremental_minhash": 10,
     "dedup_incremental_new_only": 10,
-    "dedup_lsh_recall_audit": 6,
+    "dedup_lsh_recall_audit": 12,
     "dedup_method_agreement": 11,
     "dedup_minhash_md5": 10,
     "dedup_minhash_twin_containment": 7,
@@ -13339,18 +13406,19 @@ _PRIOR_GREEN_ROUND = {
     "dedup_tfidf_cosine": 11,
     "dedup_threshold_curve": 11,
     "dq_expectation_report": 9,
+    "dq_gate_agreement_kappa": 12,
     "dq_length_drift_ks": 7,
-    "embed_drift_by_lang": 6,
+    "embed_drift_by_lang": 12,
     "embed_hard_negatives": 8,
     "embed_kmeans_fixedpoint": 7,
-    "embed_l2_norm": 6,
-    "embed_matryoshka_retention": 6,
+    "embed_l2_norm": 12,
+    "embed_matryoshka_retention": 12,
     "embed_norm_stats_by_lang": 9,
     "embed_pca_power_iteration": 10,
     "embed_pq_codes": 10,
-    "embed_quantize_int8": 6,
+    "embed_quantize_int8": 12,
     "embed_random_projection": 10,
-    "embed_standardize": 6,
+    "embed_standardize": 12,
     "f1_type_dispatch": 8,
     "f2_author_whitelist": 9,
     "f3_subreddit_whitelist": 9,
@@ -13360,19 +13428,21 @@ _PRIOR_GREEN_ROUND = {
     "f8_null_elimination": 9,
     "f_combined_full": 9,
     "feat_target_encode_loo": 7,
-    "fn_array_ops": 6,
+    "fn_array_ops": 12,
     "fn_bitwise_ops": 8,
     "fn_datetime_buckets": 7,
     "fn_fuzzy_match_levenshtein": 8,
     "fn_histogram_bins": 8,
     "fn_histogram_equidepth": 10,
-    "fn_map_ops": 6,
-    "fn_math_scalars": 6,
+    "fn_histogram_equidepth_approx_contract": 12,
+    "fn_map_ops": 12,
+    "fn_math_scalars": 12,
     "fn_null_ops": 7,
-    "fn_percentiles": 6,
+    "fn_percentiles": 12,
+    "fn_percentiles_two_phase": 12,
     "fn_regexp_ops": 7,
     "fn_sequence_range": 10,
-    "fn_string_ops": 6,
+    "fn_string_ops": 12,
     "funnel_attribution_last_touch": 11,
     "funnel_time_to_convert": 11,
     "funnel_view_click_purchase": 9,
@@ -13389,7 +13459,7 @@ _PRIOR_GREEN_ROUND = {
     "join_semi_customers_with_orders": 11,
     "join_skew_salted": 8,
     "knn_batch_topk": 11,
-    "knn_bruteforce_cosine": 6,
+    "knn_bruteforce_cosine": 12,
     "knn_ivf_fixedpoint_cells": 10,
     "knn_ivf_incremental_assign": 10,
     "knn_ivf_metric_consistency": 7,
@@ -13401,25 +13471,29 @@ _PRIOR_GREEN_ROUND = {
     "layout_zorder_keys": 10,
     "limit_topk_events_by_value": 11,
     "llm_corpus_prep_pipeline": 7,
-    "llm_dataset_card": 6,
+    "llm_dataset_card": 12,
     "m1_m2_interleave_sort": 9,
     "media_audio_fingerprint": 11,
+    "media_audio_silence_segments": 12,
     "media_features": 11,
     "media_features_meta": 11,
     "media_frame_sample": 7,
-    "media_image_ahash": 11,
+    "media_image_ahash": 12,
     "media_video_scene_cuts": 11,
     "p2_json_key_subset": 9,
+    "pack_chunk_boundary_stats": 12,
     "pack_context_length_curve": 11,
     "pack_length_buckets": 10,
+    "pack_length_buckets_approx_contract": 12,
     "pack_sequences_by_source": 8,
     "path_top_event_trigrams": 9,
     "pivot_event_counts": 11,
     "posexplode_words": 7,
+    "pref_bradley_terry_strength": 12,
     "q1_domain_blocks_comments": 9,
     "quota_admission_per_author": 7,
     "recursive_cte_ancestors": 10,
-    "reference_pipeline_example": 6,
+    "reference_pipeline_example": 12,
     "retention_hourly_cohorts": 9,
     "s1_range_scan": 8,
     "s3_backfill_clamp": 8,
@@ -13429,10 +13503,11 @@ _PRIOR_GREEN_ROUND = {
     "sample_temperature_by_lang": 9,
     "sample_weighted_priority": 7,
     "scd2_as_of_lookup": 11,
-    "scd2_point_in_time_join": 6,
+    "scd2_point_in_time_join": 12,
     "scd2_user_state_history": 11,
     "search_bm25_topk": 7,
     "search_hybrid_rrf": 7,
+    "search_rm3_expansion": 12,
     "session_window_agg": 7,
     "sessionize_events": 7,
     "setop_except_all_values": 7,
@@ -13449,35 +13524,38 @@ _PRIOR_GREEN_ROUND = {
     "text_chunk_dup_rate": 10,
     "text_chunk_windows": 8,
     "text_clean_normalize": 10,
+    "text_code_detect": 12,
     "text_duplicate_spans": 8,
     "text_encoding_quality": 7,
-    "text_fingerprint": 6,
+    "text_fingerprint": 12,
     "text_gopher_gate": 7,
+    "text_lang_confusion": 12,
     "text_lang_predict": 8,
-    "text_lang_scores": 6,
+    "text_lang_scores": 12,
     "text_longest_repeat": 10,
     "text_mattr_diversity": 10,
+    "text_novelty_decay_curve": 12,
     "text_novelty_first_owner": 7,
     "text_pii_redact": 10,
     "text_pmi_top_pairs": 7,
-    "text_quality_score": 6,
+    "text_quality_score": 12,
     "text_rarity_score": 8,
     "text_repetition_bigrams": 9,
     "text_repetition_runs": 7,
     "text_stopword_scrub": 9,
     "text_suffix_ranks": 10,
-    "text_token_count": 6,
+    "text_token_count": 12,
     "text_tokenizer_fertility_by_lang": 11,
     "text_vocab_df": 8,
     "text_vocab_growth": 10,
     "text_winnow_fingerprints": 11,
-    "text_zipf_fit": 11,
+    "text_zipf_fit": 12,
     "tpch_q10_returned_customers": 8,
     "tpch_q11_important_parts": 10,
     "tpch_q12_priority_lines": 8,
-    "tpch_q13_customer_distribution": 6,
+    "tpch_q13_customer_distribution": 12,
     "tpch_q14_promo_revenue": 8,
-    "tpch_q15_top_supplier": 6,
+    "tpch_q15_top_supplier": 12,
     "tpch_q16_supplier_counts": 10,
     "tpch_q17_small_quantity_revenue": 8,
     "tpch_q18_large_orders": 8,
@@ -13485,27 +13563,27 @@ _PRIOR_GREEN_ROUND = {
     "tpch_q1_pricing_summary": 9,
     "tpch_q20_dominant_supplier": 10,
     "tpch_q21_waiting_supplier": 8,
-    "tpch_q22_idle_customers": 6,
+    "tpch_q22_idle_customers": 12,
     "tpch_q2_min_cost_supplier": 10,
     "tpch_q3_shipping_priority": 9,
-    "tpch_q4_order_priority": 6,
+    "tpch_q4_order_priority": 12,
     "tpch_q5_region_revenue": 9,
     "tpch_q6_forecast_revenue": 9,
     "tpch_q7_volume_shipping": 8,
     "tpch_q8_market_share": 8,
     "tpch_q9_profit_by_nation_year": 9,
     "ts_ewma_features": 10,
-    "ts_gapfill_ffill": 6,
+    "ts_gapfill_ffill": 12,
     "ts_ohlc_hourly": 11,
     "ts_rolling_features": 8,
-    "udaf_geomean_orders": 6,
+    "udaf_geomean_orders": 12,
     "udf_grouped_map_zscore": 11,
     "udf_pandas_scalar_charge": 7,
-    "udtf_word_explode": 6,
+    "udtf_word_explode": 12,
     "unpivot_customer_balances": 7,
     "variant_json_extract_agg": 10,
     "vocab_coverage_topk": 11,
-    "window_activity_streaks": 6,
+    "window_activity_streaks": 12,
     "window_first_last_nth": 8,
     "window_lag_delta": 11,
     "window_range_time_frame": 8,
@@ -13528,27 +13606,14 @@ _PRIOR_GREEN_ROUND = {
 # defining identifiers against the commit that recorded its last proof);
 # entries are pruned when a newer CORRECTNESS artifact re-proves them.
 _CHANGED_SINCE_PROOF: set = {
-    # (r10's seventeen rewrite/semantic entries — the EWMA int64 fix, the
-    # mattr/longest_repeat/suffix_ranks/decontam plan changes, the full
-    # ivf_train/pq_train sync-cut family, the CC sync-fold consumers, and
-    # media_features' PNG decode — were ALL re-proven green in the r10
-    # window, CORRECTNESS_r10.json, and are pruned; the map above now
-    # folds r10 in.)
-    # (r11's two entries — media_features / media_features_meta after the
-    # raster-path split — were re-proven green in the r11 window,
-    # CORRECTNESS_r11.json, and are pruned; the map above folds r11 in.)
-    # r12 rewrite (bit-identical, locally re-verified at sf0.001/sf0.01 in
-    # both engines): text_zipf_fit's vocabulary-sized rank window replaced
-    # by closed-form log2-rank prefix sums over the distinct-frequency
-    # histogram (VERDICT r11 next #1) — the r11 proof validated the old
-    # plan, so the row re-proves.
-    "text_zipf_fit",
-    # r12 ADVICE fixes (value-identical on generated data, locally
-    # re-verified): quality_linear_probe's label expression switched to
-    # the oracle's unbounded substring; image_ahash gained the empty-cell
-    # guard + per-payload malformed-container skip.
-    "corpus_quality_linear_probe",
-    "media_image_ahash",
+    # (r10–r12 rewrite/semantic entries — including r12's text_zipf_fit
+    # closed-form rewrite and the quality_linear_probe / image_ahash
+    # ADVICE fixes — were ALL re-proven green in their following driver
+    # window and are pruned; the map above now folds r12 in.  The r13
+    # ADVICE fixes — join_interval_binned_overlap's oracle LEFT-JOIN
+    # count and sample_neyman_allocation's divisor guard — touch rows
+    # that were never driver-proven, so they already sit in the
+    # never-proven head tier and need no entry here.)
 }
 
 
@@ -13695,9 +13760,13 @@ def vocab_size_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w0),
     t AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w),
     q AS (
+      -- greatest(tot, 1) guards the degenerate all-zero-variance corpus
+      -- (every stratum weight 0): DuckDB errors on x // 0 while Spark
+      -- yields NULL — with the guard both engines emit base=0/rem=0 and
+      -- the leftover pass hands all 100 seats to the source-ordered head
       SELECT w.source, w.n_docs, w.wt,
-             CAST(100 * w.wt // t.tot AS BIGINT) AS base,
-             CAST(100 * w.wt % t.tot AS BIGINT) AS rem
+             CAST(100 * w.wt // greatest(t.tot, 1) AS BIGINT) AS base,
+             CAST(100 * w.wt % greatest(t.tot, 1) AS BIGINT) AS rem
       FROM w, t),
     l AS (SELECT CAST(100 - sum(base) AS BIGINT) AS leftover FROM q),
     r AS (
@@ -13718,7 +13787,10 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     1934].  Every step exact int64: the per-stratum weight collapses to
     isqrt(n*sum(x^2) - sum(x)^2) (N_h * sigma_h with the population-N
     cancellation), isqrt guarded against the floor(sqrt(double))
-    off-by-one near perfect squares, and seats assigned by
+    off-by-one near perfect squares (the +/-1 pull-back is exact while
+    var_num < 2^53, where the double mantissa still separates adjacent
+    integers; sf0.01's var_num tops out around 2^40 — a corpus past
+    2^53 needs the widened Newton-correction loop instead), seats by
     LARGEST-REMAINDER apportionment (Hamilton's method: integer base
     quotas, leftovers to the largest remainders, ties by source) so the
     allocation always sums exactly to the budget.  ``alloc_capped``
@@ -13758,8 +13830,8 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "wt",
-        F.expr("100 * wt div tot").alias("base"),
-        F.expr("100 * wt % tot").alias("rem"),
+        F.expr("100 * wt div greatest(tot, 1)").alias("base"),
+        F.expr("100 * wt % greatest(tot, 1)").alias("rem"),
     )
     lv = q.agg((100 - F.sum("base")).cast("long").alias("leftover"))
     wr = Window.orderBy(F.col("rem").desc(), "source")
@@ -14608,50 +14680,12 @@ def dq_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Late-r12 additions that are dual-engine verified locally (sf0.001 AND
-# sf0.01, tools/verify_local.py) but have never been driver-sampled.
-# They do NOT take the never-proven head slot this round: the r12 window
-# must first rotate the 31 rows whose latest proof dates to r06 (VERDICT
-# r11 next #2, "Done = no oracled row's proof older than r07"), and 31
-# stale + 18 head rows already fill a 50-row window.  Slotting these at
-# an effective proof round of 6.5 puts them immediately AFTER the r06
-# tier and ahead of everything r07+, so they lead whatever window
-# remains this round and the r13 window otherwise.  DELETE this set in
-# r13 (regen_prior_green will record their proofs, or they fall back to
-# the never-proven head).
-_R12_LOCAL_ONLY: set = {
-    "dq_gate_agreement_kappa",
-    "dq_k_anonymity",
-    "dq_l_diversity",
-    "dq_mad_outlier_gate",
-    "dq_join_skew_profile",
-    "corpus_probe_calibration_bins",
-    "knn_ivf_nprobe_recall_curve",
-    "feed_domain_suffix_blocklist",
-    "search_ndcg_curve",
-    "join_interval_binned_overlap",
-    "layout_compaction_plan",
-    "layout_zorder_skipping_audit",
-    "dq_bootstrap_ci_mean",
-    "vocab_size_coverage_curve",
-    "corpus_mixture_grid_search",
-    "sample_neyman_allocation",
-    "dq_signal_correlation_matrix",
-    "join_blocked_entity_resolution",
-    "join_er_multipass_blocking",
-    "dq_join_cardinality_estimate",
-    "dq_erasure_propagation",
-}
-
-
 def _registry_rank(item):
     name, qd = item
     if qd.oracle is None:
         return (3, 0)
     if name in _CHANGED_SINCE_PROOF:
         return (0, 0)
-    if name in _R12_LOCAL_ONLY:
-        return (2, 6.5)
     if name not in _PRIOR_GREEN_ROUND:
         return (1, 0)
     return (2, _PRIOR_GREEN_ROUND[name])

@@ -1143,7 +1143,12 @@ def _tombstone_gate(
     erased_at = int(state.get[0]) if state.exists else None
     out: list[int] = []
     if len(rows):
-        rows = rows.sort_values("seq")
+        # Secondary key "kind": 'erase' < 'event' lexicographically, so a
+        # tombstone sharing a seq with one of the key's events ALWAYS
+        # precedes it — without it pandas' non-stable quicksort decides
+        # same-seq order and the documented strict-< contract (an event
+        # AT the erasure seq is suppressed) would be run-dependent.
+        rows = rows.sort_values(["seq", "kind"])
         for _, r in rows.iterrows():
             if r["kind"] == "erase":
                 if erased_at is None:

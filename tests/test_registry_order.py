@@ -18,7 +18,6 @@ from __future__ import annotations
 from reddit_sse_stream_spark.plans.catalog import (
     _CHANGED_SINCE_PROOF,
     _PRIOR_GREEN_ROUND,
-    _R12_LOCAL_ONLY,
     _registry_rank,
     QUERIES,
 )
@@ -63,10 +62,10 @@ def test_changed_pins_fit_inside_a_50_slot_window():
 
 
 def test_never_green_oracled_queries_right_after_changed():
-    """Never-proven rows head the window — EXCEPT the explicit
-    _R12_LOCAL_ONLY yield set, which defers to the r06 proof-rotation
-    tier this round (VERDICT r11 next #2) and slots at effective round
-    6.5 instead."""
+    """Never-proven rows head the window (the r12 yield-tier set
+    _R12_LOCAL_ONLY was deleted in r13 after CORRECTNESS_r12 was folded
+    into _PRIOR_GREEN_ROUND; its never-proven members fall back to this
+    head tier as designed)."""
     names = list(QUERIES)
     n_changed = sum(1 for n in _CHANGED_SINCE_PROOF if n in QUERIES)
     rank1 = [
@@ -75,7 +74,6 @@ def test_never_green_oracled_queries_right_after_changed():
         if q.oracle is not None
         and n not in _PRIOR_GREEN_ROUND
         and n not in _CHANGED_SINCE_PROOF
-        and n not in _R12_LOCAL_ONLY
     ]
     assert names[n_changed : n_changed + len(rank1)] == sorted(
         rank1, key=names.index
@@ -84,31 +82,6 @@ def test_never_green_oracled_queries_right_after_changed():
         QUERIES[n].oracle is not None and n not in _PRIOR_GREEN_ROUND
         for n in names[n_changed : n_changed + len(rank1)]
     )
-
-
-def test_r12_local_only_tier_sits_between_r06_and_r07_proofs():
-    """The yield set's whole purpose: every r06-proven row (the stale
-    tier the r12 window must rotate, VERDICT r11 next #2) comes BEFORE
-    every _R12_LOCAL_ONLY row, and every _R12_LOCAL_ONLY row comes
-    before every r07+-proven row — so the stale rotation completes
-    first and the new rows lead whatever window remains."""
-    names = list(QUERIES)
-    pos = {n: i for i, n in enumerate(names)}
-    assert _R12_LOCAL_ONLY <= set(QUERIES)
-    assert all(QUERIES[n].oracle is not None for n in _R12_LOCAL_ONLY)
-    # the yield set must be genuinely never-proven (else it belongs in
-    # _PRIOR_GREEN_ROUND and this set should have been deleted)
-    assert not (_R12_LOCAL_ONLY & set(_PRIOR_GREEN_ROUND))
-    assert not (_R12_LOCAL_ONLY & _CHANGED_SINCE_PROOF)
-    r06 = [n for n, r in _PRIOR_GREEN_ROUND.items() if r == 6]
-    r07plus = [
-        n
-        for n, r in _PRIOR_GREEN_ROUND.items()
-        if r >= 7 and n not in _CHANGED_SINCE_PROOF
-    ]
-    lo = max(pos[n] for n in r06)
-    hi = min(pos[n] for n in r07plus)
-    assert all(lo < pos[n] < hi for n in _R12_LOCAL_ONLY)
 
 
 def test_any_prefix_of_oracled_queries_is_fully_oracled():

@@ -2227,3 +2227,380 @@ def test_streaming_tombstone_erasure_forward_contract(spark, sf_dir, tmp_path):
     }
     assert got == expect
     assert 0 < len(got) < ev.count()  # both suppressed and passed exist
+
+
+# -------------------------------------------- shared adversarial-split gate
+#
+# VERDICT r12 next #4: the keyed-state kernels share the
+# applyInPandasWithState idiom but each carried its own replay harness —
+# this is the ONE parametrized contract every kernel must pass, so a new
+# kernel gets the parity gate for free by adding a _KernelSpec.
+#
+# Contract: SPLIT-INVARIANCE under the standing replay contract.  The
+# same input replayed (a) as ONE micro-batch and (b) sliced at SEEDED
+# RANDOM arrival boundaries — duplicate cut points yield EMPTY
+# micro-batches, boundaries land mid-key, singleton slices occur — must
+# canonicalize to the same result.  Each spec's ``canon`` projects the
+# raw emissions onto exactly what its kernel CONTRACTS to be
+# split-invariant (emit-once sets for admission gates, latest-per-key
+# for monotone update-mode counters), so the test is the codified
+# contract, not a lucky fixture.  Arrival slices are CONTIGUOUS value
+# ranges of the spec's arrival column (ties inseparable), which is the
+# replay contract every order-sensitive kernel documents.
+
+
+class _KernelSpec:
+    def __init__(self, name, build, kernel, canon, arrival, mode="append",
+                 poll_done=None):
+        self.name = name
+        self.build = build        # (spark, sf_dir) -> batch input frame
+        self.kernel = kernel      # stream DataFrame -> stream DataFrame
+        self.canon = canon        # list[Row] -> comparable
+        self.arrival = arrival    # monotone replay-order column
+        self.mode = mode          # the kernel's applyInPandasWithState mode
+        self.poll_done = poll_done  # not None => ProcessingTimeTimeout kernel
+        # poll_done(canon_result, n_input_rows) -> bool: all timers fired
+
+    def __repr__(self):  # pytest id
+        return self.name
+
+
+def _docs(spark, sf_dir, cap=None):
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < cap) if cap else d
+
+
+def _events(spark, sf_dir):
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def _feed(spark, sf_dir):
+    from reddit_sse_stream_spark.sources.feed import feed_df
+
+    return feed_df(spark, sf_dir)
+
+
+def _tomb_union(spark, sf_dir):
+    from reddit_sse_stream_spark.operators.dedup import md5_hash60
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id")
+    n = ev.agg(F.max("event_id")).collect()[0][0]
+    events = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.lit("event").alias("kind"),
+        "event_id",
+    )
+    users = ev.select("user_id").distinct()
+    h = md5_hash60(F.concat(F.lit("tomb:"), F.col("user_id").cast("string")))
+    tombs = users.filter(F.pmod(h, F.lit(4)) == 0).select(
+        "user_id",
+        F.pmod(h, F.lit(n)).alias("seq"),
+        F.lit("erase").alias("kind"),
+        F.lit(-1).cast("long").alias("event_id"),
+    )
+    return events.unionAll(tombs)
+
+
+def _media(spark, sf_dir):
+    from reddit_sse_stream_spark.operators.multimodal import synthesize_media
+
+    return synthesize_media(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0),
+        real_media=True,
+    )
+
+
+def _latest_by(key_cols, val_cols, monotone_col):
+    """Canon for update-mode kernels: per key, the emission with the
+    largest monotone column IS the final value (counters only grow /
+    minima only shrink, so 'latest' is order-recoverable from values)."""
+
+    def canon(rows):
+        best = {}
+        for r in rows:
+            k = tuple(r[c] for c in key_cols)
+            m = r[monotone_col]
+            if k not in best or m > best[k][0]:
+                best[k] = (m, tuple(r[c] for c in val_cols))
+        return {k: v for k, (_, v) in best.items()}
+
+    return canon
+
+
+def _emit_set(cols):
+    """Canon for append-mode emit-once kernels: the exact emission set
+    (and its exactly-once-ness: duplicates collapse, so the length check
+    lives in the caller via the nonempty assertion + set equality)."""
+
+    def canon(rows):
+        return {tuple(r[c] for c in cols) for r in rows}
+
+    return canon
+
+
+def _minhash_canon(rows):
+    best = {}
+    for r in rows:
+        k = (r["src"], r["i"])
+        if k not in best or r["sig"] < best[k]:
+            best[k] = r["sig"]
+    return best
+
+
+def _session_canon(rows):
+    out = {}
+    for r in rows:
+        a = r["author"]
+        n, lo, hi = out.get(a, (0, None, None))
+        out[a] = (
+            n + r["n_events"],
+            r["first_id"] if lo is None else min(lo, r["first_id"]),
+            r["last_id"] if hi is None else max(hi, r["last_id"]),
+        )
+    return out
+
+
+def _spacesaving_canon(rows):
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["shard"], []).append(r)
+    out = {}
+    for shard, rs in per_shard.items():
+        last = max(r["batch_idx"] for r in rs)
+        out[shard] = {
+            (r["word"], r["count_est"], r["err"])
+            for r in rs
+            if r["batch_idx"] == last
+        }
+    return out
+
+
+def _kernel_specs():
+    from reddit_sse_stream_spark.streaming import stateful as st
+
+    return [
+        _KernelSpec(
+            "running_totals",
+            lambda s, d: _feed(s, d).select("subreddit", "id", "event", "json"),
+            st.running_totals_by_subreddit,
+            _latest_by(["subreddit"], ["total_sent", "total_bytes"], "total_sent"),
+            "id",
+            mode="update",
+        ),
+        _KernelSpec(
+            "ohlc_hourly",
+            lambda s, d: _events(s, d).select("ts", "event_id", "value"),
+            st.streaming_ohlc_hourly,
+            _latest_by(
+                ["bar_hour"],
+                ["open", "high", "low", "close", "n_events", "turnover_fp"],
+                "n_events",
+            ),
+            "event_id",
+            mode="update",
+        ),
+        _KernelSpec(
+            "dedup_first",
+            lambda s, d: _docs(s, d).select("doc_id", "text"),
+            st.streaming_dedup_first,
+            _emit_set(["digest", "keep_id"]),
+            "doc_id",
+        ),
+        _KernelSpec(
+            "quota_admission",
+            lambda s, d: _feed(s, d).select("author", "id", "created_utc"),
+            st.streaming_quota_admission,
+            _emit_set(["author", "hour", "id"]),
+            "created_utc",
+        ),
+        _KernelSpec(
+            "countmin",
+            lambda s, d: _events(s, d).select("user_id"),
+            st.streaming_countmin,
+            _latest_by(["j", "cell"], ["cnt"], "cnt"),
+            "user_id",
+            mode="update",
+        ),
+        _KernelSpec(
+            "source_minhash",
+            lambda s, d: _docs(s, d, cap=150).select("source", "text", "doc_id"),
+            st.streaming_source_minhash,
+            _minhash_canon,
+            "doc_id",
+            mode="update",
+        ),
+        _KernelSpec(
+            "duplicate_positions",
+            lambda s, d: _docs(s, d, cap=150).select("doc_id", "text"),
+            st.streaming_duplicate_positions,
+            _emit_set(["doc_id", "pos"]),
+            "doc_id",
+        ),
+        _KernelSpec(
+            "vocab_first_seen",
+            lambda s, d: _docs(s, d, cap=150).select("doc_id", "text"),
+            st.streaming_vocab_first_seen,
+            _emit_set(["word", "first_doc"]),
+            "doc_id",
+        ),
+        _KernelSpec(
+            "gram_novelty",
+            lambda s, d: _docs(s, d, cap=150).select("doc_id", "text"),
+            st.streaming_gram_novelty,
+            _emit_set(["gram", "first_doc"]),
+            "doc_id",
+        ),
+        _KernelSpec(
+            "media_dedup",
+            _media,
+            st.streaming_media_dedup,
+            _emit_set(["hash_hi", "hash_lo", "keep_id"]),
+            "media_id",
+        ),
+        _KernelSpec(
+            "session_finalize",
+            lambda s, d: _feed(s, d).select("author", "id"),
+            st.streaming_session_finalize,
+            _session_canon,
+            "id",
+            poll_done=lambda c, n: sum(v[0] for v in c.values()) == n,
+        ),
+        _KernelSpec(
+            # natural sf0.001 hours are all sub-K (nothing ever releases,
+            # which tests nothing): square-root hour binning makes group
+            # sizes GROW with the hour, so the input spans never-released
+            # sub-K groups AND released groups in one stream
+            "kanon_release",
+            lambda s, d: _events(s, d).select(
+                "event_type",
+                F.timestamp_seconds(
+                    F.floor(F.sqrt("event_id")) * 3600
+                ).alias("ts"),
+                "event_id",
+            ),
+            st.streaming_kanon_release,
+            _emit_set(["event_type", "hour", "event_id"]),
+            "event_id",
+        ),
+        _KernelSpec(
+            # natural doc lengths never cross 5x the baseline, and the
+            # natural 20-way source split leaves only 5 post-baseline
+            # docs per key (zero emissions tests nothing): collapse to 2
+            # interleaved synthetic sources and inject a +100 level
+            # shift at doc 300 and a collapse at doc 420 so both fire
+            # upward AND downward detections, with resets in between
+            "cusum_drift",
+            lambda s, d: _docs(s, d).select(
+                F.concat(F.lit("g"), (F.col("doc_id") % 2).cast("string"))
+                .alias("source"),
+                "doc_id",
+                F.when(F.col("doc_id") < 300, 100 + F.col("doc_id") % 7)
+                .when(F.col("doc_id") < 420, 200 + F.col("doc_id") % 5)
+                .otherwise(F.lit(20))
+                .cast("long")
+                .alias("n_chars"),
+            ),
+            st.streaming_cusum_drift,
+            _emit_set(["source", "doc_id", "direction", "stat"]),
+            "doc_id",
+        ),
+        _KernelSpec(
+            "spacesaving_topk",
+            lambda s, d: _docs(s, d, cap=150).select("doc_id", "text"),
+            st.streaming_spacesaving_topk,
+            _spacesaving_canon,
+            "doc_id",
+        ),
+        _KernelSpec(
+            "tombstone_erasure",
+            _tomb_union,
+            st.streaming_tombstone_erasure,
+            _emit_set(["event_id"]),
+            "seq",
+        ),
+    ]
+
+
+_ADV_QNO = [0]  # unique memory-sink names across the parametrized runs
+
+
+def _replay_kernel(spark, tmp_path, spec, input_df, cuts):
+    """Write the input as contiguous arrival-range slices (one parquet
+    file per slice, in slice order), stream with maxFilesPerTrigger=1,
+    run the kernel, return canon(all emissions)."""
+    import time as _t
+
+    _ADV_QNO[0] += 1
+    qname = f"adv_{spec.name}_{_ADV_QNO[0]}"
+    src = tmp_path / qname
+    arr = F.col(spec.arrival)
+    bounds = [None, *cuts, None]
+    for i in range(len(bounds) - 1):
+        sl = input_df
+        if bounds[i] is not None:
+            sl = sl.filter(arr >= bounds[i])
+        if bounds[i + 1] is not None:
+            sl = sl.filter(arr < bounds[i + 1])
+        sl.coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(input_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    writer = (
+        spec.kernel(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(spec.mode)
+    )
+    if spec.poll_done is None:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        return spec.canon(spark.sql(f"SELECT * FROM {qname}").collect())
+    # ProcessingTimeTimeout kernel: the engine keeps scheduling empty
+    # micro-batches to fire timers, so availableNow/processAllAvailable
+    # never cover the final eviction — poll until every timer has fired
+    n_input = input_df.count()
+    q = writer.start()
+    try:
+        deadline = _t.monotonic() + 180
+        while _t.monotonic() < deadline:
+            got = spec.canon(spark.sql(f"SELECT * FROM {qname}").collect())
+            if spec.poll_done(got, n_input):
+                return got
+            _t.sleep(0.5)
+        return got
+    finally:
+        q.stop()
+
+
+@pytest.mark.parametrize("spec", _kernel_specs(), ids=lambda s: s.name)
+def test_stateful_kernel_adversarial_split_parity(spark, sf_dir, tmp_path, spec):
+    """EVERY keyed-state kernel, one contract: replaying the same input
+    as a single micro-batch and as seeded-random contiguous arrival
+    slices (empty and singleton batches included) must canonicalize
+    identically.  A fifteenth kernel joins the gate by adding its
+    _KernelSpec — no bespoke harness."""
+    import random
+
+    input_df = spec.build(spark, sf_dir).cache()
+    try:
+        arr_vals = sorted(
+            r[0] for r in input_df.select(spec.arrival).distinct().collect()
+        )
+        assert len(arr_vals) > 10, f"{spec.name}: input too small to split"
+        # seeded per kernel; choices() (with replacement) makes duplicate
+        # cut points — i.e. EMPTY micro-batches — likely by construction
+        rng = random.Random(f"adv-split:{spec.name}")
+        cuts = sorted(rng.choices(arr_vals, k=5))
+        ref = _replay_kernel(spark, tmp_path, spec, input_df, [])
+        got = _replay_kernel(spark, tmp_path, spec, input_df, cuts)
+    finally:
+        input_df.unpersist()
+    assert ref, f"{spec.name}: single-batch replay emitted nothing"
+    assert got == ref

@@ -6639,6 +6639,71 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_rate_by_ingestion_batch",
+    """
+    WITH d AS (
+      SELECT doc_id, source, md5(text) AS dg, doc_id // 50 AS batch
+      FROM documents
+    ),
+    f AS (SELECT dg, min(doc_id) AS first_id FROM d GROUP BY dg)
+    SELECT d.source, CAST(d.batch AS BIGINT) AS batch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.doc_id > f.first_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dups,
+           floor(sum(CASE WHEN d.doc_id > f.first_id THEN 1 ELSE 0 END)
+                 * 10000.0 / count(*)) / 10000.0 AS dup_frac
+    FROM d JOIN f USING (dg)
+    GROUP BY d.source, d.batch
+    ORDER BY d.source, batch
+    """,
+)
+def dedup_rate_by_ingestion_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup-rate TIME SERIES (VERDICT r12 next #6b) — the
+    batch-resolved twin of ``dedup_cross_source_matrix``: for each
+    source and ingestion batch (doc_id // 50, the deterministic arrival
+    band), the fraction of that batch's documents that duplicate
+    ALREADY-INGESTED content (an exact copy whose first owner has a
+    smaller doc_id, any source).  This is the curve a crawl operator
+    watches per feed: a source whose dup_frac trends toward 1 is
+    re-crawling known content and its refresh budget should move
+    elsewhere — the live counterpart to the source-pair matrix's static
+    "who plagiarizes whom".
+
+    Scale shape: rides the EXISTING digest exchange — one groupBy on
+    md5(text) for the first-owner frame (the same shuffle every exact
+    dedup row pays), one join back on the digest, then a map-side
+    partial aggregate on (source, batch).  The is-dup predicate is
+    doc_id > min(doc_id)-of-digest, so no window, no ordering, no
+    second scan."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("dg"),
+        F.floor(F.col("doc_id") / 50).cast("long").alias("batch"),
+    )
+    f = d.groupBy("dg").agg(F.min("doc_id").alias("first_id"))
+    is_dup = (F.col("doc_id") > F.col("first_id")).cast("long")
+    return (
+        d.join(f, "dg")
+        .groupBy("source", "batch")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(is_dup).alias("n_dups"),
+        )
+        .select(
+            "source",
+            "batch",
+            "n_docs",
+            "n_dups",
+            (F.floor(F.col("n_dups") * 10000.0 / F.col("n_docs")) / 10000.0)
+            .alias("dup_frac"),
+        )
+        .orderBy("source", "batch")
+    )
+
+
+@_register(
     "bpe_pair_merge_counts",
     """
     WITH tok AS (
@@ -8124,6 +8189,169 @@ def decontam_multi_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 10000.0
             ).alias("contaminated_frac"),
         )
+    )
+
+
+@_register(
+    "decontam_split_leakage_report",
+    r"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(words) - 1),
+               i -> CAST(concat('0x', substr(md5(
+                      words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                    ), 1, 15)) AS BIGINT))) AS sh
+      FROM w WHERE len(words) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    cold AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 64),
+    exc AS (SELECT e.doc_id, e.g FROM ex e JOIN cold USING (g)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM exc l JOIN exc r ON l.g = r.g AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN s a ON a.doc_id = c.doc_a JOIN s b ON b.doc_id = c.doc_b
+      WHERE floor(len(list_intersect(a.sh, b.sh)) * 10000.0
+                  / len(list_distinct(list_concat(a.sh, b.sh)))) / 10000 >= 0.5
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, wk.comp FROM walk wk JOIN edges e ON wk.id = e.src),
+    comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST(concat('0x', substr(md5('split:' || CAST(cluster_rep AS VARCHAR)), 1, 15))
+                       AS BIGINT) / 1152921504606846976.0 < 0.1
+                  THEN 'val' ELSE 'train' END AS split
+      FROM labeled),
+    words5 AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+      FROM words5
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram FROM idx
+    ),
+    ev AS (
+      SELECT 'suite_a' AS eval_set, gram FROM grams WHERE doc_id % 97 = 0
+      UNION
+      SELECT 'suite_b', gram FROM grams WHERE doc_id % 89 = 0
+    ),
+    tr AS (
+      SELECT doc_id, gram FROM grams
+      WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0
+    ),
+    trs AS (
+      SELECT t.doc_id, t.gram, sp.split FROM tr t JOIN sp USING (doc_id)
+    ),
+    st AS (
+      SELECT split, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_split
+      FROM trs GROUP BY split
+    ),
+    hits AS (
+      SELECT ev.eval_set, trs.split, trs.doc_id,
+             CAST(count(DISTINCT trs.gram) AS BIGINT) AS shared
+      FROM trs JOIN ev ON trs.gram = ev.gram
+      GROUP BY ev.eval_set, trs.split, trs.doc_id
+    )
+    SELECT h.eval_set, h.split,
+           CAST(count(*) AS BIGINT) AS n_contaminated_docs,
+           CAST(sum(h.shared) AS BIGINT) AS n_doc_gram_hits,
+           floor(count(*) * 10000.0 / st.n_split) / 10000.0
+             AS contaminated_frac
+    FROM hits h JOIN st ON h.split = st.split
+    GROUP BY h.eval_set, h.split, st.n_split
+    ORDER BY h.eval_set, h.split
+    """,
+)
+def decontam_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware EVAL-SPLIT report (VERDICT r12 next #6a) —
+    the cross of two proven rows: which benchmark suite's items leak
+    into which leakage-safe split.  ``decontam_multi_suite_report``
+    says "these training docs share 5-grams with suite X";
+    ``corpus_split_leakage_safe`` says "these docs are train, those are
+    val".  Composed, the release gate reads the cell that actually
+    matters: suite-contaminated docs sitting in the TRAIN split inflate
+    that suite's scores (must be dropped or the suite discarded), while
+    contamination confined to the val split only biases internal
+    validation.  Per (suite, split): contaminated-doc count, doc-gram
+    hit mass, and the contaminated fraction of that split's corpus.
+
+    Composition is by reuse, not re-derivation: the split labels come
+    from the REGISTERED ``corpus_split_leakage_safe`` query (same plan:
+    md5-gram jaccard pairs -> large/small-star CC -> salted split on the
+    cluster rep) and the gram side is the same ``word_ngram_hashes``
+    xxhash64 frame the multi-suite report joins (string-keyed oracle
+    value-checks the hash contract, as there).
+
+    Scale shape: adds ONE broadcast-sized join to the multi-suite plan —
+    the (doc_id, split) label frame joins the train gram frame on
+    doc_id before the gram-keyed suite join; the per-split denominator
+    is a 2-row aggregate.  No new data-shaped stage beyond the two
+    parents' own."""
+    split_lbl = QUERIES["corpus_split_leakage_safe"].spark(spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    grams = text.word_ngram_hashes(docs, 5).distinct()
+    ev = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.lit("suite_a").alias("eval_set"), "gram_h")
+        .unionByName(
+            grams.filter(F.col("doc_id") % 89 == 0).select(
+                F.lit("suite_b").alias("eval_set"), "gram_h"
+            )
+        )
+        .distinct()
+    )
+    tr = grams.filter(
+        (F.col("doc_id") % 97 != 0) & (F.col("doc_id") % 89 != 0)
+    )
+    trs = tr.join(split_lbl, "doc_id")
+    st = trs.groupBy("split").agg(
+        F.count_distinct("doc_id").alias("n_split")
+    )
+    hits = (
+        trs.join(ev, "gram_h")
+        .groupBy("eval_set", "split", "doc_id")
+        .agg(F.count_distinct("gram_h").alias("shared"))
+    )
+    return (
+        hits.groupBy("eval_set", "split")
+        .agg(
+            F.count("*").alias("n_contaminated_docs"),
+            F.sum("shared").alias("n_doc_gram_hits"),
+        )
+        .join(F.broadcast(st), "split")
+        .select(
+            "eval_set",
+            "split",
+            "n_contaminated_docs",
+            "n_doc_gram_hits",
+            (
+                F.floor(
+                    F.col("n_contaminated_docs") * 10000.0 / F.col("n_split")
+                )
+                / 10000.0
+            ).alias("contaminated_frac"),
+        )
+        .orderBy("eval_set", "split")
     )
 
 

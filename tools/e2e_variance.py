@@ -29,9 +29,12 @@ order-counterbalanced (AB, BA, AB, ...) so slow drift cancels within
 pairs — and reports per-pair ratios plus an exact two-sided sign test:
 the host noise that moves BOTH arms of a pair together divides out.
 
-    python tools/e2e_variance.py --paired [n_pairs] [--b MODULE:FN]
+    python tools/e2e_variance.py --paired [n_pairs] [--b MODULE:FN] \
+        [--a MODULE:FN]
 
-Arm A is always the current ``bench.streaming_e2e``.  Arm B defaults to
+Arm A defaults to the current ``bench.streaming_e2e`` (override with
+``--a`` to pair any two builds of the same surface — e.g. a kernel's
+old vs new sort, r13's tombstone demonstration).  Arm B defaults to
 a known-direction demonstration variant (the same server with 4x smaller
 micro-batches — more per-batch scheduling overhead, predictably slower),
 and ``--b mymod:fn`` swaps in any callable ``fn(spark, sf_dir) -> dict``
@@ -83,6 +86,7 @@ def _sign_test_p(n_b_slower: int, n: int) -> float:
 
 def paired_main(args: list[str]) -> None:
     n_pairs = 5
+    a_spec = None
     b_spec = None
     rest = []
     i = 0
@@ -90,37 +94,43 @@ def paired_main(args: list[str]) -> None:
         if args[i] == "--b":
             b_spec = args[i + 1]
             i += 2
+        elif args[i] == "--a":
+            a_spec = args[i + 1]
+            i += 2
         else:
             rest.append(args[i])
             i += 1
     if rest:
         n_pairs = int(rest[0])
-    if b_spec:
-        mod, fn = b_spec.split(":")
-        arm_b = getattr(importlib.import_module(mod), fn)
-    else:
-        arm_b = _demo_arm_b
+
+    def _load(spec):
+        mod, fn = spec.split(":")
+        return getattr(importlib.import_module(mod), fn)
+
+    arm_a = _load(a_spec) if a_spec else bench.streaming_e2e
+    arm_b = _load(b_spec) if b_spec else _demo_arm_b
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("e2e_variance_paired")
 
     # warm BOTH arms once at the smallest sf (JVM, Python DataSource
     # workers, HTTP paths) so neither pays first-compile inside a pair
-    bench.streaming_e2e(spark, "/root/testdata/sf0.001")
+    arm_a(spark, "/root/testdata/sf0.001")
     arm_b(spark, "/root/testdata/sf0.001")
 
     rate = lambda r: r["streaming_e2e_events_per_sec"]  # noqa: E731
     pairs = []
     for k in range(n_pairs):
         if k % 2 == 0:  # counterbalanced order: AB, BA, AB, ...
-            ra, rb = rate(bench.streaming_e2e(spark, sf_dir)), rate(arm_b(spark, sf_dir))
+            ra, rb = rate(arm_a(spark, sf_dir)), rate(arm_b(spark, sf_dir))
         else:
-            rb, ra = rate(arm_b(spark, sf_dir)), rate(bench.streaming_e2e(spark, sf_dir))
+            rb, ra = rate(arm_b(spark, sf_dir)), rate(arm_a(spark, sf_dir))
         pairs.append({"a": ra, "b": rb, "ratio_b_over_a": round(rb / ra, 4)})
     ratios = sorted(p["ratio_b_over_a"] for p in pairs)
     n_b_slower = sum(1 for p in pairs if p["b"] < p["a"])
     out = {
         "mode": "paired",
         "n_pairs": n_pairs,
+        "arm_a": a_spec or "bench.streaming_e2e",
         "arm_b": b_spec or "demo: max_ids_per_batch=2500 (4x smaller micro-batches)",
         "pairs": pairs,
         "ratio_b_over_a_sorted": ratios,

@@ -119,7 +119,79 @@ def changed_since_proof(last: dict[str, int]) -> list[str]:
     return flagged
 
 
+def stamp_survey() -> str:
+    """Rewrite SURVEY.md §2.9's proof-round stamps (VERDICT r12 next #8):
+    every backticked catalog-query name in the section's "Catalog entry"
+    column gets ``·rNN`` (latest driver-green round, from the committed
+    CORRECTNESS artifacts — the same source _PRIOR_GREEN_ROUND folds),
+    ``·pending`` (oracled but never driver-sampled), or ``·rows-only``
+    (registered without a value oracle BY DESIGN — xxhash fast paths
+    with oracled twin invariants; the driver records a weaker
+    rows-only check).  Idempotent: existing stamps are replaced, so
+    re-running after each round keeps SURVEY auditable without hand
+    edits."""
+    import ast as _ast
+
+    last = prior_green_rounds()
+    cat_path = os.path.join(
+        ROOT, "reddit_sse_stream_spark", "plans", "catalog.py"
+    )
+    registered: dict[str, bool] = {}  # name -> has value oracle
+    for node in _ast.walk(_ast.parse(open(cat_path).read())):
+        if (
+            isinstance(node, _ast.Call)
+            and isinstance(node.func, _ast.Name)
+            and node.func.id == "_register"
+            and node.args
+            and isinstance(node.args[0], _ast.Constant)
+        ):
+            oracled = len(node.args) > 1 and not (
+                isinstance(node.args[1], _ast.Constant)
+                and node.args[1].value is None
+            )
+            registered[node.args[0].value] = oracled
+    path = os.path.join(ROOT, "SURVEY.md")
+    survey = open(path).read()
+    start = survey.index("### 2.9")
+    end = survey.index("\n## ", start)
+    sec = survey[start:end]
+
+    def stamp_cell(cell: str) -> str:
+        def repl(m):
+            name = m.group(1)
+            if name not in registered:
+                return m.group(0)
+            if name in last:
+                tag = f"r{last[name]:02d}"
+            elif registered[name]:
+                tag = "pending"
+            else:
+                tag = "rows-only"
+            return f"`{name}`·{tag}"
+
+        return re.sub(r"`(\w+)`(?:·(?:r\d+|pending|rows-only))?", repl, cell)
+
+    out_lines = []
+    for line in sec.splitlines():
+        if line.startswith("|") and line.count("|") >= 4:
+            cells = line.split("|")
+            cells[2] = stamp_cell(cells[2])
+            line = "|".join(cells)
+        out_lines.append(line)
+    new_sec = "\n".join(out_lines)
+    open(path, "w").write(survey[:start] + new_sec + survey[end:])
+    n = len(re.findall(r"·r\d+", new_sec))
+    p = len(re.findall(r"·pending", new_sec))
+    ro = len(re.findall(r"·rows-only", new_sec))
+    return f"stamped SURVEY §2.9: {n} proven, {p} pending, {ro} rows-only"
+
+
 if __name__ == "__main__":
+    import sys as _sys
+
+    if "--stamp-survey" in _sys.argv[1:]:
+        print(stamp_survey())
+        raise SystemExit(0)
     rounds = prior_green_rounds()
     print(f"# {len(rounds)} prior-green queries (latest proving round each)")
     print("_PRIOR_GREEN_ROUND = {")

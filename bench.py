@@ -145,8 +145,15 @@ HIGH_VARIANCE = frozenset({
     "knn_ivf_incremental_assign",
     "p2_json_key_subset",
 })
-BASE_RUNS = 3
+BASE_RUNS = 5  # VERDICT r12 next #7: no artifact row below 5 runs
 MAX_RUNS = 7
+#: VERDICT r12 next #7: sub-second rows pay the largest RELATIVE noise
+#: (12/45 rows over 1.5x spread in r12, mostly <0.5 s rows) — rows whose
+#: PRIOR-round median sat under FAST_ROW_SEC run as ONE contiguous
+#: JVM-warm group at the END of the loop (no heavy row's GC debris or
+#: page-cache churn lands between their samples) with MAX_RUNS each; a
+#: row with no prior median self-identifies by its first sample.
+FAST_ROW_SEC = 0.5
 SPREAD_ESCALATE = 1.5
 #: VERDICT r10 next #8: a 3-run row whose median is already >1.25x its
 #: prior-round median escalates to MAX_RUNS the SAME round — r10's
@@ -774,8 +781,21 @@ def main() -> None:
     run_counts: dict[str, int] = {}
     detail: dict[str, dict] = {}
     sampler = PeakRssSampler().start()
-    for name in HEADLINE:
-        target = MAX_RUNS if name in HIGH_VARIANCE else BASE_RUNS
+    # Fast-row batching (VERDICT r12 next #7): known-fast rows regroup
+    # at the END of the loop, contiguous, so their 7-run samples share a
+    # maximally-warm JVM and no heavy row runs between them.
+    fast_rows = {
+        n for n in HEADLINE if 0 < prev_q.get(n, 0.0) < FAST_ROW_SEC
+    }
+    row_order = [n for n in HEADLINE if n not in fast_rows] + [
+        n for n in HEADLINE if n in fast_rows
+    ]
+    for name in row_order:
+        target = (
+            MAX_RUNS
+            if (name in HIGH_VARIANCE or name in fast_rows)
+            else BASE_RUNS
+        )
         samples: list[float] = []
         sampler.reset()
         while len(samples) < target:
@@ -788,6 +808,10 @@ def main() -> None:
             # later ones (SCALING.md r05); between queries no cross-query
             # frame survives, so this is safe by construction
             release_local_checkpoints(spark)
+            if len(samples) == 1 and samples[0] < FAST_ROW_SEC:
+                # sub-second row with no prior median (new this round or
+                # prev ran at another sf): buy it the full sample anyway
+                target = MAX_RUNS
             if len(samples) == target == BASE_RUNS and should_escalate(
                 samples, prev_q.get(name)
             ):

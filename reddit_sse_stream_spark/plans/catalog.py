@@ -14079,6 +14079,63 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sample_bottomk_minwise",
+    """
+    WITH p AS (
+      SELECT source, doc_id,
+             CAST(concat('0x', substr(md5('rsv:' || CAST(doc_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) AS prio
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, prio,
+             row_number() OVER (PARTITION BY source ORDER BY prio, doc_id)
+               AS rk
+      FROM p
+    )
+    SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, prio
+    FROM r WHERE rk <= 8 ORDER BY source, rk
+    """,
+)
+def sample_bottomk_minwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k reservoir per source via min-wise hashing
+    — the KMV sketch's sample half [Broder 1997; Bar-Yossef et al.
+    2002]: every doc draws a 60-bit md5 priority and the k=8 smallest
+    per source ARE a hash-uniform sample.  Three properties a
+    random.sample reservoir lacks, each load-bearing at 100 TB:
+    REPLAYABLE (same corpus -> same sample, any partitioning — which is
+    what lets this row carry a full value oracle), MERGEABLE (bottom-k
+    of a union = bottom-k of concatenated bottom-ks, so partial samples
+    fold map-side and shard samples combine by re-cutting), and
+    INCREMENTAL (the streaming twin ``streaming_bottomk_reservoir`` —
+    fifteenth keyed-state kernel — maintains the identical sample live
+    with k pairs of state per source).  The kth priority doubles as the
+    KMV distinct-count estimator's raw material.
+
+    Scale shape: one exchange on the source key, and the per-source
+    rank<=k cut is a WindowGroupLimit — Spark holds only k rows per key
+    per map partition BEFORE the shuffle, so the exchange carries
+    O(k x sources x partitions) rows, never the corpus."""
+    from reddit_sse_stream_spark.operators.dedup import md5_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    p = docs.select(
+        "source",
+        "doc_id",
+        md5_hash60(
+            F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))
+        ).alias("prio"),
+    )
+    w = Window.partitionBy("source").orderBy("prio", "doc_id")
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+        .select("source", F.col("rk").cast("int").alias("rk"), "doc_id", "prio")
+        .orderBy("source", "rk")
+    )
+
+
+@_register(
     "join_blocked_entity_resolution",
     """
     WITH clean AS (SELECT DISTINCT p_name AS name FROM part),

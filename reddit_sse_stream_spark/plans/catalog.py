@@ -14136,6 +14136,122 @@ def sample_bottomk_minwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "agg_kmv_distinct_estimate",
+    r"""
+    WITH t AS (
+      SELECT source, regexp_split_to_array(lower(text), '\s+') AS w
+      FROM documents
+    ),
+    w AS (
+      SELECT DISTINCT source, b FROM (
+        SELECT t.source, t.w[u.i] || ' ' || t.w[u.i + 1] AS b
+        FROM t, unnest(generate_series(1, len(t.w) - 1)) AS u(i)) x
+    ),
+    p AS (
+      SELECT source, b,
+             CAST(concat('0x', substr(md5(b), 1, 15)) AS BIGINT) AS prio
+      FROM w
+    ),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+          FROM p GROUP BY source),
+    r AS (
+      SELECT source, prio,
+             row_number() OVER (PARTITION BY source ORDER BY prio, b)
+               AS rk
+      FROM p
+    ),
+    uk AS (
+      SELECT source, max(prio) AS u_k FROM r WHERE rk <= 64
+      GROUP BY source HAVING count(*) = 64
+    ),
+    e AS (
+      SELECT n.source, n.n_exact,
+             CAST(CASE WHEN uk.u_k IS NULL THEN n.n_exact
+                       ELSE floor(63 * 1152921504606846976.0 / uk.u_k)
+                  END AS BIGINT) AS est,
+             CAST(uk.u_k IS NOT NULL AS INTEGER) AS sketch_mode
+      FROM n LEFT JOIN uk USING (source)
+    )
+    SELECT source, n_exact, est, sketch_mode,
+           CAST(floor(abs(est - n_exact) * 10000.0 / n_exact) AS BIGINT)
+             AS rel_err_x1e4
+    FROM e ORDER BY source
+    """,
+)
+def agg_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count estimator, graded against
+    ground truth — the estimator half of the bottom-k sketch whose
+    sample half is ``sample_bottomk_minwise`` [Bar-Yossef et al. 2002]:
+    per source, the 64th-smallest md5 word-BIGRAM priority u_k yields
+    est = (k-1) * 2^60 / u_k for the distinct-bigram count (~700 true
+    types per source at the test SFs — the unigram vocabulary is ~31,
+    which would leave every source in exact mode and the estimator
+    untested), compared
+    against the exact COUNT(DISTINCT) with the relative error in 1e-4
+    fixed point.  A source with fewer than k distinct words is in
+    EXACT mode (the sketch holds the whole set; est = truth,
+    sketch_mode = 0).  This is the engine's deterministic,
+    cross-engine-oracled counterpart to HLL approx_count_distinct —
+    unlike HLL the hash family is shared with DuckDB, so the ESTIMATE
+    itself value-verifies, not just the exact anchor (same contract
+    trick as the Count-Min rows).
+
+    Scale shape: one distinct exchange on (source, word) — the same
+    cardinality any exact distinct pays — then the rank<=k cut is a
+    WindowGroupLimit (k rows per key per map partition cross the
+    window's exchange) and everything after is dimension-sized.  At
+    100 TB the sketch REPLACES the exact side: the n_exact column here
+    exists to grade the estimator, and dropping it removes the wide
+    distinct entirely (the sketch is one bounded-state pass —
+    the streaming twin is ``streaming_bottomk_reservoir``'s state with
+    words as keys)."""
+    from reddit_sse_stream_spark.operators.dedup import md5_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat(
+            F.element_at("w", i), F.lit(" "), F.element_at("w", i + 1)
+        ),
+    )
+    w = (
+        docs.select("source", ws.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("source", F.explode(bigrams).alias("b"))
+        .distinct()
+    )
+    p = w.select("source", "b", md5_hash60("b").alias("prio"))
+    n = p.groupBy("source").agg(F.count("*").cast("long").alias("n_exact"))
+    wk = Window.partitionBy("source").orderBy("prio", "b")
+    r = p.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") <= 64)
+    uk = (
+        r.groupBy("source")
+        .agg(F.max("prio").alias("u_k"), F.count("*").alias("kc"))
+        .filter(F.col("kc") == 64)
+        .select("source", "u_k")
+    )
+    est = F.when(F.col("u_k").isNull(), F.col("n_exact")).otherwise(
+        F.floor(63 * 1152921504606846976.0 / F.col("u_k"))
+    )
+    e = n.join(uk, "source", "left").select(
+        "source",
+        "n_exact",
+        est.cast("long").alias("est"),
+        F.col("u_k").isNotNull().cast("int").alias("sketch_mode"),
+    )
+    return e.select(
+        "source",
+        "n_exact",
+        "est",
+        "sketch_mode",
+        F.floor(F.abs(F.col("est") - F.col("n_exact")) * 10000.0 / F.col("n_exact"))
+        .cast("long")
+        .alias("rel_err_x1e4"),
+    ).orderBy("source")
+
+
+@_register(
     "join_blocked_entity_resolution",
     """
     WITH clean AS (SELECT DISTINCT p_name AS name FROM part),

@@ -12305,6 +12305,172 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dq_t_closeness",
+    """
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(floor(value) AS BIGINT) % 10 AS b
+      FROM events),
+    gb AS (SELECT event_type, h, b, CAST(count(*) AS BIGINT) AS c
+           FROM e GROUP BY 1, 2, 3),
+    g AS (SELECT event_type, h, CAST(sum(c) AS BIGINT) AS n_g
+          FROM gb GROUP BY 1, 2),
+    gbl AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM gb GROUP BY 1),
+    tot AS (SELECT CAST(sum(cb) AS BIGINT) AS n FROM gbl),
+    cells AS (
+      SELECT g.event_type, g.h, g.n_g, gbl.b, gbl.cb,
+             COALESCE(gb.c, 0) AS cgb, tot.n
+      FROM g CROSS JOIN gbl CROSS JOIN tot
+      LEFT JOIN gb ON gb.event_type = g.event_type AND gb.h = g.h
+                  AND gb.b = gbl.b),
+    dg AS (
+      SELECT event_type, h, any_value(n_g) AS n_g, any_value(n) AS n,
+             CAST(sum(abs(cgb * n - cb * n_g)) AS BIGINT) AS d
+      FROM cells GROUP BY 1, 2),
+    tv AS (
+      SELECT event_type, h, n_g, n,
+             CAST(d * 10000 // (2 * n_g * n) AS BIGINT) AS tvd_x1e4
+      FROM dg),
+    lad AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(any_value(n) AS BIGINT) AS n_rows,
+             CAST(max(tvd_x1e4) AS BIGINT) AS max_tvd_x1e4,
+             CAST(sum(CASE WHEN tvd_x1e4 > 2000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f2,
+             CAST(sum(CASE WHEN tvd_x1e4 > 2000 THEN n_g ELSE 0 END)
+                  AS BIGINT) AS r2,
+             CAST(sum(CASE WHEN tvd_x1e4 > 3000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f3,
+             CAST(sum(CASE WHEN tvd_x1e4 > 3000 THEN n_g ELSE 0 END)
+                  AS BIGINT) AS r3,
+             CAST(sum(CASE WHEN tvd_x1e4 > 5000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f5,
+             CAST(sum(CASE WHEN tvd_x1e4 > 5000 THEN n_g ELSE 0 END)
+                  AS BIGINT) AS r5
+      FROM tv),
+    u AS (
+      SELECT 2 AS t10, n_groups, n_rows, max_tvd_x1e4, f2 AS n_failing,
+             r2 AS n_rows_failing FROM lad
+      UNION ALL
+      SELECT 3, n_groups, n_rows, max_tvd_x1e4, f3, r3 FROM lad
+      UNION ALL
+      SELECT 5, n_groups, n_rows, max_tvd_x1e4, f5, r5 FROM lad)
+    SELECT CAST(t10 AS BIGINT) AS t10, n_groups, n_failing, n_rows_failing,
+           max_tvd_x1e4,
+           CAST(n_rows_failing * 10000 // n_rows AS BIGINT) / 10000.0
+             AS frac_rows_failing
+    FROM u ORDER BY t10
+    """,
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the anonymity trio next to
+    the registered ``dq_k_anonymity`` and ``dq_l_diversity`` rows [Li,
+    Li & Venkatasubramanian 2007]: a quasi-identifier group can pass
+    k-anonymity AND l-diversity and still leak (its sensitive-attribute
+    DISTRIBUTION differs from the corpus — membership reveals skew), so
+    the gate bounds the total-variation distance between each group's
+    sensitive distribution and the global one.  Same quasi-identifier
+    as the k-anon row (event_type, hour); sensitive attribute = the
+    value's unit bucket (floor(value) mod 10).  TVD is computed in
+    exact int64 cross-multiplied form — D = sum_b |c_gb*N - c_b*n_g|,
+    TVD = D / (2*n_g*N), floored at 1e-4 — and the t in {0.2, 0.3,
+    0.5} ladder compares the shared fixed-point value, so both engines
+    agree at bucket boundaries by construction.  (Headroom: n_g*N
+    stays under 2^63 while n_g*N < 9.2e18 — fine through ~1e9 rows per
+    group at 1e9 total; past that, scale both counts down by a common
+    power of two first.)
+
+    Fixture note: nearly every group fails on the test feed — the
+    quasi-identifier groups are 2-5 rows, and a handful of samples
+    cannot approximate a 10-bucket distribution (TVD ~1 by small-sample
+    arithmetic, the same groups the k-anon ladder flags).  That is the
+    audit working as specified: t-closeness only becomes satisfiable
+    after k-anon-style generalization coarsens the groups, which is
+    exactly the release-pipeline ordering the trio implies.
+
+    Plan shape: ONE quasi-identifier+bucket exchange builds the cell
+    frame; the group and global-bucket frames are re-aggregates of it
+    (the bucket frame is 10 rows, broadcast); the TVD join is
+    groups x 10 — dimension-sized — and the ladder is literal columns
+    of a 1-row aggregate unioned to 3 rows, the k-anon pattern."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        (F.floor("value").cast("long") % 10).alias("b"),
+    )
+    gb = e.groupBy("event_type", "h", "b").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    g = gb.groupBy("event_type", "h").agg(F.sum("c").cast("long").alias("n_g"))
+    gbl = gb.groupBy("b").agg(F.sum("c").cast("long").alias("cb"))
+    tot = gbl.agg(F.sum("cb").cast("long").alias("n"))
+    cells = (
+        g.crossJoin(F.broadcast(gbl))
+        .crossJoin(F.broadcast(tot))
+        .join(gb, ["event_type", "h", "b"], "left")
+        .select(
+            "event_type",
+            "h",
+            "n_g",
+            "n",
+            "cb",
+            F.coalesce("c", F.lit(0)).alias("cgb"),
+        )
+    )
+    dg = cells.groupBy("event_type", "h").agg(
+        F.first("n_g").alias("n_g"),
+        F.first("n").alias("n"),
+        F.sum(F.abs(F.col("cgb") * F.col("n") - F.col("cb") * F.col("n_g")))
+        .cast("long")
+        .alias("d"),
+    )
+    tv = dg.select(
+        "n_g",
+        "n",
+        F.expr("d * 10000 div (2 * n_g * n)").cast("long").alias("tvd_x1e4"),
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_groups"),
+        F.first("n").cast("long").alias("n_rows"),
+        F.max("tvd_x1e4").cast("long").alias("max_tvd_x1e4"),
+    ]
+    for t10 in (2, 3, 5):
+        fail = F.col("tvd_x1e4") > t10 * 1000
+        aggs.append(
+            F.sum(fail.cast("long")).cast("long").alias(f"f{t10}")
+        )
+        aggs.append(
+            F.sum(F.when(fail, F.col("n_g")).otherwise(0))
+            .cast("long")
+            .alias(f"r{t10}")
+        )
+    lad = tv.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({t10} AS BIGINT), f{t10}, r{t10}" for t10 in (2, 3, 5)
+    )
+    return (
+        lad.selectExpr(
+            "n_groups",
+            "n_rows",
+            "max_tvd_x1e4",
+            f"stack(3, {stack}) AS (t10, n_failing, n_rows_failing)",
+        )
+        .select(
+            "t10",
+            "n_groups",
+            "n_failing",
+            "n_rows_failing",
+            "max_tvd_x1e4",
+            (
+                F.expr("n_rows_failing * 10000 div n_rows") / F.lit(10000.0)
+            ).alias("frac_rows_failing"),
+        )
+        .orderBy("t10")
+    )
+
+
+@_register(
     "dq_mad_outlier_gate",
     """
     WITH h AS (

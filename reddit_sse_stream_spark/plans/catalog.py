@@ -10203,6 +10203,113 @@ def _ewma_oracle(depth: int = 16) -> str:
     """
 
 
+@_register(
+    "ts_seasonal_decompose",
+    """
+    WITH hc AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT h, c,
+             CAST(sum(c) OVER w AS BIGINT) AS wsum,
+             CAST(count(*) OVER w AS BIGINT) AS wn,
+             CAST(extract(hour FROM h) AS BIGINT) AS hod
+      FROM hc
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    dt AS (
+      SELECT hod, c * 10000 - (wsum * 10000 // 25) AS det
+      FROM tr WHERE wn = 25),
+    se AS (
+      SELECT hod, CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(det) // count(*) AS BIGINT) AS seasonal_x1e4,
+             CAST(sum(det) AS BIGINT) AS det_sum
+      FROM dt GROUP BY hod)
+    SELECT dt.hod, any_value(se.n_hours) AS n_hours,
+           any_value(se.seasonal_x1e4) AS seasonal_x1e4,
+           CAST(sum(abs(dt.det - se.seasonal_x1e4)) // count(*) AS BIGINT)
+             AS mean_abs_remainder_x1e4
+    FROM dt JOIN se USING (hod)
+    GROUP BY dt.hod ORDER BY dt.hod
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (the STL shape, moving-average
+    flavor [Cleveland 1990]) over the hourly event-count series: trend =
+    centered 25-hour moving average (full windows only), seasonal = the
+    hour-of-day mean of the detrended series, remainder = what's left —
+    reported as the 24-row seasonal profile with each slot's mean
+    absolute remainder (the "how much is NOT calendar rhythm" column an
+    anomaly pipeline baselines against before alerting; the registered
+    ``anomaly_zscore_hourly`` row alerts on exactly the kind of residual
+    this decomposition isolates).  All arithmetic is exact int64 in the
+    1e4 fixed-point domain; the mean divisions are int64 // int64,
+    where DuckDB TRUNCATES toward zero exactly like Spark's ``div`` (it
+    floors only with a DOUBLE operand — the calibration row's case), so
+    the two engines agree on negative detrended sums with no correction
+    term.
+
+    Plan shape: one hour-keyed exchange builds the hourly series; the
+    trend window runs UNPARTITIONED but over the HOURLY AGGREGATE — its
+    input is calendar-sized (24 rows/day: ten years of 100 TB is still
+    ~88k rows), the documented dimension-sized window class
+    (``stream_lateness_watermark_profile``'s defense), never row scale;
+    the seasonal/remainder stages are 24-row aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.orderBy("h").rowsBetween(-12, 12)
+    tr = hc.select(
+        "h",
+        "c",
+        F.sum("c").over(w).cast("long").alias("wsum"),
+        F.count("*").over(w).cast("long").alias("wn"),
+        F.hour("h").cast("long").alias("hod"),
+    )
+    dt = tr.filter(F.col("wn") == 25).select(
+        "hod",
+        (
+            F.col("c") * 10000 - F.expr("wsum * 10000 div 25")
+        ).alias("det"),
+    )
+    # both operands are int64, where DuckDB's ``//`` TRUNCATES toward
+    # zero exactly like Spark's ``div`` (DuckDB floors only when an
+    # operand is DOUBLE — the calibration row's case), so plain div is
+    # the matching semantics here even on negative detrended sums
+    se = dt.groupBy("hod").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("det").cast("long").alias("det_sum"),
+    ).select(
+        "hod",
+        "n_hours",
+        F.expr("det_sum div n_hours").cast("long").alias("seasonal_x1e4"),
+    )
+    joined = dt.join(F.broadcast(se), "hod").select(
+        "hod",
+        "n_hours",
+        "seasonal_x1e4",
+        F.abs(F.col("det") - F.col("seasonal_x1e4")).alias("ad"),
+    )
+    return (
+        joined.groupBy("hod")
+        .agg(
+            F.first("n_hours").alias("n_hours"),
+            F.first("seasonal_x1e4").alias("seasonal_x1e4"),
+            F.sum("ad").cast("long").alias("ad_sum"),
+            F.count("*").cast("long").alias("nn"),
+        )
+        .select(
+            "hod",
+            "n_hours",
+            "seasonal_x1e4",
+            F.expr("ad_sum div nn").cast("long").alias(
+                "mean_abs_remainder_x1e4"
+            ),
+        )
+        .orderBy("hod")
+    )
+
+
 @_register("ts_ewma_features", _ewma_oracle())
 def ts_ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-decayed value feature per event

@@ -73,3 +73,95 @@ def zorder_layout(
         key_col, morton_key(F.pmod(F.col(c1), m), F.pmod(F.col(c2), m), bits)
     )
     return keyed.repartitionByRange(n_files, key_col).sortWithinPartitions(key_col)
+
+
+# --------------------------------------------------------------------------- #
+# Hilbert curve — the locality upgrade over Morton that Delta Lake's liquid   #
+# clustering and recent Iceberg work moved to: the Hilbert curve never jumps  #
+# across the space between consecutive codes (Morton's Z shape does, once per #
+# quadrant boundary), so equal-size code ranges cover tighter rectangles and  #
+# min-max pruning touches fewer files for the same write cost.                #
+# --------------------------------------------------------------------------- #
+
+#: quadrant code for one Hilbert round: (3*rx) XOR ry, spelled as pure
+#: arithmetic so it needs no engine-specific XOR operator —
+#: q = 3*rx + ry - 2*rx*ry  (rx, ry in {0, 1}; table-checked in tests).
+_HILBERT_Q = "(3 * {rx} + {ry} - 2 * {rx} * {ry})"
+
+
+def _hilbert_round_exprs(i: int, x: str, y: str, d: str) -> tuple[str, str, str]:
+    """One round of the standard xy->d walk [Hilbert 1891; the iterative
+    form is the public-domain convert-xy-to-d loop], for bit position
+    ``i`` (s = 2^i): emit (d', x', y') as SQL expressions over the
+    engine-shared operator subset (& >> CASE + * -).  Flip-then-swap:
+    ry=1 leaves (x, y); ry=0 swaps, with an additional s-1-v reflection
+    when rx=1."""
+    s = 1 << i
+    rx = f"(({x} >> {i}) & 1)"
+    ry = f"(({y} >> {i}) & 1)"
+    q = _HILBERT_Q.format(rx=rx, ry=ry)
+    d2 = f"({d} + {s * s} * {q})"
+    x2 = (
+        f"(CASE WHEN {ry} = 1 THEN {x} "
+        f"WHEN {rx} = 1 THEN {s - 1} - {y} ELSE {y} END)"
+    )
+    y2 = (
+        f"(CASE WHEN {ry} = 1 THEN {y} "
+        f"WHEN {rx} = 1 THEN {s - 1} - {x} ELSE {x} END)"
+    )
+    return d2, x2, y2
+
+
+def hilbert_key(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    bits: int = 8,
+    key_col: str = "hkey",
+) -> DataFrame:
+    """Attach the Hilbert-curve code of (xcol, ycol) — both already in
+    [0, 2^bits) — as ``key_col``.  The per-round state update references
+    its inputs 2-3 times, so a single nested expression would blow up
+    3^bits leaves; instead the walk is ``bits`` chained SELECTs, which
+    whole-stage codegen fuses into one map pass (zero shuffle, zero
+    Python — same execution class as :func:`morton_key`)."""
+    cols = [c for c in df.columns if c not in ("_hx", "_hy", key_col)]
+    out = df.selectExpr(
+        *cols,
+        f"CAST({xcol} AS BIGINT) AS _hx",
+        f"CAST({ycol} AS BIGINT) AS _hy",
+        f"CAST(0 AS BIGINT) AS {key_col}",
+    )
+    for i in range(bits - 1, -1, -1):
+        d2, x2, y2 = _hilbert_round_exprs(i, "_hx", "_hy", key_col)
+        out = out.selectExpr(
+            *cols,
+            f"{x2} AS _hx",
+            f"{y2} AS _hy",
+            f"{d2} AS {key_col}",
+        )
+    return out.selectExpr(*cols, key_col)
+
+
+def hilbert_key_sql_ctes(
+    src: str, xcol: str, ycol: str, bits: int = 8, key_col: str = "hkey"
+) -> tuple[str, str]:
+    """The identical walk as a chain of SQL CTEs (generated from the SAME
+    round function, so the engines cannot drift): returns
+    (cte_sql_fragment, final_cte_name).  ``src`` must expose xcol, ycol,
+    and pass-through columns x_id/y_id named in the caller's SELECT —
+    the fragment carries every src column along via SELECT *."""
+    parts = [
+        f"hil0 AS (SELECT *, CAST({xcol} AS BIGINT) AS _hx,"
+        f" CAST({ycol} AS BIGINT) AS _hy,"
+        f" CAST(0 AS BIGINT) AS {key_col} FROM {src})"
+    ]
+    j = 0
+    for i in range(bits - 1, -1, -1):
+        d2, x2, y2 = _hilbert_round_exprs(i, "_hx", "_hy", key_col)
+        j += 1
+        parts.append(
+            f"hil{j} AS (SELECT * EXCLUDE (_hx, _hy, {key_col}),"
+            f" {x2} AS _hx, {y2} AS _hy, {d2} AS {key_col} FROM hil{j - 1})"
+        )
+    return ",\n    ".join(parts), f"hil{j}"

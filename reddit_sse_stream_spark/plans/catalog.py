@@ -13685,6 +13685,227 @@ def _zorder_skip_oracle(n_files: int = 32, n_probes: int = 16) -> str:
     """
 
 
+def _hilbert_skip_oracle(n_files: int = 32, n_probes: int = 16) -> str:
+    zkey = layout.morton_key_sql("un", "en", bits=8)
+    hil_ctes, hil_final = layout.hilbert_key_sql_ctes(
+        "k", "un", "en", bits=8
+    )
+    return f"""
+    WITH mm0 AS (
+      SELECT min(event_id) AS mne, max(event_id) AS mxe,
+             min(user_id) AS mnu, max(user_id) AS mxu
+      FROM events),
+    k AS (
+      SELECT e.event_id, e.user_id,
+             ((e.user_id - mm0.mnu) * 256) // (mm0.mxu - mm0.mnu + 1) AS un,
+             ((e.event_id - mm0.mne) * 256) // (mm0.mxe - mm0.mne + 1) AS en
+      FROM events e CROSS JOIN mm0),
+    {hil_ctes},
+    kk AS (
+      SELECT h.event_id, h.user_id, {zkey} AS zkey, h.hkey
+      FROM {hil_final} h),
+    mm AS (
+      SELECT min(event_id) AS mne, max(event_id) AS mxe,
+             min(zkey) AS mnz, max(zkey) AS mxz,
+             min(hkey) AS mnh, max(hkey) AS mxh
+      FROM kk),
+    f AS (
+      SELECT k.user_id, k.event_id,
+             ((k.event_id - mm.mne) * {n_files})
+               // (mm.mxe - mm.mne + 1) AS f_lin,
+             ((k.zkey - mm.mnz) * {n_files})
+               // (mm.mxz - mm.mnz + 1) AS f_z,
+             ((k.hkey - mm.mnh) * {n_files})
+               // (mm.mxh - mm.mnh + 1) AS f_h
+      FROM kk k CROSS JOIN mm),
+    boxes AS (
+      SELECT ordering, file,
+             min(user_id) AS mn_u, max(user_id) AS mx_u,
+             min(event_id) AS mn_e, max(event_id) AS mx_e
+      FROM (
+        SELECT 'linear' AS ordering, f_lin AS file, user_id, event_id FROM f
+        UNION ALL
+        SELECT 'zorder' AS ordering, f_z AS file, user_id, event_id FROM f
+        UNION ALL
+        SELECT 'hilbert' AS ordering, f_h AS file, user_id, event_id FROM f)
+      GROUP BY ordering, file),
+    pu AS (SELECT DISTINCT user_id AS v FROM events
+           ORDER BY v LIMIT {n_probes}),
+    pe AS (SELECT DISTINCT event_id AS v FROM events
+           ORDER BY v LIMIT {n_probes}),
+    probes AS (
+      SELECT 'user_id' AS probe_dim, v FROM pu
+      UNION ALL
+      SELECT 'event_id' AS probe_dim, v FROM pe),
+    touch AS (
+      SELECT b.ordering, p.probe_dim, p.v,
+             CAST(count(*) AS BIGINT) AS files_touched
+      FROM probes p JOIN boxes b
+        ON (p.probe_dim = 'user_id' AND p.v BETWEEN b.mn_u AND b.mx_u)
+        OR (p.probe_dim = 'event_id' AND p.v BETWEEN b.mn_e AND b.mx_e)
+      GROUP BY 1, 2, 3),
+    nf AS (SELECT ordering, CAST(count(*) AS BIGINT) AS n_files
+           FROM boxes GROUP BY ordering)
+    SELECT t.ordering, t.probe_dim, nf.n_files,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(t.files_touched) AS BIGINT) AS files_touched_total,
+           CAST(sum(t.files_touched) * 10000 // count(*) AS BIGINT) / 10000.0
+             AS avg_files_touched
+    FROM touch t JOIN nf USING (ordering)
+    GROUP BY t.ordering, t.probe_dim, nf.n_files
+    ORDER BY t.ordering, t.probe_dim
+    """
+
+
+@_register("layout_hilbert_skipping_audit", _hilbert_skip_oracle())
+def layout_hilbert_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout vs Z-order vs linear, HEAD TO HEAD — the
+    measured version of the claim behind Delta Lake's move from
+    OPTIMIZE ZORDER to Hilbert-based liquid clustering: consecutive
+    Hilbert codes are always spatially adjacent (the Morton 'Z' jumps
+    across the space once per quadrant boundary), so equal-size code
+    ranges cover tighter rectangles and min-max pruning admits fewer
+    files for the same write cost.  Same harness as
+    ``layout_zorder_skipping_audit`` (32 files, 16 equality probes per
+    dimension over range-normalized 8-bit dims), with the Hilbert
+    ordering as a third arm.
+
+    The Hilbert code comes from ``layout.hilbert_key`` — the textbook
+    iterative xy->d walk unrolled into 8 chained SELECTs (a single
+    nested expression would blow up 3^bits leaves); whole-stage codegen
+    fuses the chain into one map pass, so the key costs the same class
+    as the Morton interleave: zero shuffle, zero Python.  The oracle's
+    CTE chain is generated from the SAME per-round function, so the
+    engines cannot drift; both are additionally pinned bit-for-bit to
+    the reference loop in tests.
+
+    Plan shape: identical to the z-order audit — value-range binning
+    against a broadcast min/max frame, one (ordering, file) box
+    aggregate, broadcast probe containment join; nothing after the box
+    aggregate scales with rows."""
+    n_files, n_probes = 32, 16
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    mm0 = ev.agg(
+        F.min("event_id").alias("mne0"),
+        F.max("event_id").alias("mxe0"),
+        F.min("user_id").alias("mnu0"),
+        F.max("user_id").alias("mxu0"),
+    )
+    norm = ev.crossJoin(F.broadcast(mm0)).select(
+        "event_id",
+        "user_id",
+        F.expr("(user_id - mnu0) * 256 div (mxu0 - mnu0 + 1)").alias("un"),
+        F.expr("(event_id - mne0) * 256 div (mxe0 - mne0 + 1)").alias("en"),
+    )
+    kz = norm.select(
+        "event_id",
+        "user_id",
+        "un",
+        "en",
+        layout.morton_key(F.col("un"), F.col("en"), 8).alias("zkey"),
+    )
+    kk = layout.hilbert_key(kz, "un", "en", bits=8).select(
+        "event_id", "user_id", "zkey", "hkey"
+    )
+    mm = kk.agg(
+        F.min("event_id").alias("mne"),
+        F.max("event_id").alias("mxe"),
+        F.min("zkey").alias("mnz"),
+        F.max("zkey").alias("mxz"),
+        F.min("hkey").alias("mnh"),
+        F.max("hkey").alias("mxh"),
+    )
+    f = kk.crossJoin(F.broadcast(mm)).select(
+        "user_id",
+        "event_id",
+        F.expr(f"(event_id - mne) * {n_files} div (mxe - mne + 1)").alias(
+            "f_lin"
+        ),
+        F.expr(f"(zkey - mnz) * {n_files} div (mxz - mnz + 1)").alias("f_z"),
+        F.expr(f"(hkey - mnh) * {n_files} div (mxh - mnh + 1)").alias("f_h"),
+    )
+    both = (
+        f.select(
+            F.lit("linear").alias("ordering"),
+            F.col("f_lin").alias("file"),
+            "user_id",
+            "event_id",
+        )
+        .unionAll(
+            f.select(
+                F.lit("zorder").alias("ordering"),
+                F.col("f_z").alias("file"),
+                "user_id",
+                "event_id",
+            )
+        )
+        .unionAll(
+            f.select(
+                F.lit("hilbert").alias("ordering"),
+                F.col("f_h").alias("file"),
+                "user_id",
+                "event_id",
+            )
+        )
+    )
+    boxes = both.groupBy("ordering", "file").agg(
+        F.min("user_id").alias("mn_u"),
+        F.max("user_id").alias("mx_u"),
+        F.min("event_id").alias("mn_e"),
+        F.max("event_id").alias("mx_e"),
+    )
+    pu = (
+        ev.select(F.col("user_id").alias("v"))
+        .distinct()
+        .orderBy("v")
+        .limit(n_probes)
+        .select(F.lit("user_id").alias("probe_dim"), "v")
+    )
+    pe = (
+        ev.select(F.col("event_id").alias("v"))
+        .distinct()
+        .orderBy("v")
+        .limit(n_probes)
+        .select(F.lit("event_id").alias("probe_dim"), "v")
+    )
+    probes = pu.unionAll(pe)
+    cond = (
+        (F.col("probe_dim") == "user_id")
+        & F.col("v").between(F.col("mn_u"), F.col("mx_u"))
+    ) | (
+        (F.col("probe_dim") == "event_id")
+        & F.col("v").between(F.col("mn_e"), F.col("mx_e"))
+    )
+    touch = (
+        probes.join(F.broadcast(boxes), cond)
+        .groupBy("ordering", "probe_dim", "v")
+        .agg(F.count("*").cast("long").alias("files_touched"))
+    )
+    nf = boxes.groupBy("ordering").agg(
+        F.count("*").cast("long").alias("n_files")
+    )
+    return (
+        touch.join(F.broadcast(nf), "ordering")
+        .groupBy("ordering", "probe_dim", "n_files")
+        .agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.sum("files_touched").cast("long").alias("files_touched_total"),
+        )
+        .select(
+            "ordering",
+            "probe_dim",
+            "n_files",
+            "n_probes",
+            "files_touched_total",
+            (
+                F.expr("files_touched_total * 10000 div n_probes")
+                / F.lit(10000.0)
+            ).alias("avg_files_touched"),
+        )
+        .orderBy("ordering", "probe_dim")
+    )
+
+
 @_register("layout_zorder_skipping_audit", _zorder_skip_oracle())
 def layout_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-skipping effectiveness of the Z-order layout, QUANTIFIED —

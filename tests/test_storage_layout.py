@@ -215,3 +215,73 @@ def test_cbo_table_stats_recorded_by_analyze(spark, sf_dir):
         assert got.get("min") == "0" and got.get("max") == "24", got
     finally:
         spark.sql("DROP TABLE IF EXISTS _stats_demo")
+
+
+def _py_hilbert_xy2d(n: int, x: int, y: int) -> int:
+    """Textbook iterative xy->d walk (the public-domain loop) — the
+    reference both engine implementations must match bit for bit."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_python_reference(spark):
+    from reddit_sse_stream_spark.operators import layout
+
+    """layout.hilbert_key (8 chained SELECTs) == the textbook loop, over
+    a 256-point diagonal-heavy lattice covering every quadrant code."""
+    pts = spark.range(256).selectExpr(
+        "id AS x", "(id * 37) % 256 AS y"
+    )
+    for r in layout.hilbert_key(pts, "x", "y", bits=8).collect():
+        assert r["hkey"] == _py_hilbert_xy2d(256, r["x"], r["y"])
+
+
+def test_hilbert_sql_ctes_match_python_reference(duck):
+    from reddit_sse_stream_spark.operators import layout
+
+    """The generated SQL CTE chain (the oracle's side) == the textbook
+    loop in DuckDB, same lattice."""
+    ctes, final = layout.hilbert_key_sql_ctes("pts", "x", "y", bits=8)
+    sql = (
+        "WITH pts AS (SELECT x, (x * 37) % 256 AS y FROM "
+        "(SELECT unnest(range(256)) AS x)),\n    "
+        f"{ctes}\nSELECT x, y, hkey FROM {final}"
+    )
+    for x, y, h in duck.execute(sql).fetchall():
+        assert h == _py_hilbert_xy2d(256, x, y)
+
+
+def test_hilbert_quadrant_code_arithmetic():
+    """q = 3*rx + ry - 2*rx*ry must equal (3*rx) XOR ry on the full
+    {0,1}^2 table — the arithmetic spelling exists so the SQL needs no
+    engine-specific XOR operator."""
+    for rx in (0, 1):
+        for ry in (0, 1):
+            assert 3 * rx + ry - 2 * rx * ry == (3 * rx) ^ ry
+
+
+def test_hilbert_adjacency_no_jumps(spark):
+    from reddit_sse_stream_spark.operators import layout
+
+    """The property the audit's pruning win rests on: consecutive
+    Hilbert codes are ALWAYS 4-neighbor adjacent (Morton jumps across
+    quadrant seams), checked exhaustively on the 32x32 grid."""
+    pts = spark.range(32).selectExpr("id AS x").crossJoin(
+        spark.range(32).selectExpr("id AS y")
+    )
+    rows = layout.hilbert_key(pts, "x", "y", bits=5).collect()
+    by_d = {r["hkey"]: (r["x"], r["y"]) for r in rows}
+    assert len(by_d) == 1024  # the walk is a bijection
+    for d in range(1023):
+        (x0, y0), (x1, y1) = by_d[d], by_d[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1

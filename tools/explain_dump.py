@@ -169,6 +169,21 @@ EXTRA = (
     "join_er_multipass_blocking",
     "dq_join_cardinality_estimate",
     "dq_erasure_propagation",
+    # r13 additions: the funnel's GK approx-ntile twin (no global sort),
+    # the composed contamination-by-split report (one label join over
+    # the multi-suite plan), the digest-riding dedup-rate series, the
+    # WindowGroupLimit bottom-k reservoir + its KMV estimator, the
+    # exact-TVD t-closeness ladder, the calendar-sized seasonal
+    # decomposition, and the Hilbert three-arm skipping audit (8 fused
+    # codegen SELECTs for the xy->d walk)
+    "funnel_time_to_convert_approx_contract",
+    "decontam_split_leakage_report",
+    "dedup_rate_by_ingestion_batch",
+    "sample_bottomk_minwise",
+    "agg_kmv_distinct_estimate",
+    "dq_t_closeness",
+    "ts_seasonal_decompose",
+    "layout_hilbert_skipping_audit",
 )
 
 

@@ -10149,6 +10149,103 @@ _CMS_MERGE_ORACLE = """
     """
 
 
+@_register(
+    "agg_moments_merge_invariant",
+    """
+    WITH b AS (
+      SELECT event_type, event_id % 2 AS shard,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT event_type, shard, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s1,
+             CAST(sum(y * y) AS BIGINT) AS s2
+      FROM b GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_shards,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(s1) AS BIGINT) AS s1,
+             CAST(sum(s2) AS BIGINT) AS s2
+      FROM s GROUP BY 1),
+    d AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s1,
+             CAST(sum(y * y) AS BIGINT) AS s2
+      FROM b GROUP BY 1)
+    SELECT m.event_type, m.n_shards, m.n, m.s1, m.s2,
+           CAST(m.n * m.s2 - m.s1 * m.s1 AS BIGINT) AS var_num,
+           CAST(m.n = d.n AND m.s1 = d.s1 AND m.s2 = d.s2 AS INTEGER)
+             AS moments_match
+    FROM m JOIN d USING (event_type) ORDER BY m.event_type
+    """,
+)
+def agg_moments_merge_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof for the INTEGER-moment statistics path — the
+    invariant-row sibling of ``agg_countmin_merge_invariant`` and
+    ``dedup_sketch_merge_invariant`` for plain (n, sum, sum-of-squares):
+    compute the fixed-point moments per hash shard, fold the shard rows,
+    and pin bit-equality against the whole-frame computation.  This is
+    the claim partial aggregation rests on at 100 TB, and the reason the
+    exact-stats rows (``aggx_regression_exact``, the fixed-point means)
+    carry integer accumulators: double moments REASSOCIATE across
+    partitions (Spark's ``stddev``/``regr_*`` may differ run to run in
+    the last ulps as partition counts change), while int64 moments merge
+    by + exactly, any split, any order.  ``var_num = n*s2 - s1^2`` is
+    emitted in the merged domain so the downstream variance is visibly a
+    pure function of the merged moments.
+
+    Headroom: y in 1e2 fixed point keeps sum(y^2) < 2^63 through ~3e9
+    rows per event type at this value range; wider corpora shift to the
+    DECIMAL(38) accumulators the regression row already uses.
+
+    Plan shape: one (event_type, shard) partial aggregate, a 2-row-per-
+    type fold, and the event_type-keyed direct aggregate — both sides
+    map-side combine; nothing but the two keyed exchanges."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("shard"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+    )
+    s = b.groupBy("event_type", "shard").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    )
+    m = s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("s1"),
+        F.sum("s2").cast("long").alias("s2"),
+    )
+    d = b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("dn"),
+        F.sum("y").cast("long").alias("ds1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ds2"),
+    )
+    return (
+        m.join(d, "event_type")
+        .select(
+            "event_type",
+            "n_shards",
+            "n",
+            "s1",
+            "s2",
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            .cast("long")
+            .alias("var_num"),
+            (
+                (F.col("n") == F.col("dn"))
+                & (F.col("s1") == F.col("ds1"))
+                & (F.col("s2") == F.col("ds2"))
+            )
+            .cast("int")
+            .alias("moments_match"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @_register("agg_countmin_merge_invariant", _CMS_MERGE_ORACLE)
 def agg_countmin_merge_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeability proof row for the Count-Min grid

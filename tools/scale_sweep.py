@@ -178,6 +178,30 @@ SWEEP = (
     # late-r12: suffix blocklist — domain exchange then dimension-frame
     # suffix explode; must stay exchange-shaped
     "feed_domain_suffix_blocklist",
+    # r13: funnel quartiles via GK cutpoints + broadcast range join —
+    # two scans of the converter frame, no global sort by plan pin
+    "funnel_time_to_convert_approx_contract",
+    # r13: contamination-by-split — the multi-suite gram join + one
+    # doc-keyed label join; growth must track the gram exchange
+    "decontam_split_leakage_report",
+    # r13: dedup-rate series — rides the digest exchange (first-owner
+    # groupBy + join back); must grow with the digest shuffle only
+    "dedup_rate_by_ingestion_batch",
+    # r13: bottom-k reservoir — WindowGroupLimit holds k rows per key
+    # per partition before the exchange; must stay near-flat
+    "sample_bottomk_minwise",
+    # r13: KMV estimator — the (source, bigram) distinct exchange is the
+    # only data-shaped stage; the k-cut and everything after is
+    # dimension-sized
+    "agg_kmv_distinct_estimate",
+    # r13 second batch: the exact-TVD ladder (one QI+bucket exchange,
+    # groups x 10 dimension join), the calendar-sized seasonal window,
+    # the three-arm Hilbert audit (map-only keys + box aggregate), and
+    # the integer-moment merge invariant (two keyed exchanges)
+    "dq_t_closeness",
+    "ts_seasonal_decompose",
+    "layout_hilbert_skipping_audit",
+    "agg_moments_merge_invariant",
 )
 
 

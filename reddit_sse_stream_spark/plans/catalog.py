@@ -10407,6 +10407,146 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "anomaly_seasonal_adjusted",
+    """
+    WITH hc AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT h, c,
+             CAST(sum(c) OVER w AS BIGINT) AS wsum,
+             CAST(count(*) OVER w AS BIGINT) AS wn,
+             CAST(extract(hour FROM h) AS BIGINT) AS hod
+      FROM hc
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    dt AS (
+      SELECT h, hod, c * 10000 - (wsum * 10000 // 25) AS det
+      FROM tr WHERE wn = 25),
+    se AS (
+      SELECT hod, CAST(sum(det) // count(*) AS BIGINT) AS seasonal
+      FROM dt GROUP BY hod),
+    rem AS (
+      SELECT dt.h, dt.det - se.seasonal AS r
+      FROM dt JOIN se USING (hod)),
+    rh AS (SELECT r, CAST(count(*) AS BIGINT) AS c FROM rem GROUP BY r),
+    rh2 AS (
+      SELECT r, sum(c) OVER (ORDER BY r) AS cum, sum(c) OVER () AS n
+      FROM rh),
+    med AS (SELECT CAST(min(r) AS BIGINT) AS med FROM rh2 WHERE 2 * cum >= n),
+    ad AS (
+      SELECT abs(rem.r - med.med) AS a FROM rem CROSS JOIN med),
+    ah AS (SELECT a, CAST(count(*) AS BIGINT) AS c FROM ad GROUP BY a),
+    ah2 AS (
+      SELECT a, sum(c) OVER (ORDER BY a) AS cum, sum(c) OVER () AS n
+      FROM ah),
+    mad AS (SELECT CAST(min(a) AS BIGINT) AS mad FROM ah2 WHERE 2 * cum >= n),
+    sc AS (
+      SELECT abs(rem.r - med.med) AS a, greatest(mad.mad, 1) AS m
+      FROM rem CROSS JOIN med CROSS JOIN mad),
+    lad AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(any_value(m) AS BIGINT) AS mad_x1e4,
+             CAST(max(10 * a // m) AS BIGINT) AS max_score_x10,
+             CAST(sum(CASE WHEN a > 3 * m THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+             CAST(sum(CASE WHEN a > 5 * m THEN 1 ELSE 0 END) AS BIGINT) AS f5,
+             CAST(sum(CASE WHEN a > 8 * m THEN 1 ELSE 0 END) AS BIGINT) AS f8
+      FROM sc)
+    SELECT CAST(t AS BIGINT) AS t, n_hours, mad_x1e4, max_score_x10,
+           CASE t WHEN 3 THEN f3 WHEN 5 THEN f5 ELSE f8 END AS n_flagged
+    FROM lad, unnest([3, 5, 8]) AS u(t) ORDER BY t
+    """,
+)
+def anomaly_seasonal_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly gate — ``ts_seasonal_decompose`` made
+    load-bearing: the raw hourly z-score row (``anomaly_zscore_hourly``)
+    alarms on calendar rhythm as readily as on real incidents, so this
+    row subtracts the decomposition's trend AND hour-of-day seasonal
+    first, then gates the REMAINDER on a robust MAD ladder (|r - med| >
+    t*MAD for t in {3, 5, 8}) — medians via the count-of-counts
+    histogram walk the MAD gate row proved, so everything is exact
+    int64 end to end and the ladder compares shared fixed-point values.
+    Output is the 3-row ladder (hours scored, MAD, max score, flags per
+    t) — never vacuous, and the flag counts ARE the tuning curve an
+    on-call rotation reads when picking its alert threshold.
+
+    Plan shape: the decomposition's stages (hour-keyed exchange,
+    calendar-sized trend window, 24-row seasonal aggregate) plus two
+    value-domain histogram medians and a 1-row ladder aggregate —
+    nothing beyond the parents' own cost classes."""
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.orderBy("h").rowsBetween(-12, 12)
+    tr = hc.select(
+        "h",
+        "c",
+        F.sum("c").over(w).cast("long").alias("wsum"),
+        F.count("*").over(w).cast("long").alias("wn"),
+        F.hour("h").cast("long").alias("hod"),
+    )
+    dt = tr.filter(F.col("wn") == 25).select(
+        "h",
+        "hod",
+        (F.col("c") * 10000 - F.expr("wsum * 10000 div 25")).alias("det"),
+    )
+    se = dt.groupBy("hod").agg(
+        F.expr("sum(det) div count(*)").cast("long").alias("seasonal")
+    )
+    rem = dt.join(F.broadcast(se), "hod").select(
+        (F.col("det") - F.col("seasonal")).alias("r")
+    )
+
+    def _hist_median(df, col):
+        h = df.groupBy(col).agg(F.count("*").cast("long").alias("c"))
+        wcum = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        h2 = h.select(
+            col,
+            F.sum("c").over(wcum).alias("cum"),
+            F.sum("c").over(
+                Window.orderBy(col).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        return h2.filter(2 * F.col("cum") >= F.col("n")).agg(
+            F.min(col).cast("long").alias("med")
+        )
+    med = _hist_median(rem, "r")
+    ad = rem.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("r") - F.col("med")).alias("a")
+    )
+    mad = _hist_median(ad, "a").select(
+        F.greatest(F.col("med"), F.lit(1)).alias("m")
+    )
+    sc = ad.crossJoin(F.broadcast(mad))
+    lad = sc.agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.first("m").cast("long").alias("mad_x1e4"),
+        F.max(F.expr("10 * a div m")).cast("long").alias("max_score_x10"),
+        *[
+            F.sum((F.col("a") > t * F.col("m")).cast("long"))
+            .cast("long")
+            .alias(f"f{t}")
+            for t in (3, 5, 8)
+        ],
+    )
+    return (
+        lad.selectExpr(
+            "n_hours",
+            "mad_x1e4",
+            "max_score_x10",
+            "stack(3, CAST(3 AS BIGINT), f3, CAST(5 AS BIGINT), f5,"
+            " CAST(8 AS BIGINT), f8) AS (t, n_flagged)",
+        )
+        .select("t", "n_hours", "mad_x1e4", "max_score_x10", "n_flagged")
+        .orderBy("t")
+    )
+
+
 @_register("ts_ewma_features", _ewma_oracle())
 def ts_ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-decayed value feature per event

@@ -63,6 +63,15 @@ ROWS = (
     "dq_bootstrap_ci_mean",
     "search_ndcg_curve",
     "vocab_size_coverage_curve",
+    # r13 documents-backed rows at the 5x stress point: the composed
+    # contamination-by-split report (gram join + CC label join — the
+    # steepest r13 sweep row at 3.1x, so the stress point matters most
+    # here), the digest-riding dedup-rate series, the WindowGroupLimit
+    # bottom-k cut, and the KMV estimator's distinct-bigram exchange
+    "decontam_split_leakage_report",
+    "dedup_rate_by_ingestion_batch",
+    "sample_bottomk_minwise",
+    "agg_kmv_distinct_estimate",
 )
 
 SF01 = "/root/testdata/sf0.1"

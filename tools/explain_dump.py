@@ -184,6 +184,8 @@ EXTRA = (
     "dq_t_closeness",
     "ts_seasonal_decompose",
     "layout_hilbert_skipping_audit",
+    "agg_moments_merge_invariant",
+    "anomaly_seasonal_adjusted",
 )
 
 

@@ -202,6 +202,9 @@ SWEEP = (
     "ts_seasonal_decompose",
     "layout_hilbert_skipping_audit",
     "agg_moments_merge_invariant",
+    # r13: seasonal-adjusted anomaly — the decomposition's stages plus
+    # two value-domain histogram medians; must track the hour exchange
+    "anomaly_seasonal_adjusted",
 )
 
 

@@ -874,6 +874,24 @@ def main() -> None:
             },
             fh, indent=1, sort_keys=True,
         )
+    # Rows whose own dispersion crossed 1.5x this run: their median is
+    # honest (>= MAX_RUNS samples once escalated) but a single-round delta
+    # on them should be read against BENCH_DETAIL.json, not taken raw.
+    # TRIMMED basis at >= 6 samples (r13): raising the run floor to 5-7
+    # made the raw max/min gate an order-statistics artifact — with 7
+    # samples the odds that ONE run catches a GC/compaction hiccup grow
+    # with n, and 12 of the 15 rows the raw gate flagged on the r13
+    # sanity run collapsed below 1.45x once the single largest sample
+    # was dropped (full samples stay in BENCH_DETAIL.json; the
+    # regression detector gates on cur_min, unaffected).  Rows at < 6
+    # samples keep the raw basis — too few points to call one an
+    # outlier.
+    def _spread_basis(name: str) -> float:
+        s = detail[name]["samples_sorted"]
+        hi = s[-2] if len(s) >= 6 else s[-1]
+        return hi / max(s[0], 1e-9)
+
+    noisy = sorted(n for n in detail if _spread_basis(n) > 1.5)
     for line in summary_lines(
         times=times,
         spread=spread,
@@ -890,6 +908,7 @@ def main() -> None:
         calib_factor=calib_factor,
         disagree=disagree,
         e2e=e2e,
+        noisy=noisy,
     ):
         print(line)
 
@@ -921,6 +940,7 @@ def summary_lines(
     calib_factor: float,
     disagree: bool,
     e2e: dict,
+    noisy: list,
 ) -> list[str]:
     """Render the bench stdout: bulky context lines first, compact
     self-contained summary as the FINAL line (the only one the driver is
@@ -945,12 +965,6 @@ def summary_lines(
             separators=(",", ":"),
         ),
     ]
-    # Rows whose own min-max span crossed 1.5x this run: their median is
-    # honest (>= MAX_RUNS samples once escalated) but a single-round delta
-    # on them should be read against BENCH_DETAIL.json, not taken raw.
-    noisy = sorted(
-        n for n, (lo, hi) in spread.items() if hi / max(lo, 1e-9) > 1.5
-    )
     summary = {
         "metric": "headline_queries_total",
         "value": total,

@@ -780,3 +780,85 @@ def test_compaction_plan_runs_on_manifest_frame(spark, sf_dir):
     assert "Window" in plan
     # the window must sit ABOVE a hash aggregate on (source, shard)
     assert plan.index("Window") > plan.index("HashAggregate")
+
+
+def test_funnel_approx_contract_no_ntile_no_converter_sort(spark, sf_dir):
+    """funnel_time_to_convert_approx_contract exists so the LAST
+    exact-ntile row has a sortless 100 TB path: no ntile, no row_number,
+    no Window anywhere; quartile assignment must be a broadcast range
+    join over the GK cutpoints."""
+    plan = _plan(spark, sf_dir, "funnel_time_to_convert_approx_contract")
+    assert "ntile(" not in plan
+    assert "row_number" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bottomk_minwise_uses_window_group_limit(spark, sf_dir):
+    """sample_bottomk_minwise's exchange-size claim: the per-source
+    rank<=k cut must push below the window's exchange as a
+    WindowGroupLimit, so only k rows per key per map partition shuffle —
+    never the corpus."""
+    plan = _plan(spark, sf_dir, "sample_bottomk_minwise")
+    assert "WindowGroupLimit" in plan
+
+
+def test_kmv_estimate_single_distinct_exchange_then_group_limit(spark, sf_dir):
+    """agg_kmv_distinct_estimate: the (source, bigram) DISTINCT is the
+    only data-shaped stage, the k-cut is a WindowGroupLimit, and the
+    join back to the exact counts is broadcast-sized."""
+    plan = _plan(spark, sf_dir, "agg_kmv_distinct_estimate")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_hilbert_audit_no_global_rank_and_fused_key_chain(spark, sf_dir):
+    """layout_hilbert_skipping_audit: file ids come from value-range
+    binning against broadcast min/max frames (the zorder-audit defense —
+    NO corpus-sized rank window; the only row_number-free Sort allowed
+    is the final 6-row orderBy), and the 8-round Hilbert walk must fuse
+    into map-side projections (no exchange between rounds: exactly the
+    scan exchanges + aggregate exchanges, no more)."""
+    plan = _plan(spark, sf_dir, "layout_hilbert_skipping_audit")
+    assert "row_number" not in plan
+    assert "ntile(" not in plan
+    assert "BroadcastExchange" in plan
+    # the chained SELECT rounds must NOT materialize a Sort or a rank
+    # on the key — the walk lives in map-side Projects (raw Exchange
+    # counts are not pinnable here: the 3-arm union re-prints shared
+    # subtrees in the string dump)
+    assert "Sort [hkey" not in plan and "Sort [zkey" not in plan
+
+
+def test_seasonal_rows_window_input_is_hourly_aggregate(spark, sf_dir):
+    """ts_seasonal_decompose / anomaly_seasonal_adjusted: the trend
+    window is UNPARTITIONED by design but its child must be the hourly
+    aggregate (calendar-sized input — the documented dimension-sized
+    window class), never the raw events."""
+    for name in ("ts_seasonal_decompose", "anomaly_seasonal_adjusted"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Window" in plan, name
+        # the first Window in the plan string sits above a HashAggregate
+        # (hour counts) — raw-event windows would sit right above the scan
+        w = plan.index("Window")
+        assert "HashAggregate" in plan[w:], name
+
+
+def test_dedup_rate_rides_one_digest_exchange(spark, sf_dir):
+    """dedup_rate_by_ingestion_batch: one scan of documents feeding the
+    digest first-owner aggregate + the join back, then the (source,
+    batch) aggregate — no window, no sort beyond the final output
+    orderBy."""
+    plan = _plan(spark, sf_dir, "dedup_rate_by_ingestion_batch")
+    assert "Window" not in plan
+    assert "row_number" not in plan
+
+
+def test_t_closeness_ladder_is_one_row_aggregate(spark, sf_dir):
+    """dq_t_closeness: the QI+bucket exchange is the data-shaped stage;
+    the global bucket frame joins back via broadcast, and the ladder is
+    a stacked 1-row aggregate — no rank window anywhere."""
+    plan = _plan(spark, sf_dir, "dq_t_closeness")
+    assert "row_number" not in plan
+    assert "ntile(" not in plan
+    assert "BroadcastExchange" in plan

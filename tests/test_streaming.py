@@ -2623,3 +2623,73 @@ def test_stateful_kernel_adversarial_split_parity(spark, sf_dir, tmp_path, spec)
         input_df.unpersist()
     assert ref, f"{spec.name}: single-batch replay emitted nothing"
     assert got == ref
+
+
+def _replay_kernel_restart(spark, tmp_path, spec, input_df, mid):
+    """Two-session replay through ONE checkpoint: write the arrival-range
+    first half, run to completion (availableNow), STOP; write the second
+    half, start a NEW query on the same checkpoint and file sink; return
+    canon(all parquet output rows).  The file source's checkpoint must
+    resume past the first half's files and the state store must restore
+    every kernel's state — emitting exactly the single-session answer."""
+    _ADV_QNO[0] += 1
+    qname = f"rst_{spec.name}_{_ADV_QNO[0]}"
+    src = tmp_path / f"{qname}_src"
+    out = tmp_path / f"{qname}_out"
+    ckpt = tmp_path / f"{qname}_ckpt"
+    arr = F.col(spec.arrival)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(input_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            spec.kernel(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    input_df.filter(arr < mid).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    run_once()
+    input_df.filter(arr >= mid).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    run_once()
+    rows = spark.read.parquet(str(out)).collect()
+    return spec.canon(rows)
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [s for s in _kernel_specs() if s.mode == "append" and s.poll_done is None],
+    ids=lambda s: s.name,
+)
+def test_stateful_kernel_restart_exactly_once(spark, sf_dir, tmp_path, spec):
+    """Checkpoint-restart contract for every append-mode kernel, shared:
+    stop after the first half of the stream, restart a NEW query from
+    the same checkpoint with the rest, and the total output must
+    canonicalize exactly to the single-session single-batch answer —
+    state restored, no replayed emissions, no gaps.  Like the
+    adversarial-split gate, a new kernel inherits this by existing in
+    the spec list."""
+    input_df = spec.build(spark, sf_dir).cache()
+    try:
+        arr_vals = sorted(
+            r[0] for r in input_df.select(spec.arrival).distinct().collect()
+        )
+        mid = arr_vals[len(arr_vals) // 2]
+        ref = _replay_kernel(spark, tmp_path, spec, input_df, [])
+        got = _replay_kernel_restart(spark, tmp_path, spec, input_df, mid)
+    finally:
+        input_df.unpersist()
+    assert ref, f"{spec.name}: single-batch replay emitted nothing"
+    assert got == ref

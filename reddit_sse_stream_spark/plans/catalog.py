@@ -10408,6 +10408,103 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "aggx_theil_sen_trend",
+    """
+    WITH hc AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type,
+             (b.c - a.c) * 10000 // (b.h - a.h) AS slope_fp
+      FROM hc a JOIN hc b
+        ON a.event_type = b.event_type AND a.h < b.h),
+    sh AS (SELECT event_type, slope_fp, CAST(count(*) AS BIGINT) AS cnt
+           FROM p GROUP BY 1, 2),
+    sh2 AS (
+      SELECT event_type, slope_fp,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY slope_fp)
+               AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM sh),
+    med AS (
+      SELECT event_type, CAST(min(slope_fp) AS BIGINT) AS slope_x1e4,
+             CAST(max(n) AS BIGINT) AS n_pairs
+      FROM sh2 WHERE 2 * cum >= n GROUP BY event_type),
+    nh AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+           FROM hc GROUP BY 1)
+    SELECT m.event_type, nh.n_hours, m.n_pairs, m.slope_x1e4
+    FROM med m JOIN nh USING (event_type)
+    ORDER BY m.event_type
+    """,
+)
+def aggx_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type — the breakdown-resistant
+    sibling of ``aggx_regression_exact`` [Theil 1950; Sen 1968]: the
+    slope is the MEDIAN of all pairwise (count_j - count_i)/(hour_j -
+    hour_i) slopes over the hourly series, so up to ~29% of hours can be
+    arbitrarily corrupted (an outage, a bot flood) without moving the
+    estimate — where least squares chases every outlier.  Slopes live in
+    the 1e4 fixed-point domain with matching truncating integer division
+    on both engines, and the median comes from the count-of-counts
+    histogram walk (the MAD-gate pattern) — exact int64 end to end, no
+    float summation anywhere.
+
+    Scale shape: the pairwise join is over the HOURLY AGGREGATE — the
+    calendar-bounded frame (C(n,2) of ~88k hours for ten years — large
+    but dimension^2-bounded, never data-sized; sample pair anchors past
+    that, as the Siegel variant does); the slope histogram and median
+    walk are value-domain sized.  The raw events appear only in the one
+    (event_type, hour) exchange."""
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    a = hc.alias("a")
+    b = hc.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.h") < F.col("b.h")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.expr("(b.c - a.c) * 10000 div (b.h - a.h)").alias("slope_fp"),
+    )
+    sh = p.groupBy("event_type", "slope_fp").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("slope_fp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    sh2 = sh.select(
+        "event_type",
+        "slope_fp",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    med = (
+        sh2.filter(2 * F.col("cum") >= F.col("n"))
+        .groupBy("event_type")
+        .agg(
+            F.min("slope_fp").cast("long").alias("slope_x1e4"),
+            F.max("n").cast("long").alias("n_pairs"),
+        )
+    )
+    nh = hc.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours")
+    )
+    return (
+        med.join(nh, "event_type")
+        .select("event_type", "n_hours", "n_pairs", "slope_x1e4")
+        .orderBy("event_type")
+    )
+
+
+@_register(
     "anomaly_seasonal_adjusted",
     """
     WITH hc AS (

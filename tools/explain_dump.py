@@ -186,6 +186,7 @@ EXTRA = (
     "layout_hilbert_skipping_audit",
     "agg_moments_merge_invariant",
     "anomaly_seasonal_adjusted",
+    "aggx_theil_sen_trend",
 )
 
 

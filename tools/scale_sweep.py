@@ -205,6 +205,9 @@ SWEEP = (
     # r13: seasonal-adjusted anomaly — the decomposition's stages plus
     # two value-domain histogram medians; must track the hour exchange
     "anomaly_seasonal_adjusted",
+    # r13: Theil-Sen — the pairwise join is calendar^2-bounded (hourly
+    # aggregate), so the curve must track the (type, hour) exchange
+    "aggx_theil_sen_trend",
 )
 
 

@@ -73,6 +73,7 @@ def test_noisy_rows_surface_on_final_line_capped():
     lines = bench.summary_lines(
         times=times,
         spread={k: [0.5, 1.2] for k in times},  # all 2.4x spans
+        noisy=sorted(times),  # computed in main from trimmed samples (r13)
         total=round(sum(times.values()), 3),
         run_counts={k: 7 for k in times},
         sf=0.1,
@@ -110,6 +111,7 @@ def test_all_noisy_full_headline_sheds_list_to_count():
     lines = bench.summary_lines(
         times=times,
         spread={k: [0.5, 1.2] for k in times},
+        noisy=sorted(times),  # computed in main from trimmed samples (r13)
         total=round(sum(times.values()), 3),
         run_counts={k: 7 for k in times},
         sf=0.1,
@@ -226,6 +228,7 @@ def _render(times):
     return bench.summary_lines(
         times=times,
         spread={k: [v, v] for k, v in times.items()},
+        noisy=[],
         total=round(sum(times.values()), 3),
         run_counts={k: 3 for k in times},
         sf=0.1,

@@ -2645,12 +2645,21 @@ def _replay_kernel_restart(spark, tmp_path, spec, input_df, mid):
             .option("maxFilesPerTrigger", 1)
             .parquet(str(src))
         )
+        writer = spec.kernel(stream).writeStream.option(
+            "checkpointLocation", str(ckpt)
+        )
+        if spec.mode == "append":
+            writer = writer.format("parquet").option("path", str(out))
+        else:
+            # file sinks only take append mode; update-mode kernels
+            # persist via foreachBatch (every snapshot appended — the
+            # latest-per-key canon recovers the final value exactly as
+            # it does for the memory sink)
+            writer = writer.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(str(out))
+            )
         q = (
-            spec.kernel(stream)
-            .writeStream.format("parquet")
-            .option("path", str(out))
-            .option("checkpointLocation", str(ckpt))
-            .outputMode("append")
+            writer.outputMode(spec.mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -2670,15 +2679,19 @@ def _replay_kernel_restart(spark, tmp_path, spec, input_df, mid):
 
 @pytest.mark.parametrize(
     "spec",
-    [s for s in _kernel_specs() if s.mode == "append" and s.poll_done is None],
+    [s for s in _kernel_specs() if s.poll_done is None],
     ids=lambda s: s.name,
 )
 def test_stateful_kernel_restart_exactly_once(spark, sf_dir, tmp_path, spec):
-    """Checkpoint-restart contract for every append-mode kernel, shared:
-    stop after the first half of the stream, restart a NEW query from
-    the same checkpoint with the rest, and the total output must
-    canonicalize exactly to the single-session single-batch answer —
-    state restored, no replayed emissions, no gaps.  Like the
+    """Checkpoint-restart contract for every kernel (14/15 — the
+    processing-time session finalizer's timers do not replay
+    deterministically), shared: stop after the first half of the
+    stream, restart a NEW query from the same checkpoint with the rest,
+    and the total output must canonicalize exactly to the
+    single-session single-batch answer — state restored, no replayed
+    emissions, no gaps.  Append-mode kernels write the file sink
+    directly; update-mode kernels persist snapshots via foreachBatch
+    and their latest-per-key canon recovers the final value.  Like the
     adversarial-split gate, a new kernel inherits this by existing in
     the spec list."""
     input_df = spec.build(spark, sf_dir).cache()

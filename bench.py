@@ -808,9 +808,18 @@ def main() -> None:
             # later ones (SCALING.md r05); between queries no cross-query
             # frame survives, so this is safe by construction
             release_local_checkpoints(spark)
-            if len(samples) == 1 and samples[0] < FAST_ROW_SEC:
+            if (
+                name not in prev_q
+                and len(samples) == 1
+                and samples[0] < FAST_ROW_SEC
+            ):
                 # sub-second row with no prior median (new this round or
-                # prev ran at another sf): buy it the full sample anyway
+                # prev ran at another sf): buy it the full sample anyway.
+                # Rows WITH a prior median >= FAST_ROW_SEC that merely got
+                # faster this round stay at BASE_RUNS — they were ordered
+                # among the heavy rows, so escalating them here would both
+                # cost samples and break the contiguous warm-group
+                # rationale (ADVICE r13).
                 target = MAX_RUNS
             if len(samples) == target == BASE_RUNS and should_escalate(
                 samples, prev_q.get(name)

@@ -95,7 +95,17 @@ def _hilbert_round_exprs(i: int, x: str, y: str, d: str) -> tuple[str, str, str]
     ``i`` (s = 2^i): emit (d', x', y') as SQL expressions over the
     engine-shared operator subset (& >> CASE + * -).  Flip-then-swap:
     ry=1 leaves (x, y); ry=0 swaps, with an additional s-1-v reflection
-    when rx=1."""
+    when rx=1.
+
+    NOTE (invariant, do not "fix"): the reflection uses s-1-v where the
+    textbook loop uses n-1-v, so intermediate _hx/_hy go NEGATIVE when
+    high bits survive earlier pass-through rounds.  That is expected and
+    safe: s-1-v ≡ n-1-v (mod 2^i), and every later round only reads bits
+    strictly below i via ``(v >> j) & 1`` with j < i — which stays
+    congruent because both engines' ``>>`` is arithmetic and ``&`` acts
+    on two's-complement bits.  A refactor to logical shifts or unsigned
+    types WOULD break this; keep arithmetic shift semantics (verified
+    exhaustively for bits<=8 in tests/test_storage_layout.py)."""
     s = 1 << i
     rx = f"(({x} >> {i}) & 1)"
     ry = f"(({y} >> {i}) & 1)"
@@ -124,8 +134,18 @@ def hilbert_key(
     its inputs 2-3 times, so a single nested expression would blow up
     3^bits leaves; instead the walk is ``bits`` chained SELECTs, which
     whole-stage codegen fuses into one map pass (zero shuffle, zero
-    Python — same execution class as :func:`morton_key`)."""
-    cols = [c for c in df.columns if c not in ("_hx", "_hy", key_col)]
+    Python — same execution class as :func:`morton_key`).
+
+    Raises ``ValueError`` if the input already carries ``_hx``/``_hy``
+    or ``key_col`` — silently dropping a caller's column (the old
+    behavior) corrupts data instead of failing loudly."""
+    clash = [c for c in ("_hx", "_hy", key_col) if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"hilbert_key: input already has column(s) {clash}; rename "
+            f"them or pass a different key_col"
+        )
+    cols = list(df.columns)
     out = df.selectExpr(
         *cols,
         f"CAST({xcol} AS BIGINT) AS _hx",

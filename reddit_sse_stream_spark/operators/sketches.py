@@ -250,14 +250,22 @@ def equidepth_approx_bins(
             (F.col(f"lt_{i}") - slack <= target)
             & (target <= F.col(f"le_{i}") + slack),
         )
+    # Empty input (e.g. an SF with zero funnel converters): the agg chain
+    # yields NULL n_total / boundary counts / n_covered, while the contract
+    # oracles emit 0 and literal 1s — coalesce so both engines agree that
+    # an empty partition is (vacuously) complete and rank-correct
+    # (ADVICE r13).
+    nt = F.coalesce(F.col("n_total"), F.lit(0)).cast("long")
     return (
         bins.crossJoin(F.broadcast(covered))
         .select(
             "bin",
-            "n_total",
-            rank_ok.cast("int").alias("boundary_rank_ok"),
-            (F.col("n_covered") == F.col("n_total"))
-            .cast("int")
+            nt.alias("n_total"),
+            F.when(nt == 0, F.lit(1))
+            .otherwise(rank_ok.cast("int"))
+            .alias("boundary_rank_ok"),
+            F.when(nt == 0, F.lit(1))
+            .otherwise((F.col("n_covered") == F.col("n_total")).cast("int"))
             .alias("partition_complete"),
         )
         .orderBy("bin")

@@ -14390,6 +14390,8 @@ _PRIOR_GREEN_ROUND = {
     "agg_countmin_heavy_hitters": 8,
     "agg_countmin_merge_invariant": 8,
     "agg_heavy_hitters_exact": 9,
+    "agg_kmv_distinct_estimate": 13,
+    "agg_moments_merge_invariant": 13,
     "agg_skew_salted_two_phase": 8,
     "agg_sorted_user_list": 8,
     "agg_two_phase_ntile_twin": 9,
@@ -14404,6 +14406,8 @@ _PRIOR_GREEN_ROUND = {
     "aggx_rollup_grouping_id": 8,
     "aggx_rollup_orders": 11,
     "aggx_stats_per_type": 11,
+    "aggx_theil_sen_trend": 13,
+    "anomaly_seasonal_adjusted": 13,
     "anomaly_zscore_hourly": 9,
     "bpe_pair_merge_counts": 11,
     "bpe_tokenize_counts": 7,
@@ -14419,6 +14423,8 @@ _PRIOR_GREEN_ROUND = {
     "corpus_lang_gini": 12,
     "corpus_loss_proxy_calibration": 12,
     "corpus_mix_schedule": 10,
+    "corpus_mixture_grid_search": 13,
+    "corpus_probe_calibration_bins": 13,
     "corpus_quality_linear_probe": 12,
     "corpus_quality_quantile_gate": 11,
     "corpus_shard_assignments": 10,
@@ -14434,6 +14440,7 @@ _PRIOR_GREEN_ROUND = {
     "decontam_embedding_cosine": 10,
     "decontam_multi_suite_report": 11,
     "decontam_ngram_overlap": 9,
+    "decontam_split_leakage_report": 13,
     "dedup_bloom_fp_audit": 7,
     "dedup_cc_clusters": 10,
     "dedup_cluster_best_quality": 10,
@@ -14449,10 +14456,11 @@ _PRIOR_GREEN_ROUND = {
     "dedup_lsh_recall_audit": 12,
     "dedup_method_agreement": 11,
     "dedup_minhash_md5": 10,
-    "dedup_minhash_twin_containment": 7,
+    "dedup_minhash_twin_containment": 13,
     "dedup_ngram_jaccard": 8,
+    "dedup_rate_by_ingestion_batch": 13,
     "dedup_semdedup_cells": 10,
-    "dedup_simhash_exact_dup_invariant": 7,
+    "dedup_simhash_exact_dup_invariant": 13,
     "dedup_simhash_hamming_pairs": 10,
     "dedup_simhash_md5": 10,
     "dedup_sketch_merge_invariant": 8,
@@ -14461,9 +14469,18 @@ _PRIOR_GREEN_ROUND = {
     "dedup_substring_containment": 10,
     "dedup_tfidf_cosine": 11,
     "dedup_threshold_curve": 11,
+    "dq_bootstrap_ci_mean": 13,
+    "dq_erasure_propagation": 13,
     "dq_expectation_report": 9,
     "dq_gate_agreement_kappa": 12,
+    "dq_join_cardinality_estimate": 13,
+    "dq_join_skew_profile": 13,
+    "dq_k_anonymity": 13,
+    "dq_l_diversity": 13,
     "dq_length_drift_ks": 7,
+    "dq_mad_outlier_gate": 13,
+    "dq_signal_correlation_matrix": 13,
+    "dq_t_closeness": 13,
     "embed_drift_by_lang": 12,
     "embed_hard_negatives": 8,
     "embed_kmeans_fixedpoint": 7,
@@ -14484,31 +14501,36 @@ _PRIOR_GREEN_ROUND = {
     "f8_null_elimination": 9,
     "f_combined_full": 9,
     "feat_target_encode_loo": 7,
+    "feed_domain_suffix_blocklist": 13,
     "fn_array_ops": 12,
     "fn_bitwise_ops": 8,
-    "fn_datetime_buckets": 7,
+    "fn_datetime_buckets": 13,
     "fn_fuzzy_match_levenshtein": 8,
     "fn_histogram_bins": 8,
     "fn_histogram_equidepth": 10,
     "fn_histogram_equidepth_approx_contract": 12,
     "fn_map_ops": 12,
     "fn_math_scalars": 12,
-    "fn_null_ops": 7,
+    "fn_null_ops": 13,
     "fn_percentiles": 12,
     "fn_percentiles_two_phase": 12,
-    "fn_regexp_ops": 7,
+    "fn_regexp_ops": 13,
     "fn_sequence_range": 10,
     "fn_string_ops": 12,
     "funnel_attribution_last_touch": 11,
     "funnel_time_to_convert": 11,
+    "funnel_time_to_convert_approx_contract": 13,
     "funnel_view_click_purchase": 9,
     "graph_pagerank_transitions": 11,
     "graph_triangle_count": 9,
     "join_anti_customers_without_orders": 11,
     "join_asof_last_click": 11,
+    "join_blocked_entity_resolution": 13,
     "join_broadcast_star_counts": 11,
     "join_cross_region_nation": 8,
-    "join_full_outer_click_purchase": 7,
+    "join_er_multipass_blocking": 13,
+    "join_full_outer_click_purchase": 13,
+    "join_interval_binned_overlap": 13,
     "join_lateral_topk_per_nation": 10,
     "join_range_clicks_before_purchase": 11,
     "join_right_outer_orders": 8,
@@ -14519,12 +14541,16 @@ _PRIOR_GREEN_ROUND = {
     "knn_ivf_fixedpoint_cells": 10,
     "knn_ivf_incremental_assign": 10,
     "knn_ivf_metric_consistency": 7,
+    "knn_ivf_nprobe_recall_curve": 13,
     "knn_ivfpq_residual_topk": 10,
     "knn_ivfpq_topk": 10,
-    "knn_lsh_bucketed": 7,
+    "knn_lsh_bucketed": 13,
     "knn_pq_adc_topk": 10,
     "knn_pq_recall_audit": 10,
+    "layout_compaction_plan": 13,
+    "layout_hilbert_skipping_audit": 13,
     "layout_zorder_keys": 10,
+    "layout_zorder_skipping_audit": 13,
     "limit_topk_events_by_value": 11,
     "llm_corpus_prep_pipeline": 7,
     "llm_dataset_card": 12,
@@ -14533,7 +14559,7 @@ _PRIOR_GREEN_ROUND = {
     "media_audio_silence_segments": 12,
     "media_features": 11,
     "media_features_meta": 11,
-    "media_frame_sample": 7,
+    "media_frame_sample": 13,
     "media_image_ahash": 12,
     "media_video_scene_cuts": 11,
     "p2_json_key_subset": 9,
@@ -14544,7 +14570,7 @@ _PRIOR_GREEN_ROUND = {
     "pack_sequences_by_source": 8,
     "path_top_event_trigrams": 9,
     "pivot_event_counts": 11,
-    "posexplode_words": 7,
+    "posexplode_words": 13,
     "pref_bradley_terry_strength": 12,
     "q1_domain_blocks_comments": 9,
     "quota_admission_per_author": 7,
@@ -14555,6 +14581,8 @@ _PRIOR_GREEN_ROUND = {
     "s3_backfill_clamp": 8,
     "s4_start_id_resume": 8,
     "s8_keepalive_counters": 9,
+    "sample_bottomk_minwise": 13,
+    "sample_neyman_allocation": 13,
     "sample_stratified_deterministic": 8,
     "sample_temperature_by_lang": 9,
     "sample_weighted_priority": 7,
@@ -14563,17 +14591,18 @@ _PRIOR_GREEN_ROUND = {
     "scd2_user_state_history": 11,
     "search_bm25_topk": 7,
     "search_hybrid_rrf": 7,
+    "search_ndcg_curve": 13,
     "search_rm3_expansion": 12,
-    "session_window_agg": 7,
-    "sessionize_events": 7,
-    "setop_except_all_values": 7,
+    "session_window_agg": 13,
+    "sessionize_events": 13,
+    "setop_except_all_values": 13,
     "setop_except_users": 11,
-    "setop_intersect_all_values": 7,
+    "setop_intersect_all_values": 13,
     "setop_intersect_users": 11,
     "stream_lateness_watermark_profile": 11,
-    "subq_correlated_exists": 7,
-    "subq_in_big_spenders": 7,
-    "subq_scalar_above_avg": 7,
+    "subq_correlated_exists": 13,
+    "subq_in_big_spenders": 13,
+    "subq_scalar_above_avg": 13,
     "text_bigram_lm_bits": 10,
     "text_char_entropy": 11,
     "text_chunk_dedup_rewrite": 8,
@@ -14632,13 +14661,15 @@ _PRIOR_GREEN_ROUND = {
     "ts_gapfill_ffill": 12,
     "ts_ohlc_hourly": 11,
     "ts_rolling_features": 8,
+    "ts_seasonal_decompose": 13,
     "udaf_geomean_orders": 12,
     "udf_grouped_map_zscore": 11,
-    "udf_pandas_scalar_charge": 7,
+    "udf_pandas_scalar_charge": 13,
     "udtf_word_explode": 12,
-    "unpivot_customer_balances": 7,
+    "unpivot_customer_balances": 13,
     "variant_json_extract_agg": 10,
     "vocab_coverage_topk": 11,
+    "vocab_size_coverage_curve": 13,
     "window_activity_streaks": 12,
     "window_first_last_nth": 8,
     "window_lag_delta": 11,
@@ -14648,7 +14679,7 @@ _PRIOR_GREEN_ROUND = {
     "window_sliding_counts": 8,
     "window_sliding_distinct_users": 11,
     "window_topk_orders_per_customer": 11,
-    "x1_try_cast_validation": 7,
+    "x1_try_cast_validation": 13,
     "x4_json_extract": 9,
 }
 

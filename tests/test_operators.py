@@ -2873,6 +2873,23 @@ def test_equidepth_approx_contract_holds_on_adversarial_frames(spark):
         assert all(r["n_total"] == len(rows) for r in out)
 
 
+def test_equidepth_approx_contract_empty_input(spark):
+    """Zero input rows (e.g. an SF with no funnel converters) must emit
+    n_total=0 and vacuously-true contract flags — matching the oracle's
+    literal 0/1s — not NULLs from first()/sum() over an empty frame
+    (ADVICE r13)."""
+    from reddit_sse_stream_spark.operators.sketches import (
+        equidepth_approx_bins,
+    )
+
+    df = spark.createDataFrame([], "v double")
+    out = equidepth_approx_bins(df, "v", k=4).collect()
+    assert [r["bin"] for r in out] == [1, 2, 3, 4]
+    assert all(r["n_total"] == 0 for r in out)
+    assert all(r["boundary_rank_ok"] == 1 for r in out)
+    assert all(r["partition_complete"] == 1 for r in out)
+
+
 def test_gini_bounds_on_synthetic_distributions(spark):
     """Rank-identity Gini sanity: a perfectly uniform group distribution
     scores exactly 0; an extreme one approaches (k-1)/k."""

@@ -2631,7 +2631,22 @@ def _replay_kernel_restart(spark, tmp_path, spec, input_df, mid):
     half, start a NEW query on the same checkpoint and file sink; return
     canon(all parquet output rows).  The file source's checkpoint must
     resume past the first half's files and the state store must restore
-    every kernel's state — emitting exactly the single-session answer."""
+    every kernel's state — emitting exactly the single-session answer.
+
+    Timer (ProcessingTimeTimeout) kernels get the same two-session shape
+    with one deviation (VERDICT r13 next #4): timers need not replay
+    deterministically, so session 1 still stops via availableNow —
+    deliberately leaving not-yet-fired timers as LIVE STATE in the
+    checkpoint — and session 2 runs CONTINUOUSLY (empty micro-batches
+    keep firing timers) while we poll the file sink until
+    ``spec.poll_done`` says every key has flushed.  The invariants that
+    ARE deterministic and asserted: state survives the restart, no
+    closed session is emitted twice, and every session eventually emits
+    exactly once (poll_done sums emissions against the input count, so a
+    double emission overshoots and can never satisfy it; the caller's
+    canon-equality check then pins the values)."""
+    import time as _t
+
     _ADV_QNO[0] += 1
     qname = f"rst_{spec.name}_{_ADV_QNO[0]}"
     src = tmp_path / f"{qname}_src"
@@ -2639,7 +2654,15 @@ def _replay_kernel_restart(spark, tmp_path, spec, input_df, mid):
     ckpt = tmp_path / f"{qname}_ckpt"
     arr = F.col(spec.arrival)
 
-    def run_once():
+    def read_out():
+        try:
+            return spark.read.parquet(str(out)).collect()
+        except Exception:
+            # session 1 of a timer kernel can commit zero part files
+            # (no timer fired before availableNow drained the data)
+            return []
+
+    def run_once(final=False):
         stream = (
             spark.readStream.schema(input_df.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2658,12 +2681,24 @@ def _replay_kernel_restart(spark, tmp_path, spec, input_df, mid):
             writer = writer.foreachBatch(
                 lambda df, _id: df.write.mode("append").parquet(str(out))
             )
-        q = (
-            writer.outputMode(spec.mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        writer = writer.outputMode(spec.mode)
+        if spec.poll_done is None or not final:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination(300)
+            return
+        # timer kernel, post-restart session: forced flush — run with
+        # the default ASAP trigger so the engine schedules timer-firing
+        # empty batches, and poll the sink until every session emitted
+        n_input = input_df.count()
+        q = writer.start()
+        try:
+            deadline = _t.monotonic() + 240
+            while _t.monotonic() < deadline:
+                if spec.poll_done(spec.canon(read_out()), n_input):
+                    return
+                _t.sleep(0.5)
+        finally:
+            q.stop()
 
     input_df.filter(arr < mid).coalesce(1).write.mode("append").parquet(
         str(src)
@@ -2672,28 +2707,26 @@ def _replay_kernel_restart(spark, tmp_path, spec, input_df, mid):
     input_df.filter(arr >= mid).coalesce(1).write.mode("append").parquet(
         str(src)
     )
-    run_once()
-    rows = spark.read.parquet(str(out)).collect()
-    return spec.canon(rows)
+    run_once(final=True)
+    return spec.canon(read_out())
 
 
-@pytest.mark.parametrize(
-    "spec",
-    [s for s in _kernel_specs() if s.poll_done is None],
-    ids=lambda s: s.name,
-)
+@pytest.mark.parametrize("spec", _kernel_specs(), ids=lambda s: s.name)
 def test_stateful_kernel_restart_exactly_once(spark, sf_dir, tmp_path, spec):
-    """Checkpoint-restart contract for every kernel (14/15 — the
-    processing-time session finalizer's timers do not replay
-    deterministically), shared: stop after the first half of the
-    stream, restart a NEW query from the same checkpoint with the rest,
-    and the total output must canonicalize exactly to the
-    single-session single-batch answer — state restored, no replayed
-    emissions, no gaps.  Append-mode kernels write the file sink
-    directly; update-mode kernels persist snapshots via foreachBatch
-    and their latest-per-key canon recovers the final value.  Like the
-    adversarial-split gate, a new kernel inherits this by existing in
-    the spec list."""
+    """Checkpoint-restart contract for ALL 16 kernels (15 data-driven +
+    the processing-time session finalizer), shared: stop after the
+    first half of the stream, restart a NEW query from the same
+    checkpoint with the rest, and the total output must canonicalize
+    exactly to the single-session single-batch answer — state restored,
+    no replayed emissions, no gaps.  Append-mode kernels write the file
+    sink directly; update-mode kernels persist snapshots via
+    foreachBatch and their latest-per-key canon recovers the final
+    value.  The timer kernel does not replay its timers
+    deterministically, so its second session runs continuously and is
+    polled until every session flushed (see _replay_kernel_restart) —
+    the asserted invariants are restart-survival and exactly-once, not
+    timer timing.  Like the adversarial-split gate, a new kernel
+    inherits this by existing in the spec list."""
     input_df = spec.build(spark, sf_dir).cache()
     try:
         arr_vals = sorted(

@@ -15127,6 +15127,193 @@ def agg_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "window_sliding_distinct_kmv_approx_contract",
+    r"""
+    WITH e AS (
+      -- floor, not CAST: epoch() is DOUBLE with fractional seconds and
+      -- CAST rounds, which would shift boundary events across panes
+      -- (Spark's unix_timestamp truncates)
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events WHERE user_id IS NOT NULL),
+    wu AS (
+      SELECT DISTINCT
+             CAST(floor(es / 1800) * 1800 - offs AS BIGINT) AS win_start,
+             user_id
+      FROM e, (SELECT unnest([0, 1800]) AS offs) o
+      WHERE floor(es / 1800) * 1800 - offs + 3600 > es),
+    wp AS (
+      SELECT win_start,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS prio
+      FROM wu),
+    nd AS (SELECT win_start, CAST(count(*) AS BIGINT) AS n_exact
+           FROM wp GROUP BY 1),
+    dr AS (
+      SELECT win_start, prio,
+             row_number() OVER (PARTITION BY win_start ORDER BY prio) AS rk
+      FROM wp),
+    dk AS (
+      SELECT win_start, CAST(count(*) AS BIGINT) AS d_cnt,
+             CAST(max(prio) AS BIGINT) AS d_max,
+             CAST(sum(prio % 1000000007) AS BIGINT) AS d_sum
+      FROM dr WHERE rk <= 16 GROUP BY 1),
+    pu AS (
+      SELECT DISTINCT CAST(floor(es / 1800) * 1800 AS BIGINT) AS pane,
+             user_id
+      FROM e),
+    pp AS (
+      SELECT pane,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS prio
+      FROM pu),
+    pr AS (
+      SELECT pane, prio,
+             row_number() OVER (PARTITION BY pane ORDER BY prio) AS rk
+      FROM pp),
+    mwin AS (
+      SELECT DISTINCT pane - offs AS win_start, prio
+      FROM pr, (SELECT unnest([0, 1800]) AS offs) o
+      WHERE rk <= 16),
+    mr AS (
+      SELECT win_start, prio,
+             row_number() OVER (PARTITION BY win_start ORDER BY prio) AS rk
+      FROM mwin),
+    mk AS (
+      SELECT win_start, CAST(count(*) AS BIGINT) AS m_cnt,
+             CAST(max(prio) AS BIGINT) AS m_max,
+             CAST(sum(prio % 1000000007) AS BIGINT) AS m_sum
+      FROM mr WHERE rk <= 16 GROUP BY 1)
+    SELECT nd.win_start, nd.n_exact,
+           CAST(CASE WHEN dk.d_cnt >= 16
+                     THEN floor(15 * 1152921504606846976.0 / dk.d_max)
+                     ELSE nd.n_exact END AS BIGINT) AS est,
+           CAST(dk.d_cnt >= 16 AS INTEGER) AS sketch_mode,
+           CAST(dk.d_cnt = mk.m_cnt AND dk.d_max = mk.m_max
+                AND dk.d_sum = mk.m_sum AS INTEGER) AS merge_ok
+    FROM nd JOIN dk USING (win_start) JOIN mk USING (win_start)
+    ORDER BY win_start
+    """,
+)
+def window_sliding_distinct_kmv_approx_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB swap ``window_sliding_distinct_users`` documents, as
+    real verified code (VERDICT r13 next #6): sliding-window distinct
+    actives estimated by a KMV bottom-k sketch (k=16) instead of the
+    exact two-level expand+distinct, with the sketch's MERGEABILITY —
+    the property the at-scale rollup actually relies on — checked as a
+    value column.  Two paths per 1h/30min-slide window: (a) DIRECT —
+    bottom-k of the window's distinct user md5-priorities; (b) MERGED —
+    each 30-min tumbling PANE keeps its own bottom-k, every window
+    unions its two panes' sketches (dedup by priority: a user active in
+    both panes carries the same hash) and re-cuts to k.  By the KMV
+    merge theorem [Bar-Yossef et al. 2002] bottom-k(A ∪ B) ==
+    bottom-k(bottom-k(A) ∪ bottom-k(B)), so ``merge_ok`` — fingerprint
+    equality (count, max, sum mod p) of the two k-sets — must be 1 on
+    every row; ``est`` grades against the exact ``n_exact`` anchor, and
+    a window with fewer than k distinct users is in exact mode
+    (est = n_exact, sketch_mode = 0).  k=16 puts the driver's sf0.01
+    windows (4-28 users) in BOTH modes.  The hash family is shared with
+    DuckDB, so the estimate, the fingerprints, and the invariant all
+    value-verify cross-engine — same contract trick as
+    ``agg_kmv_distinct_estimate``.
+
+    Scale shape: the pane path is the one a streaming rollup runs — ONE
+    distinct exchange on (pane, user) at pane grain (no ×2 window
+    expand of raw events), per-pane rank cut is a WindowGroupLimit (k
+    rows per pane survive the exchange), and everything downstream is
+    windows × k sized.  The direct path and n_exact exist here to GRADE
+    the merged sketch; at 100 TB they are dropped and the pane sketches
+    are the only state — k longs per active pane, the exact shape of
+    ``streaming_bottomk_reservoir``'s keyed state."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    from reddit_sse_stream_spark.operators.dedup import md5_hash60
+
+    k = 16
+    prio = md5_hash60(F.col("user_id").cast("string"))
+    # direct path: explode each event into its two sliding windows
+    wu = (
+        ev.select(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "user_id"
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("win_start"), "user_id"
+        )
+        .distinct()
+    )
+    wp = wu.select("win_start", prio.alias("prio"))
+    nd = wp.groupBy("win_start").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    dwin = Window.partitionBy("win_start").orderBy("prio")
+    dk = (
+        wp.withColumn("rk", F.row_number().over(dwin))
+        .filter(F.col("rk") <= k)
+        .groupBy("win_start")
+        .agg(
+            F.count("*").cast("long").alias("d_cnt"),
+            F.max("prio").cast("long").alias("d_max"),
+            F.sum(F.col("prio") % 1000000007).cast("long").alias("d_sum"),
+        )
+    )
+    # merged path: per-pane bottom-k, then union each window's two panes
+    pu = ev.select(
+        (F.floor(F.unix_timestamp("ts") / 1800) * 1800)
+        .cast("long")
+        .alias("pane"),
+        "user_id",
+    ).distinct()
+    pwin = Window.partitionBy("pane").orderBy("prio")
+    pk = (
+        pu.select("pane", prio.alias("prio"))
+        .withColumn("rk", F.row_number().over(pwin))
+        .filter(F.col("rk") <= k)
+    )
+    mwin = (
+        pk.select(
+            F.explode(F.array(F.lit(0), F.lit(1800))).alias("offs"),
+            "pane",
+            "prio",
+        )
+        .select((F.col("pane") - F.col("offs")).alias("win_start"), "prio")
+        .distinct()
+    )
+    mrank = Window.partitionBy("win_start").orderBy("prio")
+    mk = (
+        mwin.withColumn("rk", F.row_number().over(mrank))
+        .filter(F.col("rk") <= k)
+        .groupBy("win_start")
+        .agg(
+            F.count("*").cast("long").alias("m_cnt"),
+            F.max("prio").cast("long").alias("m_max"),
+            F.sum(F.col("prio") % 1000000007).cast("long").alias("m_sum"),
+        )
+    )
+    est = F.when(
+        F.col("d_cnt") >= k,
+        F.floor(15 * 1152921504606846976.0 / F.col("d_max")),
+    ).otherwise(F.col("n_exact"))
+    return (
+        nd.join(dk, "win_start")
+        .join(mk, "win_start")
+        .select(
+            "win_start",
+            "n_exact",
+            est.cast("long").alias("est"),
+            (F.col("d_cnt") >= k).cast("int").alias("sketch_mode"),
+            (
+                (F.col("d_cnt") == F.col("m_cnt"))
+                & (F.col("d_max") == F.col("m_max"))
+                & (F.col("d_sum") == F.col("m_sum"))
+            )
+            .cast("int")
+            .alias("merge_ok"),
+        )
+        .orderBy("win_start")
+    )
+
+
+@_register(
     "join_blocked_entity_resolution",
     """
     WITH clean AS (SELECT DISTINCT p_name AS name FROM part),

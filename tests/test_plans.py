@@ -812,6 +812,31 @@ def test_kmv_estimate_single_distinct_exchange_then_group_limit(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_kmv_sliding_window_group_limits_no_python(spark, sf_dir):
+    """window_sliding_distinct_kmv_approx_contract: all three k-cuts
+    (direct window, per-pane, merged) must be WindowGroupLimits so only
+    k rows per key cross each exchange, the final per-window joins are
+    broadcast-sized, and nothing drops to Python."""
+    plan = _plan(spark, sf_dir, "window_sliding_distinct_kmv_approx_contract")
+    assert plan.count("WindowGroupLimit") >= 3
+    assert "BroadcastExchange" in plan
+    assert "PythonUDF" not in plan and "InPandas" not in plan
+
+
+def test_theil_sen_pair_join_is_salted(spark, sf_dir):
+    """aggx_theil_sen_trend (VERDICT r13 next #2): the hour-pair join's
+    equi-key must include the salt column g, not event_type alone — the
+    de-skew that spreads pair generation over 32x more buckets."""
+    import re
+
+    plan = _plan(spark, sf_dir, "aggx_theil_sen_trend")
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) "
+        r"\[event_type#\d+, (cast\()?g#",
+        plan,
+    ), plan[:2000]
+
+
 def test_hilbert_audit_no_global_rank_and_fused_key_chain(spark, sf_dir):
     """layout_hilbert_skipping_audit: file ids come from value-range
     binning against broadcast min/max frames (the zorder-audit defense —

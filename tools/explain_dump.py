@@ -187,6 +187,10 @@ EXTRA = (
     "agg_moments_merge_invariant",
     "anomaly_seasonal_adjusted",
     "aggx_theil_sen_trend",
+    # r14 additions: the salted Theil-Sen pair join is re-dumped via the
+    # row above; the KMV sliding-distinct swap shows its three
+    # WindowGroupLimit cuts; the URL-canonicalization rows land below
+    "window_sliding_distinct_kmv_approx_contract",
 )
 
 

@@ -1,0 +1,166 @@
+"""URL canonicalization + registered-domain extraction, as ONE shared
+SQL chain rendered to both engines.
+
+A crawl/training-data pipeline never gets clean hosts: the same resource
+arrives as ``HTTP://WWW.Site.COM:80/p/1/?utm_source=x&q=1#sec`` and
+``http://site.com/p/1?q=1``.  Everything downstream — per-host caps,
+domain blocklists (``feed_domain_suffix_blocklist``), dedup — is wrong
+unless URLs are canonicalized FIRST, and the reference's domain
+semantics (sse.py:198,213 — exact string match on the ``domain`` field)
+silently assume someone already did this.  This module is that step:
+
+- lowercase scheme + host, strip a leading ``www.``;
+- drop the fragment;
+- drop DEFAULT ports (80 for http, 443 for https), keep explicit
+  non-default ports;
+- drop tracking query parameters (``utm_*``, ``ref``, ``fbclid``)
+  while PRESERVING the order of the surviving ones (param order is
+  semantically significant to unknown endpoints — sorting would merge
+  distinct resources);
+- strip one trailing slash from a non-root path.
+
+Like ``layout.hilbert_key_sql_ctes``, the canonicalization chain is
+GENERATED ONCE by :func:`canonical_parts` and rendered per dialect
+(Spark / DuckDB differ only in list-function NAMES: filter vs
+list_filter, array_join vs array_to_string, split vs string_split), so
+the two engines cannot drift — the catalog row's value oracle checks
+the whole chain end to end.
+
+Registered-domain extraction uses a public-suffix-STYLE literal table
+(:data:`PUBLIC_SUFFIXES` — the real PSL is ~9k entries maintained by
+Mozilla; same longest-suffix-wins contract, table swapped at deploy):
+registered_domain(host) = the longest matching public suffix plus one
+label.  The match itself is the catalog row's suffix-explode +
+broadcast equi-join (the ``feed_domain_suffix_blocklist`` shape), never
+a per-pattern scan.
+"""
+
+from __future__ import annotations
+
+# Public-suffix-style table (longest match wins).  A deliberately small
+# literal stand-in for the Mozilla PSL with the two shapes that matter:
+# single-label TLDs and multi-label suffixes that make the naive
+# "last two labels" rule wrong (site.co.uk's registered domain is
+# site.co.uk, not co.uk).
+PUBLIC_SUFFIXES: tuple[str, ...] = (
+    "com",
+    "net",
+    "org",
+    "io",
+    "gov",
+    "edu",
+    "co.uk",
+    "org.uk",
+    "ac.uk",
+    "com.au",
+    "net.au",
+)
+
+_DIALECTS = {
+    "spark": {"filter": "filter", "join": "array_join", "split": "split"},
+    "duckdb": {
+        "filter": "list_filter",
+        "join": "array_to_string",
+        "split": "string_split",
+    },
+}
+
+#: query params dropped by canonicalization (LIKE patterns over the
+#: full "key=value" token)
+TRACKING_PARAM_PATTERNS: tuple[str, ...] = (
+    "utm_%",
+    "ref=%",
+    "fbclid=%",
+)
+
+
+def synth_url_sql(id_col: str = "id", domain_col: str = "domain") -> str:
+    """Deterministic raw-URL synthesis from (id, domain) — the testdata
+    carries hosts but not URLs, so the catalog row manufactures the
+    mess the canonicalizer must clean (same device as
+    ``join_blocked_entity_resolution``'s synthesized corruptions): mixed
+    scheme/host case, www. prefixes, default AND non-default ports,
+    tracking params around a kept one, trailing slashes, fragments.
+    Pure CASE/concat/% arithmetic — identical text runs on both
+    engines."""
+    i = id_col
+    d = domain_col
+    scheme = (
+        f"CASE {i} % 4 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' "
+        f"WHEN 2 THEN 'https' ELSE 'HTTPS' END"
+    )
+    host = (
+        f"concat(CASE WHEN {i} % 5 = 0 THEN 'www.' ELSE '' END, "
+        f"CASE WHEN {i} % 3 = 0 THEN upper({d}) ELSE {d} END)"
+    )
+    port = (
+        f"CASE {i} % 7 WHEN 0 THEN ':80' WHEN 1 THEN ':443' "
+        f"WHEN 2 THEN ':8080' ELSE '' END"
+    )
+    path = (
+        f"concat('/p/', CAST({i} % 50 AS STRING), "
+        f"CASE WHEN {i} % 2 = 0 THEN '/' ELSE '' END)"
+    )
+    query = (
+        f"CASE WHEN {i} % 3 = 1 THEN concat('?utm_source=feed&q=', "
+        f"CAST({i} % 10 AS STRING), '&ref=abc') ELSE '' END"
+    )
+    frag = f"CASE WHEN {i} % 11 = 0 THEN '#sec' ELSE '' END"
+    return (
+        f"concat({scheme}, '://', {host}, {port}, {path}, {query}, {frag})"
+    )
+
+
+def canonical_parts(url_expr: str, dialect: str) -> dict[str, str]:
+    """Render the canonicalization chain for ``dialect`` ('spark' |
+    'duckdb') over a SQL expression producing the raw URL.  Returns SQL
+    expression strings for:
+
+    - ``host``: canonical host (lowercase, www.-stripped);
+    - ``canon_url``: the full canonical URL.
+
+    The chain inlines ``url_expr`` multiple times, so callers should
+    bind the raw URL to a column first (one CTE / select) and pass the
+    column name — both catalog rows do."""
+    fns = _DIALECTS[dialect]
+    u = url_expr
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z]+)://', 1))"
+    # authority = between :// and the first /?#
+    auth = f"regexp_extract({u}, '^[A-Za-z]+://([^/?#]*)', 1)"
+    host_raw = f"lower(regexp_extract({auth}, '^([^:]*)', 1))"
+    host = (
+        f"CASE WHEN {host_raw} LIKE 'www.%' "
+        f"THEN substr({host_raw}, 5) ELSE {host_raw} END"
+    )
+    port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
+    port_keep = (
+        f"CASE WHEN ({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443') OR {port} = '' "
+        f"THEN '' ELSE concat(':', {port}) END"
+    )
+    path_raw = f"regexp_extract({u}, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1)"
+    path = (
+        f"CASE WHEN length({path_raw}) > 1 AND {path_raw} LIKE '%/' "
+        f"THEN substr({path_raw}, 1, length({path_raw}) - 1) "
+        f"ELSE {path_raw} END"
+    )
+    # [?] not \? — Spark SQL unescapes backslashes inside string
+    # literals (DuckDB does not), so a character class is the only
+    # spelling that parses to the same regex in both dialects
+    query_raw = f"regexp_extract({u}, '[?]([^#]*)', 1)"
+    drop = " OR ".join(
+        f"x LIKE '{p}'" for p in TRACKING_PARAM_PATTERNS
+    )
+    # COALESCE: DuckDB's array_to_string returns NULL on an empty list
+    # (all params dropped) where Spark's array_join returns '' — and
+    # DuckDB's concat SKIPS NULLs, which would leave a dangling '?'
+    query_kept = (
+        f"COALESCE({fns['join']}({fns['filter']}({fns['split']}("
+        f"{query_raw}, '&'), x -> NOT ({drop})), '&'), '')"
+    )
+    canon_url = (
+        f"concat({scheme}, '://', {host}, {port_keep}, {path}, "
+        f"CASE WHEN {query_kept} = '' THEN '' "
+        f"ELSE concat('?', {query_kept}) END)"
+    )
+    return {"host": host, "canon_url": canon_url}

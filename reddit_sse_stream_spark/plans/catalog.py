@@ -13421,6 +13421,219 @@ def feed_domain_suffix_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_site_sql() -> str:
+    """Per-host-stable suffix diversification for the URL rows: the feed
+    carries seven hosts all under .example.com, which would make every
+    registered domain identical and leave the PSL longest-match logic
+    untested — rewrite domK's zone by K%3 so the three suffix shapes
+    (single-label TLD, multi-label co.uk, single-label io) all occur.
+    Pure shared-dialect SQL; stable per host by construction (keyed on
+    the dom index, never the event id)."""
+    return (
+        "concat(regexp_extract(domain, '^([^.]+)', 1), "
+        "CASE CAST(regexp_extract(domain, '^dom([0-9]+)', 1) AS BIGINT) % 3 "
+        "WHEN 0 THEN '.example.com' WHEN 1 THEN '.example.co.uk' "
+        "ELSE '.sites.io' END)"
+    )
+
+
+def _url_rows_sql() -> str:
+    """Shared CTE chain feed -> (id, raw_url, host, canon_url) for the
+    DuckDB oracles of both URL rows, rendered from the SAME generator
+    the Spark side uses (operators/urlnorm.py)."""
+    from reddit_sse_stream_spark.operators import urlnorm
+
+    parts = urlnorm.canonical_parts("raw_url", "duckdb")
+    return (
+        f"base AS (SELECT id, {_url_site_sql()} AS site FROM feed "
+        f"WHERE domain IS NOT NULL),\n"
+        f"raw AS (SELECT id, {urlnorm.synth_url_sql('id', 'site')} "
+        f"AS raw_url FROM base),\n"
+        f"curl AS (SELECT id, raw_url, {parts['host']} AS host, "
+        f"{parts['canon_url']} AS canon_url FROM raw)"
+    )
+
+
+def _url_canon_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_url_rows_sql`: feed -> (id, raw_url, host,
+    canon_url) through the one generated canonicalization chain."""
+    from reddit_sse_stream_spark.operators import urlnorm
+
+    parts = urlnorm.canonical_parts("raw_url", "spark")
+    return (
+        feed_df(spark, sf_dir)
+        .filter(F.col("domain").isNotNull())
+        .selectExpr("id", f"{_url_site_sql()} AS site")
+        .selectExpr("id", f"{urlnorm.synth_url_sql('id', 'site')} AS raw_url")
+        .selectExpr(
+            "id",
+            "raw_url",
+            f"{parts['host']} AS host",
+            f"{parts['canon_url']} AS canon_url",
+        )
+    )
+
+
+def _psl_sql() -> str:
+    from reddit_sse_stream_spark.operators.urlnorm import PUBLIC_SUFFIXES
+
+    return repr(list(PUBLIC_SUFFIXES))
+
+
+def _url_canon_oracle() -> str:
+    return f"""
+    WITH {FEED_CTE},
+    {_url_rows_sql()},
+    per AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_urls,
+             CAST(count(DISTINCT canon_url) AS BIGINT) AS n_canonical_urls
+      FROM curl GROUP BY host),
+    lab AS (SELECT host, string_split(host, '.') AS labels FROM per),
+    sfx AS (SELECT host, labels,
+                   unnest(generate_series(1, len(labels))) AS i
+            FROM lab),
+    sfx2 AS (SELECT host, labels, i,
+                    array_to_string(labels[i:len(labels)], '.') AS suffix
+             FROM sfx),
+    ps AS (SELECT unnest({_psl_sql()}) AS suffix),
+    m AS (SELECT host, labels, i,
+                 row_number() OVER (PARTITION BY host ORDER BY i) AS rn
+          FROM sfx2 JOIN ps USING (suffix)),
+    reg AS (SELECT host,
+                   CASE WHEN i <= 1 THEN host
+                        ELSE array_to_string(labels[i-1:len(labels)], '.')
+                   END AS registered_domain
+            FROM m WHERE rn = 1)
+    SELECT per.host,
+           COALESCE(reg.registered_domain, per.host) AS registered_domain,
+           n_events, n_raw_urls, n_canonical_urls,
+           CAST(floor((n_raw_urls - n_canonical_urls) * 10000.0
+                      / n_raw_urls) AS BIGINT) AS dedup_x1e4
+    FROM per LEFT JOIN reg USING (host)
+    ORDER BY per.host
+    """
+
+
+def _url_cap_oracle() -> str:
+    return f"""
+    WITH {FEED_CTE},
+    {_url_rows_sql()},
+    r AS (
+      SELECT host, id,
+             row_number() OVER (
+               PARTITION BY host
+               ORDER BY CAST(concat('0x', substr(md5(concat('cap:',
+                 CAST(id AS STRING))), 1, 15)) AS BIGINT), id) AS pos
+      FROM curl)
+    SELECT host, CAST(id AS BIGINT) AS id, CAST(pos AS BIGINT) AS pos
+    FROM r WHERE pos <= 10 ORDER BY host, pos
+    """
+
+
+@_register("feed_url_canonical_host", _url_canon_oracle())
+def feed_url_canonical_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain extraction over the feed
+    (VERDICT r13 next #7): the step the reference's exact-match domain
+    semantics (sse.py:198,213) and the r12 suffix blocklist both assume
+    already happened.  Raw URLs are synthesized deterministically from
+    (id, host) — mixed scheme/host case, www., default and non-default
+    ports, tracking params, trailing slashes, fragments — then pushed
+    through the ONE generated canonicalization chain
+    (``operators/urlnorm.py``: both engines render the same generator,
+    so the value oracle checks the chain end to end).  Per canonical
+    host: the registered domain (public-suffix-style longest-match
+    table + one label — co.uk shapes included), event count, distinct
+    raw vs canonical URL counts, and the canonicalization dedup rate in
+    1e-4 fixed point — the "how much of my crawl was case/tracking-param
+    noise" number a pipeline reports before per-host capping.
+
+    Scale shape: the chain is pure per-row codegen (regexp/CASE/concat
+    — no UDF); the only data-shaped exchange is the host groupBy with
+    its two count-distincts; the PSL match explodes the DIMENSION-sized
+    host frame into its dot-suffixes (<= label count each) for a
+    broadcast equi-join against the suffix table — millions of PSL
+    entries stay a hash join, never per-pattern scans — and the
+    longest-match cut is a host-partitioned row_number over matches."""
+    from reddit_sse_stream_spark.operators.urlnorm import PUBLIC_SUFFIXES
+
+    c = _url_canon_frame(spark, sf_dir)
+    per = c.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("raw_url").cast("long").alias("n_raw_urls"),
+        F.count_distinct("canon_url").cast("long").alias("n_canonical_urls"),
+    )
+    lab = per.select("host", F.split("host", r"\.").alias("labels"))
+    n = F.size("labels")
+    cand = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.array_join(F.slice("labels", i, n - i + 1), ".").alias(
+                "suffix"
+            ),
+            F.when(i <= 1, F.col("host"))
+            .otherwise(F.array_join(F.slice("labels", i - 1, n - i + 2), "."))
+            .alias("reg"),
+        ),
+    )
+    sfx = lab.select("host", F.explode(cand).alias("s")).select(
+        "host", "s.i", "s.suffix", "s.reg"
+    )
+    ps = spark.createDataFrame(
+        [(s,) for s in PUBLIC_SUFFIXES], "suffix string"
+    )
+    w = Window.partitionBy("host").orderBy("i")
+    best = (
+        sfx.join(F.broadcast(ps), "suffix")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("host", "reg")
+    )
+    return (
+        per.join(best, "host", "left")
+        .select(
+            "host",
+            F.coalesce(F.col("reg"), F.col("host")).alias(
+                "registered_domain"
+            ),
+            "n_events",
+            "n_raw_urls",
+            "n_canonical_urls",
+            F.floor(
+                (F.col("n_raw_urls") - F.col("n_canonical_urls"))
+                * 10000.0
+                / F.col("n_raw_urls")
+            )
+            .cast("long")
+            .alias("dedup_x1e4"),
+        )
+        .orderBy("host")
+    )
+
+
+@_register("feed_url_host_cap", _url_cap_oracle())
+def feed_url_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host anti-dominance cap COMPOSED ON canonical hosts — the
+    two-step a crawl pipeline actually ships (canonicalize, THEN cap):
+    ``corpus.cap_per_group`` keeps at most 10 events per canonical host
+    in deterministic md5 order, and because the group key is the
+    CANONICAL host, www./case variants of one site share a single cap
+    instead of each getting their own (the bug capping raw hosts has).
+
+    Scale shape: the canonicalization is map-side codegen; the cap is
+    one exchange on host with the rank cut pushed down as
+    WindowGroupLimit (k rows per key per map partition — a hot host
+    ships ~k rows per upstream partition, never its membership)."""
+    from reddit_sse_stream_spark.operators import corpus
+
+    c = _url_canon_frame(spark, sf_dir).select("id", "host")
+    kept = corpus.cap_per_group(c, group_col="host", k=10, id_col="id")
+    return kept.select(
+        "host", "id", F.col("pos").cast("long").alias("pos")
+    ).orderBy("host", "pos")
+
+
 @_register(
     "dq_l_diversity",
     """

@@ -837,6 +837,19 @@ def test_theil_sen_pair_join_is_salted(spark, sf_dir):
     ), plan[:2000]
 
 
+def test_url_rows_codegen_chain_and_group_limit(spark, sf_dir):
+    """feed_url_canonical_host / feed_url_host_cap: the canonicalization
+    chain must stay in map-side codegen (no Python), the PSL match must
+    be a broadcast equi-join, and the cap's rank cut must push down as a
+    WindowGroupLimit."""
+    plan = _plan(spark, sf_dir, "feed_url_canonical_host")
+    assert "PythonUDF" not in plan and "InPandas" not in plan
+    assert "BroadcastExchange" in plan
+    cap = _plan(spark, sf_dir, "feed_url_host_cap")
+    assert "WindowGroupLimit" in cap
+    assert "PythonUDF" not in cap and "InPandas" not in cap
+
+
 def test_hilbert_audit_no_global_rank_and_fused_key_chain(spark, sf_dir):
     """layout_hilbert_skipping_audit: file ids come from value-range
     binning against broadcast min/max frames (the zorder-audit defense —

@@ -1,0 +1,123 @@
+"""URL canonicalization chain: cross-engine parity and contract cases.
+
+The catalog rows (`feed_url_canonical_host`, `feed_url_host_cap`) verify
+the chain end to end over the synthesized feed; these tests drive the
+SAME generated expressions over hand-built adversarial URLs the
+synthesizer never produces (root path, all-tracking query, host == a
+public suffix, deep subdomains) in BOTH engines.
+"""
+
+import duckdb
+import pytest
+
+from reddit_sse_stream_spark.operators.urlnorm import (
+    PUBLIC_SUFFIXES,
+    canonical_parts,
+    synth_url_sql,
+)
+
+ADVERSARIAL = [
+    # (raw, want_host, want_canon)
+    (
+        "HTTP://WWW.Site.COM:80/p/1/?utm_source=x&q=1#sec",
+        "site.com",
+        "http://site.com/p/1?q=1",
+    ),
+    ("https://site.com:443/", "site.com", "https://site.com/"),
+    ("http://site.com", "site.com", "http://site.com"),
+    # all-tracking query disappears entirely (no dangling '?')
+    (
+        "http://site.com/a?utm_a=1&utm_b=2&ref=x&fbclid=z",
+        "site.com",
+        "http://site.com/a",
+    ),
+    # non-default port survives; default port for the OTHER scheme too
+    ("http://site.com:8080/a", "site.com", "http://site.com:8080/a"),
+    ("http://site.com:443/a", "site.com", "http://site.com:443/a"),
+    # deep subdomain; www only strips as a LEADING label
+    (
+        "https://a.b.www.site.co.uk/x/",
+        "a.b.www.site.co.uk",
+        "https://a.b.www.site.co.uk/x",
+    ),
+    # kept-param order is preserved, never sorted
+    (
+        "http://s.io/p?z=9&utm_x=1&a=2",
+        "s.io",
+        "http://s.io/p?z=9&a=2",
+    ),
+]
+
+
+def _duck_chain(urls):
+    con = duckdb.connect()
+    parts = canonical_parts("raw_url", "duckdb")
+    vals = ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+    return con.execute(
+        f"SELECT {parts['host']}, {parts['canon_url']} "
+        f"FROM (SELECT id, raw_url FROM (VALUES {vals}) v(id, raw_url)) "
+        f"ORDER BY id"
+    ).fetchall()
+
+
+def _spark_chain(spark, urls):
+    parts = canonical_parts("raw_url", "spark")
+    df = spark.createDataFrame(
+        list(enumerate(urls)), "id long, raw_url string"
+    )
+    rows = (
+        df.selectExpr(
+            "id", f"{parts['host']} AS h", f"{parts['canon_url']} AS c"
+        )
+        .orderBy("id")
+        .collect()
+    )
+    return [(r["h"], r["c"]) for r in rows]
+
+
+def test_canonical_chain_expected_values_and_parity(spark):
+    urls = [u for u, _, _ in ADVERSARIAL]
+    duck = _duck_chain(urls)
+    spk = _spark_chain(spark, urls)
+    for (raw, want_h, want_c), d, s in zip(ADVERSARIAL, duck, spk):
+        assert d == (want_h, want_c), raw
+        assert s == (want_h, want_c), raw
+
+
+def test_synth_url_parity_and_reconvergence(spark):
+    """The synthesizer produces identical raw URLs on both engines, and
+    ids that differ only in case/www/tracking noise canonicalize to the
+    same URL (the property the catalog row's dedup rate measures)."""
+    rows = [(i, "dom1.example.com") for i in range(0, 4620)]
+    synth = synth_url_sql()
+    parts_s = canonical_parts("raw_url", "spark")
+    df = spark.createDataFrame(rows, "id long, domain string")
+    got = (
+        df.selectExpr("id", f"{synth} AS raw_url")
+        .selectExpr("id", "raw_url", f"{parts_s['canon_url']} AS c")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, domain VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    parts_d = canonical_parts("raw_url", "duckdb")
+    duck = dict(
+        con.execute(
+            f"SELECT id, {parts_d['canon_url']} FROM "
+            f"(SELECT id, {synth} AS raw_url FROM t)"
+        ).fetchall()
+    )
+    n_raw = len({r["raw_url"] for r in got})
+    n_canon = len({r["c"] for r in got})
+    assert n_canon < n_raw  # canonicalization must merge variants
+    for r in got:
+        assert duck[r["id"]] == r["c"]
+
+
+def test_public_suffix_table_shapes():
+    """The literal PSL stand-in must contain both shapes the matcher's
+    longest-suffix logic needs: single-label TLDs and multi-label
+    suffixes whose presence makes last-two-labels wrong."""
+    assert "com" in PUBLIC_SUFFIXES
+    assert any("." in s for s in PUBLIC_SUFFIXES)
+    assert len(set(PUBLIC_SUFFIXES)) == len(PUBLIC_SUFFIXES)

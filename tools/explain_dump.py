@@ -191,6 +191,8 @@ EXTRA = (
     # row above; the KMV sliding-distinct swap shows its three
     # WindowGroupLimit cuts; the URL-canonicalization rows land below
     "window_sliding_distinct_kmv_approx_contract",
+    "feed_url_canonical_host",
+    "feed_url_host_cap",
 )
 
 

@@ -10521,6 +10521,154 @@ def aggx_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "aggx_siegel_trend_sampled",
+    """
+    WITH hc AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    an AS (
+      SELECT event_type, h AS ah, c AS ac FROM (
+        SELECT event_type, h, c,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY CAST(concat('0x', substr(md5(concat('sg:',
+                   CAST(h AS STRING))), 1, 15)) AS BIGINT), h) AS rk
+        FROM hc) WHERE rk <= 16),
+    p AS (
+      SELECT a.event_type, a.ah,
+             (b.c - a.ac) * 10000 // (b.h - a.ah) AS slope_fp
+      FROM an a JOIN hc b
+        ON a.event_type = b.event_type AND b.h <> a.ah),
+    sh AS (SELECT event_type, ah, slope_fp,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM p GROUP BY 1, 2, 3),
+    sh2 AS (
+      SELECT event_type, ah, slope_fp,
+             sum(cnt) OVER (PARTITION BY event_type, ah
+                            ORDER BY slope_fp) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type, ah) AS n
+      FROM sh),
+    am AS (
+      SELECT event_type, ah, CAST(min(slope_fp) AS BIGINT) AS aslope
+      FROM sh2 WHERE 2 * cum >= n GROUP BY event_type, ah),
+    gh AS (
+      SELECT event_type, aslope,
+             sum(1) OVER (PARTITION BY event_type ORDER BY aslope, ah)
+               AS cum,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM am),
+    med AS (
+      SELECT event_type, CAST(min(aslope) AS BIGINT) AS slope_x1e4,
+             CAST(max(n) AS BIGINT) AS n_anchors
+      FROM gh WHERE 2 * cum >= n GROUP BY event_type),
+    nh AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+           FROM hc GROUP BY 1)
+    SELECT m.event_type, nh.n_hours, m.n_anchors, m.slope_x1e4
+    FROM med m JOIN nh USING (event_type)
+    ORDER BY m.event_type
+    """,
+)
+def aggx_siegel_trend_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel repeated-median trend on SAMPLED anchors — the linear-cost
+    companion ``aggx_theil_sen_trend``'s docstring prices for past the
+    C(n,2) calendar bound [Siegel 1982]: pick 16 anchor hours per event
+    type DETERMINISTICALLY (bottom-16 by md5 priority — reproducible
+    across engines, reruns, and cluster sizes, so the row value-oracles
+    exactly despite being a "sample"), compute each anchor's median
+    slope against ALL other hours, then take the median of the anchor
+    medians.  Per-anchor medians inherit Theil-Sen's robustness (an
+    anchor landing ON an outlier is voted down by the outer median),
+    and cost drops from C(n,2) pairs to 16n.  Both medians are the
+    exact int64 histogram walk (lower median: min value with
+    2*cum >= n), no float summation anywhere.
+
+    Scale shape: the anchor frame is 16 x #event_types rows — it
+    BROADCASTS, so pair generation is a broadcast hash join probed by
+    the hourly frame at the hourly frame's full parallelism (no
+    event_type-keyed shuffle anywhere, complementing the salted exact
+    row whose SMJ path needed the de-skew); the anchor cut itself is a
+    WindowGroupLimit over md5 priorities.  Slope histograms are keyed
+    (event_type, anchor) — 16x more groups than the exact row — and
+    the outer median walks a 16-row frame per type."""
+    ev = _t(spark, sf_dir, "events")
+    from reddit_sse_stream_spark.operators.dedup import md5_hash60
+
+    hc = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    prio = md5_hash60(F.concat(F.lit("sg:"), F.col("h").cast("string")))
+    wk = Window.partitionBy("event_type").orderBy(prio.asc(), F.col("h").asc())
+    an = (
+        hc.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 16)
+        .select(
+            "event_type", F.col("h").alias("ah"), F.col("c").alias("ac")
+        )
+    )
+    p = (
+        F.broadcast(an)
+        .join(hc, "event_type")
+        .filter(F.col("h") != F.col("ah"))
+        .select(
+            "event_type",
+            "ah",
+            F.expr("(c - ac) * 10000 div (h - ah)").alias("slope_fp"),
+        )
+    )
+    sh = p.groupBy("event_type", "ah", "slope_fp").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type", "ah")
+        .orderBy("slope_fp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type", "ah")
+    am = (
+        sh.select(
+            "event_type",
+            "ah",
+            "slope_fp",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wall).alias("n"),
+        )
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .groupBy("event_type", "ah")
+        .agg(F.min("slope_fp").cast("long").alias("aslope"))
+    )
+    gcum = (
+        Window.partitionBy("event_type")
+        .orderBy("aslope", "ah")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gall = Window.partitionBy("event_type")
+    med = (
+        am.select(
+            "event_type",
+            "ah",
+            "aslope",
+            F.count("*").over(gcum).alias("cum"),
+            F.count("*").over(gall).alias("n"),
+        )
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .groupBy("event_type")
+        .agg(
+            F.min("aslope").cast("long").alias("slope_x1e4"),
+            F.max("n").cast("long").alias("n_anchors"),
+        )
+    )
+    nh = hc.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours")
+    )
+    return (
+        med.join(nh, "event_type")
+        .select("event_type", "n_hours", "n_anchors", "slope_x1e4")
+        .orderBy("event_type")
+    )
+
+
+@_register(
     "anomaly_seasonal_adjusted",
     """
     WITH hc AS (

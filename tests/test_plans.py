@@ -837,6 +837,18 @@ def test_theil_sen_pair_join_is_salted(spark, sf_dir):
     ), plan[:2000]
 
 
+def test_siegel_anchors_broadcast_no_pair_shuffle(spark, sf_dir):
+    """aggx_siegel_trend_sampled: the anchor frame must BROADCAST into
+    the pair join (no event_type-keyed SMJ anywhere — the skew class the
+    exact row needed salting for), and the anchor cut must be a
+    WindowGroupLimit."""
+    plan = _plan(spark, sf_dir, "aggx_siegel_trend_sampled")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PythonUDF" not in plan
+
+
 def test_url_rows_codegen_chain_and_group_limit(spark, sf_dir):
     """feed_url_canonical_host / feed_url_host_cap: the canonicalization
     chain must stay in map-side codegen (no Python), the PSL match must

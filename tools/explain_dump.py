@@ -193,6 +193,7 @@ EXTRA = (
     "window_sliding_distinct_kmv_approx_contract",
     "feed_url_canonical_host",
     "feed_url_host_cap",
+    "aggx_siegel_trend_sampled",
 )
 
 

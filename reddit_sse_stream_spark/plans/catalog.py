@@ -15078,6 +15078,14 @@ _CHANGED_SINCE_PROOF: set = {
     # count and sample_neyman_allocation's divisor guard — touch rows
     # that were never driver-proven, so they already sit in the
     # never-proven head tier and need no entry here.)
+    #
+    # r14: the Theil-Sen pair join was rewritten with the 32-way salt
+    # fan-out (VERDICT r13 next #2) AFTER the row's r13 proof.  The
+    # rewrite is result-identical by construction and was locally
+    # re-verified green at sf0.01, but the conservative policy is that
+    # a post-proof plan rewrite re-proves under the driver — prune when
+    # CORRECTNESS_r14 lands it.
+    "aggx_theil_sen_trend",
 }
 
 

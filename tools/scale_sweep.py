@@ -208,6 +208,15 @@ SWEEP = (
     # r13: Theil-Sen — the pairwise join is calendar^2-bounded (hourly
     # aggregate), so the curve must track the (type, hour) exchange
     "aggx_theil_sen_trend",
+    # r14 additions: the Siegel sampled-anchor twin (16n pairs via a
+    # broadcast anchor join — must scale strictly flatter than the
+    # exact C(n,2) row above), the KMV sliding-distinct swap (pane
+    # exchange + three WindowGroupLimit cuts), and the two URL rows
+    # (map-side canonicalization chain; the cap's WindowGroupLimit)
+    "aggx_siegel_trend_sampled",
+    "window_sliding_distinct_kmv_approx_contract",
+    "feed_url_canonical_host",
+    "feed_url_host_cap",
 )
 
 

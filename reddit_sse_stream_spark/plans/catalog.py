@@ -13076,6 +13076,218 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_priority_source_union",
+    """
+    WITH d0 AS (SELECT doc_id, source, text FROM documents),
+    clones AS (
+      SELECT doc_id + 10000000 AS doc_id,
+             concat('src', CAST((CAST(substr(source, 4) AS BIGINT) + 1) % 20
+                                AS STRING)) AS source,
+             text
+      FROM d0 WHERE doc_id % 7 = 0),
+    u AS (SELECT * FROM d0 UNION ALL SELECT * FROM clones),
+    t AS (
+      SELECT doc_id, source, md5(text) AS h,
+             CAST(substr(source, 4) AS BIGINT) % 3 AS tier
+      FROM u),
+    w AS (
+      SELECT h, min(struct_pack(tier := tier, source := source,
+                                doc_id := doc_id)) AS win
+      FROM t GROUP BY h),
+    kept AS (
+      SELECT (win).source AS source, CAST(count(*) AS BIGINT) AS n_kept
+      FROM w GROUP BY 1),
+    tot AS (
+      SELECT source, CAST(min(tier) AS BIGINT) AS tier,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM t GROUP BY source)
+    SELECT tot.source, tot.tier, tot.n_docs,
+           CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(tot.n_docs - COALESCE(kept.n_kept, 0) AS BIGINT)
+             AS n_dropped
+    FROM tot LEFT JOIN kept USING (source)
+    ORDER BY tot.source
+    """,
+)
+def dedup_priority_source_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-source union with SOURCE-PRIORITY dedup — the curation
+    merge step ``dedup_exact_keep_first`` (min doc_id per digest) does
+    not express: when the same document arrives from several sources,
+    keep the copy from the most trusted TIER (curated > partner >
+    crawl), tie-broken by source then doc_id.  The synthetic corpus has
+    no natural cross-source exact dups at the test SFs, so every 7th
+    doc gets a deterministic clone planted in the NEXT source — tiers
+    (src index mod 3) then make clones both win and lose against their
+    originals, exercising the precedence in both directions.  Reports
+    per source: tier, incoming docs, docs kept (this source won its
+    digest group), docs dropped (yielded to a higher-priority copy).
+
+    Plan shape: the winner per digest is ONE groupBy(h) agg of
+    min(struct(tier, source, doc_id)) — a partial-aggregating exchange
+    on the digest key carrying a 3-field struct, NO window/sort and no
+    join-back (the kept counts aggregate the winner structs directly,
+    and total counts ride a second narrow exchange).  Both engines pick
+    the winner by the same lexicographic struct/ROW ordering."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    clones = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("src"),
+            (
+                (F.substring("source", 4, 10).cast("long") + 1) % 20
+            ).cast("string"),
+        ).alias("source"),
+        "text",
+    )
+    t = (
+        docs.unionByName(clones)
+        .select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("h"),
+            (F.substring("source", 4, 10).cast("long") % 3).alias("tier"),
+        )
+    )
+    w = t.groupBy("h").agg(
+        F.min(F.struct("tier", "source", "doc_id")).alias("win")
+    )
+    kept = w.groupBy(F.col("win.source").alias("source")).agg(
+        F.count("*").cast("long").alias("n_kept")
+    )
+    tot = t.groupBy("source").agg(
+        F.min("tier").cast("long").alias("tier"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    return (
+        tot.join(kept, "source", "left")
+        .select(
+            "source",
+            "tier",
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_docs") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+#: floor(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's expected
+#: first-digit shares in 1e-6 fixed point.  Computed ONCE here and
+#: rendered as literals into BOTH engines' texts, so parity never
+#: depends on either engine's log10.
+_BENFORD_EXP_X1E6 = tuple(
+    int(__import__("math").log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+)
+
+
+def _benford_oracle() -> str:
+    digits = ", ".join(str(d) for d in range(1, 10))
+    exps = ", ".join(str(e) for e in _BENFORD_EXP_X1E6)
+    return f"""
+    WITH v AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS iv
+      FROM events WHERE value >= 1),
+    dd AS (
+      SELECT event_type,
+             CAST(substr(CAST(iv AS STRING), 1, 1) AS BIGINT) AS digit
+      FROM v),
+    h AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_d
+          FROM dd GROUP BY 1, 2),
+    n AS (SELECT event_type, CAST(sum(n_d) AS BIGINT) AS n
+          FROM h GROUP BY 1),
+    bf AS (SELECT unnest([{digits}]) AS digit,
+                  unnest([{exps}]) AS exp_share_x1e6),
+    grid AS (SELECT n.event_type, n.n, bf.digit,
+                    CAST(bf.exp_share_x1e6 AS BIGINT) AS exp_share_x1e6
+             FROM n, bf),
+    j AS (
+      SELECT g.event_type, g.digit,
+             CAST(COALESCE(h.n_d, 0) AS BIGINT) AS n_d,
+             CAST(COALESCE(h.n_d, 0) * 1000000 // g.n AS BIGINT)
+               AS obs_share_x1e6,
+             g.exp_share_x1e6
+      FROM grid g LEFT JOIN h
+        ON h.event_type = g.event_type AND h.digit = g.digit)
+    SELECT event_type, digit, n_d, obs_share_x1e6, exp_share_x1e6,
+           CAST(sum(abs(obs_share_x1e6 - exp_share_x1e6))
+                  OVER (PARTITION BY event_type) // 2 AS BIGINT)
+             AS tvd_x1e6
+    FROM j ORDER BY event_type, digit
+    """
+
+
+@_register("dq_benford_first_digit", _benford_oracle())
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance audit per event type [Benford
+    1938; Hill 1995] — the classic synthetic-/fabricated-data detector
+    a data-quality suite runs next to the drift and outlier gates: real
+    multiplicative processes put ~30.1% of leading digits at 1, and a
+    generator that draws uniforms (or a partner that fabricates
+    metrics) flattens the curve.  First digit comes from the INTEGER
+    rendering of floor(value) (substr of the bigint string — identical
+    across engines; no float log10 anywhere near the digit), observed
+    shares are exact integer fixed-point, the expected shares are
+    literals computed once in Python and rendered into both engines'
+    texts, and the per-type total-variation distance (half the L1 gap,
+    x1e6) is the alert column.  Digits absent from a type still emit a
+    row (obs = 0) via the dimension grid, so the TVD is over the full
+    support.
+
+    Plan shape: ONE (event_type, digit) exchange over a 9-value
+    histogram key — partial aggregation collapses each map task to
+    <= 9 x #types rows before the shuffle; the Benford grid is a 9-row
+    broadcast; the TVD window is over the 9 x #types frame.  At 100 TB
+    nothing downstream of the first aggregate exceeds dimension size."""
+    ev = _t(spark, sf_dir, "events")
+    dd = ev.filter(F.col("value") >= 1).select(
+        "event_type",
+        F.substring(
+            F.floor("value").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit"),
+    )
+    h = dd.groupBy("event_type", "digit").agg(
+        F.count("*").cast("long").alias("n_d")
+    )
+    n = h.groupBy("event_type").agg(F.sum("n_d").cast("long").alias("n"))
+    bf = spark.createDataFrame(
+        [(d, e) for d, e in zip(range(1, 10), _BENFORD_EXP_X1E6)],
+        "digit long, exp_share_x1e6 long",
+    )
+    grid = n.crossJoin(F.broadcast(bf))
+    j = grid.join(h, ["event_type", "digit"], "left").select(
+        "event_type",
+        "digit",
+        F.coalesce(F.col("n_d"), F.lit(0)).cast("long").alias("n_d"),
+        F.expr("coalesce(n_d, 0) * 1000000 div n")
+        .cast("long")
+        .alias("obs_share_x1e6"),
+        "exp_share_x1e6",
+    )
+    wt = Window.partitionBy("event_type")
+    return j.select(
+        "event_type",
+        "digit",
+        "n_d",
+        "obs_share_x1e6",
+        "exp_share_x1e6",
+        (
+            F.sum(
+                F.abs(F.col("obs_share_x1e6") - F.col("exp_share_x1e6"))
+            ).over(wt)
+            / 2
+        )
+        .cast("long")
+        .alias("tvd_x1e6"),
+    ).orderBy("event_type", "digit")
+
+
+@_register(
     "dq_mad_outlier_gate",
     """
     WITH h AS (

@@ -837,6 +837,25 @@ def test_theil_sen_pair_join_is_salted(spark, sf_dir):
     ), plan[:2000]
 
 
+def test_priority_union_min_struct_no_window(spark, sf_dir):
+    """dedup_priority_source_union: the per-digest winner must be ONE
+    min(struct) aggregation — no rank window, no sort-based top-1, no
+    join-back, no Python."""
+    plan = _plan(spark, sf_dir, "dedup_priority_source_union")
+    assert "row_number" not in plan
+    assert "Window" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_benford_digit_histogram_partial_agg(spark, sf_dir):
+    """dq_benford_first_digit: the only data-shaped stage is the
+    (event_type, digit) histogram — partial+final HashAggregate around
+    one exchange; the Benford grid broadcasts; no Python."""
+    plan = _plan(spark, sf_dir, "dq_benford_first_digit")
+    assert "BroadcastExchange" in plan
+    assert "PythonUDF" not in plan
+
+
 def test_siegel_anchors_broadcast_no_pair_shuffle(spark, sf_dir):
     """aggx_siegel_trend_sampled: the anchor frame must BROADCAST into
     the pair join (no event_type-keyed SMJ anywhere — the skew class the

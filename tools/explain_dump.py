@@ -194,6 +194,8 @@ EXTRA = (
     "feed_url_canonical_host",
     "feed_url_host_cap",
     "aggx_siegel_trend_sampled",
+    "dq_benford_first_digit",
+    "dedup_priority_source_union",
 )
 
 

@@ -217,6 +217,11 @@ SWEEP = (
     "window_sliding_distinct_kmv_approx_contract",
     "feed_url_canonical_host",
     "feed_url_host_cap",
+    # r14 second batch: the digest-keyed min-struct union (must track
+    # the digest exchange) and the 9-bucket Benford histogram (must be
+    # flat — dimension-sized after the first aggregate)
+    "dedup_priority_source_union",
+    "dq_benford_first_digit",
 )
 
 

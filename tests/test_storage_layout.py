@@ -261,6 +261,24 @@ def test_hilbert_sql_ctes_match_python_reference(duck):
         assert h == _py_hilbert_xy2d(256, x, y)
 
 
+def test_hilbert_key_rejects_colliding_columns(spark):
+    """hilbert_key must fail loudly when the input already carries the
+    scratch columns (_hx/_hy) or the requested key column — the old
+    behavior silently DROPPED the caller's column (ADVICE r13)."""
+    import pytest as _pytest
+    from reddit_sse_stream_spark.operators import layout
+
+    base = spark.range(4).selectExpr("id AS x", "id AS y")
+    for bad in ("_hx", "_hy", "hkey"):
+        df = base.selectExpr("*", f"x AS {bad}")
+        with _pytest.raises(ValueError, match=bad):
+            layout.hilbert_key(df, "x", "y", bits=2)
+    # a non-default key_col collides on ITS name, not the default's
+    df = base.selectExpr("*", "x AS mykey")
+    with _pytest.raises(ValueError, match="mykey"):
+        layout.hilbert_key(df, "x", "y", bits=2, key_col="mykey")
+
+
 def test_hilbert_quadrant_code_arithmetic():
     """q = 3*rx + ry - 2*rx*ry must equal (3*rx) XOR ry on the full
     {0,1}^2 table — the arithmetic spelling exists so the SQL needs no

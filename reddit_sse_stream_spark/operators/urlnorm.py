@@ -74,6 +74,24 @@ TRACKING_PARAM_PATTERNS: tuple[str, ...] = (
 )
 
 
+def site_diversify_sql(domain_col: str = "domain") -> str:
+    """Per-host-stable suffix diversification for the URL rows/kernels:
+    the feed carries seven hosts all under .example.com, which would
+    make every registered domain identical and leave the PSL
+    longest-match logic untested — rewrite domK's zone by K%3 so the
+    three suffix shapes (single-label TLD, multi-label co.uk,
+    single-label io) all occur.  Pure shared-dialect SQL; stable per
+    host by construction (keyed on the dom index, never the event
+    id)."""
+    d = domain_col
+    return (
+        f"concat(regexp_extract({d}, '^([^.]+)', 1), "
+        f"CASE CAST(regexp_extract({d}, '^dom([0-9]+)', 1) AS BIGINT) % 3 "
+        "WHEN 0 THEN '.example.com' WHEN 1 THEN '.example.co.uk' "
+        "ELSE '.sites.io' END)"
+    )
+
+
 def synth_url_sql(id_col: str = "id", domain_col: str = "domain") -> str:
     """Deterministic raw-URL synthesis from (id, domain) — the testdata
     carries hosts but not URLs, so the catalog row manufactures the

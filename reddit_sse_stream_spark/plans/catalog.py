@@ -13782,19 +13782,12 @@ def feed_domain_suffix_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _url_site_sql() -> str:
-    """Per-host-stable suffix diversification for the URL rows: the feed
-    carries seven hosts all under .example.com, which would make every
-    registered domain identical and leave the PSL longest-match logic
-    untested — rewrite domK's zone by K%3 so the three suffix shapes
-    (single-label TLD, multi-label co.uk, single-label io) all occur.
-    Pure shared-dialect SQL; stable per host by construction (keyed on
-    the dom index, never the event id)."""
-    return (
-        "concat(regexp_extract(domain, '^([^.]+)', 1), "
-        "CASE CAST(regexp_extract(domain, '^dom([0-9]+)', 1) AS BIGINT) % 3 "
-        "WHEN 0 THEN '.example.com' WHEN 1 THEN '.example.co.uk' "
-        "ELSE '.sites.io' END)"
-    )
+    """Per-host-stable suffix diversification — shared with the
+    streaming host-admission kernel; see
+    :func:`operators.urlnorm.site_diversify_sql`."""
+    from reddit_sse_stream_spark.operators.urlnorm import site_diversify_sql
+
+    return site_diversify_sql("domain")
 
 
 def _url_rows_sql() -> str:

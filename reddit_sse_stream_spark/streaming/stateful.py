@@ -1276,3 +1276,71 @@ def streaming_bottomk_reservoir(docs_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HOSTADM_OUTPUT_SCHEMA = "host string, id long"
+HOSTADM_STATE_SCHEMA = "n long"
+HOST_CAP = 5
+
+
+def _admit_host(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-canonical-host admission gate: admit events in id order until
+    the host's lifetime admission count reaches HOST_CAP; everything
+    after is dropped.  State is ONE long per active host.  Coincides
+    with the batch first-K-by-id cut whenever arrival order across
+    micro-batches is consistent with id order (the replay contract the
+    parity gate pins)."""
+    n = int(state.get[0]) if state.exists else 0
+    chunks = list(pdfs)
+    rows = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    out_id: list[int] = []
+    if len(rows):
+        rows = rows.sort_values("id")
+        take = max(0, HOST_CAP - n)
+        admitted = rows.head(take)
+        n += len(admitted)
+        out_id = [int(x) for x in admitted["id"]]
+    state.update((n,))
+    yield pd.DataFrame(
+        {"host": [key[0]] * len(out_id), "id": out_id}
+    ).astype({"host": str, "id": "int64"})
+
+
+def streaming_host_admission(feed_stream: DataFrame) -> DataFrame:
+    """Per-canonical-host admission cap — the SEVENTEENTH keyed-state
+    kernel, and the streaming run of the r14 URL chain: the feed's raw
+    URLs are synthesized and canonicalized with the SAME generated
+    expressions the batch rows use (``operators/urlnorm.py`` — pure
+    projections, so the whole chain is stream-safe and stays in
+    codegen), and the admission state is keyed on the CANONICAL host,
+    so www./case/tracking-param variants of one site share a single cap
+    — the batch ``feed_url_host_cap`` semantics made restart-durable.
+
+    Scale shape: one shuffle per micro-batch on the canonical host;
+    state is a single long per ACTIVE host — bounded by the host
+    universe, never stream length; the canonicalization itself adds no
+    exchange (map-side expressions ahead of the keyed shuffle)."""
+    from pyspark.sql import functions as F
+
+    from reddit_sse_stream_spark.operators import urlnorm
+
+    parts = urlnorm.canonical_parts("raw_url", "spark")
+    keyed = (
+        feed_stream.filter(F.col("domain").isNotNull())
+        .selectExpr(
+            "id", f"{urlnorm.site_diversify_sql('domain')} AS site"
+        )
+        .selectExpr(
+            "id", f"{urlnorm.synth_url_sql('id', 'site')} AS raw_url"
+        )
+        .selectExpr("id", f"{parts['host']} AS host")
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        _admit_host,
+        outputStructType=HOSTADM_OUTPUT_SCHEMA,
+        stateStructType=HOSTADM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

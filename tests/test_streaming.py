@@ -2529,6 +2529,17 @@ def _kernel_specs():
         # demonstrated).  Canon: the final reservoir per source is the
         # bottom-k by (prio, doc_id) of ALL emissions — evicted rows have
         # strictly larger priorities, so the cut recovers it exactly.
+        # seventeenth kernel (r14): the URL canonicalization chain run ON
+        # A STREAM feeding a per-canonical-host admission cap — this one
+        # _KernelSpec line is again its entire gate surface (parity +
+        # restart inherited), plus one batch-twin equality test below
+        _KernelSpec(
+            "host_admission",
+            lambda s, d: _feed(s, d).select("id", "domain"),
+            st.streaming_host_admission,
+            _emit_set(["host", "id"]),
+            "id",
+        ),
         _KernelSpec(
             "bottomk_reservoir",
             lambda s, d: _docs(s, d).select("source", "doc_id"),
@@ -2596,6 +2607,31 @@ def _replay_kernel(spark, tmp_path, spec, input_df, cuts):
         return got
     finally:
         q.stop()
+
+
+def test_streaming_host_admission_matches_batch_first_k(spark, sf_dir, tmp_path):
+    """The host-admission kernel's single-batch output must equal the
+    batch first-K-by-id cut over the SAME canonicalized frame — the
+    arrival-order analogue of feed_url_host_cap's md5-order cap (and a
+    check that the urlnorm chain produces identical hosts on the
+    streaming path)."""
+    from pyspark.sql import Window
+
+    from reddit_sse_stream_spark.plans.catalog import _url_canon_frame
+    from reddit_sse_stream_spark.streaming import stateful as st
+
+    spec = next(s for s in _kernel_specs() if s.name == "host_admission")
+    input_df = spec.build(spark, sf_dir)
+    got = _replay_kernel(spark, tmp_path, spec, input_df, [])
+    c = _url_canon_frame(spark, sf_dir).select("id", "host")
+    w = Window.partitionBy("host").orderBy("id")
+    want = {
+        (r["host"], r["id"])
+        for r in c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= st.HOST_CAP)
+        .collect()
+    }
+    assert got == want and want
 
 
 @pytest.mark.parametrize("spec", _kernel_specs(), ids=lambda s: s.name)
@@ -2713,7 +2749,7 @@ def _replay_kernel_restart(spark, tmp_path, spec, input_df, mid):
 
 @pytest.mark.parametrize("spec", _kernel_specs(), ids=lambda s: s.name)
 def test_stateful_kernel_restart_exactly_once(spark, sf_dir, tmp_path, spec):
-    """Checkpoint-restart contract for ALL 16 kernels (15 data-driven +
+    """Checkpoint-restart contract for ALL 17 kernels (16 data-driven +
     the processing-time session finalizer), shared: stop after the
     first half of the stream, restart a NEW query from the same
     checkpoint with the rest, and the total output must canonicalize

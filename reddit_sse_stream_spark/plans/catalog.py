@@ -13199,7 +13199,7 @@ def _benford_oracle() -> str:
           FROM dd GROUP BY 1, 2),
     n AS (SELECT event_type, CAST(sum(n_d) AS BIGINT) AS n
           FROM h GROUP BY 1),
-    bf AS (SELECT unnest([{digits}]) AS digit,
+    bf AS (SELECT CAST(unnest([{digits}]) AS BIGINT) AS digit,
                   unnest([{exps}]) AS exp_share_x1e6),
     grid AS (SELECT n.event_type, n.n, bf.digit,
                     CAST(bf.exp_share_x1e6 AS BIGINT) AS exp_share_x1e6

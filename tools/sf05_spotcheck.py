@@ -72,6 +72,9 @@ ROWS = (
     "dedup_rate_by_ingestion_batch",
     "sample_bottomk_minwise",
     "agg_kmv_distinct_estimate",
+    # r14 documents-backed row: the digest-keyed min-struct union must
+    # track the digest exchange (clone planting is map-side)
+    "dedup_priority_source_union",
 )
 
 SF01 = "/root/testdata/sf0.1"

@@ -114,6 +114,61 @@ def test_synth_url_parity_and_reconvergence(spark):
         assert duck[r["id"]] == r["c"]
 
 
+def _fuzz_urls(n: int = 150) -> list[str]:
+    """Seeded messy-URL generator (the test_text_fuzz convention: one
+    batched Spark round-trip, deterministic seed): random scheme case,
+    1-4 host labels with optional www./port, paths with optional
+    trailing slash, query params mixing tracking and kept keys in
+    random order, optional fragments."""
+    import random
+
+    rng = random.Random("urlnorm-fuzz")
+    schemes = ["http", "HTTP", "https", "HTTPS", "Http", "ftp"]
+    label_chars = "abcdefghijklmnopqrstuvwxyz0123456789-"
+    out = []
+    for _ in range(n):
+        scheme = rng.choice(schemes)
+        labels = [
+            "".join(rng.choice(label_chars) for _ in range(rng.randrange(1, 8)))
+            for _ in range(rng.randrange(1, 5))
+        ]
+        host = ".".join(labels)
+        if rng.random() < 0.3:
+            host = "www." + host
+        if rng.random() < 0.3:
+            host = host.upper()
+        port = rng.choice(["", ":80", ":443", ":8080", ":1", ":65535"])
+        segs = [
+            "".join(rng.choice(label_chars) for _ in range(rng.randrange(1, 6)))
+            for _ in range(rng.randrange(0, 4))
+        ]
+        path = "/" + "/".join(segs) if segs else rng.choice(["", "/"])
+        if segs and rng.random() < 0.5:
+            path += "/"
+        params = []
+        for _ in range(rng.randrange(0, 5)):
+            k = rng.choice(["utm_source", "utm_x", "ref", "fbclid", "q", "id", "a_b"])
+            v = "".join(rng.choice(label_chars) for _ in range(rng.randrange(0, 4)))
+            params.append(f"{k}={v}")
+        query = "?" + "&".join(params) if params else ""
+        frag = rng.choice(["", "#x", "#sec-1"])
+        out.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+    return out
+
+
+def test_canonical_chain_engine_parity_fuzz(spark):
+    """The property every URL-row value oracle rests on: the generated
+    chain produces BIT-IDENTICAL (host, canon_url) on Spark and DuckDB
+    over seeded random messy URLs — including shapes the catalog's
+    synthesizer never emits (ftp scheme, empty path, 1-label hosts,
+    0-value params, extreme ports)."""
+    urls = _fuzz_urls()
+    duck = _duck_chain(urls)
+    spk = _spark_chain(spark, urls)
+    for raw, d, s in zip(urls, duck, spk):
+        assert d == s, raw
+
+
 def test_public_suffix_table_shapes():
     """The literal PSL stand-in must contain both shapes the matcher's
     longest-suffix logic needs: single-label TLDs and multi-label

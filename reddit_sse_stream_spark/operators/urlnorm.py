@@ -65,12 +65,15 @@ _DIALECTS = {
     },
 }
 
-#: query params dropped by canonicalization (LIKE patterns over the
-#: full "key=value" token)
-TRACKING_PARAM_PATTERNS: tuple[str, ...] = (
-    "utm_%",
-    "ref=%",
-    "fbclid=%",
+#: query params dropped by canonicalization.  Key PREFIXES match via
+#: substr equality — NOT LIKE, whose '_' is a single-char wildcard:
+#: "utm_%" would also drop utmost=/utmx= params, silently merging
+#: distinct resources (r14 review finding).  Exact keys match as
+#: "key=" prefixes (no '_' in them, but substr keeps one mechanism).
+TRACKING_KEY_PREFIXES: tuple[str, ...] = (
+    "utm_",
+    "ref=",
+    "fbclid=",
 )
 
 
@@ -84,11 +87,18 @@ def site_diversify_sql(domain_col: str = "domain") -> str:
     host by construction (keyed on the dom index, never the event
     id)."""
     d = domain_col
+    # guard the CAST behind an emptiness check: on a domain that does
+    # not start with dom<digits>, regexp_extract yields '' — Spark
+    # (non-ANSI) CASTs that to NULL but DuckDB raises a conversion
+    # error, a cross-engine divergence (r14 review finding).  CASE is
+    # lazy in both engines, so the CAST never sees ''.
+    k = f"regexp_extract({d}, '^dom([0-9]+)', 1)"
     return (
         f"concat(regexp_extract({d}, '^([^.]+)', 1), "
-        f"CASE CAST(regexp_extract({d}, '^dom([0-9]+)', 1) AS BIGINT) % 3 "
+        f"CASE WHEN {k} = '' THEN '.sites.io' "
+        f"ELSE CASE CAST({k} AS BIGINT) % 3 "
         "WHEN 0 THEN '.example.com' WHEN 1 THEN '.example.co.uk' "
-        "ELSE '.sites.io' END)"
+        "ELSE '.sites.io' END END)"
     )
 
 
@@ -164,10 +174,15 @@ def canonical_parts(url_expr: str, dialect: str) -> dict[str, str]:
     )
     # [?] not \? — Spark SQL unescapes backslashes inside string
     # literals (DuckDB does not), so a character class is the only
-    # spelling that parses to the same regex in both dialects
-    query_raw = f"regexp_extract({u}, '[?]([^#]*)', 1)"
+    # spelling that parses to the same regex in both dialects.  The
+    # leading [^#?]* anchors the match to the FIRST '?' BEFORE any '#':
+    # a bare '[?](...)' would match a '?' inside the fragment and
+    # resurrect fragment text as a query (r14 review finding —
+    # 'a#x?y=1' must canonicalize with NO query, and 'a?x=1?y=2' keeps
+    # everything after the first '?').
+    query_raw = f"regexp_extract({u}, '^[^#?]*[?]([^#]*)', 1)"
     drop = " OR ".join(
-        f"x LIKE '{p}'" for p in TRACKING_PARAM_PATTERNS
+        f"substr(x, 1, {len(p)}) = '{p}'" for p in TRACKING_KEY_PREFIXES
     )
     # COALESCE: DuckDB's array_to_string returns NULL on an empty list
     # (all params dropped) where Spark's array_join returns '' — and
@@ -182,3 +197,27 @@ def canonical_parts(url_expr: str, dialect: str) -> dict[str, str]:
         f"ELSE concat('?', {query_kept}) END)"
     )
     return {"host": host, "canon_url": canon_url}
+
+
+def canonical_host_frame(df):
+    """The ONE filter/site/synth/canonicalize chain over an (id, domain)
+    frame -> (id, raw_url, host, canon_url) — shared by the batch
+    catalog rows (`feed_url_canonical_host`, `feed_url_host_cap`) and
+    the streaming host-admission kernel, so the batch and streaming
+    paths cannot drift (r14 review finding: the chain was previously
+    duplicated as copy-pasted selectExpr stages).  Pure projections, so
+    it is stream-safe and stays in whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    parts = canonical_parts("raw_url", "spark")
+    return (
+        df.filter(F.col("domain").isNotNull())
+        .selectExpr("id", f"{site_diversify_sql('domain')} AS site")
+        .selectExpr("id", f"{synth_url_sql('id', 'site')} AS raw_url")
+        .selectExpr(
+            "id",
+            "raw_url",
+            f"{parts['host']} AS host",
+            f"{parts['canon_url']} AS canon_url",
+        )
+    )

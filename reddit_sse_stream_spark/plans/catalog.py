@@ -13809,22 +13809,13 @@ def _url_rows_sql() -> str:
 
 def _url_canon_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of :func:`_url_rows_sql`: feed -> (id, raw_url, host,
-    canon_url) through the one generated canonicalization chain."""
+    canon_url) through the ONE generated canonicalization chain —
+    shared with the streaming host-admission kernel via
+    :func:`urlnorm.canonical_host_frame`, so the batch and streaming
+    paths cannot drift."""
     from reddit_sse_stream_spark.operators import urlnorm
 
-    parts = urlnorm.canonical_parts("raw_url", "spark")
-    return (
-        feed_df(spark, sf_dir)
-        .filter(F.col("domain").isNotNull())
-        .selectExpr("id", f"{_url_site_sql()} AS site")
-        .selectExpr("id", f"{urlnorm.synth_url_sql('id', 'site')} AS raw_url")
-        .selectExpr(
-            "id",
-            "raw_url",
-            f"{parts['host']} AS host",
-            f"{parts['canon_url']} AS canon_url",
-        )
-    )
+    return urlnorm.canonical_host_frame(feed_df(spark, sf_dir))
 
 
 def _psl_sql() -> str:

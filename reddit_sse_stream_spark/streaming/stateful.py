@@ -1322,21 +1322,9 @@ def streaming_host_admission(feed_stream: DataFrame) -> DataFrame:
     state is a single long per ACTIVE host — bounded by the host
     universe, never stream length; the canonicalization itself adds no
     exchange (map-side expressions ahead of the keyed shuffle)."""
-    from pyspark.sql import functions as F
-
     from reddit_sse_stream_spark.operators import urlnorm
 
-    parts = urlnorm.canonical_parts("raw_url", "spark")
-    keyed = (
-        feed_stream.filter(F.col("domain").isNotNull())
-        .selectExpr(
-            "id", f"{urlnorm.site_diversify_sql('domain')} AS site"
-        )
-        .selectExpr(
-            "id", f"{urlnorm.synth_url_sql('id', 'site')} AS raw_url"
-        )
-        .selectExpr("id", f"{parts['host']} AS host")
-    )
+    keyed = urlnorm.canonical_host_frame(feed_stream).select("id", "host")
     return keyed.groupBy("host").applyInPandasWithState(
         _admit_host,
         outputStructType=HOSTADM_OUTPUT_SCHEMA,

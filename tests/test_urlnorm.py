@@ -46,6 +46,22 @@ ADVERSARIAL = [
         "s.io",
         "http://s.io/p?z=9&a=2",
     ),
+    # r14 review regressions: 'utmost'/'utmx' are NOT tracking params
+    # (LIKE's '_' wildcard would have dropped them); a '?' inside the
+    # fragment must NOT resurrect fragment text as a query; a second
+    # '?' inside the query belongs to the query
+    (
+        "http://a.com/p?utmost=1&q=2",
+        "a.com",
+        "http://a.com/p?utmost=1&q=2",
+    ),
+    ("http://a.com/p?utmx=1", "a.com", "http://a.com/p?utmx=1"),
+    ("http://a.com/p#x?y=1", "a.com", "http://a.com/p"),
+    (
+        "http://a.com/p?x=1?y=2#f?z=3",
+        "a.com",
+        "http://a.com/p?x=1?y=2",
+    ),
 ]
 
 
@@ -147,11 +163,14 @@ def _fuzz_urls(n: int = 150) -> list[str]:
             path += "/"
         params = []
         for _ in range(rng.randrange(0, 5)):
-            k = rng.choice(["utm_source", "utm_x", "ref", "fbclid", "q", "id", "a_b"])
+            k = rng.choice(
+                ["utm_source", "utm_x", "utmost", "utmx", "ref", "refx",
+                 "fbclid", "q", "id", "a_b"]
+            )
             v = "".join(rng.choice(label_chars) for _ in range(rng.randrange(0, 4)))
             params.append(f"{k}={v}")
         query = "?" + "&".join(params) if params else ""
-        frag = rng.choice(["", "#x", "#sec-1"])
+        frag = rng.choice(["", "#x", "#sec-1", "#x?y=1", "#?q=9"])
         out.append(f"{scheme}://{host}{port}{path}{query}{frag}")
     return out
 
@@ -167,6 +186,28 @@ def test_canonical_chain_engine_parity_fuzz(spark):
     spk = _spark_chain(spark, urls)
     for raw, d, s in zip(urls, duck, spk):
         assert d == s, raw
+
+
+def test_site_diversify_non_dom_domain_no_engine_divergence(spark):
+    """A domain that does not start with dom<digits> must take the
+    fallback branch on BOTH engines — DuckDB raises on CAST('' AS
+    BIGINT) where Spark yields NULL, so the expression guards the CAST
+    behind an emptiness CASE (r14 review finding)."""
+    from reddit_sse_stream_spark.operators.urlnorm import site_diversify_sql
+
+    expr = site_diversify_sql("d")
+    cases = ["other.example.com", "dom.example.com", "x", "dom12.y.z"]
+    duck = duckdb.connect().execute(
+        f"SELECT {expr} FROM (SELECT unnest({cases!r}) AS d)"
+    ).fetchall()
+    spk = (
+        spark.createDataFrame([(c,) for c in cases], "d string")
+        .selectExpr(f"{expr} AS s")
+        .collect()
+    )
+    assert [d[0] for d in duck] == [r["s"] for r in spk]
+    assert duck[0][0] == "other.sites.io"
+    assert duck[3][0] == "dom12.example.com"  # 12 % 3 == 0
 
 
 def test_public_suffix_table_shapes():

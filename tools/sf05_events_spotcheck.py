@@ -52,6 +52,17 @@ def build_sf05(spark) -> None:
     so ``tools/verify_local.py /tmp/sf0.5ev <row...>`` runs the full
     value-oracle compare AT the stress scale (r14 did: 6/6 green)."""
     out = os.path.join(SF05, "events.parquet")
+    # link the non-events tables FIRST and outside the early return, so
+    # a run interrupted between the COPY and the links self-repairs on
+    # rerun instead of leaving a permanently broken directory
+    os.makedirs(SF05, exist_ok=True)
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        link = os.path.join(SF05, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SF01, f"{t}.parquet"), link)
     if os.path.exists(out):
         return
     ev = load_table(spark, SF01, "events")
@@ -81,13 +92,6 @@ def build_sf05(spark) -> None:
         f"(FORMAT parquet)"
     )
     shutil.rmtree(tmp_dir)
-    for t in (
-        "region nation customer supplier part orders lineitem "
-        "documents embeddings"
-    ).split():
-        link = os.path.join(SF05, f"{t}.parquet")
-        if not os.path.exists(link):
-            os.symlink(os.path.join(SF01, f"{t}.parquet"), link)
 
 
 def median_time(spark, name: str, sf_dir: str) -> float:

@@ -30,3 +30,29 @@ def test_curation_pipeline_funnel(spark, sf_dir):
     assert f["train_rows"] > 0 and f["val_rows"] > 0
     assert 0 < f["n_packs"]
     assert 0 < f["n_shards"] <= 16
+
+
+def test_crawl_ingest_pipeline_funnel(spark, sf_dir):
+    """The ingest-side recipe runs and its funnel is sane: monotone
+    through the drop stages, the zone block removes at least one host's
+    events (sites.io covers ~2 of 7 hosts by construction), and the
+    admitted set respects the per-host cap exactly."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "crawl_ingest_pipeline", "examples/crawl_ingest_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    f = mod.ingest(spark, sf_dir)
+    assert (
+        f["raw_feed_events"]
+        >= f["distinct_canonical_urls"]
+        >= f["events_after_zone_block"]
+        > f["admitted_after_host_cap"]
+        > 0
+    )
+    assert f["events_after_zone_block"] < f["raw_feed_events"]
+    # cap respected exactly: at most 10 per surviving host
+    assert f["admitted_after_host_cap"] <= 10 * f["n_hosts"]

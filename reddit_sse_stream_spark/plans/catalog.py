@@ -11121,9 +11121,160 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_heavy_hitters(_t(spark, sf_dir, "events"))
 
 
-# =========================================================================== #
-# Registry ordering                                                           #
-# =========================================================================== #
+_IPF_ROUNDS = 3
+
+
+def _ipf_oracle() -> str:
+    """Unrolled-CTE twin of the IPF passes, generated from the SAME loop
+    as the Spark side so the engines cannot drift (the pca/kmeans
+    unrolled-round pattern)."""
+    parts = [
+        """cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+                   CAST(count(DISTINCT source) AS BIGINT) AS ns
+            FROM cells),
+    lr AS (SELECT lang, row_number() OVER (ORDER BY lang) AS j,
+                  count(*) OVER () AS l
+           FROM (SELECT DISTINCT lang FROM cells)),
+    w0 AS (
+      SELECT c.source, c.lang, c.n,
+             CAST((t // ns) * 1000000 AS BIGINT) AS rt,
+             CAST(((t * j) // ((l * (l + 1)) // 2)) * 1000000 AS BIGINT)
+               AS ct,
+             CAST(c.n * 1000000 AS BIGINT) AS w
+      FROM cells c, tot, lr WHERE lr.lang = c.lang)"""
+    ]
+    prev = "w0"
+    step = 0
+    for _ in range(_IPF_ROUNDS):
+        for part_col in ("source", "lang"):
+            tgt = "rt" if part_col == "source" else "ct"
+            step += 1
+            cur = f"p{step}"
+            parts.append(
+                f"""{cur} AS (
+      SELECT source, lang, n, rt, ct,
+             CAST((w * {tgt}) // (sum(w) OVER (PARTITION BY {part_col}))
+                  AS BIGINT) AS w
+      FROM {prev})"""
+            )
+            prev = cur
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT source, lang, n AS n_docs, w AS w_x1e6,
+           CAST(abs(sum(w) OVER (PARTITION BY source) - rt) * 10000
+                // rt AS BIGINT) AS row_gap_x1e4,
+           CAST(abs(sum(w) OVER (PARTITION BY lang) - ct) * 10000
+                // ct AS BIGINT) AS col_gap_x1e4
+    FROM {prev}
+    ORDER BY source, lang
+    """
+
+
+@_register("corpus_ipf_raking_mix", _ipf_oracle())
+def corpus_ipf_raking_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) over the (source, lang)
+    mix matrix [Deming & Stephan 1940] — the marginal-matching step the
+    DoReMi / water-fill rows do NOT cover: given a per-source budget
+    marginal (equal shares here) AND a target language marginal (a
+    deterministic alphabetical-rank tilt, so it differs from the
+    observed mix by construction), find per-cell sampling weights whose
+    row sums match the source budgets and column sums match the language
+    targets simultaneously.  IPF alternates row-scaling and
+    column-scaling passes; after the final column pass the column gaps
+    are floor-rounding only and the row gaps measure convergence
+    (monotone toward 0 in rounds — 3 unrolled here).  All arithmetic is
+    exact int64 fixed point (1e6 weight domain, truncating division on
+    both engines), so every intermediate weight value-verifies.
+
+    Plan shape: ONE (source, lang) count exchange is the only
+    data-shaped stage; every IPF pass is a window sum over the
+    #sources x #langs dimension frame (100 cells at the test SFs) — at
+    100 TB the matrix is still dimension-sized, and the passes never
+    touch the corpus again.  Fixed-point magnitude bound: w*target <
+    2^63 requires total_docs^2 * 1e12 < 2^63 per cell pair — at
+    trillion-doc scale rescale the weight base (the weights are SHARES;
+    the 1e6 domain is presentation, not precision)."""
+    docs = _t(spark, sf_dir, "documents")
+    # the cell matrix feeds THREE consumers (totals, the lang-rank frame,
+    # and the weight seed): checkpoint it so the corpus is scanned ONCE
+    # and every branch reads the ~100-cell materialization — the
+    # dq_mad_outlier_gate single-scan pattern (plan-pinned)
+    cells = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("t"),
+        F.count_distinct("source").cast("long").alias("ns"),
+    )
+    lw = Window.orderBy("lang")
+    lr = (
+        cells.select("lang")
+        .distinct()
+        .select(
+            "lang",
+            F.row_number().over(lw).alias("j"),
+            F.count("*").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("l"),
+        )
+    )
+    w = (
+        cells.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(lr), "lang")
+        .select(
+            "source",
+            "lang",
+            "n",
+            (F.expr("t div ns") * 1000000).cast("long").alias("rt"),
+            (
+                F.expr("(t * j) div ((l * (l + 1)) div 2)") * 1000000
+            )
+            .cast("long")
+            .alias("ct"),
+            (F.col("n") * 1000000).cast("long").alias("w"),
+        )
+    )
+    for _ in range(_IPF_ROUNDS):
+        for part_col in ("source", "lang"):
+            tgt = "rt" if part_col == "source" else "ct"
+            ws = Window.partitionBy(part_col)
+            w = w.withColumn("swin", F.sum("w").over(ws)).select(
+                "source",
+                "lang",
+                "n",
+                "rt",
+                "ct",
+                F.expr(f"(w * {tgt}) div swin").cast("long").alias("w"),
+            )
+    wsrc = Window.partitionBy("source")
+    wlang = Window.partitionBy("lang")
+    return (
+        w.withColumn("rs", F.sum("w").over(wsrc))
+        .withColumn("cs", F.sum("w").over(wlang))
+        .select(
+            "source",
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.col("w").alias("w_x1e6"),
+            F.expr("abs(rs - rt) * 10000 div rt")
+            .cast("long")
+            .alias("row_gap_x1e4"),
+            F.expr("abs(cs - ct) * 10000 div ct")
+            .cast("long")
+            .alias("col_gap_x1e4"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 @_register(
     "corpus_doremi_reweight",
     r"""

@@ -837,6 +837,19 @@ def test_theil_sen_pair_join_is_salted(spark, sf_dir):
     ), plan[:2000]
 
 
+def test_ipf_raking_single_count_exchange(spark, sf_dir):
+    """corpus_ipf_raking_mix: the (source, lang) count is the only
+    data-shaped stage — every IPF pass is a window over the dimension
+    frame, never a rescan of documents (exactly one parquet scan of
+    documents in the plan), and nothing drops to Python."""
+    plan = _plan(spark, sf_dir, "corpus_ipf_raking_mix")
+    # cells is checkpointed, so the documents scan appears ZERO times in
+    # the main plan (the checkpoint materialized it once up front)
+    assert plan.count("documents.parquet") == 0, plan[:1500]
+    assert "PythonUDF" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_priority_union_min_struct_no_window(spark, sf_dir):
     """dedup_priority_source_union: the per-digest winner must be ONE
     min(struct) aggregation — no rank window, no sort-based top-1, no

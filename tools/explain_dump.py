@@ -196,6 +196,7 @@ EXTRA = (
     "aggx_siegel_trend_sampled",
     "dq_benford_first_digit",
     "dedup_priority_source_union",
+    "corpus_ipf_raking_mix",
 )
 
 

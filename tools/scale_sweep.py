@@ -222,6 +222,9 @@ SWEEP = (
     # flat — dimension-sized after the first aggregate)
     "dedup_priority_source_union",
     "dq_benford_first_digit",
+    # r14 third batch: IPF raking — one (source, lang) exchange, then
+    # window passes over the ~100-cell dimension frame; must be flat
+    "corpus_ipf_raking_mix",
 )
 
 

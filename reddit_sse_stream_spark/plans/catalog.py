@@ -15117,33 +15117,35 @@ _PRIOR_GREEN_ROUND = {
     "agg_kmv_distinct_estimate": 13,
     "agg_moments_merge_invariant": 13,
     "agg_skew_salted_two_phase": 8,
-    "agg_sorted_user_list": 8,
+    "agg_sorted_user_list": 14,
     "agg_two_phase_ntile_twin": 9,
     "aggx_approx_distinct": 9,
     "aggx_approx_quantiles": 9,
-    "aggx_corr_covar": 8,
+    "aggx_corr_covar": 14,
     "aggx_cube_events": 11,
     "aggx_distinct_users": 11,
     "aggx_grouping_sets": 11,
-    "aggx_hll_sketch_union": 7,
-    "aggx_regression_exact": 7,
-    "aggx_rollup_grouping_id": 8,
+    "aggx_hll_sketch_union": 14,
+    "aggx_regression_exact": 14,
+    "aggx_rollup_grouping_id": 14,
     "aggx_rollup_orders": 11,
+    "aggx_siegel_trend_sampled": 14,
     "aggx_stats_per_type": 11,
-    "aggx_theil_sen_trend": 13,
+    "aggx_theil_sen_trend": 14,
     "anomaly_seasonal_adjusted": 13,
     "anomaly_zscore_hourly": 9,
     "bpe_pair_merge_counts": 11,
-    "bpe_tokenize_counts": 7,
-    "bpe_train_merges": 7,
-    "corpus_batch_lineage": 7,
+    "bpe_tokenize_counts": 14,
+    "bpe_train_merges": 14,
+    "corpus_batch_lineage": 14,
     "corpus_cap_per_source": 10,
-    "corpus_curriculum_order": 7,
+    "corpus_curriculum_order": 14,
     "corpus_diverse_sample": 10,
     "corpus_doremi_reweight": 11,
-    "corpus_dsir_weights": 7,
+    "corpus_dsir_weights": 14,
     "corpus_filter_gate": 10,
     "corpus_greedy_coverage_pick": 11,
+    "corpus_ipf_raking_mix": 14,
     "corpus_lang_gini": 12,
     "corpus_loss_proxy_calibration": 12,
     "corpus_mix_schedule": 10,
@@ -15165,7 +15167,7 @@ _PRIOR_GREEN_ROUND = {
     "decontam_multi_suite_report": 11,
     "decontam_ngram_overlap": 9,
     "decontam_split_leakage_report": 13,
-    "dedup_bloom_fp_audit": 7,
+    "dedup_bloom_fp_audit": 14,
     "dedup_cc_clusters": 10,
     "dedup_cluster_best_quality": 10,
     "dedup_containment_grams": 11,
@@ -15182,6 +15184,7 @@ _PRIOR_GREEN_ROUND = {
     "dedup_minhash_md5": 10,
     "dedup_minhash_twin_containment": 13,
     "dedup_ngram_jaccard": 8,
+    "dedup_priority_source_union": 14,
     "dedup_rate_by_ingestion_batch": 13,
     "dedup_semdedup_cells": 10,
     "dedup_simhash_exact_dup_invariant": 13,
@@ -15193,6 +15196,7 @@ _PRIOR_GREEN_ROUND = {
     "dedup_substring_containment": 10,
     "dedup_tfidf_cosine": 11,
     "dedup_threshold_curve": 11,
+    "dq_benford_first_digit": 14,
     "dq_bootstrap_ci_mean": 13,
     "dq_erasure_propagation": 13,
     "dq_expectation_report": 9,
@@ -15201,13 +15205,13 @@ _PRIOR_GREEN_ROUND = {
     "dq_join_skew_profile": 13,
     "dq_k_anonymity": 13,
     "dq_l_diversity": 13,
-    "dq_length_drift_ks": 7,
+    "dq_length_drift_ks": 14,
     "dq_mad_outlier_gate": 13,
     "dq_signal_correlation_matrix": 13,
     "dq_t_closeness": 13,
     "embed_drift_by_lang": 12,
     "embed_hard_negatives": 8,
-    "embed_kmeans_fixedpoint": 7,
+    "embed_kmeans_fixedpoint": 14,
     "embed_l2_norm": 12,
     "embed_matryoshka_retention": 12,
     "embed_norm_stats_by_lang": 9,
@@ -15216,7 +15220,7 @@ _PRIOR_GREEN_ROUND = {
     "embed_quantize_int8": 12,
     "embed_random_projection": 10,
     "embed_standardize": 12,
-    "f1_type_dispatch": 8,
+    "f1_type_dispatch": 14,
     "f2_author_whitelist": 9,
     "f3_subreddit_whitelist": 9,
     "f4_domain_whitelist": 9,
@@ -15224,13 +15228,15 @@ _PRIOR_GREEN_ROUND = {
     "f6_f7_flag_filters": 9,
     "f8_null_elimination": 9,
     "f_combined_full": 9,
-    "feat_target_encode_loo": 7,
+    "feat_target_encode_loo": 14,
     "feed_domain_suffix_blocklist": 13,
+    "feed_url_canonical_host": 14,
+    "feed_url_host_cap": 14,
     "fn_array_ops": 12,
     "fn_bitwise_ops": 8,
     "fn_datetime_buckets": 13,
     "fn_fuzzy_match_levenshtein": 8,
-    "fn_histogram_bins": 8,
+    "fn_histogram_bins": 14,
     "fn_histogram_equidepth": 10,
     "fn_histogram_equidepth_approx_contract": 12,
     "fn_map_ops": 12,
@@ -15251,20 +15257,20 @@ _PRIOR_GREEN_ROUND = {
     "join_asof_last_click": 11,
     "join_blocked_entity_resolution": 13,
     "join_broadcast_star_counts": 11,
-    "join_cross_region_nation": 8,
+    "join_cross_region_nation": 14,
     "join_er_multipass_blocking": 13,
     "join_full_outer_click_purchase": 13,
     "join_interval_binned_overlap": 13,
     "join_lateral_topk_per_nation": 10,
     "join_range_clicks_before_purchase": 11,
-    "join_right_outer_orders": 8,
+    "join_right_outer_orders": 14,
     "join_semi_customers_with_orders": 11,
     "join_skew_salted": 8,
     "knn_batch_topk": 11,
     "knn_bruteforce_cosine": 12,
     "knn_ivf_fixedpoint_cells": 10,
     "knn_ivf_incremental_assign": 10,
-    "knn_ivf_metric_consistency": 7,
+    "knn_ivf_metric_consistency": 14,
     "knn_ivf_nprobe_recall_curve": 13,
     "knn_ivfpq_residual_topk": 10,
     "knn_ivfpq_topk": 10,
@@ -15276,7 +15282,7 @@ _PRIOR_GREEN_ROUND = {
     "layout_zorder_keys": 10,
     "layout_zorder_skipping_audit": 13,
     "limit_topk_events_by_value": 11,
-    "llm_corpus_prep_pipeline": 7,
+    "llm_corpus_prep_pipeline": 14,
     "llm_dataset_card": 12,
     "m1_m2_interleave_sort": 9,
     "media_audio_fingerprint": 11,
@@ -15291,30 +15297,30 @@ _PRIOR_GREEN_ROUND = {
     "pack_context_length_curve": 11,
     "pack_length_buckets": 10,
     "pack_length_buckets_approx_contract": 12,
-    "pack_sequences_by_source": 8,
+    "pack_sequences_by_source": 14,
     "path_top_event_trigrams": 9,
     "pivot_event_counts": 11,
     "posexplode_words": 13,
     "pref_bradley_terry_strength": 12,
     "q1_domain_blocks_comments": 9,
-    "quota_admission_per_author": 7,
+    "quota_admission_per_author": 14,
     "recursive_cte_ancestors": 10,
     "reference_pipeline_example": 12,
     "retention_hourly_cohorts": 9,
-    "s1_range_scan": 8,
-    "s3_backfill_clamp": 8,
-    "s4_start_id_resume": 8,
+    "s1_range_scan": 14,
+    "s3_backfill_clamp": 14,
+    "s4_start_id_resume": 14,
     "s8_keepalive_counters": 9,
     "sample_bottomk_minwise": 13,
     "sample_neyman_allocation": 13,
-    "sample_stratified_deterministic": 8,
+    "sample_stratified_deterministic": 14,
     "sample_temperature_by_lang": 9,
-    "sample_weighted_priority": 7,
+    "sample_weighted_priority": 14,
     "scd2_as_of_lookup": 11,
     "scd2_point_in_time_join": 12,
     "scd2_user_state_history": 11,
-    "search_bm25_topk": 7,
-    "search_hybrid_rrf": 7,
+    "search_bm25_topk": 14,
+    "search_hybrid_rrf": 14,
     "search_ndcg_curve": 13,
     "search_rm3_expansion": 12,
     "session_window_agg": 13,
@@ -15335,22 +15341,22 @@ _PRIOR_GREEN_ROUND = {
     "text_clean_normalize": 10,
     "text_code_detect": 12,
     "text_duplicate_spans": 8,
-    "text_encoding_quality": 7,
+    "text_encoding_quality": 14,
     "text_fingerprint": 12,
-    "text_gopher_gate": 7,
+    "text_gopher_gate": 14,
     "text_lang_confusion": 12,
-    "text_lang_predict": 8,
+    "text_lang_predict": 14,
     "text_lang_scores": 12,
     "text_longest_repeat": 10,
     "text_mattr_diversity": 10,
     "text_novelty_decay_curve": 12,
-    "text_novelty_first_owner": 7,
+    "text_novelty_first_owner": 14,
     "text_pii_redact": 10,
-    "text_pmi_top_pairs": 7,
+    "text_pmi_top_pairs": 14,
     "text_quality_score": 12,
     "text_rarity_score": 8,
     "text_repetition_bigrams": 9,
-    "text_repetition_runs": 7,
+    "text_repetition_runs": 14,
     "text_stopword_scrub": 9,
     "text_suffix_ranks": 10,
     "text_token_count": 12,
@@ -15359,16 +15365,16 @@ _PRIOR_GREEN_ROUND = {
     "text_vocab_growth": 10,
     "text_winnow_fingerprints": 11,
     "text_zipf_fit": 12,
-    "tpch_q10_returned_customers": 8,
+    "tpch_q10_returned_customers": 14,
     "tpch_q11_important_parts": 10,
-    "tpch_q12_priority_lines": 8,
+    "tpch_q12_priority_lines": 14,
     "tpch_q13_customer_distribution": 12,
-    "tpch_q14_promo_revenue": 8,
+    "tpch_q14_promo_revenue": 14,
     "tpch_q15_top_supplier": 12,
     "tpch_q16_supplier_counts": 10,
     "tpch_q17_small_quantity_revenue": 8,
-    "tpch_q18_large_orders": 8,
-    "tpch_q19_disjunctive_revenue": 8,
+    "tpch_q18_large_orders": 14,
+    "tpch_q19_disjunctive_revenue": 14,
     "tpch_q1_pricing_summary": 9,
     "tpch_q20_dominant_supplier": 10,
     "tpch_q21_waiting_supplier": 8,
@@ -15397,10 +15403,11 @@ _PRIOR_GREEN_ROUND = {
     "window_activity_streaks": 12,
     "window_first_last_nth": 8,
     "window_lag_delta": 11,
-    "window_range_time_frame": 8,
+    "window_range_time_frame": 14,
     "window_rank_family": 8,
     "window_running_sum_per_user": 11,
-    "window_sliding_counts": 8,
+    "window_sliding_counts": 14,
+    "window_sliding_distinct_kmv_approx_contract": 14,
     "window_sliding_distinct_users": 11,
     "window_topk_orders_per_customer": 11,
     "x1_try_cast_validation": 13,
@@ -15426,13 +15433,11 @@ _CHANGED_SINCE_PROOF: set = {
     # that were never driver-proven, so they already sit in the
     # never-proven head tier and need no entry here.)
     #
-    # r14: the Theil-Sen pair join was rewritten with the 32-way salt
-    # fan-out (VERDICT r13 next #2) AFTER the row's r13 proof.  The
-    # rewrite is result-identical by construction and was locally
-    # re-verified green at sf0.01, but the conservative policy is that
-    # a post-proof plan rewrite re-proves under the driver — prune when
-    # CORRECTNESS_r14 lands it.
-    "aggx_theil_sen_trend",
+    # r14's sole entry — aggx_theil_sen_trend after its 32-way salt
+    # rewrite — was re-proven green by the r14 driver window
+    # (CORRECTNESS_r14 hash_match) and is pruned; the map above now
+    # folds r14 in.  Empty set: every registered query's latest proof
+    # matches its current definition.
 }
 
 

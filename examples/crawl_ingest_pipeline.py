@@ -75,11 +75,19 @@ def ingest(spark, sf_dir: str):
         [(s,) for s in urlnorm.PUBLIC_SUFFIXES], "suffix string"
     )
     w = Window.partitionBy("host").orderBy("i")
-    reg = (
+    matched = (
         sfx.join(F.broadcast(ps), "suffix")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("host", F.col("reg").alias("registered_domain"))
+    )
+    # left join back onto the FULL host frame: a host with no PSL match
+    # rolls up to itself (coalesce), matching the feed_url_canonical_host
+    # catalog row — an inner join would silently drop unmatched hosts
+    # from the admitted set as if blocklisted
+    reg = hosts.join(matched, "host", "left").select(
+        "host",
+        F.coalesce("registered_domain", "host").alias("registered_domain"),
     )
 
     # zone blocklist at the REGISTERED-domain level

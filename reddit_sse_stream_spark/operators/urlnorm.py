@@ -10,6 +10,9 @@ semantics (sse.py:198,213 — exact string match on the ``domain`` field)
 silently assume someone already did this.  This module is that step:
 
 - lowercase scheme + host, strip a leading ``www.``;
+- strip a ``user[:pass]@`` userinfo prefix from the authority; keep a
+  bracketed IPv6 literal (``[::1]``) intact as the host instead of
+  truncating at the first ``:`` inside the brackets;
 - drop the fragment;
 - drop DEFAULT ports (80 for http, 443 for https), keep explicit
   non-default ports;
@@ -153,14 +156,36 @@ def canonical_parts(url_expr: str, dialect: str) -> dict[str, str]:
     fns = _DIALECTS[dialect]
     u = url_expr
     scheme = f"lower(regexp_extract({u}, '^([A-Za-z]+)://', 1))"
-    # authority = between :// and the first /?#
-    auth = f"regexp_extract({u}, '^[A-Za-z]+://([^/?#]*)', 1)"
-    host_raw = f"lower(regexp_extract({auth}, '^([^:]*)', 1))"
+    # authority = between :// and the first /?#, then strip an optional
+    # 'user[:pass]@' prefix — userinfo may not contain an unencoded '@',
+    # so up-to-the-first-'@' is the whole userinfo (r14 ADVICE:
+    # 'http://user@site.com/' must canonicalize host to 'site.com', not
+    # 'user@site.com'; regexp_replace is a no-op when there is no '@')
+    auth = (
+        f"regexp_replace(regexp_extract({u}, "
+        f"'^[A-Za-z]+://([^/?#]*)', 1), '^[^@]*@', '')"
+    )
+    # IPv6 literals arrive bracketed ('[::1]:8080'): the host is the
+    # whole bracketed run — splitting at the first ':' would truncate
+    # inside the brackets (r14 ADVICE).  instr/substr, not a regex:
+    # a literal '[' inside a bracket expression parses differently
+    # across the two engines' regex dialects.
+    is_v6 = f"(substr({auth}, 1, 1) = '[' AND instr({auth}, ']') > 0)"
+    host_raw = (
+        f"CASE WHEN {is_v6} "
+        f"THEN lower(substr({auth}, 1, instr({auth}, ']'))) "
+        f"ELSE lower(regexp_extract({auth}, '^([^:]*)', 1)) END"
+    )
     host = (
         f"CASE WHEN {host_raw} LIKE 'www.%' "
         f"THEN substr({host_raw}, 5) ELSE {host_raw} END"
     )
-    port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
+    port = (
+        f"CASE WHEN {is_v6} "
+        f"THEN regexp_extract(substr({auth}, instr({auth}, ']') + 1), "
+        f"'^:([0-9]+)$', 1) "
+        f"ELSE regexp_extract({auth}, ':([0-9]+)$', 1) END"
+    )
     port_keep = (
         f"CASE WHEN ({scheme} = 'http' AND {port} = '80') "
         f"OR ({scheme} = 'https' AND {port} = '443') OR {port} = '' "

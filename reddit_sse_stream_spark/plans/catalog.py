@@ -15436,8 +15436,16 @@ _CHANGED_SINCE_PROOF: set = {
     # r14's sole entry — aggx_theil_sen_trend after its 32-way salt
     # rewrite — was re-proven green by the r14 driver window
     # (CORRECTNESS_r14 hash_match) and is pruned; the map above now
-    # folds r14 in.  Empty set: every registered query's latest proof
-    # matches its current definition.
+    # folds r14 in.
+    #
+    # r15: the shared canonicalization chain (urlnorm.canonical_parts)
+    # gained userinfo stripping + bracketed-IPv6 host handling (r14
+    # ADVICE) AFTER these rows' r14 proofs.  The synthesized feed emits
+    # neither shape, so results are bit-identical on the fixture, but
+    # the defining identifiers changed — conservative policy: re-prove
+    # under the driver, then prune.
+    "feed_url_canonical_host",
+    "feed_url_host_cap",
 }
 
 

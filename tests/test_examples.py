@@ -46,13 +46,19 @@ def test_crawl_ingest_pipeline_funnel(spark, sf_dir):
     spec.loader.exec_module(mod)
 
     f = mod.ingest(spark, sf_dir)
+    # only the genuinely monotone stages: distinct_canonical_urls is NOT
+    # comparable to events_after_zone_block at arbitrary SF (distinct
+    # URLs saturate — raw_url is id mod a fixed period per host — while
+    # event counts grow linearly, so that inequality can flip on a
+    # larger fixture even though the pipeline is correct)
     assert (
         f["raw_feed_events"]
-        >= f["distinct_canonical_urls"]
         >= f["events_after_zone_block"]
         > f["admitted_after_host_cap"]
         > 0
     )
     assert f["events_after_zone_block"] < f["raw_feed_events"]
+    # dedup sanity, checked against the raw feed it collapsed
+    assert 0 < f["distinct_canonical_urls"] <= f["raw_feed_events"]
     # cap respected exactly: at most 10 per surviving host
     assert f["admitted_after_host_cap"] <= 10 * f["n_hosts"]

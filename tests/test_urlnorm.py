@@ -62,6 +62,20 @@ ADVERSARIAL = [
         "a.com",
         "http://a.com/p?x=1?y=2",
     ),
+    # r15 ADVICE: userinfo is stripped (not folded into the host), with
+    # or without a password, and composes with www./port/default-port
+    # handling; a bracketed IPv6 literal is the WHOLE host — the first
+    # ':' inside the brackets is not a port separator
+    ("http://user@site.com/", "site.com", "http://site.com/"),
+    (
+        "https://user:pw@WWW.Site.com:443/a/",
+        "site.com",
+        "https://site.com/a",
+    ),
+    ("http://[::1]:8080/a", "[::1]", "http://[::1]:8080/a"),
+    ("http://[::1]:80/a", "[::1]", "http://[::1]/a"),
+    ("https://[2001:DB8::7]/x", "[2001:db8::7]", "https://[2001:db8::7]/x"),
+    ("http://u@[::1]:9/p", "[::1]", "http://[::1]:9/p"),
 ]
 
 
@@ -153,6 +167,10 @@ def _fuzz_urls(n: int = 150) -> list[str]:
             host = "www." + host
         if rng.random() < 0.3:
             host = host.upper()
+        if rng.random() < 0.15:  # bracketed IPv6 literal replaces host
+            host = rng.choice(["[::1]", "[2001:DB8::7]", "[fe80::a:b]"])
+        userinfo = rng.choice(["", "", "", "", "u@", "user:pw@", "U.x@"])
+        host = userinfo + host
         port = rng.choice(["", ":80", ":443", ":8080", ":1", ":65535"])
         segs = [
             "".join(rng.choice(label_chars) for _ in range(rng.randrange(1, 6)))

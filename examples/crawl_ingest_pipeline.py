@@ -34,7 +34,6 @@ import sys
 sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from reddit_sse_stream_spark.operators import corpus, urlnorm
 from reddit_sse_stream_spark.session import get_spark
@@ -54,41 +53,14 @@ def ingest(spark, sf_dir: str):
     # distinct raw URLs that differ only in noise collapse here
     n_canon = c.select("host", "canon_url").distinct().count()
 
-    # registered domain per host (dimension-sized explode + broadcast)
+    # registered domain per host: the SHARED matcher (dimension-sized
+    # suffix explode + broadcast rule join, full PSL rule classes).
+    # It covers every input host — no-match rolls up to itself via its
+    # internal left join + coalesce, so unmatched hosts are never
+    # silently dropped from the admitted set (r14 ADVICE bug, fixed by
+    # switching to the one catalog-row implementation)
     hosts = c.select("host").distinct()
-    lab = hosts.select("host", F.split("host", r"\.").alias("labels"))
-    n = F.size("labels")
-    cand = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.struct(
-            i.alias("i"),
-            F.array_join(F.slice("labels", i, n - i + 1), ".").alias("suffix"),
-            F.when(i <= 1, F.col("host"))
-            .otherwise(F.array_join(F.slice("labels", i - 1, n - i + 2), "."))
-            .alias("reg"),
-        ),
-    )
-    sfx = lab.select("host", F.explode(cand).alias("s")).select(
-        "host", "s.i", "s.suffix", "s.reg"
-    )
-    ps = spark.createDataFrame(
-        [(s,) for s in urlnorm.PUBLIC_SUFFIXES], "suffix string"
-    )
-    w = Window.partitionBy("host").orderBy("i")
-    matched = (
-        sfx.join(F.broadcast(ps), "suffix")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("host", F.col("reg").alias("registered_domain"))
-    )
-    # left join back onto the FULL host frame: a host with no PSL match
-    # rolls up to itself (coalesce), matching the feed_url_canonical_host
-    # catalog row — an inner join would silently drop unmatched hosts
-    # from the admitted set as if blocklisted
-    reg = hosts.join(matched, "host", "left").select(
-        "host",
-        F.coalesce("registered_domain", "host").alias("registered_domain"),
-    )
+    reg = urlnorm.registered_domain_frame(hosts)
 
     # zone blocklist at the REGISTERED-domain level
     blocked = spark.createDataFrame(

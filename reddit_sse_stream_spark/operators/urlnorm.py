@@ -35,7 +35,18 @@ Mozilla; same longest-suffix-wins contract, table swapped at deploy):
 registered_domain(host) = the longest matching public suffix plus one
 label.  The match itself is the catalog row's suffix-explode +
 broadcast equi-join (the ``feed_domain_suffix_blocklist`` shape), never
-a per-pattern scan.
+a per-pattern scan.  All three real PSL rule classes are supported
+(:func:`normalize_psl_rules`): normal suffixes, wildcards (``*.ck`` —
+the ``*`` consumes exactly one label), and exceptions (``!www.ck`` —
+beats every other matching rule; its public suffix is the rule minus
+its leftmost label).  Documented deviations from the publicsuffix.org
+algorithm (both next to the reference's Q3 missing-domain quirk in
+SURVEY §2): (1) the implicit default ``*`` rule is NOT applied — a host
+matching no rule rolls up to ITSELF rather than to its last two
+labels (safer for blocklists: an unknown zone never aliases two sites
+into one registered domain); (2) a host that IS a public suffix maps
+to itself rather than to NULL; (3) no punycode/IDNA folding — hosts
+are matched as-is.
 """
 
 from __future__ import annotations
@@ -246,3 +257,170 @@ def canonical_host_frame(df):
             f"{parts['canon_url']} AS canon_url",
         )
     )
+
+
+def normalize_psl_rules(
+    rules: tuple[str, ...] | list[str],
+) -> list[tuple[str, int, int]]:
+    """PSL rule -> (join_key, rank, offset) for the suffix-explode
+    equi-join matcher.  With a host split into 1-based labels and a
+    candidate suffix starting at label ``i``:
+
+    - normal rule ``co.uk``  -> key 'co.uk',  rank 1, offset  0
+      (public suffix starts AT the matched suffix);
+    - wildcard ``*.ck``      -> key 'ck',     rank 1, offset -1
+      (the ``*`` consumes the label BEFORE the matched parent, so the
+      public suffix starts one label earlier; invalid when i == 1);
+    - exception ``!www.ck``  -> key 'www.ck', rank 0, offset +1
+      (public suffix is the rule minus its leftmost label, one later).
+
+    The prevailing rule is min by (rank, public-suffix start): rank 0
+    puts exceptions above everything (the spec's "exception rule wins"
+    clause), and a smaller start index IS a longer match.  Candidates
+    whose public-suffix start falls outside [1, n_labels] are dropped
+    (e.g. a wildcard matching at i=1 has no label for the ``*``).
+    Every rule class stays a plain equi-join key — millions of entries
+    remain one broadcast hash join, never per-pattern scans."""
+    out: list[tuple[str, int, int]] = []
+    for r in rules:
+        if r.startswith("!"):
+            out.append((r[1:], 0, 1))
+        elif r.startswith("*."):
+            out.append((r[2:], 1, -1))
+        else:
+            out.append((r, 1, 0))
+    return out
+
+
+def registered_domain_py(
+    host: str, rules: tuple[str, ...] | list[str] = PUBLIC_SUFFIXES
+) -> str:
+    """Pure-Python reference matcher — the ENGINE-INDEPENDENT property
+    anchor for the cross-engine fuzz tests (r14 verdict: a dual oracle
+    is structurally blind to bugs both engines agree on; this third,
+    loop-and-compare implementation shares no code shape with the SQL).
+    Same deviations as the SQL (module docstring): no-match -> host,
+    whole-host-public-suffix -> host."""
+    labels = host.split(".")
+    n = len(labels)
+    best: tuple[int, int] | None = None
+    for key, rank, off in normalize_psl_rules(rules):
+        klabels = key.split(".")
+        i = n - len(klabels) + 1  # 1-based start if key is a suffix
+        if i >= 1 and labels[i - 1 :] == klabels:
+            ps = i + off
+            if 1 <= ps <= n and (best is None or (rank, ps) < best):
+                best = (rank, ps)
+    if best is None:
+        return host
+    reg = max(best[1] - 1, 1)
+    return ".".join(labels[reg - 1 :])
+
+
+def registered_domain_frame(hosts_df, rules=PUBLIC_SUFFIXES):
+    """(host) frame -> (host, registered_domain) via the suffix-explode
+    + broadcast equi-join matcher (full PSL rule classes, see
+    :func:`normalize_psl_rules`).  Hosts matching no rule roll up to
+    themselves (left join + coalesce — an inner join would silently
+    drop them downstream, the r14 ADVICE bug in the ingest example).
+
+    Scale shape: explodes only the (dimension-sized) host frame into
+    <= label-count suffix candidates each, equi-joins against the
+    broadcast rule table, cuts longest-match with a host-partitioned
+    row_number (WindowGroupLimit).  Ties in (rank, ps) can pick either
+    row; the output depends only on ps, so the result is deterministic
+    anyway."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = hosts_df.sparkSession
+    lab = hosts_df.select("host", F.split("host", r"\.").alias("labels"))
+    n = F.size("labels")
+    cand = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.array_join(F.slice("labels", i, n - i + 1), ".").alias(
+                "suffix"
+            ),
+        ),
+    )
+    sfx = lab.select(
+        "host", "labels", F.explode(cand).alias("s")
+    ).select("host", "labels", "s.i", "s.suffix")
+    ps_tbl = spark.createDataFrame(
+        normalize_psl_rules(rules), "suffix string, rank int, off int"
+    )
+    w = Window.partitionBy("host").orderBy("rank", "ps")
+    nn = F.size("labels")
+    best = (
+        sfx.join(F.broadcast(ps_tbl), "suffix")
+        .withColumn("ps", F.col("i") + F.col("off"))
+        .filter((F.col("ps") >= 1) & (F.col("ps") <= nn))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "host",
+            F.when(F.col("ps") <= 1, F.col("host"))
+            .otherwise(
+                F.array_join(
+                    F.slice(
+                        "labels",
+                        F.col("ps") - 1,
+                        nn - (F.col("ps") - 1) + 1,
+                    ),
+                    ".",
+                )
+            )
+            .alias("registered_domain"),
+        )
+    )
+    return hosts_df.join(best, "host", "left").select(
+        "host",
+        F.coalesce("registered_domain", "host").alias(
+            "registered_domain"
+        ),
+    )
+
+
+def registered_domain_duckdb_ctes(
+    hosts_cte: str, rules=PUBLIC_SUFFIXES
+) -> str:
+    """DuckDB CTE chain mirroring :func:`registered_domain_frame`
+    (same normalized rule table, same (rank, ps) prevailing order,
+    same deviations) — rendered from the ONE rule normalization so the
+    two engines cannot drift on rule-class semantics.  ``hosts_cte``
+    must expose a ``host`` column; the chain defines ``psl_reg(host,
+    registered_domain)`` covering EVERY input host (left join +
+    coalesce inside)."""
+    vals = ", ".join(
+        f"('{k}', {r}, {o})" for k, r, o in normalize_psl_rules(rules)
+    )
+    return f"""
+    psl_lab AS (SELECT host, string_split(host, '.') AS labels
+                FROM {hosts_cte}),
+    psl_sfx AS (SELECT host, labels,
+                       unnest(generate_series(1, len(labels))) AS i
+                FROM psl_lab),
+    psl_sfx2 AS (SELECT host, labels, i,
+                        array_to_string(labels[i:len(labels)], '.')
+                          AS suffix
+                 FROM psl_sfx),
+    psl_rules AS (SELECT * FROM (VALUES {vals})
+                  v(suffix, rank, off)),
+    psl_m AS (SELECT host, labels, i + off AS ps,
+                     row_number() OVER (
+                       PARTITION BY host ORDER BY rank, i + off) AS rn
+              FROM psl_sfx2 JOIN psl_rules USING (suffix)
+              WHERE i + off BETWEEN 1 AND len(labels)),
+    psl_best AS (SELECT host,
+                        CASE WHEN ps <= 1 THEN host
+                             ELSE array_to_string(
+                               labels[ps-1:len(labels)], '.')
+                        END AS registered_domain
+                 FROM psl_m WHERE rn = 1),
+    psl_reg AS (SELECT h.host,
+                       COALESCE(b.registered_domain, h.host)
+                         AS registered_domain
+                FROM (SELECT DISTINCT host FROM {hosts_cte}) h
+                LEFT JOIN psl_best b USING (host))"""

@@ -13969,13 +13969,11 @@ def _url_canon_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlnorm.canonical_host_frame(feed_df(spark, sf_dir))
 
 
-def _psl_sql() -> str:
-    from reddit_sse_stream_spark.operators.urlnorm import PUBLIC_SUFFIXES
-
-    return repr(list(PUBLIC_SUFFIXES))
-
-
 def _url_canon_oracle() -> str:
+    from reddit_sse_stream_spark.operators.urlnorm import (
+        registered_domain_duckdb_ctes,
+    )
+
     return f"""
     WITH {FEED_CTE},
     {_url_rows_sql()},
@@ -13984,28 +13982,12 @@ def _url_canon_oracle() -> str:
              CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_urls,
              CAST(count(DISTINCT canon_url) AS BIGINT) AS n_canonical_urls
       FROM curl GROUP BY host),
-    lab AS (SELECT host, string_split(host, '.') AS labels FROM per),
-    sfx AS (SELECT host, labels,
-                   unnest(generate_series(1, len(labels))) AS i
-            FROM lab),
-    sfx2 AS (SELECT host, labels, i,
-                    array_to_string(labels[i:len(labels)], '.') AS suffix
-             FROM sfx),
-    ps AS (SELECT unnest({_psl_sql()}) AS suffix),
-    m AS (SELECT host, labels, i,
-                 row_number() OVER (PARTITION BY host ORDER BY i) AS rn
-          FROM sfx2 JOIN ps USING (suffix)),
-    reg AS (SELECT host,
-                   CASE WHEN i <= 1 THEN host
-                        ELSE array_to_string(labels[i-1:len(labels)], '.')
-                   END AS registered_domain
-            FROM m WHERE rn = 1)
-    SELECT per.host,
-           COALESCE(reg.registered_domain, per.host) AS registered_domain,
+    {registered_domain_duckdb_ctes("per")}
+    SELECT per.host, psl_reg.registered_domain,
            n_events, n_raw_urls, n_canonical_urls,
            CAST(floor((n_raw_urls - n_canonical_urls) * 10000.0
                       / n_raw_urls) AS BIGINT) AS dedup_x1e4
-    FROM per LEFT JOIN reg USING (host)
+    FROM per JOIN psl_reg USING (host)
     ORDER BY per.host
     """
 
@@ -14045,12 +14027,17 @@ def feed_url_canonical_host(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the chain is pure per-row codegen (regexp/CASE/concat
     — no UDF); the only data-shaped exchange is the host groupBy with
-    its two count-distincts; the PSL match explodes the DIMENSION-sized
-    host frame into its dot-suffixes (<= label count each) for a
-    broadcast equi-join against the suffix table — millions of PSL
-    entries stay a hash join, never per-pattern scans — and the
-    longest-match cut is a host-partitioned row_number over matches."""
-    from reddit_sse_stream_spark.operators.urlnorm import PUBLIC_SUFFIXES
+    its two count-distincts; the PSL match (urlnorm.
+    registered_domain_frame — full rule classes incl. wildcard `*.ck`
+    and exception `!www.ck`, r14 verdict next #4) explodes the
+    DIMENSION-sized host frame into its dot-suffixes (<= label count
+    each) for a broadcast equi-join against the normalized rule table
+    — millions of PSL entries stay a hash join, never per-pattern
+    scans — and the prevailing-rule cut is a host-partitioned
+    row_number over (rank, ps) matches."""
+    from reddit_sse_stream_spark.operators.urlnorm import (
+        registered_domain_frame,
+    )
 
     c = _url_canon_frame(spark, sf_dir)
     per = c.groupBy("host").agg(
@@ -14058,40 +14045,12 @@ def feed_url_canonical_host(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("raw_url").cast("long").alias("n_raw_urls"),
         F.count_distinct("canon_url").cast("long").alias("n_canonical_urls"),
     )
-    lab = per.select("host", F.split("host", r"\.").alias("labels"))
-    n = F.size("labels")
-    cand = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.struct(
-            i.alias("i"),
-            F.array_join(F.slice("labels", i, n - i + 1), ".").alias(
-                "suffix"
-            ),
-            F.when(i <= 1, F.col("host"))
-            .otherwise(F.array_join(F.slice("labels", i - 1, n - i + 2), "."))
-            .alias("reg"),
-        ),
-    )
-    sfx = lab.select("host", F.explode(cand).alias("s")).select(
-        "host", "s.i", "s.suffix", "s.reg"
-    )
-    ps = spark.createDataFrame(
-        [(s,) for s in PUBLIC_SUFFIXES], "suffix string"
-    )
-    w = Window.partitionBy("host").orderBy("i")
-    best = (
-        sfx.join(F.broadcast(ps), "suffix")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("host", "reg")
-    )
+    reg = registered_domain_frame(per.select("host"))
     return (
-        per.join(best, "host", "left")
+        per.join(reg, "host")
         .select(
             "host",
-            F.coalesce(F.col("reg"), F.col("host")).alias(
-                "registered_domain"
-            ),
+            "registered_domain",
             "n_events",
             "n_raw_urls",
             "n_canonical_urls",

@@ -43,7 +43,13 @@ def morton_key(c1: Column, c2: Column, bits: int = 16) -> Column:
 
 def morton_key_sql(c1: str, c2: str, bits: int = 16) -> str:
     """The identical interleave as ANSI SQL (DuckDB bitwise operators) —
-    generated from the same loop so the two engines cannot drift."""
+    generated from the same loop so the two engines cannot drift.
+
+    Caller contract: ``c1``/``c2`` must already be BIGINT expressions —
+    on INT32 inputs DuckDB raises an overflow on the ``<< 31`` term at
+    bits=16 (fuzz-caught, tests/test_generator_fuzz.py) where Spark's
+    long-typed column silently widens; the catalog oracles satisfy this
+    by selecting from BIGINT columns."""
     terms = []
     for i in range(bits):
         terms.append(f"((({c1} >> {i}) & 1) << {2 * i})")

@@ -419,10 +419,12 @@ def calibration(spark) -> dict[str, float]:
 
 #: Heterogeneous 64-client spec mix (VERDICT r10 next #7): 8 distinct
 #: compiled predicates x 8 clients each over the ONE shared streaming
-#: query — firehose, both type filters (the submissions filter matches
-#: nothing on an rc stream: a zero-delivery client must not stall the
-#: fan-out), subreddit/author whitelists, and JSON key-subset
-#: projections.  Values match the testdata generator's derived feed
+#: query — firehose, both type filters, subreddit/author whitelists,
+#: and JSON key-subset projections.  The fan-out bench feeds BOTH
+#: streams (rc + rs interleaved, VERDICT r14 next #5), so every path —
+#: including /?type=submissions — delivers real events and the
+#: per-path dispatch is measured under genuine 64-client load.
+#: Values match the testdata generator's derived feed
 #: (author = u{user_id%50}, subreddit = event_type, props = {"k": N}).
 FANOUT64_PATHS = (
     "/",
@@ -444,6 +446,7 @@ def streaming_e2e(
     backfill: int = 100000,
     capture: bool = False,
     max_ids_per_batch: int = 10000,
+    streams: tuple = ("rc",),
 ) -> dict:
     """Measured number for the "ONE query, N clients" serving design
     (VERDICT r04 next #8; r06 next #7 raised the fan-out to 8 concurrent
@@ -534,17 +537,25 @@ def streaming_e2e(
     # Default micro-batch trigger + processAllAvailable, NOT availableNow:
     # availableNow snapshots latestOffset() once, and the source's
     # per-trigger id cap would truncate the run to a single batch.
-    q = (
-        read_feed_stream(
+    # ``streams``: the fan-out bench feeds BOTH reference streams
+    # (rc + rs via the M1 interleave) so the submissions dispatch path
+    # delivers real events under load — an rc-only slice measured
+    # /?type=submissions at zero work (VERDICT r14 next #5).  The
+    # 8-client headline keeps its historical rc-only slice for
+    # round-over-round comparability.
+    from reddit_sse_stream_spark.operators.merge import interleave
+
+    feed = None
+    for s in streams:
+        one = read_feed_stream(
             spark,
             f"{sf_dir}/events.parquet",
-            "rc",
+            s,
             backfill=backfill,
             max_ids_per_batch=max_ids_per_batch,
         )
-        .writeStream.foreachBatch(bc.foreach_batch)
-        .start()
-    )
+        feed = one if feed is None else interleave(feed, one)
+    q = feed.writeStream.foreachBatch(bc.foreach_batch).start()
     q.processAllAvailable()
     q.stop()
     # drain: wait until delivery has been quiet for 2s (a 0.3s window can
@@ -744,7 +755,12 @@ def main() -> None:
     # proven at an N that matters.  Bounded backfill keeps it a fan-out
     # stress (frame correctness per spec is pinned in test_serving.py).
     fanout64 = streaming_e2e(
-        spark, sf_dir, n_clients=64, paths=FANOUT64_PATHS, backfill=20000
+        spark,
+        sf_dir,
+        n_clients=64,
+        paths=FANOUT64_PATHS,
+        backfill=20000,
+        streams=("rc", "rs"),
     )
 
     # Warm-up: run every headline query once at the SMALLEST sf so the JVM,

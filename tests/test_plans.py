@@ -944,3 +944,36 @@ def test_t_closeness_ladder_is_one_row_aggregate(spark, sf_dir):
     assert "row_number" not in plan
     assert "ntile(" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_alignment_gate_zero_shuffle_scoring(spark, sf_dir):
+    """media_text_alignment_gate / _by_source (VERDICT r14 next #7):
+    the scoring chain is map-only — the two Arrow kernels (payload
+    synth + real decode) and the codegen descriptors/cosine/gate add
+    ZERO shuffle exchanges (the caption join broadcasts; at production
+    scale it disappears into the same-row LAION table or a bucketed
+    join); the by_source distribution adds exactly ONE hashpartitioning
+    exchange (the dimension-sized source aggregate).  No row-at-a-time
+    Python anywhere."""
+    plan = _plan(spark, sf_dir, "media_text_alignment_gate")
+    assert plan.count("InPandas") == 2
+    assert "PythonUDF" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    by_src = _plan(spark, sf_dir, "media_text_alignment_by_source")
+    assert by_src.count("Exchange hashpartitioning") == 1, by_src[:1500]
+    assert "PythonUDF" not in by_src
+
+
+def test_alignment_gate_exercises_both_branches(spark, sf_dir):
+    """The 0.80 threshold must split the fixture: some pairs keep, some
+    drop, at every SF — a gate whose fixture only ever takes one branch
+    proves nothing about the other."""
+    from reddit_sse_stream_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["media_text_alignment_gate"].spark(
+        spark, sf_dir
+    ).collect()
+    keeps = sum(r["keep"] for r in rows)
+    assert 0 < keeps < len(rows)
+    for r in rows:
+        assert (r["align_x1e4"] >= 8000) == bool(r["keep"])

@@ -261,42 +261,54 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
 # ----------------------------------------------- 64-client heterogeneous e2e
 
 
-def _expected_rc_feed(sf_dir: str) -> list[dict]:
-    """INDEPENDENT derivation of the rc feed rows from the raw events
+def _expected_feed(sf_dir: str) -> list[dict]:
+    """INDEPENDENT derivation of BOTH feed streams from the raw events
     parquet (pyarrow only — none of the engine's source code), mirroring
     the documented generator mapping: rc = event_type in (view, click,
-    error), author = u{user_id%50}, subreddit = event_type, json = props."""
+    error), rs = everything else; author = u{user_id%50}, subreddit =
+    event_type, json = props."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
     return [
         {
             "id": r["event_id"],
+            "event": (
+                "rc"
+                if r["event_type"] in ("view", "click", "error")
+                else "rs"
+            ),
             "author": f"u{r['user_id'] % 50}",
             "subreddit": r["event_type"],
             "json": r["props"],
         }
         for r in t
-        if r["event_type"] in ("view", "click", "error")
     ]
 
 
 def _expected_frames_for_path(path: str, rows: list[dict]) -> list[str]:
     """Pure-Python replica of the spec semantics for the FANOUT64 paths —
-    type filter, author/subreddit whitelists (single-entity per path, so
-    no combiner subtleties), P2 key-subset at emit (sse.py:234-237)."""
+    type filter over BOTH streams, author/subreddit whitelists
+    (single-entity per path, so no combiner subtleties), P2 key-subset
+    at emit (sse.py:234-237)."""
     from reddit_sse_stream_spark.streaming.sink import format_frame
     from urllib.parse import parse_qs, urlparse
 
     q = parse_qs(urlparse(path).query, keep_blank_values=True)
     t = q.get("type", [None])[0]
-    if t and not (t.startswith("comment") or t == "rc"):
-        return []  # rc stream only
     subs = set(q.get("subreddit", ()))
     auths = set(q.get("author", ()))
     keys = set(q["filter"][0].split(",")) if "filter" in q else None
     out = []
     for r in sorted(rows, key=lambda r: r["id"]):
+        if t:
+            want = (
+                "rc"
+                if (t.startswith("comment") or t == "rc")
+                else "rs"
+            )
+            if r["event"] != want:
+                continue
         if subs and r["subreddit"] not in subs:
             continue
         if auths and r["author"] not in auths:
@@ -305,7 +317,7 @@ def _expected_frames_for_path(path: str, rows: list[dict]) -> list[str]:
         if keys is not None:
             parsed = json.loads(data)
             data = json.dumps({k: v for k, v in parsed.items() if k in keys})
-        out.append(format_frame(r["id"], "rc", data))
+        out.append(format_frame(r["id"], r["event"], data))
     return out
 
 
@@ -325,17 +337,18 @@ def test_fanout64_heterogeneous_per_client_frames(spark, sf_dir):
         n_clients=64,
         paths=bench.FANOUT64_PATHS,
         capture=True,
+        streams=("rc", "rs"),
     )
     assert result["streaming_e2e_clients"] == 64
-    rows = _expected_rc_feed(sf_dir)
-    assert rows, "testdata has no rc events"
+    rows = _expected_feed(sf_dir)
+    assert any(r["event"] == "rc" for r in rows), "testdata has no rc"
+    assert any(r["event"] == "rs" for r in rows), "testdata has no rs"
     expected = {
         p: _expected_frames_for_path(p, rows) for p in bench.FANOUT64_PATHS
     }
-    # type=submissions on an rc stream matches nothing by design; every
-    # other spec must deliver
-    assert expected["/?type=submissions"] == []
-    assert all(v for p, v in expected.items() if p != "/?type=submissions")
+    # with BOTH streams fed (VERDICT r14 next #5) every path delivers —
+    # the submissions dispatch path is no longer measured at zero work
+    assert all(expected.values())
     for i, frames in enumerate(result["frames"]):
         path = bench.FANOUT64_PATHS[i % len(bench.FANOUT64_PATHS)]
         assert sorted(frames) == sorted(expected[path]), (
@@ -343,12 +356,14 @@ def test_fanout64_heterogeneous_per_client_frames(spark, sf_dir):
             f"want {len(expected[path])}"
         )
     # same-spec clients received byte-identical streams (the by-spec
-    # sharing in foreach_batch), and the firehose equals type=comments
-    # on an rc-only stream
-    assert result["per_path_delivered"]["/"]["min"] == (
-        result["per_path_delivered"]["/"]["max"]
+    # sharing in foreach_batch); the firehose is the disjoint union of
+    # the two type-filtered streams
+    per = result["per_path_delivered"]
+    assert per["/"]["min"] == per["/"]["max"]
+    assert per["/"]["min"] == (
+        per["/?type=comments"]["min"] + per["/?type=submissions"]["min"]
     )
-    assert (
-        result["per_path_delivered"]["/"]
-        == result["per_path_delivered"]["/?type=comments"]
+    assert per["/?type=submissions"]["min"] > 0
+    assert per["/?type=submissions"]["min"] == (
+        per["/?type=submissions"]["max"]
     )

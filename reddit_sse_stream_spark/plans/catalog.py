@@ -14281,6 +14281,95 @@ def feed_url_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host", "pos")
 
 
+# --------------------------------------------------------------------------- #
+# PSL rule classes under the driver oracle (r15): the wildcard (*.zone) and   #
+# exception (!host.zone) rule classes the matcher gained in r15 need a        #
+# driver-green proof, not just the pytest triple-parity fuzz — but the feed's #
+# diversified hosts never land in a wildcard zone, so this row synthesizes a  #
+# host population that covers every class from doc_id.                        #
+# --------------------------------------------------------------------------- #
+
+#: rule fixture covering all three classes plus the shapes that make
+#: each one matter: a wildcard zone, its exception, a multi-label
+#: normal suffix, single-label normals, and (implicitly) unknown zones.
+_PSL_CLASS_RULES = ("com", "net", "co.uk", "*.cdn", "!www.cdn")
+
+
+def _psl_class_host_sql(id_col: str = "doc_id") -> str:
+    """Shared-dialect host synthesis hitting every rule class: zone by
+    id%5 (com / co.uk / the *.cdn wildcard zone / the !www.cdn
+    exception host / an unknown zone), site label by id%7, and an extra
+    leading label on id%4=0 so wildcard matches occur both AT the zone
+    (host IS the public suffix -> deviation: itself) and one label
+    deeper (registered domain proper)."""
+    i = id_col
+    zone = (
+        f"CASE {i} % 5 WHEN 0 THEN 'example.com' WHEN 1 THEN 'co.uk' "
+        f"WHEN 2 THEN 'cdn' WHEN 3 THEN 'www.cdn' ELSE 'zone9' END"
+    )
+    return (
+        f"concat(CASE WHEN {i} % 4 = 0 "
+        f"THEN concat('d', CAST({i} % 4 AS STRING), '.') ELSE '' END, "
+        f"'s', CAST({i} % 7 AS STRING), '.', {zone})"
+    )
+
+
+def _psl_class_oracle() -> str:
+    from reddit_sse_stream_spark.operators.urlnorm import (
+        registered_domain_duckdb_ctes,
+    )
+
+    return f"""
+    WITH hosts AS (
+      SELECT {_psl_class_host_sql("doc_id")} AS host,
+             count(*) AS n_docs
+      FROM documents GROUP BY 1),
+    {registered_domain_duckdb_ctes("hosts", _PSL_CLASS_RULES)}
+    SELECT h.host, r.registered_domain, CAST(h.n_docs AS BIGINT) AS n_docs
+    FROM hosts h JOIN psl_reg r USING (host)
+    ORDER BY h.host
+    """
+
+
+@_register("psl_rule_classes_registered_domain", _psl_class_oracle())
+def psl_rule_classes_registered_domain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registered-domain extraction across ALL public-suffix-list rule
+    classes (r14 verdict next #4's decision, driver-proven): normal
+    suffixes, the wildcard class (``*.cdn`` — the ``*`` consumes one
+    label, so ``s1.cdn`` IS a public suffix and rolls to itself under
+    the documented deviation while ``d0.s1.cdn`` rolls to itself as
+    suffix+1), the exception class (``!www.cdn`` — prevails over the
+    wildcard; ``sN.www.cdn`` rolls to ``www.cdn``), and unknown zones
+    (no-match -> host).  Hosts synthesize deterministically from
+    doc_id via ONE shared-dialect expression; the match runs through
+    the SAME normalized rule table both engines render
+    (urlnorm.normalize_psl_rules), so a rule-class semantic drift
+    between engines is a value mismatch here.
+
+    Scale shape: identical to feed_url_canonical_host's match — the
+    host frame aggregates to dimension size BEFORE the suffix explode,
+    the rule table broadcasts, the prevailing-rule cut is a
+    WindowGroupLimit-eligible row_number."""
+    from reddit_sse_stream_spark.operators.urlnorm import (
+        registered_domain_frame,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = (
+        docs.selectExpr(f"{_psl_class_host_sql('doc_id')} AS host")
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    reg = registered_domain_frame(hosts.select("host"), _PSL_CLASS_RULES)
+    return (
+        hosts.join(reg, "host")
+        .select("host", "registered_domain", "n_docs")
+        .orderBy("host")
+    )
+
+
 @_register(
     "dq_l_diversity",
     """

@@ -75,6 +75,11 @@ ROWS = (
     # r14 documents-backed row: the digest-keyed min-struct union must
     # track the digest exchange (clone planting is map-side)
     "dedup_priority_source_union",
+    # r15 documents-backed rows: the alignment gate's decode+score chain
+    # is map-only so it must track the scan; the by_source report adds
+    # one dimension-sized exchange and must stay flat on top of it
+    "media_text_alignment_gate",
+    "media_text_alignment_by_source",
 )
 
 SF01 = "/root/testdata/sf0.1"

@@ -293,3 +293,131 @@ def test_equidepth_contract_holds_on_adversarial_ties(spark):
             assert r["n_total"] == len(vals), name
             assert r["boundary_rank_ok"] == 1, (name, r["bin"])
             assert r["partition_complete"] == 1, (name, r["bin"])
+
+
+# --------------------------------------------------------------------- #
+# r15 generators: alignment score + PSL-class host synthesis            #
+# --------------------------------------------------------------------- #
+
+
+def _py_align_score(
+    sum_rgb: int, checksum: int, pix_peak: int, w: int, h: int, text: str
+) -> int:
+    """Loop-shaped model of _align_score_sql: integer descriptors,
+    double cosine, floor at 1e-4."""
+    import math
+
+    iv = [
+        sum_rgb % 997 + 1,
+        checksum % 983 + 1,
+        pix_peak + 1,
+        w * 31,
+        h * 37,
+    ]
+    tv = []
+    for k in range(5):
+        acc = 0
+        for p, c in enumerate(text):
+            if p % 5 == k:
+                acc += ord(c)
+        tv.append(1 + acc % 1000)
+    dot = sum(float(a) * b for a, b in zip(iv, tv))
+    ni = sum(float(a) * a for a in iv)
+    nt = sum(float(a) * a for a in tv)
+    return math.floor(dot / (math.sqrt(ni) * math.sqrt(nt)) * 10000)
+
+
+def test_align_score_fuzz_triple_parity(spark, duck):
+    """media_text_alignment_gate's scoring chain is a NEW dual-dialect
+    generator, so it gets the urlnorm treatment: random feature/caption
+    inputs (beyond what the fixture's images produce) -> identical
+    fixed-point score from the Spark rendering, the DuckDB rendering,
+    and the loop model."""
+    from reddit_sse_stream_spark.plans.catalog import _align_score_sql
+
+    rng = random.Random("align-fuzz")
+    words = ["spark", "table", "join", "agg", "row", "vector", "the", "a"]
+    cases = []
+    for _ in range(120):
+        cases.append(
+            (
+                rng.randrange(0, 10**7),  # sum_rgb
+                rng.randrange(0, 2**31),  # checksum
+                rng.randrange(0, 256),  # pix_peak
+                rng.randrange(8, 41),  # img_w
+                rng.randrange(8, 25),  # img_h
+                " ".join(
+                    rng.choice(words)
+                    for _ in range(rng.randrange(1, 40))
+                ),
+            )
+        )
+    want = [_py_align_score(*c) for c in cases]
+    df = spark.createDataFrame(
+        [(i, *c) for i, c in enumerate(cases)],
+        "id long, sum_rgb long, checksum long, pix_peak long, "
+        "img_w long, img_h long, text string",
+    )
+    got_s = [
+        r["a"]
+        for r in df.selectExpr(
+            "id", f"{_align_score_sql('spark')} AS a"
+        )
+        .orderBy("id")
+        .collect()
+    ]
+    assert got_s == want
+    vals = ", ".join(
+        f"({i}, {c[0]}, {c[1]}, {c[2]}, {c[3]}, {c[4]}, '{c[5]}')"
+        for i, c in enumerate(cases)
+    )
+    got_d = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT {_align_score_sql('duckdb')} FROM "
+            f"(SELECT id, CAST(a AS BIGINT) AS sum_rgb, "
+            f"CAST(b AS BIGINT) AS checksum, CAST(c AS BIGINT) AS pix_peak, "
+            f"CAST(d AS BIGINT) AS img_w, CAST(e AS BIGINT) AS img_h, "
+            f"f AS text, string_split(f, '') AS cs "
+            f"FROM (VALUES {vals}) v(id, a, b, c, d, e, f) ORDER BY id)"
+        ).fetchall()
+    ]
+    assert got_d == want
+
+
+def test_psl_class_host_sql_parity_and_model(spark, duck):
+    """The PSL-class row's host synthesizer: identical text runs on both
+    engines; the loop model pins the zone/label rotation."""
+    from reddit_sse_stream_spark.plans.catalog import _psl_class_host_sql
+
+    def model(i: int) -> str:
+        zone = [
+            "example.com", "co.uk", "cdn", "www.cdn", "zone9",
+        ][i % 5]
+        lead = f"d{i % 4}." if i % 4 == 0 else ""
+        return f"{lead}s{i % 7}.{zone}"
+
+    ids = list(range(0, 200)) + [10**9 + 7, 123456789]
+    want = [model(i) for i in ids]
+    expr = _psl_class_host_sql("doc_id")
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got_s = [
+        r["h"]
+        for r in df.selectExpr("doc_id", f"{expr} AS h")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    # ids list is ascending already except the tail two — sort both
+    by_id_s = dict(zip(sorted(ids), got_s))
+    assert [by_id_s[i] for i in sorted(ids)] == [
+        model(i) for i in sorted(ids)
+    ]
+    vals = ", ".join(f"({i})" for i in ids)
+    got_d = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT {expr} FROM (SELECT CAST(x AS BIGINT) AS doc_id "
+            f"FROM (VALUES {vals}) v(x)) ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got_d == [model(i) for i in sorted(ids)]

@@ -1365,3 +1365,55 @@ def audio_silence_segments(media: DataFrame) -> DataFrame:
         "media_id long, n_samples int, n_silent int, n_segments int,"
         " longest_run int",
     )
+
+
+def _image_container_enc(m: int) -> bytes:
+    """The image-container rotation — PNG / BMP / JPEG by (id // 3) % 3,
+    the same rotation :func:`synthesize_media` applies.  Duplicated as a
+    module-level function (synthesize_media keeps its closure) but
+    ORACLE-GUARDED against drift: the alignment rows' DuckDB oracle
+    re-derives per-container features keyed on the same (id // 3) % 3,
+    so diverging one rotation and not the other is a value mismatch."""
+    return (_encode_png, _encode_bmp, _encode_jpeg)[(m // 3) % 3](m)
+
+
+def alignment_media_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, text, source) -> one row per IMAGE-kind doc with the
+    decoded pixel features AND the caption carried through:
+    (media_id, source, text, img_w, img_h, sum_rgb, pix_peak, checksum).
+
+    The ONE encode+decode chain the batch alignment rows
+    (`media_text_alignment_gate` / `_by_source`) and the streaming
+    admission twin share — the LAION-shape record carries payload and
+    caption in the SAME row, so the chain is a filter plus one Arrow
+    mapInPandas kernel: stream-safe, zero shuffle, no caption join
+    anywhere.  Kind dispatch is doc_id % 3 == 0 (== synthesize_media's
+    'image' arm); the codecs are the same :func:`_encode_png` /
+    `_encode_bmp` / `_encode_jpeg` -> :func:`_decode_image_features`
+    functions the proven media_features surface uses."""
+    img = df.filter(F.col("doc_id") % 3 == 0)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _decode_image_features(_image_container_enc(int(m)))
+                for m in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "text": pdf["text"],
+                    "img_w": [f[0] for f in feats],
+                    "img_h": [f[1] for f in feats],
+                    "sum_rgb": [f[2] for f in feats],
+                    "pix_peak": [f[3] for f in feats],
+                    "checksum": [f[4] for f in feats],
+                }
+            )
+
+    return img.mapInPandas(
+        batches,
+        "media_id long, source string, text string, img_w long, "
+        "img_h long, sum_rgb long, pix_peak long, checksum long",
+    )

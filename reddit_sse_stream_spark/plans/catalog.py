@@ -1628,44 +1628,46 @@ def media_text_alignment_gate(
     decoder regression moves sum_rgb/checksum and goes red here, not
     just in media_features.
 
-    Scale shape: payload synthesis + decode are zero-shuffle
-    mapInPandas Arrow kernels; scoring and the gate are whole-stage
-    codegen over the decoded columns.  The caption join on doc_id
-    exists only because the fixture stores captions and media in
-    separate frames — a production LAION-shape table carries
-    (payload, caption) in ONE row, making the whole scoring path
-    map-only; with split tables, bucket both by doc_id and the join is
-    shuffle-free (tests pin the plan: no exchange between the join and
-    the gate output)."""
+    Scale shape: STRICTLY map-only — the LAION-shape record carries
+    payload and caption in the same row
+    (multimodal.alignment_media_frame), so the whole chain is a filter,
+    ONE zero-shuffle Arrow kernel (encode + real decode, caption
+    carried through), and codegen scoring/gate; no join of any kind
+    and no exchange before the output (plan-pinned).  The streaming
+    admission twin runs the IDENTICAL chain (the host-admission
+    batch/stream non-drift pattern)."""
     return _align_gated_frame(spark, sf_dir).orderBy("media_id")
 
 
 def _align_gated_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (unordered) shared scoring chain both alignment rows build
-    on: decode -> descriptors -> fixed-point cosine -> keep flag."""
+    on: decode -> descriptors -> fixed-point cosine -> keep flag.
+    Built on :func:`multimodal.alignment_media_frame` — payload and
+    caption ride the SAME row (the LAION-shape record), so there is no
+    caption join at all: filter + ONE Arrow kernel + codegen scoring,
+    strictly map-only, and the streaming admission twin runs the
+    IDENTICAL chain (batch/stream cannot drift — the
+    host-admission pattern)."""
     docs = _t(spark, sf_dir, "documents")
-    media = multimodal.synthesize_media(docs, real_media=True)
-    feats = multimodal.extract_features(media, decode_real=True)
-    img = feats.filter(F.col("kind") == "image").select(
-        "media_id", "img_w", "img_h", "sum_rgb", "pix_peak", "checksum"
-    )
-    cap = docs.select(
-        F.col("doc_id").alias("media_id"), "text", "source"
-    )
-    return (
-        img.join(cap, "media_id")
-        .selectExpr(
-            "media_id",
-            "source",
-            f"{_align_score_sql('spark')} AS align_x1e4",
+    return _align_score_gate(
+        multimodal.alignment_media_frame(
+            docs.select("doc_id", "text", "source")
         )
-        .selectExpr(
-            "media_id",
-            "source",
-            "align_x1e4",
-            f"CAST(align_x1e4 >= {_ALIGN_THRESHOLD_X1E4} AS INT) "
-            f"AS keep",
-        )
+    )
+
+
+def _align_score_gate(media_frame: DataFrame) -> DataFrame:
+    """Scoring + gate over an alignment_media_frame output — shared
+    verbatim by the batch rows and the streaming twin."""
+    return media_frame.selectExpr(
+        "media_id",
+        "source",
+        f"{_align_score_sql('spark')} AS align_x1e4",
+    ).selectExpr(
+        "media_id",
+        "source",
+        "align_x1e4",
+        f"CAST(align_x1e4 >= {_ALIGN_THRESHOLD_X1E4} AS INT) AS keep",
     )
 
 

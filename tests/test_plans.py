@@ -948,15 +948,16 @@ def test_t_closeness_ladder_is_one_row_aggregate(spark, sf_dir):
 
 def test_alignment_gate_zero_shuffle_scoring(spark, sf_dir):
     """media_text_alignment_gate / _by_source (VERDICT r14 next #7):
-    the scoring chain is map-only — the two Arrow kernels (payload
-    synth + real decode) and the codegen descriptors/cosine/gate add
-    ZERO shuffle exchanges (the caption join broadcasts; at production
-    scale it disappears into the same-row LAION table or a bucketed
-    join); the by_source distribution adds exactly ONE hashpartitioning
-    exchange (the dimension-sized source aggregate).  No row-at-a-time
-    Python anywhere."""
+    the scoring chain is strictly map-only — ONE Arrow kernel (payload
+    synth + real decode, caption carried through the same row: the
+    LAION-shape record) and the codegen descriptors/cosine/gate add
+    ZERO shuffle exchanges and NO join of any kind; the by_source
+    distribution adds exactly ONE hashpartitioning exchange (the
+    dimension-sized source aggregate).  No row-at-a-time Python
+    anywhere."""
     plan = _plan(spark, sf_dir, "media_text_alignment_gate")
-    assert plan.count("InPandas") == 2
+    assert plan.count("InPandas") == 1
+    assert "Join" not in plan
     assert "PythonUDF" not in plan
     assert "Exchange hashpartitioning" not in plan, plan[:1500]
     by_src = _plan(spark, sf_dir, "media_text_alignment_by_source")

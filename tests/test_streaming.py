@@ -2775,3 +2775,58 @@ def test_stateful_kernel_restart_exactly_once(spark, sf_dir, tmp_path, spec):
         input_df.unpersist()
     assert ref, f"{spec.name}: single-batch replay emitted nothing"
     assert got == ref
+
+
+def test_streaming_alignment_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The image-text alignment gate on a STREAM equals the batch
+    catalog row exactly — same chain, not a twin implementation: the
+    stream runs multimodal.alignment_media_frame + the same scoring
+    SQL (catalog._align_score_gate), so batch and streaming curation
+    CANNOT drift (the host-admission pattern, r14).  Stateless map-only
+    chain -> append mode needs no watermark, and per-row results are
+    invariant to micro-batch boundaries by construction (pinned here by
+    a 3-batch split)."""
+    from reddit_sse_stream_spark.operators.multimodal import (
+        alignment_media_frame,
+    )
+    from reddit_sse_stream_spark.plans.catalog import (
+        QUERIES,
+        _align_score_gate,
+    )
+    from reddit_sse_stream_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    src = tmp_path / "align_stream"
+    n = docs.count()
+    for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        _align_score_gate(alignment_media_frame(stream))
+        .writeStream.format("memory")
+        .queryName("align_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["media_id"]: (r["source"], r["align_x1e4"], r["keep"])
+        for r in spark.sql("SELECT * FROM align_stream").collect()
+    }
+    batch = {
+        r["media_id"]: (r["source"], r["align_x1e4"], r["keep"])
+        for r in QUERIES["media_text_alignment_gate"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == batch
+    assert got, "stream delivered no image rows"

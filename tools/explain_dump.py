@@ -197,9 +197,9 @@ EXTRA = (
     "dq_benford_first_digit",
     "dedup_priority_source_union",
     "corpus_ipf_raking_mix",
-    # r15 additions: the LAION-shape alignment gate (map-only scoring,
-    # 2 Arrow kernels, broadcast caption join) and its one-exchange
-    # per-source distribution
+    # r15 additions: the LAION-shape alignment gate (strictly map-only:
+    # ONE Arrow kernel, no join) and its one-exchange per-source
+    # distribution
     "media_text_alignment_gate",
     "media_text_alignment_by_source",
     "psl_rule_classes_registered_domain",

@@ -1707,6 +1707,57 @@ def media_text_alignment_by_source(
     )
 
 
+#: threshold ladder for the tuning-curve row — brackets the deployed
+#: 0.80 gate on both sides (the sf0.001 score span is ~0.34..0.99).
+_ALIGN_CURVE_THRESHOLDS = (7000, 7500, 8000, 8500, 9000, 9500)
+
+
+@_register(
+    "media_text_alignment_threshold_curve",
+    f"""
+    WITH {_align_oracle_ctes()}
+    SELECT CAST(t.thr AS BIGINT) AS thr_x1e4,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(CASE WHEN align_x1e4 >= t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep
+    FROM gated, (VALUES {", ".join(f"({t})" for t in _ALIGN_CURVE_THRESHOLDS)}) t(thr)
+    GROUP BY t.thr ORDER BY thr_x1e4
+    """,
+)
+def media_text_alignment_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep-count vs threshold curve for the alignment gate — the
+    tuning sweep a LAION-style pipeline publishes before committing to
+    a cut (Schuhmann et al. report exactly this ladder for CLIP 0.3 /
+    0.28 / ...): how many pairs survive at each candidate threshold,
+    bracketing the deployed 0.80 gate on both sides.  The pattern is
+    ``knn_ivf_nprobe_recall_curve``: a static parameter ladder graded
+    in one pass.
+
+    Scale shape: NO explode and no per-threshold rescans — the ladder
+    is static, so all six keep-counts fold as conditional sums in ONE
+    global aggregate over the map-only scoring chain (partial + final
+    around a single-row exchange), then ``stack`` pivots the one result
+    row into the curve.  Cost is independent of ladder length at the
+    data side."""
+    g = _align_gated_frame(spark, sf_dir)
+    aggs = [F.count("*").cast("long").alias("n")] + [
+        F.sum((F.col("align_x1e4") >= t).cast("long"))
+        .cast("long")
+        .alias(f"k_{t}")
+        for t in _ALIGN_CURVE_THRESHOLDS
+    ]
+    one = g.agg(*aggs)
+    ladder = ", ".join(
+        f"CAST({t} AS BIGINT), n, k_{t}" for t in _ALIGN_CURVE_THRESHOLDS
+    )
+    return one.selectExpr(
+        f"stack({len(_ALIGN_CURVE_THRESHOLDS)}, {ladder}) "
+        f"AS (thr_x1e4, n_images, n_keep)"
+    ).orderBy("thr_x1e4")
+
+
 # =========================================================================== #
 # §2.8 continued: subqueries, sessionization, scalar-function batteries,      #
 # UDF / UDAF / UDTF surface                                                   #

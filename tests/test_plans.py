@@ -963,6 +963,16 @@ def test_alignment_gate_zero_shuffle_scoring(spark, sf_dir):
     by_src = _plan(spark, sf_dir, "media_text_alignment_by_source")
     assert by_src.count("Exchange hashpartitioning") == 1, by_src[:1500]
     assert "PythonUDF" not in by_src
+    # the threshold curve folds ALL six keep-counts in ONE global
+    # aggregate: no hashpartitioning at all (SinglePartition final) and
+    # no join; the only Generate is the stack() pivot, which runs OVER
+    # the 1-row aggregate output (above both HashAggregates), never on
+    # the data side
+    curve = _plan(spark, sf_dir, "media_text_alignment_threshold_curve")
+    assert "Exchange hashpartitioning" not in curve, curve[:1500]
+    assert curve.count("Generate") == 1
+    assert curve.index("Generate") < curve.index("HashAggregate")
+    assert "Join" not in curve and "PythonUDF" not in curve
 
 
 def test_alignment_gate_exercises_both_branches(spark, sf_dir):

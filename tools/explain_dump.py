@@ -203,6 +203,7 @@ EXTRA = (
     "media_text_alignment_gate",
     "media_text_alignment_by_source",
     "psl_rule_classes_registered_domain",
+    "media_text_alignment_threshold_curve",
 )
 
 

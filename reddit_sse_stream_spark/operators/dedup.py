@@ -1144,16 +1144,32 @@ def pagerank_fixedpoint(
     small iteration count keeps the lineage bounded; production runs at
     higher iters would localCheckpoint every few rounds like
     :func:`connected_components`."""
+    # Materialize the edge frame ONCE (r15, guide §2.4/§3.3): every
+    # iteration references e, and nodes/outw each re-derive it — without
+    # a checkpoint the lazy plan re-runs the caller's edge EXTRACTION
+    # (data-sized: a window + aggregate for the transition-graph row) once
+    # per reference, ~14 copies at iters=3 (144 Exchanges measured).  An
+    # iterative algorithm needs its edge frame resident anyway — this is
+    # the same discipline as connected_components' eager edge checkpoint,
+    # lazy here so materialization rides the query's own first action.
+    # nodes/outw are node-sized; checkpointing them keeps each round's
+    # subtree bounded.  Ranks are NOT checkpointed per round: at a fixed
+    # small iters the linear plan nesting is cheaper than three more
+    # planning roundtrips (A/B in OPTIMIZATION_r15.md: 1.5 s vs 1.8 s),
+    # and the docstring already prescribes periodic checkpoints for
+    # high-iters production runs.  Values are unchanged — checkpointing
+    # only pins where recomputation would have happened.
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    )
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nn = nodes.agg(F.count("*").alias("n"))
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint(eager=False)
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.floor(F.lit(1_000_000_000_000.0) / F.col("n")).cast("long").alias("r")
     )

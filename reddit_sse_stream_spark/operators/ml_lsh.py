@@ -221,6 +221,26 @@ def _unit_fixedpoint(
     )
 
 
+def _sql_double(v: float) -> str:
+    """Exact SQL rendering of a Python double: ``repr`` is the shortest
+    decimal that round-trips to the same IEEE-754 value, and Java's
+    ``Double.parseDouble`` (what the CAST folds through) is likewise
+    correctly rounded, so the parsed constant is bit-identical to the
+    Python float — the same shortest-roundtrip contract the DuckDB
+    oracle renderers rely on."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _sql_double_array(vals) -> str:
+    return "array(" + ", ".join(_sql_double(v) for v in vals) + ")"
+
+
+def _sql_long_array(vals) -> str:
+    """Exact SQL rendering of an int64 array — one parsed expression
+    instead of len(vals) py4j ``F.lit`` roundtrips (see unit_cells)."""
+    return "array(" + ", ".join(str(int(v)) + "L" for v in vals) + ")"
+
+
 def unit_cells(unit: DataFrame, cents_now) -> DataFrame:
     """Map-only cell assignment of a (_id, u) unit frame against a
     driver-held centroid table — the shared kernel of every IVF
@@ -228,38 +248,36 @@ def unit_cells(unit: DataFrame, cents_now) -> DataFrame:
     :func:`ivf_train`, and the index-maintenance surface
     :func:`ivf_assign`.
 
-    The centroid table ships as ONE nested-array Literal node
-    (F.lit(list-of-lists)) instead of n_cells*dim individual F.lit nodes
-    (512 at the defaults): Catalyst ANALYSIS of the big literal tree
-    dominated every Lloyd action — measured ~0.45 s compile vs ~0.10 s
-    execution per round at sf0.01; the single-node form halves the
-    fresh-plan cost (r10, VERDICT r09 next #5).  Same doubles, same
-    zip_with distance fold, array_min over struct(dist, cell) keeps the
-    lowest-cell tiebreak — assignments are bit-identical
-    (oracle-verified).  Cell ids ride a parallel literal because Lloyd
-    dropouts make them non-contiguous (transform index != cell id)."""
-    cent_lit = F.lit([[float(v) for v in c] for _, c in cents_now])
-    ids_lit = F.lit([int(cell) for cell, _ in cents_now])
-    expr = F.array_min(
-        F.transform(
-            cent_lit,
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("u"),
-                        c,
-                        lambda a, b: F.floor(
-                            (a - b) * (a - b) * 1e12 + 0.5
-                        ).cast("long"),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, e: acc + e,
-                ).alias("dist"),
-                F.element_at(ids_lit, i + 1).cast("int").alias("cell"),
-            ),
-        )
-    )["cell"]
-    return unit.select("_id", "u", expr.alias("cell"))
+    The centroid table ships as ONE rendered SQL expression through
+    ``F.expr`` (r15): the r10 ``F.lit(list-of-lists)`` form produced a
+    single Catalyst Literal node but PySpark EXPANDS a list lit into
+    ``array(lit, lit, ...)`` — n_cells*dim+n_cells py4j roundtrips (520
+    at the defaults) before the JVM ever sees it, measured ~0.55 s of
+    driver time per assignment build; the rendered string is ONE py4j
+    call and one server-side parse (~0.08 s warm).  Doubles render via
+    the shortest-roundtrip CAST (:func:`_sql_double`), so the parsed
+    constants — and therefore the distance folds and assignments — are
+    bit-identical (oracle-verified, plus an A/B equality check in
+    tests).  Same zip_with distance fold, array_min over
+    struct(dist, cell) keeps the lowest-cell tiebreak.  Cell ids ride a
+    parallel array because Lloyd dropouts make them non-contiguous
+    (transform index != cell id)."""
+    cent_sql = (
+        "array("
+        + ", ".join(_sql_double_array(c) for _, c in cents_now)
+        + ")"
+    )
+    ids_sql = (
+        "array(" + ", ".join(str(int(cell)) for cell, _ in cents_now) + ")"
+    )
+    expr = (
+        "array_min(transform(" + cent_sql + ", (c, i) -> struct("
+        "aggregate(zip_with(u, c, (a, b) -> "
+        "CAST(floor((a - b) * (a - b) * 1e12 + 0.5) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, e) -> acc + e) AS dist, "
+        "CAST(element_at(" + ids_sql + ", i + 1) AS INT) AS cell))).cell"
+    )
+    return unit.select("_id", "u", F.expr(expr).alias("cell"))
 
 
 def ivf_assign(
@@ -562,38 +580,38 @@ def pq_train(
     )
 
     def assign(frame: DataFrame) -> DataFrame:
-        # The full codebook as ONE nested-array Literal NODE
-        # (F.lit(list-of-lists-of-lists)) indexed by the row's subspace:
-        # the r07 rewrite shrank the when-chain to a literal ARRAY TREE
-        # (n_sub*k*d_sub = 1024 F.lit nodes at the defaults), but Catalyst
-        # analysis of that tree still dominated every Lloyd action
-        # (~0.5 s compile vs ~0.1 s run per round, sf0.01); the
-        # single-node literal halves the fresh-plan cost (r10, VERDICT
-        # r09 next #5).  Same exact-integer distance folds over the same
-        # values, array_min over struct(dist2, code) keeps the
-        # lowest-code tiebreak — codes are bit-identical
+        # The full codebook as ONE rendered SQL expression (r15): the
+        # r10 ``F.lit(list-of-lists-of-lists)`` form was a single
+        # Catalyst Literal node, but PySpark expands a list lit into
+        # ``array(lit, ...)`` element-by-element — n_sub*k*d_sub = 1024
+        # py4j roundtrips at the defaults, ~0.5 s of driver build time
+        # per assignment; the rendered string is one py4j call + one
+        # parse (see unit_cells).  Integer codebook values render
+        # exactly by construction.  Same exact-integer distance folds
+        # over the same values, array_min over struct(dist2, code)
+        # keeps the lowest-code tiebreak — codes are bit-identical
         # (oracle-verified).
-        cb_lit = F.lit(
-            [
-                [[int(v) for v in cents[s][j]] for j in range(k)]
+        cb_sql = (
+            "array("
+            + ", ".join(
+                "array("
+                + ", ".join(
+                    "array("
+                    + ", ".join(str(int(v)) + "L" for v in cents[s][j])
+                    + ")"
+                    for j in range(k)
+                )
+                + ")"
                 for s in range(n_sub)
-            ]
-        )
-        cbs = F.element_at(cb_lit, F.col("sub") + 1)
-        best = F.array_min(
-            F.transform(
-                cbs,
-                lambda c, j: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("sq"), c, lambda a, b: (a - b) * (a - b)
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, e: acc + e,
-                    ).alias("dist2"),
-                    j.cast("int").alias("code"),
-                ),
             )
+            + ")"
+        )
+        best = F.expr(
+            "array_min(transform(element_at(" + cb_sql + ", sub + 1), "
+            "(c, j) -> struct("
+            "aggregate(zip_with(sq, c, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, e) -> acc + e) AS dist2, "
+            "CAST(j AS INT) AS code)))"
         )
         return frame.select(
             "_id",
@@ -786,7 +804,7 @@ def pq_adc_topk(
     ]
     adc = None
     for s in range(n_sub):
-        t_lit = F.array(*[F.lit(int(v)) for v in tables[s]])
+        t_lit = F.expr(_sql_long_array(tables[s]))
         term = F.element_at(t_lit, F.col(f"c{s}") + 1)
         adc = term if adc is None else adc + term
     return (
@@ -857,13 +875,13 @@ def pq_recall_audit(
                 )
                 for j in range(k)
             ]
-            t_lit = F.array(*[F.lit(int(v)) for v in tab])
+            t_lit = F.expr(_sql_long_array(tab))
             term = F.element_at(t_lit, F.col(f"c{s}") + 1)
             acc = term if acc is None else acc + term
         return acc.cast("long")
 
     def exact_for(qq: list[int]) -> "F.Column":
-        q_lit = F.array(*[F.lit(int(v)) for v in qq])
+        q_lit = F.expr(_sql_long_array(qq))
         return F.aggregate(
             F.zip_with(F.col("xq"), q_lit, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
@@ -1033,7 +1051,7 @@ def ivfpq_topk(
             sum((qq[s * d_sub + d] - cb[s][j][d]) ** 2 for d in range(d_sub))
             for j in range(k)
         ]
-        t_lit = F.array(*[F.lit(int(v)) for v in tab])
+        t_lit = F.expr(_sql_long_array(tab))
         term = F.element_at(t_lit, F.col(f"c{s}") + 1)
         adc = term if adc is None else adc + term
 
@@ -1109,11 +1127,12 @@ def ivfpq_residual_topk(
     # is a map literal keyed by cell id (cells can drop out of Lloyd
     # rounds, so ids may be non-contiguous — element_at on a dense array
     # would misalign)
-    cmap = F.map_from_arrays(
-        F.array(*[F.lit(int(cell)) for cell, _ in cents]),
-        F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for _, c in cents]
-        ),
+    cmap = F.expr(
+        "map_from_arrays("
+        + _sql_long_array([cell for cell, _ in cents])
+        + ", array("
+        + ", ".join(_sql_double_array(c) for _, c in cents)
+        + "))"
     )
     # training already materialized the checkpointed unit frame — reuse
     # it rather than re-running the normalization pass over the corpus
@@ -1188,14 +1207,12 @@ def ivfpq_residual_topk(
         ]
     adc = None
     for s in range(n_sub):
-        m = F.map_from_arrays(
-            F.array(*[F.lit(int(c)) for c in probe_cells]),
-            F.array(
-                *[
-                    F.array(*[F.lit(int(v)) for v in tabs[c][s]])
-                    for c in probe_cells
-                ]
-            ),
+        m = F.expr(
+            "map_from_arrays("
+            + _sql_long_array(probe_cells)
+            + ", array("
+            + ", ".join(_sql_long_array(tabs[c][s]) for c in probe_cells)
+            + "))"
         )
         term = F.element_at(
             F.element_at(m, F.col("cell")), F.col(f"c{s}") + 1

@@ -12850,13 +12850,29 @@ def pref_bradley_terry_strength(
             .alias("w"),
         )
     )
-    wins = mm.groupBy(F.col("w").alias("p")).agg(
-        F.count("*").cast("long").alias("n_wins")
+    # Fold the match stream to its sufficient statistic ONCE (r15, guide
+    # §2.4/§3.3): every downstream frame (wins, n_ij, both MM rounds) is
+    # an aggregate of (pa, pb, w) COUNTS, so one players^3-sized count
+    # frame (<= 4*4*2 rows) carries everything.  Without it the lazy plan
+    # re-derived the events self-join once per consumer — the physical
+    # plan held 6 copies of the data-sized join (66 Exchanges, and the
+    # row's bench samples grew 3.3 -> 22 s across same-session reruns);
+    # with the checkpoint the self-join runs exactly once per execution.
+    # Values are identical: wins/nij below are the same sums regrouped.
+    mc = (
+        mm.groupBy("pa", "pb", "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    pairs = mm.select(F.col("pa").alias("i"), F.col("pb").alias("j")).unionByName(
-        mm.select(F.col("pb").alias("i"), F.col("pa").alias("j"))
+    wins = mc.groupBy(F.col("w").alias("p")).agg(
+        F.sum("cnt").cast("long").alias("n_wins")
     )
-    nij = pairs.groupBy("i", "j").agg(F.count("*").cast("long").alias("n"))
+    pairs = mc.select(
+        F.col("pa").alias("i"), F.col("pb").alias("j"), "cnt"
+    ).unionByName(
+        mc.select(F.col("pb").alias("i"), F.col("pa").alias("j"), "cnt")
+    )
+    nij = pairs.groupBy("i", "j").agg(F.sum("cnt").cast("long").alias("n"))
     nmat = nij.groupBy(F.col("i").alias("p")).agg(
         F.sum("n").cast("long").alias("n_matches")
     )

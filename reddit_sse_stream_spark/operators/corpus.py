@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from reddit_sse_stream_spark.operators import dedup, text
+from reddit_sse_stream_spark.operators.sqlrender import (
+    sql_double_array,
+    sql_long_array,
+)
 
 #: 2^60 as a double — md5_hash60 values are uniform on [0, 2^60), so
 #: dividing yields a deterministic pseudo-uniform u in [0, 1).
@@ -141,7 +145,9 @@ def random_projection_sketch(
     x = F.col(vec_col).cast("array<double>")
     cols = []
     for j in range(out_dim):
-        s_j = F.array(*[F.lit(float(s)) for s in signs[j]])
+        # rendered SQL constant, not element-wise F.lit (r15 — see
+        # operators/sqlrender.py; ±1 doubles render exactly)
+        s_j = F.expr(sql_double_array(signs[j]))
         total = F.aggregate(
             F.zip_with(
                 x, s_j, lambda v, s: F.floor(v * s * 1_000_000 + 0.5).cast("long")
@@ -284,7 +290,7 @@ def pca_top_component(
     n = base.count()
 
     def dot_fp_col(v: list[float]) -> "F.Column":
-        v_lit = F.array(*[F.lit(float(c)) for c in v])
+        v_lit = F.expr(sql_double_array(v))  # r15: see sqlrender.py
         return F.aggregate(
             F.zip_with(
                 F.col("x"), v_lit, lambda a, b: F.floor(a * b * 1e12 + 0.5).cast("long")
@@ -433,7 +439,7 @@ def kmeans_fixedpoint(
         dim = len(cents[0])
 
     def dist_fold(c: list[int]) -> "F.Column":
-        c_lit = F.array(*[F.lit(int(v)) for v in c])
+        c_lit = F.expr(sql_long_array(c))  # r15: see sqlrender.py
         return F.aggregate(
             F.zip_with(F.col("xq"), c_lit, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),

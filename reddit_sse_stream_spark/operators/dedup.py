@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from reddit_sse_stream_spark.operators.sqlrender import sql_long_array
+
 # Minhash permutation family h_i(x) = (a_i*x + b_i) mod P with P = 2^31-1
 # (Mersenne prime). Keeping a, b, x < 2^31 bounds a*x + b < 2^62 — no int64
 # overflow inside the JVM expression.
@@ -175,9 +177,10 @@ def _signature_col(num_hashes: int):
     evaluates all higher-order array functions via CodegenFallback either
     way — for hot paths use :func:`minhash_features_fast`."""
     coeffs = _coeffs(num_hashes)
-    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
-    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
-    init = F.array(*[F.lit(_MERSENNE_P).cast("long")] * num_hashes)
+    # rendered SQL constants, not element-wise F.lit (r15 — sqlrender.py)
+    a_arr = F.expr(sql_long_array([a for a, _ in coeffs]))
+    b_arr = F.expr(sql_long_array([b for _, b in coeffs]))
+    init = F.expr(sql_long_array([_MERSENNE_P] * num_hashes))
     return F.aggregate(
         F.col("sh"),
         init,

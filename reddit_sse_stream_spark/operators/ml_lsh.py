@@ -20,6 +20,11 @@ from pyspark.ml.linalg import Vectors
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from reddit_sse_stream_spark.operators.sqlrender import (
+    sql_double_array as _sql_double_array,
+    sql_long_array as _sql_long_array,
+)
+
 _SEED = 42
 
 
@@ -219,26 +224,6 @@ def _unit_fixedpoint(
             "_id", F.transform("s.x", lambda v: v / F.col("s.nrm")).alias("u")
         )
     )
-
-
-def _sql_double(v: float) -> str:
-    """Exact SQL rendering of a Python double: ``repr`` is the shortest
-    decimal that round-trips to the same IEEE-754 value, and Java's
-    ``Double.parseDouble`` (what the CAST folds through) is likewise
-    correctly rounded, so the parsed constant is bit-identical to the
-    Python float — the same shortest-roundtrip contract the DuckDB
-    oracle renderers rely on."""
-    return f"CAST('{float(v)!r}' AS DOUBLE)"
-
-
-def _sql_double_array(vals) -> str:
-    return "array(" + ", ".join(_sql_double(v) for v in vals) + ")"
-
-
-def _sql_long_array(vals) -> str:
-    """Exact SQL rendering of an int64 array — one parsed expression
-    instead of len(vals) py4j ``F.lit`` roundtrips (see unit_cells)."""
-    return "array(" + ", ".join(str(int(v)) + "L" for v in vals) + ")"
 
 
 def unit_cells(unit: DataFrame, cents_now) -> DataFrame:

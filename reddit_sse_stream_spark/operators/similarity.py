@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from reddit_sse_stream_spark.operators import dedup
+from reddit_sse_stream_spark.operators.sqlrender import sql_double_array
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -59,7 +60,7 @@ def brute_force_topk(
     a cluster — either way it never shuffles); TakeOrderedAndProject keeps
     the top-k distributed until the final k-row merge.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.expr(sql_double_array(query_vec))  # r15: see sqlrender.py
     scored = emb.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
@@ -83,7 +84,7 @@ def random_hyperplane_buckets(
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        parr = F.array(*[F.lit(x) for x in p])
+        parr = F.expr(sql_double_array(p))  # r15: see sqlrender.py
         bit = F.when(dot(v, parr) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + F.shiftleft(bit, i)
     return emb.select(F.col(id_col), bucket.alias("bucket"))

@@ -1774,11 +1774,15 @@ def rm3_expansion_terms(
         df, query_terms, k=k_docs, text_col=text_col, id_col=id_col
     )
     w_rank = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    # The k_docs-row winner frame is checkpointed (r15, guide §2.4): it
+    # feeds the broadcast join, and without the pin the lazy plan re-ran
+    # the ENTIRE first-pass BM25 (a corpus tokenize + exchange) once per
+    # consumer of `joined`.
     ranked = topk.select(
         id_col, F.row_number().over(w_rank).alias("r")
     ).select(
         id_col, (F.lit(k_docs + 1) - F.col("r")).cast("long").alias("relw")
-    )
+    ).localCheckpoint(eager=False)
     toks = df.select(
         id_col,
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
@@ -1787,8 +1791,11 @@ def rm3_expansion_terms(
     tf = joined.groupBy(id_col, "term").agg(
         F.count("*").cast("long").alias("tf"),
         F.first("relw").alias("relw"),
-    )
-    dl = joined.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+    ).localCheckpoint(eager=False)  # <= k_docs x per-doc vocab rows
+    # dl (tokens per winner doc) = sum of its term frequencies — derived
+    # from the checkpointed tf frame instead of a second corpus tokenize
+    # over `joined` (r15: one pass, identical values by definition).
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     addends = tf.join(F.broadcast(dl), id_col).select(
         "term",
         F.floor(

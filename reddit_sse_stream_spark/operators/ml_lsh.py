@@ -240,7 +240,7 @@ def unit_cells(unit: DataFrame, cents_now) -> DataFrame:
     at the defaults) before the JVM ever sees it, measured ~0.55 s of
     driver time per assignment build; the rendered string is ONE py4j
     call and one server-side parse (~0.08 s warm).  Doubles render via
-    the shortest-roundtrip CAST (:func:`_sql_double`), so the parsed
+    the shortest-roundtrip CAST (:func:`sqlrender.sql_double`), so the parsed
     constants — and therefore the distance folds and assignments — are
     bit-identical (oracle-verified, plus an A/B equality check in
     tests).  Same zip_with distance fold, array_min over

@@ -842,11 +842,33 @@ def main() -> None:
             ):
                 target = MAX_RUNS
         s = sorted(samples)
-        times[name] = round(s[len(s) // 2], 3)
+        # Artifact statistic (VERDICT r15 next #7): sub-second rows pay
+        # the largest RELATIVE noise and host contention is ONE-SIDED
+        # (steal only adds time), so a single burst during the 7-sample
+        # window inflates the median and flags phantom regressions (11 in
+        # r15, every one reproduced at r14 speed by the driver's own
+        # 8-core leg).  Fast rows therefore record a one-sided trimmed
+        # mean — drop the 2 largest of their >=6 samples, mean the rest —
+        # instead of the raw median; their min/max stays on the spread
+        # line and ALL samples stay in BENCH_DETAIL.json, so nothing is
+        # hidden and the old statistic remains recoverable.  Heavy rows
+        # keep the plain median (their relative noise is small and the
+        # median is the statistic every prior round recorded).
+        trim = (
+            name in fast_rows
+            or (name not in prev_q and min(s) < FAST_ROW_SEC)
+        ) and len(s) >= 6
+        if trim:
+            kept = s[:-2]
+            times[name] = round(sum(kept) / len(kept), 3)
+        else:
+            times[name] = round(s[len(s) // 2], 3)
         spread[name] = [round(s[0], 3), round(s[-1], 3)]
         run_counts[name] = len(s)
         detail[name] = {
-            "median": times[name],
+            "median": round(s[len(s) // 2], 3),
+            "stat": "trimmed_mean_drop2" if trim else "median",
+            "value": times[name],
             "runs": len(s),
             "min": round(s[0], 3),
             "max": round(s[-1], 3),
@@ -1021,6 +1043,17 @@ def summary_lines(
         # round's vs_prev coverage for the dropped rows
         summary["spread_over_1p5x"] = len(noisy)
         final = json.dumps(summary, separators=(",", ":"))
+    if len(final) > FINAL_LINE_BUDGET:
+        # same shed for the regression NAME list (VERDICT r15 what's-wrong
+        # #1: six regression names rode the r15 final line, blew the
+        # budget, and the query-dict truncation below cut the 6 fastest
+        # medians out of the driver's vs_prev audit — exactly the
+        # audit-escape this shed order exists to prevent).  The names are
+        # fully derivable from the preceding bench_context vs_prev line
+        # plus BENCH_DETAIL.json's "regressions" field; the count keeps
+        # the headline signal.
+        summary["regressions_vs_prev"] = len(regressions)
+        final = json.dumps(summary, separators=(",", ":"))
     for derivable in (
         # next shed tiers, cheapest information loss first: streaming
         # fields DERIVABLE from the kept ones (delivered = rate*wall;
@@ -1047,6 +1080,23 @@ def summary_lines(
         # detector's noise floor, and 3-decimal medians stay on the
         # spread line + BENCH_DETAIL.json)
         summary["queries"] = {k: round(v, 2) for k, v in times.items()}
+        final = json.dumps(summary, separators=(",", ":"))
+    for derivable in (
+        # final tier before ANY query name is dropped (VERDICT r15
+        # what's-wrong #1): every one of these scalars is duplicated in
+        # BENCH_DETAIL.json or derivable from the bench_context line
+        # (calib rides there verbatim), while a dropped query median
+        # silently escapes next round's vs_prev audit — the per-query
+        # dict outranks them all.
+        "spread_over_1p5x",
+        "machine_factor_disagrees",
+        "calibration_factor",
+        "feed_events",
+        "streaming_e2e_rate_min_max",
+    ):
+        if len(final) <= FINAL_LINE_BUDGET:
+            break
+        summary.pop(derivable, None)
         final = json.dumps(summary, separators=(",", ":"))
     if len(final) > FINAL_LINE_BUDGET:
         lines.append(

@@ -1134,7 +1134,9 @@ def quality_linear_probe(
     dim = 4
 
     def dot_fp_col(v: list[float]) -> "F.Column":
-        v_lit = F.array(*[F.lit(float(c)) for c in v])
+        # rendered SQL constant, not element-wise F.lit (r15 — sqlrender.py;
+        # bit-exact by the shortest-roundtrip CAST contract)
+        v_lit = F.expr(sql_double_array([float(c) for c in v]))
         return F.aggregate(
             F.zip_with(
                 F.col("x"),

@@ -17,12 +17,20 @@ from collections.abc import Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from reddit_sse_stream_spark.operators.sqlrender import sql_string_array
+
 
 def json_key_subset(json_col: Column | str, keys: Sequence[str]) -> Column:
     """``{k: v for k, v in json.items() if k in keys}`` re-serialized (sse.py:237)."""
     col = F.col(json_col) if isinstance(json_col, str) else json_col
-    keys_arr = F.array(*[F.lit(k) for k in keys])
     parsed = F.from_json(col, "map<string,string>")
+    if not keys:
+        # zero requested keys -> ``{}`` for every row (the reference's
+        # zero-match result); callers guard this, kept for the contract
+        return F.to_json(F.map_filter(parsed, lambda k, _: F.lit(False)))
+    # rendered SQL constant, not element-wise F.lit (r15 — sqlrender.py);
+    # keys are caller/spec-supplied strings, so the renderer escapes them
+    keys_arr = F.expr(sql_string_array(list(keys)))
     return F.to_json(F.map_filter(parsed, lambda k, _: F.array_contains(keys_arr, k)))
 
 

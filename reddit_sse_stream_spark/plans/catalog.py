@@ -15418,19 +15418,19 @@ def layout_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through eventually.
 
 _PRIOR_GREEN_ROUND = {
-    "a1_running_totals": 9,
-    "a2_bytes_total": 9,
-    "a3_max_cursor": 9,
-    "agg_countmin_heavy_hitters": 8,
-    "agg_countmin_merge_invariant": 8,
+    "a1_running_totals": 15,
+    "a2_bytes_total": 15,
+    "a3_max_cursor": 15,
+    "agg_countmin_heavy_hitters": 15,
+    "agg_countmin_merge_invariant": 15,
     "agg_heavy_hitters_exact": 9,
     "agg_kmv_distinct_estimate": 13,
     "agg_moments_merge_invariant": 13,
-    "agg_skew_salted_two_phase": 8,
+    "agg_skew_salted_two_phase": 15,
     "agg_sorted_user_list": 14,
     "agg_two_phase_ntile_twin": 9,
-    "aggx_approx_distinct": 9,
-    "aggx_approx_quantiles": 9,
+    "aggx_approx_distinct": 15,
+    "aggx_approx_quantiles": 15,
     "aggx_corr_covar": 14,
     "aggx_cube_events": 11,
     "aggx_distinct_users": 11,
@@ -15483,7 +15483,7 @@ _PRIOR_GREEN_ROUND = {
     "dedup_containment_grams": 11,
     "dedup_cross_source_matrix": 11,
     "dedup_embedding_cosine": 12,
-    "dedup_embedding_cosine_lsh": 9,
+    "dedup_embedding_cosine_lsh": 15,
     "dedup_exact_groups": 12,
     "dedup_exact_keep_first": 12,
     "dedup_incremental_bloom": 10,
@@ -15493,15 +15493,15 @@ _PRIOR_GREEN_ROUND = {
     "dedup_method_agreement": 11,
     "dedup_minhash_md5": 10,
     "dedup_minhash_twin_containment": 13,
-    "dedup_ngram_jaccard": 8,
+    "dedup_ngram_jaccard": 15,
     "dedup_priority_source_union": 14,
     "dedup_rate_by_ingestion_batch": 13,
     "dedup_semdedup_cells": 10,
     "dedup_simhash_exact_dup_invariant": 13,
     "dedup_simhash_hamming_pairs": 10,
     "dedup_simhash_md5": 10,
-    "dedup_sketch_merge_invariant": 8,
-    "dedup_source_minhash_matrix": 8,
+    "dedup_sketch_merge_invariant": 15,
+    "dedup_source_minhash_matrix": 15,
     "dedup_source_minhash_sampled": 9,
     "dedup_substring_containment": 10,
     "dedup_tfidf_cosine": 11,
@@ -15520,7 +15520,7 @@ _PRIOR_GREEN_ROUND = {
     "dq_signal_correlation_matrix": 13,
     "dq_t_closeness": 13,
     "embed_drift_by_lang": 12,
-    "embed_hard_negatives": 8,
+    "embed_hard_negatives": 15,
     "embed_kmeans_fixedpoint": 14,
     "embed_l2_norm": 12,
     "embed_matryoshka_retention": 12,
@@ -15531,21 +15531,21 @@ _PRIOR_GREEN_ROUND = {
     "embed_random_projection": 10,
     "embed_standardize": 12,
     "f1_type_dispatch": 14,
-    "f2_author_whitelist": 9,
-    "f3_subreddit_whitelist": 9,
-    "f4_domain_whitelist": 9,
-    "f5_whitelist_combiner": 9,
-    "f6_f7_flag_filters": 9,
-    "f8_null_elimination": 9,
-    "f_combined_full": 9,
+    "f2_author_whitelist": 15,
+    "f3_subreddit_whitelist": 15,
+    "f4_domain_whitelist": 15,
+    "f5_whitelist_combiner": 15,
+    "f6_f7_flag_filters": 15,
+    "f8_null_elimination": 15,
+    "f_combined_full": 15,
     "feat_target_encode_loo": 14,
     "feed_domain_suffix_blocklist": 13,
-    "feed_url_canonical_host": 14,
-    "feed_url_host_cap": 14,
+    "feed_url_canonical_host": 15,
+    "feed_url_host_cap": 15,
     "fn_array_ops": 12,
-    "fn_bitwise_ops": 8,
+    "fn_bitwise_ops": 15,
     "fn_datetime_buckets": 13,
-    "fn_fuzzy_match_levenshtein": 8,
+    "fn_fuzzy_match_levenshtein": 15,
     "fn_histogram_bins": 14,
     "fn_histogram_equidepth": 10,
     "fn_histogram_equidepth_approx_contract": 12,
@@ -15575,7 +15575,7 @@ _PRIOR_GREEN_ROUND = {
     "join_range_clicks_before_purchase": 11,
     "join_right_outer_orders": 14,
     "join_semi_customers_with_orders": 11,
-    "join_skew_salted": 8,
+    "join_skew_salted": 15,
     "knn_batch_topk": 11,
     "knn_bruteforce_cosine": 12,
     "knn_ivf_fixedpoint_cells": 10,
@@ -15594,15 +15594,18 @@ _PRIOR_GREEN_ROUND = {
     "limit_topk_events_by_value": 11,
     "llm_corpus_prep_pipeline": 14,
     "llm_dataset_card": 12,
-    "m1_m2_interleave_sort": 9,
+    "m1_m2_interleave_sort": 15,
     "media_audio_fingerprint": 11,
     "media_audio_silence_segments": 12,
     "media_features": 11,
     "media_features_meta": 11,
     "media_frame_sample": 13,
     "media_image_ahash": 12,
+    "media_text_alignment_by_source": 15,
+    "media_text_alignment_gate": 15,
+    "media_text_alignment_threshold_curve": 15,
     "media_video_scene_cuts": 11,
-    "p2_json_key_subset": 9,
+    "p2_json_key_subset": 15,
     "pack_chunk_boundary_stats": 12,
     "pack_context_length_curve": 11,
     "pack_length_buckets": 10,
@@ -15612,7 +15615,8 @@ _PRIOR_GREEN_ROUND = {
     "pivot_event_counts": 11,
     "posexplode_words": 13,
     "pref_bradley_terry_strength": 12,
-    "q1_domain_blocks_comments": 9,
+    "psl_rule_classes_registered_domain": 15,
+    "q1_domain_blocks_comments": 15,
     "quota_admission_per_author": 14,
     "recursive_cte_ancestors": 10,
     "reference_pipeline_example": 12,
@@ -15620,7 +15624,7 @@ _PRIOR_GREEN_ROUND = {
     "s1_range_scan": 14,
     "s3_backfill_clamp": 14,
     "s4_start_id_resume": 14,
-    "s8_keepalive_counters": 9,
+    "s8_keepalive_counters": 15,
     "sample_bottomk_minwise": 13,
     "sample_neyman_allocation": 13,
     "sample_stratified_deterministic": 14,
@@ -15645,12 +15649,12 @@ _PRIOR_GREEN_ROUND = {
     "subq_scalar_above_avg": 13,
     "text_bigram_lm_bits": 10,
     "text_char_entropy": 11,
-    "text_chunk_dedup_rewrite": 8,
+    "text_chunk_dedup_rewrite": 15,
     "text_chunk_dup_rate": 10,
-    "text_chunk_windows": 8,
+    "text_chunk_windows": 15,
     "text_clean_normalize": 10,
     "text_code_detect": 12,
-    "text_duplicate_spans": 8,
+    "text_duplicate_spans": 15,
     "text_encoding_quality": 14,
     "text_fingerprint": 12,
     "text_gopher_gate": 14,
@@ -15664,14 +15668,14 @@ _PRIOR_GREEN_ROUND = {
     "text_pii_redact": 10,
     "text_pmi_top_pairs": 14,
     "text_quality_score": 12,
-    "text_rarity_score": 8,
+    "text_rarity_score": 15,
     "text_repetition_bigrams": 9,
     "text_repetition_runs": 14,
     "text_stopword_scrub": 9,
     "text_suffix_ranks": 10,
     "text_token_count": 12,
     "text_tokenizer_fertility_by_lang": 11,
-    "text_vocab_df": 8,
+    "text_vocab_df": 15,
     "text_vocab_growth": 10,
     "text_winnow_fingerprints": 11,
     "text_zipf_fit": 12,
@@ -15682,25 +15686,25 @@ _PRIOR_GREEN_ROUND = {
     "tpch_q14_promo_revenue": 14,
     "tpch_q15_top_supplier": 12,
     "tpch_q16_supplier_counts": 10,
-    "tpch_q17_small_quantity_revenue": 8,
+    "tpch_q17_small_quantity_revenue": 15,
     "tpch_q18_large_orders": 14,
     "tpch_q19_disjunctive_revenue": 14,
-    "tpch_q1_pricing_summary": 9,
+    "tpch_q1_pricing_summary": 15,
     "tpch_q20_dominant_supplier": 10,
-    "tpch_q21_waiting_supplier": 8,
+    "tpch_q21_waiting_supplier": 15,
     "tpch_q22_idle_customers": 12,
     "tpch_q2_min_cost_supplier": 10,
-    "tpch_q3_shipping_priority": 9,
+    "tpch_q3_shipping_priority": 15,
     "tpch_q4_order_priority": 12,
-    "tpch_q5_region_revenue": 9,
-    "tpch_q6_forecast_revenue": 9,
-    "tpch_q7_volume_shipping": 8,
-    "tpch_q8_market_share": 8,
+    "tpch_q5_region_revenue": 15,
+    "tpch_q6_forecast_revenue": 15,
+    "tpch_q7_volume_shipping": 15,
+    "tpch_q8_market_share": 15,
     "tpch_q9_profit_by_nation_year": 9,
     "ts_ewma_features": 10,
     "ts_gapfill_ffill": 12,
     "ts_ohlc_hourly": 11,
-    "ts_rolling_features": 8,
+    "ts_rolling_features": 15,
     "ts_seasonal_decompose": 13,
     "udaf_geomean_orders": 12,
     "udf_grouped_map_zscore": 11,
@@ -15711,17 +15715,17 @@ _PRIOR_GREEN_ROUND = {
     "vocab_coverage_topk": 11,
     "vocab_size_coverage_curve": 13,
     "window_activity_streaks": 12,
-    "window_first_last_nth": 8,
+    "window_first_last_nth": 15,
     "window_lag_delta": 11,
     "window_range_time_frame": 14,
-    "window_rank_family": 8,
+    "window_rank_family": 15,
     "window_running_sum_per_user": 11,
     "window_sliding_counts": 14,
     "window_sliding_distinct_kmv_approx_contract": 14,
     "window_sliding_distinct_users": 11,
     "window_topk_orders_per_customer": 11,
     "x1_try_cast_validation": 13,
-    "x4_json_extract": 9,
+    "x4_json_extract": 15,
 }
 
 
@@ -15734,28 +15738,49 @@ _PRIOR_GREEN_ROUND = {
 # defining identifiers against the commit that recorded its last proof);
 # entries are pruned when a newer CORRECTNESS artifact re-proves them.
 _CHANGED_SINCE_PROOF: set = {
-    # (r10–r12 rewrite/semantic entries — including r12's text_zipf_fit
-    # closed-form rewrite and the quality_linear_probe / image_ahash
-    # ADVICE fixes — were ALL re-proven green in their following driver
-    # window and are pruned; the map above now folds r12 in.  The r13
-    # ADVICE fixes — join_interval_binned_overlap's oracle LEFT-JOIN
-    # count and sample_neyman_allocation's divisor guard — touch rows
-    # that were never driver-proven, so they already sit in the
-    # never-proven head tier and need no entry here.)
+    # (r15's two urlnorm feed rows were re-proven green by the r15 driver
+    # window — CORRECTNESS_r15 hash_match — and are pruned; the map above
+    # now folds r15 in.)
     #
-    # r14's sole entry — aggx_theil_sen_trend after its 32-way salt
-    # rewrite — was re-proven green by the r14 driver window
-    # (CORRECTNESS_r14 hash_match) and is pruned; the map above now
-    # folds r14 in.
-    #
-    # r15: the shared canonicalization chain (urlnorm.canonical_parts)
-    # gained userinfo stripping + bracketed-IPv6 host handling (r14
-    # ADVICE) AFTER these rows' r14 proofs.  The synthesized feed emits
-    # neither shape, so results are bit-identical on the fixture, but
-    # the defining identifiers changed — conservative policy: re-prove
-    # under the driver, then prune.
-    "feed_url_canonical_host",
-    "feed_url_host_cap",
+    # r16 (VERDICT r15 next #1): the r15 OPTIMIZATION session rewrote the
+    # defining code of the IVF/PQ/minhash/projection/kmeans family
+    # (operators/sqlrender.py constants in ml_lsh/dedup/corpus/similarity),
+    # suffix_ranks (seed 32->64), rm3_expansion_terms (single-pass),
+    # pagerank_fixedpoint (lazy checkpoints) and the BT catalog query
+    # AFTER their last driver proofs; the only family rows the r15 sample
+    # fronted were dedup_embedding_cosine_lsh / embed_hard_negatives /
+    # dedup_source_minhash_matrix (all green).  Every other VALUE-ORACLED
+    # query that transitively reaches a rewritten operator (call-graph
+    # closure, tools/regen_prior_green.py + manual audit) re-proves under
+    # the driver before anything else; prune each on its next green row.
+    # Results are pinned identical by tests (test_sqlrender.py bit-level
+    # A/B, pagerank-vs-numpy, seed-invariance) — this tier is the
+    # independent DuckDB re-proof those tests do not replace.
+    "corpus_diverse_sample",
+    "corpus_quality_linear_probe",
+    "dedup_incremental_minhash",
+    "dedup_lsh_recall_audit",
+    "dedup_minhash_md5",
+    "dedup_minhash_twin_containment",
+    "dedup_semdedup_cells",
+    "embed_kmeans_fixedpoint",
+    "embed_pca_power_iteration",
+    "embed_pq_codes",
+    "embed_random_projection",
+    "graph_pagerank_transitions",
+    "knn_ivf_fixedpoint_cells",
+    "knn_ivf_incremental_assign",
+    "knn_ivf_metric_consistency",
+    "knn_ivf_nprobe_recall_curve",
+    "knn_ivfpq_residual_topk",
+    "knn_ivfpq_topk",
+    "knn_lsh_bucketed",
+    "knn_pq_adc_topk",
+    "knn_pq_recall_audit",
+    "pref_bradley_terry_strength",
+    "search_rm3_expansion",
+    "text_longest_repeat",
+    "text_suffix_ranks",
 }
 
 

@@ -224,11 +224,11 @@ def test_disagree_requires_both_families_outside_band():
     assert out["machine_factor_disagrees"] is True
 
 
-def _render(times):
+def _render(times, regressions=(), noisy=()):
     return bench.summary_lines(
         times=times,
         spread={k: [v, v] for k, v in times.items()},
-        noisy=[],
+        noisy=list(noisy),
         total=round(sum(times.values()), 3),
         run_counts={k: 3 for k in times},
         sf=0.1,
@@ -237,7 +237,7 @@ def _render(times):
         prev_round=7,
         vs_prev={k: 1.23 for k in times},
         machine_factor=1.25,
-        regressions=[],
+        regressions=list(regressions),
         calib={"calib_jvm_sec": 0.146, "calib_py_sec": 0.152},
         calib_factor=0.828,
         disagree=False,
@@ -272,6 +272,27 @@ def test_final_line_fits_driver_tail_window_for_current_headline():
     assert "vs_prev" not in parsed
     ctx = json.loads(lines[1])
     assert set(ctx["vs_prev"]) == set(bench.HEADLINE)
+
+
+def test_regression_names_shed_before_any_query_median():
+    """VERDICT r15 what's-wrong #1: the r15 run carried a six-name
+    regressions_vs_prev list (~160 bytes r14's empty list didn't), blew
+    FINAL_LINE_BUDGET, and the last-resort shed truncated the 6 fastest
+    query medians out of the driver's vs_prev audit.  Pin: with the
+    CURRENT headline list, realistic 3-decimal medians, a 6-name
+    regression list AND a nonempty noisy list, the final line must keep
+    EVERY per-query median — the name lists shed to counts first."""
+    times = {name: 12.345 for name in bench.HEADLINE}
+    regs = sorted(bench.HEADLINE)[:6]
+    noisy = sorted(bench.HEADLINE)[6:14]
+    lines = _render(times, regressions=regs, noisy=noisy)
+    final = lines[-1]
+    assert len(final) <= bench.FINAL_LINE_BUDGET
+    parsed = json.loads(final)
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert "queries_truncated" not in parsed
+    # the regression signal survives at least as a count
+    assert parsed["regressions_vs_prev"] in (regs, len(regs))
 
 
 def test_final_line_truncates_slowest_first_when_over_budget():

@@ -157,3 +157,81 @@ def test_unit_cells_assignments_unchanged_by_renderer(spark):
 def test_repr_roundtrip_is_exact_python_side(v):
     """The renderer's premise: repr is shortest-roundtrip."""
     assert _bits(float(repr(v))) == _bits(v)
+
+
+# --- r16 additions: input guards + the string renderer (projection keys) ---
+
+ADVERSARIAL_STRINGS = [
+    "k",
+    "with space",
+    "quote'inside",
+    'double"quote',
+    "back\\slash",
+    "new\nline",
+    "tab\tchar",
+    "carriage\rreturn",
+    "unicode-é-漢字-🙂",
+    "semi;colon--comment",
+    ")]'); DROP TABLE x; --",
+]
+
+
+def test_sql_string_array_roundtrip(spark):
+    """Every adversarial string survives render -> parse exactly — the
+    projection-key path takes CALLER-supplied strings, so quoting,
+    backslashes, control chars and injection shapes must round-trip."""
+    from reddit_sse_stream_spark.operators.sqlrender import sql_string_array
+
+    out = (
+        spark.range(1)
+        .select(F.expr(sql_string_array(ADVERSARIAL_STRINGS)).alias("a"))
+        .collect()[0]["a"]
+    )
+    assert list(out) == ADVERSARIAL_STRINGS
+
+
+def test_sql_string_array_matches_lit_path(spark):
+    from reddit_sse_stream_spark.operators.sqlrender import sql_string_array
+
+    row = (
+        spark.range(1)
+        .select(
+            F.expr(sql_string_array(ADVERSARIAL_STRINGS)).alias("r"),
+            F.array(*[F.lit(s) for s in ADVERSARIAL_STRINGS]).alias("l"),
+        )
+        .collect()[0]
+    )
+    assert list(row["r"]) == list(row["l"])
+
+
+def test_json_key_subset_rendered_keys_exact(spark):
+    """The converted projection path (operators/projection.py): rendered
+    key arrays select the same subset as the old F.lit path, including a
+    key containing a quote."""
+    import json as jsonlib
+
+    from reddit_sse_stream_spark.operators.projection import json_key_subset
+
+    payload = jsonlib.dumps({"a": "1", "qu'ote": "2", "c": "3"})
+    df = spark.createDataFrame([(payload,)], "json string")
+    out = df.select(
+        json_key_subset("json", ["a", "qu'ote"]).alias("d")
+    ).first()[0]
+    assert jsonlib.loads(out) == {"a": "1", "qu'ote": "2"}
+
+
+def test_renderer_guards_reject_bad_inputs():
+    """Empty arrays parse null-typed and non-finite doubles CAST to NULL
+    (VERDICT r15 #5) — unreachable from current callers, so the renderers
+    assert instead of silently producing a broken literal."""
+    from reddit_sse_stream_spark.operators.sqlrender import (
+        sql_double,
+        sql_string_array,
+    )
+
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(AssertionError):
+            sql_double(bad)
+    for fn in (sql_double_array, sql_long_array, sql_string_array):
+        with pytest.raises(AssertionError):
+            fn([])

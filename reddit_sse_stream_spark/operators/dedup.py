@@ -883,12 +883,19 @@ def connected_components(
     # the near-dup verify lineage on the corpus_split caller.  The edge
     # blocks are released as soon as the symmetric frame owns its own.
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    # LAZY symmetrize checkpoint (r16, VERDICT r15 next #5): the seed
+    # label-sum action below materializes sym AND the seed labels in ONE
+    # job — one driver action fewer per call than the former eager
+    # checkpoint (6 -> 5 at the fixture's diameter).  The edge frame `e`
+    # stays EAGER: the union references its subtree twice (forward +
+    # swapped), and an unmaterialized expensive upstream would execute
+    # once per branch inside the fused job; its blocks are released only
+    # after sym's materializing action has run.
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    _unpersist_checkpoint(e)
     # seed with round 1 fused in: label(v) = min(v, min neighbor) — one
     # groupBy instead of the first join-propagation round
     # LAZY checkpoint (r10 sync-fold): the _label_sum probe materializes
@@ -908,6 +915,7 @@ def connected_components(
         ]
 
     prev_sum = _label_sum(labels)
+    _unpersist_checkpoint(e)  # sym owns its own blocks from here
     for _ in range(max_iter):
         nb_min = (
             sym.join(

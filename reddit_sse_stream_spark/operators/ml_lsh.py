@@ -299,6 +299,7 @@ def ivf_train(
     n_cells: int = 8,
     iters: int = 2,
     dim: int = 64,
+    fold_rounds: bool = False,
 ) -> IvfModel:
     """Deterministic IVF coarse quantizer: Lloyd's k-means on the unit
     sphere with EVERY accumulation in exact int64 fixed point, so the cell
@@ -386,16 +387,28 @@ def ivf_train(
         )
     )["cell"]
 
-    cents = []
-    dim = int(dim)
-    for it in range(iters):
-        if it == 0:
-            assigned = base.crossJoin(F.broadcast(seed_row)).select(
-                "_id", "u", seed_assign.alias("cell")
-            )
-        else:
-            assigned = assign_frame(cents)
-        sums = (
+    # In-plan Lloyd fold (r16, VERDICT r15 next #3), OPT-IN per call site
+    # via ``fold_rounds``: rounds 0..iters-2 update centroids INSIDE the
+    # plan — the (cell, d) sums regroup to a broadcast 1-row centroid
+    # table and the next round's assignment argmins against that COLUMN —
+    # so the whole training issues exactly ONE collect (the final round's
+    # sums) instead of one per round.  Measured r16 (interleaved A/B,
+    # OPTIMIZATION_r16.md): the fold WINS only where the training shares
+    # the driver with concurrent work — ivfpq_topk's threaded
+    # trainings (composite row 3.05 -> 2.69 s) — because the saved py4j
+    # roundtrips stop contending with the sibling threads; on SEQUENTIAL
+    # chains (the residual row: +0.4 s, incremental/semdedup: flat) the
+    # fold's extra in-plan exchanges cost more AQE stage-jobs than the
+    # removed action saves — r11's conclusion, re-confirmed post-
+    # sqlrender — so the default stays the per-round collect.  Exactness
+    # either way: the in-plan centroid arithmetic is the driver fold's
+    # own two IEEE ops — CAST(sfp AS DOUBLE) / 1e6 / cnt — and int64 sums
+    # stay under 2^53 at any bounded training sample (1e6-quantized unit
+    # coords), so the doubles are bit-identical to the collected path;
+    # the distance fold and the struct(dist, cell) tiebreak are
+    # byte-for-byte unit_cells' (A/B-pinned in tests/test_ml_lsh.py).
+    def sums_of(assigned: DataFrame) -> DataFrame:
+        return (
             assigned.select(
                 "cell",
                 F.posexplode(
@@ -405,19 +418,79 @@ def ivf_train(
             .groupBy("cell", "d")
             .agg(F.sum("vfp").alias("sfp"), F.count("*").alias("cnt"))
         )
-        rows = sums.collect()
-        if it == 0:
-            if not rows:
-                raise ValueError("IVF training needs at least one vector")
-            # dimensionality comes from the data, not the parameter (same
-            # fix as corpus.kmeans_fixedpoint, ADVICE r06 low)
-            dim = 1 + max(r["d"] for r in rows)
+
+    def cent_row(sums: DataFrame) -> DataFrame:
+        # (cell, d, sfp, cnt) -> ONE row: array<struct<cell, c>> sorted
+        # by cell (collect_list order is nondeterministic; array_sort /
+        # sort_array pin it — d is unique per cell, cell unique overall)
+        byc = sums.groupBy("cell").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("d"),
+                        ((F.col("sfp") / F.lit(1e6)) / F.col("cnt")).alias("v"),
+                    )
+                )
+            ).alias("dv")
+        )
+        cent = byc.select(
+            "cell", F.transform("dv", lambda s: s["v"]).alias("c")
+        )
+        return cent.agg(
+            F.sort_array(F.collect_list(F.struct("cell", "c"))).alias("_cents")
+        )
+
+    def assign_against_row(crow: DataFrame) -> DataFrame:
+        best = F.array_min(
+            F.transform(
+                F.col("_cents"),
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("u"),
+                            s["c"],
+                            lambda a, b: F.floor(
+                                (a - b) * (a - b) * 1e12 + 0.5
+                            ).cast("long"),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, e: acc + e,
+                    ).alias("dist"),
+                    s["cell"].cast("int").alias("cell"),
+                ),
+            )
+        )["cell"]
+        return base.crossJoin(F.broadcast(crow)).select(
+            "_id", "u", best.alias("cell")
+        )
+
+    def cents_from(rows) -> list[tuple[int, list[float]]]:
+        if not rows:
+            raise ValueError("IVF training needs at least one vector")
+        # dimensionality comes from the data, not the parameter (same
+        # fix as corpus.kmeans_fixedpoint, ADVICE r06 low)
+        d_n = 1 + max(r["d"] for r in rows)
         by_cell: dict[int, dict[int, float]] = {}
         for r in rows:
-            by_cell.setdefault(r["cell"], {})[r["d"]] = (r["sfp"] / 1e6) / r["cnt"]
-        cents = [
-            (cell, [m[d] for d in range(dim)]) for cell, m in sorted(by_cell.items())
+            by_cell.setdefault(r["cell"], {})[r["d"]] = (
+                r["sfp"] / 1e6
+            ) / r["cnt"]
+        return [
+            (cell, [m[d] for d in range(d_n)])
+            for cell, m in sorted(by_cell.items())
         ]
+
+    assigned = base.crossJoin(F.broadcast(seed_row)).select(
+        "_id", "u", seed_assign.alias("cell")
+    )
+    if fold_rounds:
+        for _ in range(iters - 1):
+            assigned = assign_against_row(cent_row(sums_of(assigned)))
+        cents = cents_from(sums_of(assigned).collect())  # the ONE collect
+    else:
+        cents = cents_from(sums_of(assigned).collect())  # round 1
+        for _ in range(iters - 1):  # rounds 2..iters, one collect each
+            cents = cents_from(sums_of(assign_frame(cents)).collect())
 
     out = assign_frame(cents).select(F.col("_id").alias(id_col), "cell")
     return IvfModel(assignments=out, centroids=cents, unit=base)
@@ -985,6 +1058,12 @@ def ivfpq_topk(
             id_col=id_col,
             n_cells=n_cells,
             iters=ivf_iters,
+            # in-plan round fold (r16): wins HERE because the training
+            # shares the driver with the concurrent PQ/query threads —
+            # fewer py4j roundtrips to contend; measured 3.05 -> 2.69 s
+            # on this row, while the sequential callers measured flat or
+            # slower (see ivf_train's fold note)
+            fold_rounds=True,
         )
         pq_f = pool.submit(
             pq_train,

@@ -1420,11 +1420,12 @@ def suffix_ranks(
     cur = rank_by(pref, ["p8"], "r").select(
         id_col, "pos", "r"
     ).localCheckpoint(eager=False)
-    maxlen = (cur.agg(F.max("pos")).first()[0] or -1) + 1
-    n_ranks = -1  # unknown until the first round's distinct
     doc_w = Window.partitionBy(id_col).orderBy("pos")
     h = base_h
-    while h < maxlen:
+    maxlen = None  # learned on the first probe action (fused, see below)
+    n_ranks = -1
+    first_round = True
+    while True:
         pair = cur.select(
             id_col,
             "pos",
@@ -1434,7 +1435,40 @@ def suffix_ranks(
         rmap = rank_by(
             pair.select("r", "r2").distinct(), ["r", "r2"], "nr"
         ).localCheckpoint(eager=False)
-        n_pairs = rmap.count()
+        if first_round:
+            # Fused probe (r16, VERDICT r15 next #4): ONE action returns
+            # round 1's pair count, the corpus max suffix position (the
+            # doubling bound the old code paid a separate maxlen action
+            # for), and the seed rank count max(r) (dense ranks are
+            # 1..n, so max == class count).  It materializes the seed
+            # checkpoint AND round 1's rmap in the same job.  Round 1 is
+            # built optimistically — if every doc fits inside the seed
+            # (maxlen <= seed_words) its rmap was wasted work, a
+            # seed-rank-sized distinct; the seed is sized so real
+            # corpora exceed it (docstring).  Seeding n_ranks with the
+            # seed class count also lets round 1 exit on an unrefining
+            # corpus: a pure-relabel round maps dense rank r -> dense
+            # rank r (bijection, order-preserving), so returning the
+            # seed frame is value-identical to relabeling.
+            first_round = False
+            probe = (
+                rmap.agg(F.count("*").alias("np"))
+                .crossJoin(
+                    cur.agg(
+                        F.max("pos").alias("mp"), F.max("r").alias("mr")
+                    )
+                )
+                .first()
+            )
+            maxlen = (
+                probe["mp"] if probe["mp"] is not None else -1
+            ) + 1
+            n_ranks = probe["mr"] or 0
+            n_pairs = probe["np"]
+            if h >= maxlen:
+                break  # no suffix extends past the seed: seed is final
+        else:
+            n_pairs = rmap.count()
         if n_pairs == n_ranks:
             break  # fixed point: this round would relabel, not refine
         n_ranks = n_pairs
@@ -1444,6 +1478,8 @@ def suffix_ranks(
             .localCheckpoint(eager=False)
         )
         h *= 2
+        if h >= maxlen:
+            break
     return cur.select(
         id_col,
         F.col("pos").cast("long").alias("pos"),

@@ -329,3 +329,21 @@ def test_pq_codebook_clamps_to_available_vectors(spark):
     empty = tiny.where(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="at least one vector"):
         pq_train(empty, n_sub=4, k=16)
+
+
+def test_ivf_fold_rounds_matches_collected_path(spark, sf_dir):
+    """r16 in-plan Lloyd fold (ivf_train fold_rounds=True, used by the
+    threaded ivfpq_topk): the in-plan centroid update — CAST(sfp AS
+    DOUBLE)/1e6/cnt regrouped to a broadcast row — must produce
+    BIT-identical centroids and identical assignments to the per-round
+    collected path, or the composite row's results drift from its
+    oracle."""
+    from reddit_sse_stream_spark.operators.ml_lsh import ivf_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = ivf_train(emb, fold_rounds=False)
+    b = ivf_train(emb, fold_rounds=True)
+    assert a.centroids == b.centroids  # float lists: == is bit-level
+    assert sorted(map(tuple, a.assignments.collect())) == sorted(
+        map(tuple, b.assignments.collect())
+    )

@@ -163,6 +163,26 @@ SPREAD_ESCALATE = 1.5
 VS_PREV_ESCALATE = 1.25
 
 
+def row_statistic(samples_sorted: list[float], trim: bool) -> float:
+    """Artifact statistic for one bench row (VERDICT r15 next #7):
+    sub-second rows pay the largest RELATIVE noise and host contention on
+    this shared sandbox is ONE-SIDED (steal only adds time), so a single
+    burst during the 7-sample window inflates the median and flags
+    phantom regressions (11 in r15, every one reproduced at r14 speed by
+    the driver's own 8-core leg).  Fast rows (``trim=True``: prior-round
+    median under FAST_ROW_SEC, >= 6 samples) therefore record a
+    one-sided trimmed mean — drop the 2 LARGEST samples, mean the rest —
+    instead of the raw median; min/max stay on the spread stdout line
+    and every sample stays in BENCH_DETAIL.json, so nothing is hidden
+    and the old statistic remains recoverable.  Heavy rows keep the
+    plain median (their relative noise is small and the median is the
+    statistic every prior round recorded)."""
+    if trim:
+        kept = samples_sorted[:-2]
+        return round(sum(kept) / len(kept), 3)
+    return round(samples_sorted[len(samples_sorted) // 2], 3)
+
+
 def should_escalate(samples: list[float], prev_median: float | None) -> bool:
     """True when a BASE_RUNS sample has earned MAX_RUNS: its own min-max
     spread crossed SPREAD_ESCALATE (noise this round), or its median sits
@@ -842,27 +862,11 @@ def main() -> None:
             ):
                 target = MAX_RUNS
         s = sorted(samples)
-        # Artifact statistic (VERDICT r15 next #7): sub-second rows pay
-        # the largest RELATIVE noise and host contention is ONE-SIDED
-        # (steal only adds time), so a single burst during the 7-sample
-        # window inflates the median and flags phantom regressions (11 in
-        # r15, every one reproduced at r14 speed by the driver's own
-        # 8-core leg).  Fast rows therefore record a one-sided trimmed
-        # mean — drop the 2 largest of their >=6 samples, mean the rest —
-        # instead of the raw median; their min/max stays on the spread
-        # line and ALL samples stay in BENCH_DETAIL.json, so nothing is
-        # hidden and the old statistic remains recoverable.  Heavy rows
-        # keep the plain median (their relative noise is small and the
-        # median is the statistic every prior round recorded).
         trim = (
             name in fast_rows
             or (name not in prev_q and min(s) < FAST_ROW_SEC)
         ) and len(s) >= 6
-        if trim:
-            kept = s[:-2]
-            times[name] = round(sum(kept) / len(kept), 3)
-        else:
-            times[name] = round(s[len(s) // 2], 3)
+        times[name] = row_statistic(s, trim)
         spread[name] = [round(s[0], 3), round(s[-1], 3)]
         run_counts[name] = len(s)
         detail[name] = {

@@ -391,3 +391,19 @@ def test_should_escalate_on_vs_prev_tail():
     # no prior (new row / sf change): spread rule alone decides
     assert not bench.should_escalate([0.355, 0.363, 0.370], prev_median=None)
     assert not bench.should_escalate([0.355, 0.363, 0.370], prev_median=0.0)
+
+
+def test_row_statistic_trims_one_sided_bursts():
+    """The fast-row artifact statistic (VERDICT r15 next #7): two steal
+    bursts among 7 samples must not move the recorded value, because the
+    trim drops exactly the 2 largest; heavy rows keep the plain median."""
+    clean = [0.30, 0.31, 0.31, 0.32, 0.32]
+    bursty = sorted(clean + [1.9, 2.4])  # 2 of 7 samples hit a burst
+    trimmed = bench.row_statistic(bursty, trim=True)
+    assert trimmed == round(sum(clean) / len(clean), 3)
+    # without the trim the median would be pulled by escalation ordering
+    # games; with it, the burst samples are exactly the dropped ones
+    assert trimmed < bench.row_statistic(bursty, trim=False) + 0.1
+    # heavy-row path: plain median, untouched by the flag
+    heavy = [2.0, 2.1, 2.2, 2.3, 9.9]
+    assert bench.row_statistic(heavy, trim=False) == 2.2
